@@ -1,0 +1,54 @@
+"""Headline benchmark: runs the registered queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed to completion (count of the result) so the full
+plan — scans, shuffles, joins, windows — actually runs; timings are
+wall-clock per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lagoon_spark.queries import registry
+from lagoon_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("lagoon_spark_bench")
+    qs = registry()
+
+    # warm the JVM + parquet footers once (not counted)
+    qs["q12_distinct"].spark_fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, q in sorted(qs.items()):
+        t0 = time.perf_counter()
+        df = q.spark_fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,744 @@
+"""Query registry: every operator in SURVEY.md §2 as a (Spark, oracle) pair.
+
+Each entry implements one operator family from the reference's
+relational surface (the Plane-B inventory derived from the reference's
+EXPLAIN-plan parser, `src/backend/src/Lagoon/Util/PostgreSQL/QueryPlan.hs:144-178`,
+and its R dplyr translations, `clients/RLagoon/R/dplyrlagoon.r:86-131`)
+or one of the training-data-pipeline extensions (dedup, similarity,
+text analysis).
+
+Cross-engine determinism rules (Spark vs DuckDB must hash-match):
+
+* Money/qty aggregates go through DECIMAL: ``CAST(x AS DECIMAL(18,2))``
+  is exact for the 2-decimal synthetic data, decimal SUM is exact and
+  order-independent, and the final ``CAST(... AS DOUBLE)`` is a single
+  deterministic rounding. Floating SUM would differ in low bits between
+  engines because accumulation order differs.
+* Statistical moments (stddev/var/corr/covar) are computed from exact
+  decimal sums via their closed forms instead of the engines' one-pass
+  streaming implementations (which are order-dependent).
+* AVG is written as exact-decimal SUM divided by COUNT (both engines
+  then perform one identical double division).
+* Vector math (dot products, norms) uses an explicit left fold
+  (Spark ``aggregate``, DuckDB ``list_reduce``) so both engines add in
+  the same order → bitwise-equal doubles.
+* string_agg is always explicitly ordered.
+* LIMIT always rides on a total order (unique tiebreak column).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lagoon_spark.session import register_views
+
+
+@dataclass
+class QueryDef:
+    name: str
+    doc: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB SQL; None => rows-only check
+    tags: tuple = field(default=())
+
+
+_REGISTRY: dict[str, QueryDef] = {}
+
+
+def _register(q: QueryDef) -> None:
+    _REGISTRY[q.name] = q
+
+
+def sql_query(name: str, doc: str, spark_sql: str, duck_sql: str | None = None) -> None:
+    """Register a query given as SQL text (duck_sql defaults to spark_sql)."""
+
+    def fn(spark: SparkSession, sf_dir: str, _sql=spark_sql) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    _register(QueryDef(name, doc, fn, duck_sql if duck_sql is not None else spark_sql))
+
+
+def df_query(name: str, doc: str, duck_sql: str | None):
+    """Decorator to register a DataFrame-API implementation."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _register(QueryDef(name, doc, fn, duck_sql))
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, QueryDef]:
+    return dict(_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation: GROUP BY + sum/avg/count   (QueryPlan.hs:146 Aggregate/Group)
+# ---------------------------------------------------------------------------
+
+_Q1 = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+sql_query(
+    "q01_pricing_summary",
+    "TPC-H Q1-style hash aggregate with decimal-exact sums/averages.",
+    _Q1,
+)
+
+# ---------------------------------------------------------------------------
+# Multi-way inner join + agg (hash join; QueryPlan.hs:157 HashJoin)
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+@df_query(
+    "q02_revenue_by_nation",
+    "5-way inner join (fact + broadcast dims) with decimal-exact revenue.",
+    _Q2_ORACLE,
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    li = spark.table("lineitem")
+    orders = spark.table("orders")
+    cust = spark.table("customer")
+    nation = spark.table("nation")
+    region = spark.table("region").filter(F.col("r_name") == "ASIA")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer joins (left / right / full)
+# ---------------------------------------------------------------------------
+
+_Q3_ORACLE = """
+SELECT c_custkey, c_name,
+       COUNT(o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spend
+FROM customer
+LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+@df_query(
+    "q03_left_join_customer_orders",
+    "LEFT OUTER join keeping order-less customers (COUNT over nullable key).",
+    _Q3_ORACLE,
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    cust = spark.table("customer")
+    orders = spark.table("orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+sql_query(
+    "q04_right_join",
+    "RIGHT OUTER join: all nations retained against suppliers.",
+    """
+SELECT n_nationkey, n_name, COUNT(s_suppkey) AS n_suppliers
+FROM supplier
+RIGHT JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_nationkey, n_name
+""",
+)
+
+sql_query(
+    "q05_full_outer_join",
+    "FULL OUTER join of customer-nation presence vs supplier-nation presence.",
+    """
+WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+     sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(n_supp, 0) AS n_supp
+FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+""",
+)
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (QueryPlan.hs JoinSemi/JoinAnti)
+# ---------------------------------------------------------------------------
+
+_Q6_ORACLE = """
+SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+"""
+
+
+@df_query(
+    "q06_semi_join",
+    "LEFT SEMI join: customers having at least one order > 200000.",
+    _Q6_ORACLE,
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    cust = spark.table("customer")
+    big = spark.table("orders").filter(F.col("o_totalprice") > 200000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+
+
+_Q7_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@df_query(
+    "q07_anti_join",
+    "LEFT ANTI join: customers with no orders at all.",
+    _Q7_ORACLE,
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    cust = spark.table("customer")
+    orders = spark.table("orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-equi join (nested loop; QueryPlan.hs:166 NestedLoop)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "q08_nonequi_join",
+    "Inequality-only join predicate → broadcast nested-loop join.",
+    """
+SELECT s_suppkey, COUNT(*) AS n_lower_nation_customers
+FROM supplier JOIN customer ON s_nationkey < c_nationkey
+GROUP BY s_suppkey
+""",
+)
+
+# ---------------------------------------------------------------------------
+# Window functions (QueryPlan.hs:176 WindowAgg; dplyrlagoon.r:112-131)
+# ---------------------------------------------------------------------------
+
+_Q9_ORACLE = """
+SELECT o_orderpriority, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) t
+WHERE rk <= 3
+"""
+
+
+@df_query(
+    "q09_window_topk_per_group",
+    "rank() over partition, top-3 per group (deterministic tiebreak).",
+    _Q9_ORACLE,
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        spark.table("orders")
+        .withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "rk",
+        )
+    )
+
+
+_Q10_ORACLE = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+FROM events
+"""
+
+
+@df_query(
+    "q10_window_running_sum",
+    "Cumulative frame (ROWS UNBOUNDED PRECEDING..CURRENT) + row_number.",
+    _Q10_ORACLE,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return spark.table("events").select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_value"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+
+sql_query(
+    "q11_window_lag_lead",
+    "lag/lead navigation over ordered partitions.",
+    """
+SELECT user_id, event_id,
+       CAST(value AS DOUBLE) AS value,
+       CAST(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS delta_prev,
+       LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events
+""",
+)
+
+# ---------------------------------------------------------------------------
+# DISTINCT / sort / limit / offset (QueryPlan.hs:174 Unique, :171 Sort, :160 Limit)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "q12_distinct",
+    "DISTINCT over a projection.",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+
+sql_query(
+    "q13_sort_limit_offset",
+    "Total-order sort with LIMIT and OFFSET.",
+    """
+SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 10
+""",
+)
+
+# ---------------------------------------------------------------------------
+# Set operations (QueryPlan.hs:147,163,170 Append/SetOp)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "q14_union_all",
+    "UNION ALL then re-aggregate.",
+    """
+SELECT key_side, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS nk, 'cust' AS key_side FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nk, 'supp' AS key_side FROM supplier
+) u GROUP BY key_side
+""",
+)
+
+sql_query(
+    "q15_union_distinct",
+    "UNION (distinct) of two key sets.",
+    """
+SELECT nk FROM (
+  SELECT c_nationkey AS nk FROM customer
+  UNION
+  SELECT s_nationkey AS nk FROM supplier
+) u
+""",
+)
+
+sql_query(
+    "q16_intersect",
+    "INTERSECT of nation-key sets.",
+    """
+SELECT c_nationkey AS nk FROM customer
+INTERSECT
+SELECT s_nationkey AS nk FROM supplier
+""",
+)
+
+sql_query(
+    "q17_except",
+    "EXCEPT: nations with customers but no suppliers.",
+    """
+SELECT c_nationkey AS nk FROM customer
+EXCEPT
+SELECT s_nationkey AS nk FROM supplier
+""",
+)
+
+sql_query(
+    "q18_intersect_all",
+    "INTERSECT ALL (multiset semantics) on order-priority rows.",
+    """
+SELECT o_orderpriority FROM orders WHERE o_totalprice > 150000
+INTERSECT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+
+sql_query(
+    "q19_except_all",
+    "EXCEPT ALL (multiset semantics).",
+    """
+SELECT o_orderpriority FROM orders WHERE o_totalprice > 150000
+EXCEPT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+
+# ---------------------------------------------------------------------------
+# CTEs and subqueries (QueryPlan.hs:153 CteScan, :172 SubqueryScan)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "q20_cte",
+    "WITH clause (CTE) reused twice.",
+    """
+WITH big_orders AS (
+  SELECT o_custkey, COUNT(*) AS n_big
+  FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey
+)
+SELECT n_big, COUNT(*) AS n_customers
+FROM big_orders
+GROUP BY n_big
+""",
+)
+
+sql_query(
+    "q21_scalar_subquery",
+    "Scalar subquery in WHERE (decimal-exact avg so selection matches).",
+    """
+SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+FROM customer
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM customer
+)
+""",
+)
+
+sql_query(
+    "q22_correlated_exists",
+    "Correlated EXISTS subquery (decorrelated by Catalyst into a semi join).",
+    """
+SELECT o_orderkey, o_orderstatus
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49
+)
+""",
+)
+
+sql_query(
+    "q23_in_subquery",
+    "IN (subquery) membership predicate.",
+    """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+""",
+)
+
+# ---------------------------------------------------------------------------
+# Aggregate function breadth (dplyrlagoon.r:101-111):
+# corr/covar/stddev/var via exact closed forms; bool_and/bool_or; string_agg.
+# ---------------------------------------------------------------------------
+
+_Q24 = """
+SELECT event_type,
+       n,
+       sum_v,
+       -- sample variance/stddev/covariance from exact decimal moments:
+       -- (sxx - sx^2/n)/(n-1); rounded to 6 decimals because the final
+       -- DECIMAL→DOUBLE cast of the high-scale moments can differ by
+       -- 1 ulp between engines when the unscaled value exceeds 2^53
+       ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_v,
+       ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_v,
+       ROUND((sxu - sx * su / n) / (n - 1), 6) AS covar_vu
+FROM (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * user_id) AS DOUBLE) AS sxu,
+         CAST(SUM(CAST(user_id AS DECIMAL(18,0))) AS DOUBLE) AS su
+  FROM events
+  GROUP BY event_type
+) m
+"""
+
+sql_query(
+    "q24_stats_aggregates",
+    "variance/stddev/covariance via exact decimal moment sums (order-independent).",
+    _Q24,
+)
+
+sql_query(
+    "q25_bool_aggregates",
+    "bool_and / bool_or aggregate functions.",
+    """
+SELECT event_type,
+       BOOL_AND(value > 1.0) AS all_above_1,
+       BOOL_OR(value > 99.0) AS any_above_99
+FROM events
+GROUP BY event_type
+""",
+)
+
+sql_query(
+    "q26_string_agg",
+    "Ordered string aggregation (reference: string_agg via dplyr).",
+    """
+SELECT n_name,
+       ARRAY_JOIN(ARRAY_SORT(COLLECT_LIST(c_name)), ',') AS members
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 9900
+GROUP BY n_name
+""",
+    """
+SELECT n_name,
+       STRING_AGG(c_name, ',' ORDER BY c_name) AS members
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 9900
+GROUP BY n_name
+""",
+)
+
+# ---------------------------------------------------------------------------
+# HAVING / CASE / conditional aggregation / ROLLUP
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "q27_having",
+    "Post-aggregation filter (HAVING).",
+    """
+SELECT o_custkey, COUNT(*) AS n
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+""",
+)
+
+sql_query(
+    "q28_case_conditional_agg",
+    "CASE WHEN inside aggregates (pivot-style conditional aggregation).",
+    """
+SELECT l_returnflag,
+       SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS n_high_disc,
+       SUM(CASE WHEN l_discount <  0.05 THEN 1 ELSE 0 END) AS n_low_disc,
+       CAST(SUM(CASE WHEN l_tax > 0.04 THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS taxed_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc,
+       CAST(SUM(CASE WHEN l_discount <  0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_disc,
+       CAST(SUM(CASE WHEN l_tax > 0.04 THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS taxed_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+
+sql_query(
+    "q29_rollup",
+    "GROUP BY ROLLUP (hierarchical subtotals).",
+    """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+
+# ---------------------------------------------------------------------------
+# VALUES scan (QueryPlan.hs:175 ValuesScan)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "q30_values_scan",
+    "Inline VALUES relation joined to a table.",
+    """
+SELECT m.label, COUNT(*) AS n
+FROM nation
+JOIN (VALUES (0, 'rest'), (1, 'rest'), (2, 'focus'), (3, 'rest'), (4, 'rest'))
+  AS m(rk, label)
+ON n_regionkey = m.rk
+GROUP BY m.label
+""",
+)
+
+# ---------------------------------------------------------------------------
+# Table functions / explode (QueryPlan.hs:154 FunctionScan)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "q31_explode_array",
+    "Array explode / unnest of the embedding vectors.",
+    """
+SELECT vec_id, CAST(e AS DOUBLE) AS component
+FROM embeddings
+LATERAL VIEW EXPLODE(embedding) AS e
+WHERE vec_id < 5
+""",
+    """
+SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS component
+FROM embeddings
+WHERE vec_id < 5
+""",
+)
+
+# ---------------------------------------------------------------------------
+# JSON access (reference JSON operators, dplyrlagoon.r:88-100)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "q32_json_extract",
+    "JSON field extraction from a JSON-typed text column.",
+    """
+SELECT CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CAST(GET_JSON_OBJECT(props, '$.k') AS BIGINT) % 10
+""",
+    """
+SELECT CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 10
+""",
+)
+
+# ---------------------------------------------------------------------------
+# Scalar function surface: strings, dates, math
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "q33_string_functions",
+    "String scalar functions: upper/substr/length/replace/concat/trim.",
+    """
+SELECT p_partkey,
+       UPPER(p_brand) AS brand_u,
+       SUBSTR(p_name, 1, 8) AS name_prefix,
+       LENGTH(p_name) AS name_len,
+       REPLACE(p_type, ' ', '_') AS type_snake,
+       p_brand || ':' || p_type AS brand_type
+FROM part
+WHERE p_size BETWEEN 10 AND 20
+""",
+)
+
+sql_query(
+    "q34_date_functions",
+    "Date part extraction and grouping on timestamps.",
+    """
+SELECT YEAR(o_orderdate) AS yr, MONTH(o_orderdate) AS mo,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)
+""",
+)
+
+sql_query(
+    "q35_math_functions",
+    "Math scalar functions: round/floor/ceil/abs/power/mod.",
+    """
+SELECT l_linenumber,
+       CAST(ROUND(AVG_D, 2) AS DOUBLE) AS avg_rounded,
+       CAST(FLOOR(AVG_D) AS DOUBLE) AS avg_floor,
+       CAST(CEIL(AVG_D) AS DOUBLE) AS avg_ceil
+FROM (
+  SELECT l_linenumber,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS AVG_D
+  FROM lineitem GROUP BY l_linenumber
+) t
+""",
+    """
+SELECT l_linenumber,
+       CAST(ROUND(AVG_D, 2) AS DOUBLE) AS avg_rounded,
+       CAST(FLOOR(AVG_D) AS DOUBLE) AS avg_floor,
+       CAST(CEIL(AVG_D) AS DOUBLE) AS avg_ceil
+FROM (
+  SELECT l_linenumber,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS AVG_D
+  FROM lineitem GROUP BY l_linenumber
+) t
+""",
+)
+
+sql_query(
+    "q36_cross_join",
+    "Cartesian product of small dims.",
+    """
+SELECT r_name, n_name
+FROM region CROSS JOIN nation
+WHERE n_regionkey <> r_regionkey AND n_nationkey < 5 AND r_regionkey < 3
+""",
+)
+
+
+def get_query(name: str) -> QueryDef:
+    return _REGISTRY[name]
