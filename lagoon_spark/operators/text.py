@@ -1,0 +1,147 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+All hot-path expressions are built-in Spark SQL functions (JVM-side,
+whole-stage-codegen) — no Python UDFs — so they vectorize across
+executors and scale linearly with input splits. Each function returns a
+Column usable in any select/withColumn.
+
+Two hash flavors are provided where hashing is involved:
+
+* ``portable`` — a 31-multiplier rolling hash mod 1e9+7, reproducible
+  in any engine (used by the DuckDB oracle queries);
+* ``fast`` — xxhash64, the production path (single JVM intrinsic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+MULT = 31
+
+# languages → marker stopwords for the n-gram/stopword-count heuristic
+DEFAULT_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is"),
+    "fr": ("le", "la", "et", "est"),
+    "de": ("der", "die", "und", "ist"),
+    "es": ("el", "los", "y", "es"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def words(col: str) -> Column:
+    """Split on single spaces, keeping duckdb-compatible semantics."""
+    return F.split(F.col(col), " ")
+
+
+def token_count(col: str) -> Column:
+    """Number of non-empty whitespace-separated tokens."""
+    return F.size(F.filter(words(col), lambda w: w != F.lit("")))
+
+
+def char_count(col: str) -> Column:
+    return F.length(F.col(col))
+
+
+def marker_count(col: str, word: str) -> Column:
+    """Occurrences of ``word`` as a whole token (space-padded count).
+
+    Pure replace/length arithmetic → identical in any SQL engine.
+    """
+    padded = F.concat(F.lit(" "), F.col(col), F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(" "))))
+        / (len(needle) - 1)
+    ).cast("long")
+
+
+def stopword_ratio(col: str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    hits = F.size(
+        F.filter(words(col), lambda w: w.isin(*[F.lit(s) for s in stopwords]))
+    )
+    return F.round(hits / F.greatest(token_count(col), F.lit(1)), 6)
+
+
+def punct_ratio(col: str, puncts: str = ".,!?;:") -> Column:
+    """Fraction of characters that are punctuation."""
+    stripped = F.col(col)
+    for p in puncts:
+        stripped = F.replace(stripped, F.lit(p), F.lit(""))
+    n = F.greatest(F.length(F.col(col)), F.lit(1))
+    return F.round((F.length(F.col(col)) - F.length(stripped)) / n, 6)
+
+
+def mean_token_len(col: str) -> Column:
+    """Average token length, exact integer arithmetic then one division."""
+    nt = F.greatest(token_count(col), F.lit(1))
+    total = F.size(words(col)) - 1  # separators
+    return F.round((F.length(F.col(col)) - total) / nt, 6)
+
+
+def lang_scores(col: str, markers: dict[str, tuple[str, ...]] | None = None) -> dict[str, Column]:
+    markers = markers or DEFAULT_LANG_MARKERS
+    out = {}
+    for lang, ws in markers.items():
+        score: Column = F.lit(0)
+        for w in ws:
+            score = score + marker_count(col, w)
+        out[lang] = score
+    return out
+
+
+def lang_id(col: str, markers: dict[str, tuple[str, ...]] | None = None) -> Column:
+    """argmax of marker-word counts; 'und' when all scores are zero.
+
+    Ties break by language-name order (deterministic). This is the
+    classic cheap n-gram/stopword heuristic — a real pipeline would put
+    fasttext behind the same signature via mapInPandas.
+    """
+    markers = markers or DEFAULT_LANG_MARKERS
+    scores = lang_scores(col, markers)
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang in sorted(scores):  # later higher score strictly wins
+        cond = scores[lang] > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, scores[lang].cast("long")).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(col: str, max_chars: int = 64, mod: int = MOD, mult: int = MULT) -> Column:
+    """Rolling polynomial hash of the first ``max_chars`` characters.
+
+    acc_i = (acc_{i-1} * mult + ascii(char_i)) mod ``mod`` — an exact
+    integer left fold, reproducible in any engine (the oracle runs the
+    same fold via DuckDB list_reduce). Spark's ``sequence(1, 0)``
+    counts *down*, so the empty string is special-cased.
+    """
+    expr = (
+        f"CASE WHEN length({col}) = 0 THEN CAST(0 AS BIGINT) ELSE "
+        f"aggregate(transform(sequence(1, least(length({col}), {max_chars})), "
+        f"i -> ascii(substr({col}, i, 1))), CAST(0 AS BIGINT), "
+        f"(a, b) -> (a * {mult} + b) % {mod}) END"
+    )
+    return F.expr(expr)
+
+
+def word_fingerprints(col: str, mod: int = MOD, mult: int = MULT) -> Column:
+    """Per-token rolling hashes (portable) — the minhash building block."""
+    expr = (
+        f"transform(filter(split({col}, ' '), w -> w <> ''), "
+        f"w -> aggregate(transform(sequence(1, length(w)), "
+        f"i -> ascii(substr(w, i, 1))), CAST(0 AS BIGINT), "
+        f"(a, b) -> (a * {mult} + b) % {mod}))"
+    )
+    return F.expr(expr)
+
+
+def word_hashes_fast(col: str, seed: int = 42) -> Column:
+    """Production path: xxhash64 per distinct token (JVM intrinsic)."""
+    return F.expr(
+        f"transform(array_distinct(filter(split({col}, ' '), w -> w <> '')), "
+        f"w -> xxhash64(w, {seed}))"
+    )

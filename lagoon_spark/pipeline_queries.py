@@ -1,0 +1,432 @@
+"""Training-data pipeline queries: dedup / similarity / text analysis.
+
+Spark side uses the operator library (lagoon_spark/operators/*) —
+idiomatic DataFrame transformations. The DuckDB oracle SQL is generated
+from the same constants (seeds, hyperplanes, thresholds) so both
+engines compute the identical deterministic function.
+
+Portable-hash contract (shared with operators/text.py):
+fp(s) = left-fold over chars of (acc*31 + ascii(c)) mod 1e9+7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lagoon_spark.operators import dedup, similarity, text
+from lagoon_spark.queries import df_query
+from lagoon_spark.session import register_views
+
+MOD = text.MOD
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL fragment generators (mirror operators/text.py semantics)
+# ---------------------------------------------------------------------------
+
+def _duck_fp(expr: str, max_chars: int | None = None) -> str:
+    n = f"least(length({expr}), {max_chars})" if max_chars else f"length({expr})"
+    return (
+        f"CASE WHEN length({expr}) = 0 THEN CAST(0 AS BIGINT) ELSE "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, {n} + 1), i -> CAST(ascii(substr({expr}, i, 1)) AS BIGINT))), "
+        f"(a, b) -> (a * {text.MULT} + b) % {MOD}) END"
+    )
+
+
+_DUCK_WORD_FPS = (
+    "list_transform(list_filter(string_split(text, ' '), w -> w <> ''), "
+    "w -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length(w) + 1), i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))), "
+    f"(a, b) -> (a * {text.MULT} + b) % {MOD}))"
+)
+
+
+def _duck_marker(word: str) -> str:
+    pad = f"' ' || text || ' '"
+    needle = f" {word} "
+    return (
+        f"CAST((length({pad}) - length(replace({pad}, '{needle}', ' '))) / {len(needle) - 1} AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# d01 — token / quality statistics
+# ---------------------------------------------------------------------------
+
+_D01_ORACLE = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+       round((length(text) - (len(string_split(text, ' ')) - 1))
+             / greatest(len(list_filter(string_split(text, ' '), w -> w <> '')), 1), 6) AS mean_token_len,
+       round(len(list_filter(string_split(text, ' '),
+                 w -> list_contains(['the','a','of','and','is','to','in'], w)))
+             / greatest(len(list_filter(string_split(text, ' '), w -> w <> '')), 1), 6) AS stopword_ratio
+FROM documents
+"""
+
+
+@df_query(
+    "d01_text_stats",
+    "Per-document token count, mean token length, stopword ratio (quality scoring).",
+    _D01_ORACLE,
+)
+def d01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id",
+        text.char_count("text").alias("n_chars"),
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.mean_token_len("text").alias("mean_token_len"),
+        text.stopword_ratio("text").alias("stopword_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d02 — language identification (marker-word heuristic)
+# ---------------------------------------------------------------------------
+
+def _d02_oracle() -> str:
+    scores = ",\n       ".join(
+        " + ".join(_duck_marker(w) for w in ws) + f" AS s_{lang}"
+        for lang, ws in text.DEFAULT_LANG_MARKERS.items()
+    )
+    # same fold as text.lang_id: iterate sorted langs, strict > wins
+    langs = sorted(text.DEFAULT_LANG_MARKERS)
+    best_l, best_s = "'und'", "CAST(0 AS BIGINT)"
+    for lang in langs:
+        best_l = f"CASE WHEN s_{lang} > {best_s} THEN '{lang}' ELSE {best_l} END"
+        best_s = f"CASE WHEN s_{lang} > {best_s} THEN s_{lang} ELSE {best_s} END"
+    return f"""
+SELECT doc_id, lang, lang_pred FROM (
+  SELECT doc_id, lang, {best_l} AS lang_pred FROM (
+    SELECT doc_id, lang,
+       {scores}
+    FROM documents
+  ) s
+) p
+"""
+
+
+@df_query(
+    "d02_lang_id",
+    "Language ID via marker-stopword counting (n-gram heuristic family).",
+    _d02_oracle(),
+)
+def d02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id", "lang", text.lang_id("text").alias("lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d03 — document fingerprint (rolling hash)
+# ---------------------------------------------------------------------------
+
+_D03_ORACLE = f"""
+SELECT doc_id, {_duck_fp('text', 64)} AS fp64
+FROM documents
+"""
+
+
+@df_query(
+    "d03_fingerprint",
+    "Rolling-hash document fingerprint (first 64 chars, mod 1e9+7).",
+    _D03_ORACLE,
+)
+def d03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id", text.fingerprint("text", 64).alias("fp64")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d04 — exact dedup via content digest (hash groupBy)
+# ---------------------------------------------------------------------------
+
+_D04_ORACLE = """
+SELECT md5(text) AS digest, COUNT(*) AS n_copies, MIN(doc_id) AS canonical_id
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@df_query(
+    "d04_exact_dup_clusters",
+    "Exact dedup: content-digest groupBy → cluster size + canonical id.",
+    _D04_ORACLE,
+)
+def d04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return (
+        spark.table("documents")
+        .groupBy(dedup.content_digest("text", "md5").alias("digest"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# d05 — dedup survivors (keep min id per key) — window-based selection
+# ---------------------------------------------------------------------------
+
+_D05_ORACLE = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         MIN(doc_id) OVER (PARTITION BY lang, n_chars) AS keeper
+  FROM documents
+) t WHERE doc_id = keeper
+"""
+
+
+@df_query(
+    "d05_dedup_keep_first",
+    "Dedup selection: survivor rows (min doc_id) per (lang, n_chars) key.",
+    _D05_ORACLE,
+)
+def d05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "lang", "n_chars")
+    return dedup.exact_dedup(docs, ["lang", "n_chars"], id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# d06 — MinHash signatures + LSH banding candidate pairs
+# ---------------------------------------------------------------------------
+
+def _d06_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4) -> str:
+    seeds = dedup.minhash_seeds(num_hashes)
+    sig_items = ", ".join(
+        f"list_min(list_transform(f, x -> (x % {MOD} * {a} + {b}) % {MOD}))"
+        for a, b in seeds
+    )
+    band_keys = ", ".join(
+        " || '_' || ".join(f"s[{b * rows + r + 1}]" for r in range(rows))
+        for b in range(bands)
+    )
+    band_ids = ", ".join(str(b) for b in range(bands))
+    matches = " + ".join(
+        f"CASE WHEN sa[{i + 1}] = sb[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH fps AS (
+  SELECT doc_id, list_distinct({_DUCK_WORD_FPS}) AS f FROM documents
+),
+sig AS (
+  SELECT doc_id, [{sig_items}] AS s FROM fps
+),
+banded AS (
+  SELECT doc_id, s, unnest([{band_ids}]) AS band, unnest([{band_keys}]) AS key FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ({matches}) / {num_hashes} AS est_jaccard FROM pairs
+"""
+
+
+@df_query(
+    "d06_minhash_lsh_pairs",
+    "MinHash(16) + LSH banding (4x4): near-dup candidate pairs with estimated Jaccard.",
+    _d06_oracle(),
+)
+def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    sigs = dedup.minhash_signature(docs, "text", num_hashes=16, method="portable")
+    return dedup.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# d07 — SimHash
+# ---------------------------------------------------------------------------
+
+def _d07_oracle(bits: int = 16) -> str:
+    terms = []
+    for k in range(bits):
+        pw = 1 << k
+        contrib = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(f, x -> CAST(CASE WHEN (x // {pw}) % 2 = 1 THEN 1 ELSE -1 END AS BIGINT))), "
+            f"(a, b) -> a + b)"
+        )
+        terms.append(f"CASE WHEN {contrib} > 0 THEN {pw} ELSE 0 END")
+    total = " + ".join(terms)
+    return f"""
+WITH fps AS (
+  SELECT doc_id, {_DUCK_WORD_FPS} AS f FROM documents
+)
+SELECT doc_id, CAST({total} AS BIGINT) AS simhash FROM fps
+"""
+
+
+@df_query(
+    "d07_simhash",
+    "16-bit SimHash per document (token-multiset sign sums).",
+    _d07_oracle(),
+)
+def d07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    return dedup.simhash(docs, "text", bits=16).select("doc_id", "simhash")
+
+
+# ---------------------------------------------------------------------------
+# d08 — word 3-gram Jaccard over blocked candidate pairs
+# ---------------------------------------------------------------------------
+
+_D08_ORACLE = """
+WITH g AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.grams, b.grams))
+             / greatest(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1), 6) AS jaccard
+FROM g a JOIN g b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.grams, b.grams))
+             / greatest(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)), 1), 6) >= 0.05
+"""
+
+
+@df_query(
+    "d08_ngram_jaccard_pairs",
+    "Word-3-gram Jaccard verifier over (lang, source)-blocked pairs.",
+    _D08_ORACLE,
+)
+def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text", "lang", "source")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, block_cols=["lang", "source"], min_jaccard=0.05
+    ).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# s01 — brute-force cosine top-k (the ANN baseline)
+# ---------------------------------------------------------------------------
+
+_S01_ORACLE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+d AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0)
+SELECT vec_id,
+       round(
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(d.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))),
+           (a, b) -> a + b)
+         / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(d.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b))
+            * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b))), 9) AS cosine
+FROM d, q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@df_query(
+    "s01_cosine_topk",
+    "Brute-force cosine top-10 against the vec_id=0 query vector.",
+    _S01_ORACLE,
+)
+def s01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding")
+    return similarity.cosine_topk(
+        emb.filter(F.col("vec_id") != 0), "vec_id", "embedding", query, k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# s02 — blocked pairwise cosine (embedding near-dup verifier)
+# ---------------------------------------------------------------------------
+
+_S02_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(a.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+           (acc, v) -> acc + v)
+         / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (acc, v) -> acc + v))
+            * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (acc, v) -> acc + v))), 9) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(a.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+           (acc, v) -> acc + v)
+         / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (acc, v) -> acc + v))
+            * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (acc, v) -> acc + v))), 9) >= 0.25
+"""
+
+
+@df_query(
+    "s02_cosine_pairs_blocked",
+    "Label-blocked pairwise cosine ≥ 0.25 (embedding near-dup detection).",
+    _S02_ORACLE,
+)
+def s02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return similarity.pairwise_cosine(
+        emb, "vec_id", "embedding", block_cols=["label"], min_cosine=0.25
+    )
+
+
+# ---------------------------------------------------------------------------
+# s03 — sign-random-projection LSH bucket assignment
+# ---------------------------------------------------------------------------
+
+def _s03_oracle(dim: int = 64, bits: int = 8, seed: int = 42) -> str:
+    planes = similarity._pseudo_hyperplanes(dim, bits, seed)
+    terms = []
+    for k, plane in enumerate(planes):
+        arr = "[" + ", ".join(f"CAST({w:.17g} AS DOUBLE)" for w in plane) + "]"
+        dot = (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * ({arr})[i])), "
+            f"(acc, v) -> acc + v)"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << k} ELSE 0 END")
+    total = " + ".join(terms)
+    return f"""
+SELECT vec_id, CAST({total} AS BIGINT) AS lsh_bucket FROM embeddings
+"""
+
+
+@df_query(
+    "s03_rp_lsh_buckets",
+    "Sign-random-projection LSH bucket key per embedding (ANN scale path).",
+    _s03_oracle(),
+)
+def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    return similarity.rp_lsh_buckets(emb, "embedding", dim=64, bits=8, seed=42).select(
+        "vec_id", "lsh_bucket"
+    )

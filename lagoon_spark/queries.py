@@ -742,3 +742,8 @@ WHERE n_regionkey <> r_regionkey AND n_nationkey < 5 AND r_regionkey < 3
 
 def get_query(name: str) -> QueryDef:
     return _REGISTRY[name]
+
+
+# register the training-data pipeline queries (import side effect; the
+# module imports sql_query/df_query from here, which are defined above)
+from lagoon_spark import pipeline_queries  # noqa: E402,F401  (circular-safe)
