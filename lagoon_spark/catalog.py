@@ -1,0 +1,405 @@
+"""The metadata catalog: sources, versions, columns, tags, users.
+
+Mirrors the reference's Postgres schema
+(`src/backend/src/Lagoon/DB/Schema.hs:104-333`) table-for-table:
+``sourcenames`` (named dataset → version counter), ``sources`` (one row
+per ingested version), ``sourcecolumns`` (physical name c1..cN, view
+header, inferred type), ``tags``, ``users``.
+
+Storage: parquet files under ``<warehouse>/catalog/`` written with
+pyarrow on the driver. The catalog is metadata-sized (rows ∝ number of
+*datasets*, not data rows), so driver-side IO is the right tool — the
+reference likewise keeps it in ordinary Postgres tables next to the
+data plane. Caches (the reference maintains them with triggers,
+`Schema.hs:668-783`) are recomputed on write instead.
+
+Versioning semantics (`src/backend/src/Lagoon/DB/Sources.hs:62-135`):
+a new ingest under an existing name allocates version = max+1 and
+auto-deprecates the previous latest; table/view names are
+``t<ix>`` / ``<sanitized>_v<N>`` (`Sources.hs:186-188`).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+import pandas as pd
+
+from lagoon_spark.ingest.names import sanitize
+
+_TABLES = {
+    "sourcenames": {"ix": "int64", "name": "object"},
+    "sources": {
+        "ix": "int64",
+        "sourcename_ix": "int64",
+        "version": "int64",
+        "url": "object",
+        "description": "object",
+        "created": "object",
+        "added_by": "object",
+        "table_name": "object",
+        "view_name": "object",
+        "typed_table_name": "object",
+        "typed_view_name": "object",
+        "deprecated": "bool",
+        "row_count": "int64",
+        "format": "object",  # tabular | json
+        "json_type": "object",  # rendered JsonType for json sources
+    },
+    "sourcecolumns": {
+        "source_ix": "int64",
+        "column_name": "object",  # physical c1..cN (or 'data' for json)
+        "header": "object",  # friendly view name
+        "type": "object",  # ColumnType value string
+    },
+    "tags": {"source_ix": "int64", "tag": "object"},
+    "users": {"ix": "int64", "name": "object"},
+}
+
+
+@dataclass
+class SourceInfo:
+    """A dataset version (`Lagoon.Interface.SourceInfo`,
+    `src/interface/src/Lagoon/Interface/SourceInfo.hs:52-81`)."""
+
+    ix: int
+    name: str
+    version: int
+    url: str | None
+    description: str
+    created: str
+    added_by: str
+    table_name: str
+    view_name: str
+    typed_table_name: str | None
+    typed_view_name: str | None
+    deprecated: bool
+    row_count: int
+    format: str
+    json_type: str | None
+    tags: list[str] = field(default_factory=list)
+    columns: list[tuple[str, str, str]] = field(default_factory=list)
+    # (physical_name, header, type)
+
+
+def _now() -> str:
+    return datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+
+
+class Catalog:
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+        self.dir = os.path.join(warehouse, "catalog")
+        self._cache: dict[str, pd.DataFrame] = {}
+
+    # -- storage ------------------------------------------------------------
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.dir, f"{table}.parquet")
+
+    def _empty(self, table: str) -> pd.DataFrame:
+        return pd.DataFrame(
+            {c: pd.Series(dtype=t) for c, t in _TABLES[table].items()}
+        )
+
+    def load(self, table: str) -> pd.DataFrame:
+        if table not in self._cache:
+            p = self._path(table)
+            self._cache[table] = (
+                pd.read_parquet(p) if os.path.exists(p) else self._empty(table)
+            )
+        return self._cache[table]
+
+    def save(self, table: str, df: pd.DataFrame) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        self._cache[table] = df.reset_index(drop=True)
+        self._cache[table].to_parquet(self._path(table), index=False)
+
+    def init_db(self, reset: bool = False) -> None:
+        """A29: create (or reset) the catalog storage."""
+        if reset:
+            import shutil
+
+            if os.path.exists(self.warehouse):
+                shutil.rmtree(self.warehouse)
+        os.makedirs(self.dir, exist_ok=True)
+        for t in _TABLES:
+            if reset or not os.path.exists(self._path(t)):
+                self.save(t, self._empty(t))
+
+    # -- sources / versions (A14, A15) --------------------------------------
+
+    def new_source(
+        self,
+        name: str,
+        *,
+        url: str | None,
+        description: str | None,
+        added_by: str,
+        created: str | None,
+        fmt: str,
+    ) -> tuple[int, int, str, str]:
+        """Allocate (source_ix, version, table_name, view_name); bump the
+        per-name version counter and auto-deprecate the previous latest."""
+        names = self.load("sourcenames")
+        sources = self.load("sources")
+        hit = names[names["name"] == name]
+        if len(hit):
+            sn_ix = int(hit.iloc[0]["ix"])
+        else:
+            sn_ix = int(names["ix"].max()) + 1 if len(names) else 1
+            self.save(
+                "sourcenames",
+                pd.concat(
+                    [names, pd.DataFrame([{"ix": sn_ix, "name": name}])],
+                    ignore_index=True,
+                ),
+            )
+        mine = sources[sources["sourcename_ix"] == sn_ix]
+        version = int(mine["version"].max()) + 1 if len(mine) else 1
+        ix = int(sources["ix"].max()) + 1 if len(sources) else 1
+        # auto-deprecate the previous latest version of this name
+        if len(mine):
+            prev = mine[mine["version"] == version - 1]
+            if len(prev):
+                sources.loc[prev.index, "deprecated"] = True
+        view_name = f"{sanitize(name)}_v{version}"
+        row = {
+            "ix": ix,
+            "sourcename_ix": sn_ix,
+            "version": version,
+            "url": url,
+            "description": description if description is not None else name,
+            "created": created or _now(),
+            "added_by": added_by,
+            "table_name": f"t{ix}",
+            "view_name": view_name,
+            "typed_table_name": None,
+            "typed_view_name": None,
+            "deprecated": False,
+            "row_count": 0,
+            "format": fmt,
+            "json_type": None,
+        }
+        self.save("sources", pd.concat([sources, pd.DataFrame([row])], ignore_index=True))
+        return ix, version, f"t{ix}", view_name
+
+    def update_source(self, ix: int, **fields) -> None:
+        sources = self.load("sources")
+        idx = sources.index[sources["ix"] == ix]
+        if not len(idx):
+            raise KeyError(f"no source ix={ix}")
+        for k, v in fields.items():
+            sources.loc[idx, k] = v
+        self.save("sources", sources)
+
+    def set_deprecated(self, ix: int, deprecated: bool = True) -> None:
+        self.update_source(ix, deprecated=deprecated)
+
+    def set_columns(self, ix: int, cols: list[tuple[str, str, str]]) -> None:
+        sc = self.load("sourcecolumns")
+        sc = sc[sc["source_ix"] != ix]
+        add = pd.DataFrame(
+            [
+                {"source_ix": ix, "column_name": c, "header": h, "type": t}
+                for c, h, t in cols
+            ]
+        )
+        self.save("sourcecolumns", pd.concat([sc, add], ignore_index=True))
+
+    # -- tags (A16, A17) ----------------------------------------------------
+
+    def tag(self, ix: int, tag: str) -> None:
+        tags = self.load("tags")
+        if not len(tags[(tags["source_ix"] == ix) & (tags["tag"] == tag)]):
+            self.save(
+                "tags",
+                pd.concat(
+                    [tags, pd.DataFrame([{"source_ix": ix, "tag": tag}])],
+                    ignore_index=True,
+                ),
+            )
+
+    def untag(self, ix: int, tag: str) -> None:
+        tags = self.load("tags")
+        self.save(
+            "tags", tags[~((tags["source_ix"] == ix) & (tags["tag"] == tag))]
+        )
+
+    def find_by_tag(self, tag: str) -> list[int]:
+        tags = self.load("tags")
+        return [int(x) for x in tags[tags["tag"] == tag]["source_ix"]]
+
+    # -- lookup -------------------------------------------------------------
+
+    def get_source(self, name: str, version: int | None = None) -> SourceInfo:
+        names = self.load("sourcenames")
+        hit = names[names["name"] == name]
+        if not len(hit):
+            raise KeyError(f"no source named {name!r}")
+        sn_ix = int(hit.iloc[0]["ix"])
+        sources = self.load("sources")
+        mine = sources[sources["sourcename_ix"] == sn_ix]
+        if version is None:
+            version = int(mine["version"].max())
+        row = mine[mine["version"] == version]
+        if not len(row):
+            raise KeyError(f"no version {version} of {name!r}")
+        return self._info(row.iloc[0], name)
+
+    def get_source_by_ix(self, ix: int) -> SourceInfo:
+        sources = self.load("sources")
+        row = sources[sources["ix"] == ix]
+        if not len(row):
+            raise KeyError(f"no source ix={ix}")
+        names = self.load("sourcenames")
+        name = names[names["ix"] == row.iloc[0]["sourcename_ix"]].iloc[0]["name"]
+        return self._info(row.iloc[0], name)
+
+    def versions(self, name: str) -> list[int]:
+        names = self.load("sourcenames")
+        hit = names[names["name"] == name]
+        if not len(hit):
+            return []
+        sources = self.load("sources")
+        mine = sources[sources["sourcename_ix"] == int(hit.iloc[0]["ix"])]
+        return sorted(int(v) for v in mine["version"])
+
+    def _info(self, row, name: str) -> SourceInfo:
+        ix = int(row["ix"])
+        tags = self.load("tags")
+        sc = self.load("sourcecolumns")
+        mine = sc[sc["source_ix"] == ix]
+        return SourceInfo(
+            ix=ix,
+            name=name,
+            version=int(row["version"]),
+            url=row["url"] if pd.notna(row["url"]) else None,
+            description=row["description"],
+            created=row["created"],
+            added_by=row["added_by"],
+            table_name=row["table_name"],
+            view_name=row["view_name"],
+            typed_table_name=row["typed_table_name"]
+            if pd.notna(row["typed_table_name"])
+            else None,
+            typed_view_name=row["typed_view_name"]
+            if pd.notna(row["typed_view_name"])
+            else None,
+            deprecated=bool(row["deprecated"]),
+            row_count=int(row["row_count"]),
+            format=row["format"],
+            json_type=row["json_type"] if pd.notna(row["json_type"]) else None,
+            tags=sorted(tags[tags["source_ix"] == ix]["tag"].tolist()),
+            columns=[
+                (r["column_name"], r["header"], r["type"])
+                for _, r in mine.iterrows()
+            ],
+        )
+
+    # -- delete (A27) --------------------------------------------------------
+
+    def delete_source(self, ix: int) -> None:
+        """Remove version rows; drop the name when its last version goes
+        (state returns to pre-ingest — the reference's delete golden test,
+        `runtests.sh:120-157`)."""
+        sources = self.load("sources")
+        row = sources[sources["ix"] == ix]
+        if not len(row):
+            raise KeyError(f"no source ix={ix}")
+        sn_ix = int(row.iloc[0]["sourcename_ix"])
+        self.save("sources", sources[sources["ix"] != ix])
+        sc = self.load("sourcecolumns")
+        self.save("sourcecolumns", sc[sc["source_ix"] != ix])
+        tags = self.load("tags")
+        self.save("tags", tags[tags["source_ix"] != ix])
+        remaining = self.load("sources")
+        if not len(remaining[remaining["sourcename_ix"] == sn_ix]):
+            names = self.load("sourcenames")
+            self.save("sourcenames", names[names["ix"] != sn_ix])
+
+    # -- search (A18, A20) ---------------------------------------------------
+
+    def search(
+        self,
+        *,
+        ix: int | None = None,
+        name_contains: str | None = None,
+        description_contains: str | None = None,
+        created_after: str | None = None,
+        created_before: str | None = None,
+        tags_all: list[str] | None = None,
+        columns_all: list[str] | None = None,
+        added_by_contains: str | None = None,
+        include_deprecated: bool = True,
+        ts_query: str | None = None,
+        order_by: str | None = None,
+        ascending: bool = True,
+        offset: int = 0,
+        limit: int | None = None,
+    ) -> tuple[list[SourceInfo], int]:
+        """SourcesSpec filters → (page, total_count)
+        (`src/backend/src/Lagoon/DB/SourceInfo.hs:214-331`; count drops
+        sort/offset/limit like `flattenCountQuery`)."""
+        sources = self.load("sources")
+        names = self.load("sourcenames")
+        merged = sources.merge(
+            names.rename(columns={"ix": "sourcename_ix", "name": "__name"}),
+            on="sourcename_ix",
+        )
+        mask = pd.Series(True, index=merged.index)
+        if ix is not None:
+            mask &= merged["ix"] == ix
+        if name_contains:
+            mask &= merged["__name"].str.contains(name_contains, case=False, na=False)
+        if description_contains:
+            mask &= merged["description"].str.contains(
+                description_contains, case=False, na=False
+            )
+        if added_by_contains:
+            mask &= merged["added_by"].str.contains(
+                added_by_contains, case=False, na=False
+            )
+        if created_after:
+            mask &= merged["created"] >= created_after
+        if created_before:
+            mask &= merged["created"] <= created_before
+        if not include_deprecated:
+            mask &= ~merged["deprecated"]
+        hit = merged[mask]
+        if tags_all:
+            tags = self.load("tags")
+            for t in tags_all:
+                with_tag = set(
+                    tags[tags["tag"].str.contains(t, case=False, na=False)][
+                        "source_ix"
+                    ]
+                )
+                hit = hit[hit["ix"].isin(with_tag)]
+        if columns_all:
+            sc = self.load("sourcecolumns")
+            for c in columns_all:
+                with_col = set(
+                    sc[sc["header"].str.contains(c, case=False, na=False)]["source_ix"]
+                )
+                hit = hit[hit["ix"].isin(with_col)]
+        if ts_query:
+            from lagoon_spark.search import matches_source
+
+            keep = [
+                r["ix"]
+                for _, r in hit.iterrows()
+                if matches_source(self, ts_query, int(r["ix"]))
+            ]
+            hit = hit[hit["ix"].isin(keep)]
+        total = len(hit)
+        if order_by:
+            col = {"name": "__name", "created": "created", "ix": "ix"}.get(
+                order_by, order_by
+            )
+            hit = hit.sort_values(col, ascending=ascending, kind="mergesort")
+        page = hit.iloc[offset : offset + limit if limit is not None else None]
+        infos = [self._info(r, r["__name"]) for _, r in page.iterrows()]
+        return infos, total

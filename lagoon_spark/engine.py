@@ -1,0 +1,491 @@
+"""The Lagoon engine facade: ingest → catalog → views → SQL → export.
+
+The reference's server+CLI surface (`src/backend/src/Lagoon/Ingest.hs`,
+`DB/*.hs`, `Verified.hs`) re-expressed as a library over a SparkSession.
+The relational plane is Spark SQL; this class owns the ingest pipeline,
+the catalog, view registration, the security-checked SQL passthrough,
+and export.
+
+Data layout: ``<warehouse>/catalog/*.parquet`` (metadata),
+``<warehouse>/data/t<ix>`` (untyped), ``<warehouse>/data/typed<ix>``
+(typed materialization — the reference also materializes,
+`src/backend/src/Lagoon/DB/Typed.hs:86-105`).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lagoon_spark.catalog import Catalog, SourceInfo
+from lagoon_spark.ingest import csv as csvmod
+from lagoon_spark.ingest import jsonsplit, jsontype
+from lagoon_spark.ingest.infer import (
+    ColumnType,
+    cast_expr,
+    infer_column_types,
+)
+from lagoon_spark.ingest.names import no_dup_names, sanitize
+from lagoon_spark.ingest.rowid import with_ix
+
+
+class Lagoon:
+    def __init__(self, spark: SparkSession, warehouse: str, user: str = "unknown"):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.catalog = Catalog(warehouse)
+        self.user = user
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def init_db(self, reset: bool = False) -> None:
+        self.catalog.init_db(reset=reset)
+        os.makedirs(os.path.join(self.warehouse, "data"), exist_ok=True)
+
+    def _data_path(self, table_name: str) -> str:
+        return os.path.join(self.warehouse, "data", table_name)
+
+    # -- ingest (POST /sources; `Ingest.hs:82-132`) --------------------------
+
+    def ingest(
+        self,
+        path: str,
+        name: str,
+        *,
+        description: str | None = None,
+        tags: list[str] | None = None,
+        created: str | None = None,
+        url: str | None = None,
+        has_headers: bool = True,
+        delimiter: str | None = None,
+        quote: str | None = '"',
+        no_type_inference: bool = False,
+        json_path: str | None = None,
+        source_identifier: str | None = None,
+        peek_rows: int = 1000,
+        file_type: str | None = None,
+    ) -> SourceInfo:
+        # A17: source-identifier dedup — if a source already carries the
+        # SUID tag, return it instead of re-ingesting
+        # (`Interface/Ingest.hs:160-174`)
+        if source_identifier is not None:
+            hits = self.catalog.find_by_tag(f"SUID:{source_identifier}")
+            if hits:
+                return self.catalog.get_source_by_ix(hits[0])
+
+        ftype = file_type or (
+            "json" if path.lower().endswith(".json") else "tabular"
+        )
+        if ftype == "json":
+            info = self._ingest_json(
+                path, name, description=description, created=created, url=url,
+                json_path=json_path,
+            )
+        else:
+            info = self._ingest_tabular(
+                path, name, description=description, created=created, url=url,
+                has_headers=has_headers, delimiter=delimiter, quote=quote,
+                no_type_inference=no_type_inference, peek_rows=peek_rows,
+            )
+        for t in tags or []:
+            self.catalog.tag(info.ix, t)
+        if source_identifier is not None:
+            self.catalog.tag(info.ix, f"SUID:{source_identifier}")
+        return self.catalog.get_source_by_ix(info.ix)
+
+    def _ingest_tabular(
+        self, path, name, *, description, created, url, has_headers,
+        delimiter, quote, no_type_inference, peek_rows,
+    ) -> SourceInfo:
+        fmt = csvmod.guess_format(path)
+        fmt.has_headers = has_headers
+        fmt.peek_rows = peek_rows
+        if delimiter is not None:
+            fmt.delimiter = delimiter
+        fmt.quote = quote
+
+        width, header = csvmod.scan_width(self.spark, path, fmt)
+        ix, version, table_name, view_name = self.catalog.new_source(
+            name, url=url, description=description, added_by=self.user,
+            created=created, fmt="tabular",
+        )
+        untyped = with_ix(csvmod.read_untyped(self.spark, path, fmt, width))
+        untyped = untyped.select("ix", *[f"c{i+1}" for i in range(width)])
+        untyped.write.mode("overwrite").parquet(self._data_path(table_name))
+        stored = self.spark.read.parquet(self._data_path(table_name))
+        row_count = stored.count()
+
+        # friendly headers (A11/A12): sanitized, deduped; headerless
+        # files keep the physical names (`DataFormat.hs:103-108`)
+        phys = [f"c{i+1}" for i in range(width)]
+        if has_headers and header:
+            preferred = list(header) + phys[len(header):]
+        else:
+            preferred = phys
+        friendly = no_dup_names(preferred)
+
+        # A5/A10: inference pass + typed materialization
+        if no_type_inference:
+            cols = [(p, h, ColumnType.TEXT.value) for p, h in zip(phys, friendly)]
+            typed_table = typed_view = None
+        else:
+            inferred = infer_column_types(stored, phys)
+            cols = [
+                (p, h, ic.type.value)
+                for (p, h), ic in zip(zip(phys, friendly), inferred)
+            ]
+            typed_table = f"typed{ix}"
+            typed_view = f"{view_name}_typed"
+            typed_df = stored.select(
+                "ix",
+                *[
+                    cast_expr(ic.name, ic.type).alias(ic.name)
+                    for ic in inferred
+                ],
+            )
+            typed_df.write.mode("overwrite").parquet(self._data_path(typed_table))
+
+        self.catalog.set_columns(ix, cols)
+        self.catalog.update_source(
+            ix, row_count=row_count,
+            typed_table_name=typed_table, typed_view_name=typed_view,
+        )
+        info = self.catalog.get_source_by_ix(ix)
+        self.register_views(info)
+        return info
+
+    def _ingest_json(
+        self, path, name, *, description, created, url, json_path,
+    ) -> SourceInfo:
+        """JSON ingest (`Ingest.hs:231-255`): one TEXT column holding the
+        raw value per row (JSON sources never get a typed table,
+        `Ingest.hs:257-262`); JsonType inferred over all values.
+
+        JSONL without a json-path streams distributed via read.text; a
+        json-path (or multi-line values) goes through the constant-memory
+        driver splitter into a spooled JSONL file first.
+        """
+        ix, version, table_name, view_name = self.catalog.new_source(
+            name, url=url, description=description, added_by=self.user,
+            created=created, fmt="json",
+        )
+        spool = None
+        if json_path is not None or self._json_needs_splitting(path):
+            jpath = jsonsplit.parse_path(json_path) if json_path else jsonsplit.HERE
+            spool = tempfile.NamedTemporaryFile(
+                "w", suffix=".jsonl", delete=False, encoding="utf-8"
+            )
+            with open(path, encoding="utf-8") as f:
+                for raw in jsonsplit.split_values(f, jpath):
+                    spool.write(raw.replace("\n", " ") + "\n")
+            spool.close()
+            src = spool.name
+        else:
+            src = path
+
+        lines = self.spark.read.text(src).withColumnRenamed("value", "c1")
+        lines = lines.filter(F.trim(F.col("c1")) != "")
+        untyped = with_ix(lines).select("ix", "c1")
+        untyped.write.mode("overwrite").parquet(self._data_path(table_name))
+        stored = self.spark.read.parquet(self._data_path(table_name))
+        row_count = stored.count()
+
+        # distributed JsonType inference: per-partition fold, driver reduce
+        def part_type(rows):
+            t = jsontype.UNKNOWN
+            for r in rows:
+                t = jsontype.unify(t, jsontype.type_of_value(__import__("json").loads(r["c1"])))
+            yield t
+
+        parts = stored.select("c1").rdd.mapPartitions(part_type).collect()
+        jt = jsontype.UNKNOWN
+        for p in parts:
+            jt = jsontype.unify(jt, p)
+
+        if spool is not None:
+            os.unlink(spool.name)
+
+        self.catalog.set_columns(ix, [("c1", "data", ColumnType.JSON.value)])
+        self.catalog.update_source(
+            ix, row_count=row_count, json_type=jsontype.render(jt)
+        )
+        info = self.catalog.get_source_by_ix(ix)
+        self.register_views(info)
+        return info
+
+    @staticmethod
+    def _json_needs_splitting(path: str, probe_bytes: int = 1 << 16) -> bool:
+        """JSONL (one value per line) can skip the driver splitter."""
+        import json as _json
+
+        with open(path, encoding="utf-8") as f:
+            probe = f.read(probe_bytes)
+            more = bool(f.read(1))
+        lines = probe.splitlines()
+        if more and lines:
+            lines = lines[:-1]  # last line may be truncated by the probe
+        if not lines:
+            return False
+        for line in lines:
+            if not line.strip():
+                continue
+            try:
+                _json.loads(line)
+            except ValueError:
+                return True
+        return False
+
+    # -- views ---------------------------------------------------------------
+
+    def register_views(self, info: SourceInfo) -> None:
+        """A11: friendly-name views `<name>_v<N>` (+`_typed`)."""
+        phys = [c[0] for c in info.columns]
+        friendly = [c[1] for c in info.columns]
+        untyped = self.spark.read.parquet(self._data_path(info.table_name))
+        untyped.select(
+            "ix", *[F.col(p).alias(h) for p, h in zip(phys, friendly)]
+        ).createOrReplaceTempView(info.view_name)
+        if info.typed_table_name:
+            typed = self.spark.read.parquet(self._data_path(info.typed_table_name))
+            typed.select(
+                "ix", *[F.col(p).alias(h) for p, h in zip(phys, friendly)]
+            ).createOrReplaceTempView(info.typed_view_name)
+
+    def register_all_views(self) -> None:
+        sources = self.catalog.load("sources")
+        for _, row in sources.iterrows():
+            try:
+                self.register_views(self.catalog.get_source_by_ix(int(row["ix"])))
+            except FileNotFoundError:
+                pass
+
+    def dataframe(self, info: SourceInfo, typed: bool = True) -> DataFrame:
+        table = (
+            info.typed_table_name if (typed and info.typed_table_name) else info.table_name
+        )
+        return self.spark.read.parquet(self._data_path(table))
+
+    # -- typed re-cast (A10 + setColumnType, `DB/ColumnSpec.hs:182-189`) ----
+
+    def set_column_type(self, info: SourceInfo, column: str, new_type: str) -> SourceInfo:
+        """Override one column's type and re-materialize the typed table."""
+        cols = [
+            (p, h, new_type if p == column or h == column else t)
+            for p, h, t in info.columns
+        ]
+        self.catalog.set_columns(info.ix, cols)
+        stored = self.spark.read.parquet(self._data_path(info.table_name))
+        typed_table = info.typed_table_name or f"typed{info.ix}"
+        typed_view = info.typed_view_name or f"{info.view_name}_typed"
+        typed_df = stored.select(
+            "ix",
+            *[cast_expr(p, ColumnType(t)).alias(p) for p, _h, t in cols],
+        )
+        typed_df.write.mode("overwrite").parquet(self._data_path(typed_table))
+        self.catalog.update_source(
+            info.ix, typed_table_name=typed_table, typed_view_name=typed_view
+        )
+        out = self.catalog.get_source_by_ix(info.ix)
+        self.register_views(out)
+        return out
+
+    # -- delete (A27) --------------------------------------------------------
+
+    def delete_source(self, info: SourceInfo) -> None:
+        import shutil
+
+        for t in (info.table_name, info.typed_table_name):
+            if t:
+                p = self._data_path(t)
+                if os.path.exists(p):
+                    shutil.rmtree(p)
+        for v in (info.view_name, info.typed_view_name):
+            if v:
+                self.spark.catalog.dropTempView(v)
+        self.catalog.delete_source(info.ix)
+
+    # -- SQL passthrough (A21/A22) ------------------------------------------
+
+    def sql(self, query: str, user: str | None = None) -> DataFrame:
+        """Security-checked SQL (`Verified.hs:795-854`): walk the parsed
+        plan, reject writes/unknown relations, check per-dataset ACLs."""
+        from lagoon_spark.security import verify_user_query
+
+        self.register_all_views()
+        verify_user_query(self, query, user or self.user)
+        return self.spark.sql(query)
+
+    # -- export (A23) --------------------------------------------------------
+
+    def download(self, info: SourceInfo, fmt: str | None = None) -> Iterator[str]:
+        """Stream the source back out (CSV with RFC4180 quoting /
+        newline-separated raw JSON — byte-roundtrips the ingest,
+        `Download.hs:47-139`). Iterates `toLocalIterator`, so driver
+        memory stays constant."""
+        if fmt is None:
+            fmt = "json" if info.format == "json" else "csv"
+        df = self.dataframe(info, typed=False).orderBy("ix")
+        if fmt == "json":
+            for row in df.select("c1").toLocalIterator():
+                yield row["c1"] + "\n"
+            return
+        friendly = [h for _p, h, _t in info.columns]
+        yield _csv_line(friendly)
+        for row in df.drop("ix").toLocalIterator():
+            yield _csv_line(["" if v is None else str(v) for v in row])
+
+    # -- compaction (A24) ----------------------------------------------------
+
+    def compact(self, name: str) -> SourceInfo:
+        """Merge all versions of a dataset into one table with an
+        ``ixs array<int>`` provenance column (`Ingest.hs:342-428`).
+
+        Row matching follows the reference's sorted-stream zip: the k-th
+        occurrence of identical row content in version A matches the
+        k-th occurrence in version B, so per-version multiplicity is
+        preserved exactly (the conduit-compact property test's no-drop
+        guarantee). Per-version views filter ``array_contains(ixs, v)``
+        (`DB/ColumnSpec.hs:117-144`).
+        """
+        from pyspark.sql import Window as W
+
+        versions = self.catalog.versions(name)
+        if not versions:
+            raise KeyError(f"no source named {name!r}")
+        infos = [self.catalog.get_source(name, v) for v in versions]
+        width = max(len(i.columns) for i in infos)
+        phys = [f"c{i+1}" for i in range(width)]
+
+        frames = []
+        for info in infos:
+            df = self.spark.read.parquet(self._data_path(info.table_name))
+            for c in phys:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None).cast("string"))
+            frames.append(
+                df.select(
+                    F.lit(info.version).alias("__v"),
+                    F.col("ix").alias("__orig_ix"),
+                    *phys,
+                )
+            )
+        allv = frames[0]
+        for fdf in frames[1:]:
+            allv = allv.unionByName(fdf)
+
+        occ_w = W.partitionBy(*phys, "__v").orderBy("__orig_ix")
+        occ = allv.withColumn("__occ", F.row_number().over(occ_w))
+        grouped = occ.groupBy(*phys, "__occ").agg(
+            F.sort_array(F.collect_set("__v")).alias("ixs"),
+            F.min(F.col("__v") * F.lit(10**12) + F.col("__orig_ix")).alias("__ord"),
+        )
+        ix_w = W.orderBy("__ord")
+        compacted = grouped.withColumn("ix", F.row_number().over(ix_w).cast("long")).select(
+            "ix", *phys, "ixs"
+        )
+
+        latest = infos[-1]
+        compact_table = f"compact{latest.ix}"
+        compacted.write.mode("overwrite").parquet(self._data_path(compact_table))
+        stored = self.spark.read.parquet(self._data_path(compact_table))
+
+        # repoint every version at the compacted table; drop originals
+        import shutil
+
+        for info in infos:
+            friendly = [h for _p, h, _t in info.columns]
+            vdf = stored.filter(F.array_contains("ixs", info.version)).select(
+                "ix",
+                *[
+                    F.col(p).alias(h)
+                    for p, h in zip(phys[: len(friendly)], friendly)
+                ],
+            )
+            vdf.createOrReplaceTempView(info.view_name)
+            old = self._data_path(info.table_name)
+            if os.path.exists(old) and info.table_name != compact_table:
+                shutil.rmtree(old)
+            self.catalog.update_source(info.ix, table_name=compact_table)
+        return self.catalog.get_source(name, versions[-1])
+
+    # -- multi-part / foreign ingest (A25) -----------------------------------
+
+    def ingest_extra_data(
+        self,
+        path: str,
+        name: str,
+        *,
+        metadata_source: str,
+        metadata_field: str,
+        created: str | None = None,
+    ) -> SourceInfo:
+        """'Extra data' ingest (`Ingest.hs:267-340`): a CSV whose headers
+        are *values* of ``metadata_field`` in the parent source. Each cell
+        becomes a row (foreign ix → parent row, value) — a melt/unpivot
+        plus a broadcast join against the parent mapping.
+        """
+        parent = self.catalog.get_source(metadata_source)
+        pdf = self.dataframe(parent, typed=False)
+        phys_by_header = {h: p for p, h, _t in parent.columns}
+        field_col = phys_by_header.get(metadata_field) or phys_by_header.get(
+            sanitize(metadata_field), metadata_field
+        )
+        mapping = pdf.select(
+            F.col(field_col).alias("__key"), F.col("ix").alias("foreign_ix")
+        )
+
+        fmt = csvmod.guess_format(path)
+        width, header = csvmod.scan_width(self.spark, path, fmt)
+        raw = with_ix(csvmod.read_untyped(self.spark, path, fmt, width))
+        pairs = F.array(
+            *[
+                F.struct(F.lit(h).alias("__key"), F.col(f"c{i+1}").alias("value"))
+                for i, h in enumerate(header)
+            ]
+        )
+        melted = (
+            raw.select(F.col("ix").alias("row_ix"), F.explode(pairs).alias("kv"))
+            .select("row_ix", F.col("kv.__key").alias("__key"), F.col("kv.value").alias("value"))
+        )
+        joined = melted.join(F.broadcast(mapping), "__key").select(
+            "row_ix", "foreign_ix", F.col("__key").alias(metadata_field), "value"
+        )
+
+        ix, version, table_name, view_name = self.catalog.new_source(
+            name, url=None, description=f"extra data for {metadata_source}",
+            added_by=self.user, created=created, fmt="tabular",
+        )
+        out = with_ix(joined).select("ix", "row_ix", "foreign_ix", metadata_field, "value")
+        out.write.mode("overwrite").parquet(self._data_path(table_name))
+        row_count = self.spark.read.parquet(self._data_path(table_name)).count()
+        self.catalog.set_columns(
+            ix,
+            [
+                ("row_ix", "row_ix", "BIGINT"),
+                ("foreign_ix", "foreign_ix", "BIGINT"),
+                (metadata_field, metadata_field, "TEXT"),
+                ("value", "value", "TEXT"),
+            ],
+        )
+        self.catalog.update_source(ix, row_count=row_count)
+        info = self.catalog.get_source_by_ix(ix)
+        self.spark.read.parquet(self._data_path(table_name)).createOrReplaceTempView(
+            info.view_name
+        )
+        return info
+
+
+def _csv_line(fields: list[str]) -> str:
+    """RFC4180 line (quote when needed, double embedded quotes —
+    `Download.hs:115-136`)."""
+    out = []
+    for f in fields:
+        if any(ch in f for ch in (',', '"', "\n", "\r")):
+            out.append('"' + f.replace('"', '""') + '"')
+        else:
+            out.append(f)
+    return ",".join(out) + "\r\n"

@@ -1,0 +1,274 @@
+"""Query security + the user/group/ACL model (operators A22, A28).
+
+The reference EXPLAINs every user query and walks the Postgres plan
+tree, denying writes, unknown relations, plan nodes it cannot classify,
+and datasets the user cannot read
+(`src/backend/src/Lagoon/Verified.hs:795-854`,
+`src/backend/src/Lagoon/Util/PostgreSQL/QueryPlan.hs:144-178,316-375`).
+
+The Spark-idiomatic analog walks the *parsed logical plan*: Catalyst's
+``LogicalPlan.toJSON`` flattens the operator tree, each node carrying
+its class name. We:
+
+* allow-list logical operator classes (fail **closed** on anything
+  unknown — the reference throws on unknown plan nodes,
+  QueryPlan.hs:339);
+* reject any command/write node (the reference: ModifyTable ⇒ "Write …
+  not allowed", Verified.hs:807-808);
+* reject table-valued functions (FunctionScan in a user query aborts
+  the security summary — "Query plan contains functions",
+  QueryPlan.hs:338-340);
+* collect every ``UnresolvedRelation`` and check per-dataset read ACL
+  (CTE names introduced by WITH are allowed like Postgres CTEScans).
+
+ACL model (`DB/Schema.hs:339-493`, `Lagoon/DB/Security.hs`): users,
+groups, group membership, per-dataset grants at levels
+Read < Update < Manage, a public flag, and a default-deny check that
+passes when the dataset is public or the user (directly or via a
+group) holds ≥ the required level.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+LEVELS = {"read": 1, "update": 2, "manage": 3}  # DB/Schema.hs:83-93
+
+# Logical operator classes a read-only SELECT can produce (the Spark
+# analog of the reference's NodeType list, QueryPlan.hs:144-178)
+_ALLOWED_SUFFIXES = {
+    "UnresolvedRelation",
+    "Project",
+    "Filter",
+    "Join",
+    "Aggregate",
+    "Sort",
+    "GlobalLimit",
+    "LocalLimit",
+    "Offset",
+    "Distinct",
+    "Deduplicate",
+    "Union",
+    "Intersect",
+    "Except",
+    "SubqueryAlias",
+    "UnresolvedSubqueryColumnAliases",
+    "UnresolvedWith",
+    "With",
+    "CTERelationDef",
+    "CTERelationRef",
+    "UnresolvedHaving",
+    "Window",
+    "Expand",
+    "UnresolvedInlineTable",  # VALUES scan (QueryPlan.hs ValuesScan)
+    "OneRowRelation",
+    "GroupingSets",
+    "Pivot",
+    "Unpivot",
+    "LateralSubquery",
+    "ScalarSubquery",
+    "Exists",
+    "ListQuery",
+    "InSubquery",
+    "WithWindowDefinition",
+    "UnresolvedTVFAliases",
+    "Range",
+}
+
+_DENIED_HINTS = ("Command", "Insert", "Write", "Delete", "Update", "Merge", "Create", "Drop", "Alter")
+
+
+class QueryDenied(Exception):
+    pass
+
+
+def _parse_plan_json(spark, sql: str) -> list[dict]:
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    try:
+        plan = parser.parsePlan(sql)
+    except Exception as e:  # parse error → 400, like the reference
+        raise QueryDenied(f"SQL parse error: {e}") from None
+    return json.loads(plan.toJSON())
+
+
+def _walk(nodes: list[dict], relations: set[str], cte_names: set[str]) -> None:
+    for node in nodes:
+        cls = node.get("class", "")
+        simple = cls.rsplit(".", 1)[-1]
+        if any(h in simple for h in _DENIED_HINTS):
+            raise QueryDenied(f"Write/DDL not allowed: {simple}")
+        if "TableValuedFunction" in simple or simple == "UnresolvedGenerator":
+            # reference: "Query plan contains functions"
+            raise QueryDenied("Query plan contains functions")
+        if simple in ("UnresolvedWith", "With"):
+            # cteRelations: [Tuple2/3 of (name, plan, ...)]
+            for item in node.get("cteRelations", []) or []:
+                if isinstance(item, dict) and "_1" in item:
+                    cte_names.add(str(item["_1"]).lower())
+        if simple == "UnresolvedRelation":
+            ident = node.get("multipartIdentifier")
+            if isinstance(ident, str):
+                parts = [p.strip() for p in ident.strip("[]").split(",")]
+            else:
+                parts = [str(p) for p in (ident or [])]
+            relations.add(parts[-1].lower())
+            continue
+        # the operator allowlist applies to logical-plan operators; the
+        # flattened JSON also inlines expression/analysis helper nodes
+        # (UnresolvedAttribute, aliases, literals, ...) which carry no
+        # relational power of their own — they only matter through the
+        # operators above them, so they pass the list but still get the
+        # denied-hint / TVF screening and relation collection
+        if ".plans.logical." in cls and simple not in _ALLOWED_SUFFIXES:
+            raise QueryDenied(f"Unrecognized plan node (fail closed): {simple}")
+        # nested plans (subqueries, CTE definitions) hide in field values
+        for v in node.values():
+            _walk_nested(v, relations, cte_names)
+
+
+def _walk_nested(v, relations, cte_names) -> None:
+    if isinstance(v, list):
+        if v and isinstance(v[0], dict) and "class" in v[0]:
+            _walk(v, relations, cte_names)
+        else:
+            for item in v:
+                _walk_nested(item, relations, cte_names)
+    elif isinstance(v, dict):
+        if "class" in v:
+            _walk([v], relations, cte_names)
+        else:
+            for item in v.values():
+                _walk_nested(item, relations, cte_names)
+
+
+# --- ACL storage on top of the Catalog ----------------------------------
+
+_SEC_TABLES = {
+    "groups": {"ix": "int64", "name": "object"},
+    "group_members": {"group_ix": "int64", "user": "object"},
+    "grants": {"source_ix": "int64", "subject_type": "object", "subject": "object", "level": "object"},
+    "public_sources": {"source_ix": "int64"},
+}
+
+
+def _sec_load(catalog, table: str) -> pd.DataFrame:
+    import os
+
+    p = os.path.join(catalog.dir, f"{table}.parquet")
+    if os.path.exists(p):
+        return pd.read_parquet(p)
+    return pd.DataFrame({c: pd.Series(dtype=t) for c, t in _SEC_TABLES[table].items()})
+
+
+def _sec_save(catalog, table: str, df: pd.DataFrame) -> None:
+    import os
+
+    os.makedirs(catalog.dir, exist_ok=True)
+    df.reset_index(drop=True).to_parquet(
+        os.path.join(catalog.dir, f"{table}.parquet"), index=False
+    )
+
+
+def create_group(catalog, name: str) -> int:
+    g = _sec_load(catalog, "groups")
+    if len(g[g["name"] == name]):
+        return int(g[g["name"] == name].iloc[0]["ix"])
+    ix = int(g["ix"].max()) + 1 if len(g) else 1
+    _sec_save(catalog, "groups", pd.concat([g, pd.DataFrame([{"ix": ix, "name": name}])], ignore_index=True))
+    return ix
+
+
+def add_to_group(catalog, group: str, user: str) -> None:
+    gix = create_group(catalog, group)
+    m = _sec_load(catalog, "group_members")
+    if not len(m[(m["group_ix"] == gix) & (m["user"] == user)]):
+        _sec_save(catalog, "group_members", pd.concat([m, pd.DataFrame([{"group_ix": gix, "user": user}])], ignore_index=True))
+
+
+def remove_from_group(catalog, group: str, user: str) -> None:
+    gix = create_group(catalog, group)
+    m = _sec_load(catalog, "group_members")
+    _sec_save(catalog, "group_members", m[~((m["group_ix"] == gix) & (m["user"] == user))])
+
+
+def grant(catalog, source_ix: int, subject: str, level: str, subject_type: str = "user") -> None:
+    if level not in LEVELS:
+        raise ValueError(level)
+    g = _sec_load(catalog, "grants")
+    g = g[~((g["source_ix"] == source_ix) & (g["subject_type"] == subject_type) & (g["subject"] == subject))]
+    _sec_save(catalog, "grants", pd.concat([g, pd.DataFrame([{
+        "source_ix": source_ix, "subject_type": subject_type, "subject": subject, "level": level,
+    }])], ignore_index=True))
+
+
+def revoke(catalog, source_ix: int, subject: str, subject_type: str = "user") -> None:
+    g = _sec_load(catalog, "grants")
+    _sec_save(catalog, "grants", g[~((g["source_ix"] == source_ix) & (g["subject_type"] == subject_type) & (g["subject"] == subject))])
+
+
+def set_public(catalog, source_ix: int, public: bool = True) -> None:
+    p = _sec_load(catalog, "public_sources")
+    p = p[p["source_ix"] != source_ix]
+    if public:
+        p = pd.concat([p, pd.DataFrame([{"source_ix": source_ix}])], ignore_index=True)
+    _sec_save(catalog, "public_sources", p)
+
+
+def user_level(catalog, user: str, source_ix: int) -> int:
+    """Max access level for user on source (0 = none), via direct grants
+    or group membership (the 'can-read cache' recomputed on demand)."""
+    pub = _sec_load(catalog, "public_sources")
+    level = 1 if len(pub[pub["source_ix"] == source_ix]) else 0
+    g = _sec_load(catalog, "grants")
+    mine = g[g["source_ix"] == source_ix]
+    direct = mine[(mine["subject_type"] == "user") & (mine["subject"] == user)]
+    for _, row in direct.iterrows():
+        level = max(level, LEVELS[row["level"]])
+    members = _sec_load(catalog, "group_members")
+    groups = _sec_load(catalog, "groups")
+    my_groups = members[members["user"] == user].merge(
+        groups, left_on="group_ix", right_on="ix"
+    )["name"].tolist()
+    via_group = mine[(mine["subject_type"] == "group") & (mine["subject"].isin(my_groups))]
+    for _, row in via_group.iterrows():
+        level = max(level, LEVELS[row["level"]])
+    return level
+
+
+def can_read(catalog, user: str, source_ix: int) -> bool:
+    return user_level(catalog, user, source_ix) >= LEVELS["read"]
+
+
+# --- the verified query entry point --------------------------------------
+
+METADATA_VIEWS = {"lagoon_sources", "lagoon_columns", "lagoon_tags"}
+
+
+def verify_user_query(engine, sql: str, user: str) -> None:
+    nodes = _parse_plan_json(engine.spark, sql)
+    relations: set[str] = set()
+    cte_names: set[str] = set()
+    _walk(nodes, relations, cte_names)
+
+    sources = engine.catalog.load("sources")
+    by_view: dict[str, int] = {}
+    for _, row in sources.iterrows():
+        by_view[str(row["view_name"]).lower()] = int(row["ix"])
+        if pd.notna(row["typed_view_name"]):
+            by_view[str(row["typed_view_name"]).lower()] = int(row["ix"])
+
+    for rel in relations:
+        if rel in cte_names or rel in METADATA_VIEWS:
+            continue
+        if rel not in by_view:
+            raise QueryDenied(f"Unknown table: {rel}")
+        ix = by_view[rel]
+        if not can_read(engine.catalog, user, ix) and not _is_owner(engine, user, ix):
+            raise QueryDenied(f"User {user!r} cannot read dataset {rel}")
+
+
+def _is_owner(engine, user: str, source_ix: int) -> bool:
+    info = engine.catalog.get_source_by_ix(source_ix)
+    return info.added_by == user

@@ -1,0 +1,302 @@
+"""End-to-end engine tests: the reference's golden-test scenarios as pytest.
+
+Mirrors the shape of the reference's integration suite
+(`clients/cmdline/test-cases/runtests.sh`): ingest → catalog state →
+typed values → download roundtrip → versioning/delete → compaction →
+multi-part ingest → SQL security.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lagoon_spark.engine import Lagoon
+from lagoon_spark.security import QueryDenied
+
+
+@pytest.fixture()
+def lagoon(spark, tmp_path):
+    lg = Lagoon(spark, str(tmp_path / "warehouse"), user="tester")
+    lg.init_db()
+    return lg
+
+
+def _write(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+SIMPLE = "a,b,c\n1,foo,true\n2,bar,false\n3,baz,true\n"
+
+
+def test_ingest_csv_end_to_end(lagoon, tmp_path):
+    path = _write(tmp_path, "simple.csv", SIMPLE)
+    info = lagoon.ingest(path, "simple", created="2016-10-01 12:00:00")
+    assert info.version == 1
+    assert info.table_name == f"t{info.ix}"
+    assert info.view_name == "simple_v1"
+    assert info.row_count == 3
+    assert [c[1] for c in info.columns] == ["a", "b", "c"]
+    assert [c[2] for c in info.columns] == ["INTEGER", "TEXT", "BOOLEAN"]
+
+    typed = lagoon.dataframe(info, typed=True).orderBy("ix").collect()
+    assert [(r.c1, r.c2, r.c3) for r in typed] == [
+        (1, "foo", True), (2, "bar", False), (3, "baz", True),
+    ]
+    # friendly view with header names
+    rows = lagoon.spark.sql(
+        "SELECT a, b, c FROM simple_v1_typed ORDER BY ix"
+    ).collect()
+    assert rows[0].a == 1 and rows[0].b == "foo" and rows[0].c is True
+
+
+def test_ix_is_file_order(lagoon, tmp_path):
+    lines = "".join(f"{i},{i*2}\n" for i in range(1, 501))
+    path = _write(tmp_path, "ord.csv", "x,y\n" + lines)
+    info = lagoon.ingest(path, "ord")
+    got = lagoon.dataframe(info, typed=True).orderBy("ix").collect()
+    assert [r.c1 for r in got] == list(range(1, 501))
+    assert [r.ix for r in got] == list(range(1, 501))
+
+
+def test_quotes_fixture_f6(lagoon, tmp_path):
+    path = _write(
+        tmp_path, "quotes.csv",
+        'foo,bar\n"simple",easy\n"hi,ho",x\n"John ""X"" Smith",y\n',
+    )
+    info = lagoon.ingest(path, "quotes")
+    vals = [r.c1 for r in lagoon.dataframe(info, typed=False).orderBy("ix").collect()]
+    assert vals == ["simple", "hi,ho", 'John "X" Smith']
+    assert info.columns[0][2] == "TEXT"
+
+
+def test_quote_disable(lagoon, tmp_path):
+    path = _write(tmp_path, "q2.csv", 'foo,bar\n"simple",easy\n')
+    info = lagoon.ingest(path, "q2", quote=None)
+    vals = [r.c1 for r in lagoon.dataframe(info, typed=False).collect()]
+    assert vals == ['"simple"']
+
+
+def test_ragged_rows_fixture_f7(lagoon, tmp_path):
+    path = _write(tmp_path, "ragged.csv", "a\nb,c\nd,e,f\ng,h,i,j,k\nl,m,n,o\np,q,r\ns\n")
+    info = lagoon.ingest(path, "ragged", has_headers=False)
+    assert len(info.columns) == 5
+    assert [c[1] for c in info.columns] == ["c1", "c2", "c3", "c4", "c5"]
+    rows = lagoon.dataframe(info, typed=False).orderBy("ix").collect()
+    assert rows[0].c1 == "a" and rows[0].c2 is None
+    assert rows[3].c5 == "k"
+
+
+def test_dup_and_strange_headers(lagoon, tmp_path):
+    path = _write(
+        tmp_path, "dups.csv", "foo,Foo,bar,baz,BAR,baZ\n1,2,3,4,5,6\n"
+    )
+    info = lagoon.ingest(path, "dups")
+    assert [c[1] for c in info.columns] == ["foo", "Foo_1", "bar", "baz", "BAR_1", "baZ_1"]
+
+    path2 = _write(tmp_path, "strange.csv", "name with spaces,create,table\n1,2,3\n")
+    info2 = lagoon.ingest(path2, "strange")
+    assert [c[1] for c in info2.columns] == ["name_with_spaces", "create", "table"]
+
+
+def test_tsv_and_crlf(lagoon, tmp_path):
+    path = _write(tmp_path, "win.txt", "a\tb\r\n1\tx\r\n2\ty\r\n")
+    info = lagoon.ingest(path, "win")
+    rows = lagoon.dataframe(info, typed=True).orderBy("ix").collect()
+    assert [(r.c1, r.c2) for r in rows] == [(1, "x"), (2, "y")]
+    assert info.columns[0][2] == "INTEGER"
+
+
+def test_document_threshold(lagoon, tmp_path):
+    path = _write(tmp_path, "doc.csv", "id,document\n1," + "x" * 5000 + "\n")
+    info = lagoon.ingest(path, "docsrc")
+    assert info.columns[1][2] == "DOCUMENT"
+
+
+def test_no_type_inference(lagoon, tmp_path):
+    path = _write(tmp_path, "nti.csv", SIMPLE)
+    info = lagoon.ingest(path, "nti", no_type_inference=True)
+    assert [c[2] for c in info.columns] == ["TEXT", "TEXT", "TEXT"]
+    assert info.typed_table_name is None
+
+
+def test_versioning_and_auto_deprecate(lagoon, tmp_path):
+    p1 = _write(tmp_path, "v1.csv", SIMPLE)
+    i1 = lagoon.ingest(p1, "versioned")
+    i2 = lagoon.ingest(p1, "versioned")
+    i3 = lagoon.ingest(p1, "versioned")
+    assert (i1.version, i2.version, i3.version) == (1, 2, 3)
+    assert i3.view_name == "versioned_v3"
+    # previous latest auto-deprecated
+    assert lagoon.catalog.get_source("versioned", 1).deprecated
+    assert lagoon.catalog.get_source("versioned", 2).deprecated
+    assert not lagoon.catalog.get_source("versioned", 3).deprecated
+
+
+def test_delete_restores_state(lagoon, tmp_path):
+    """runtests.sh:120-157: delete version-by-version → catalog returns
+    to its prior state."""
+    before = len(lagoon.catalog.load("sources"))
+    p = _write(tmp_path, "d.csv", SIMPLE)
+    infos = [lagoon.ingest(p, "deleteme") for _ in range(3)]
+    assert len(lagoon.catalog.load("sources")) == before + 3
+    for info in infos:
+        lagoon.delete_source(lagoon.catalog.get_source_by_ix(info.ix))
+    assert len(lagoon.catalog.load("sources")) == before
+    assert lagoon.catalog.versions("deleteme") == []
+    names = lagoon.catalog.load("sourcenames")
+    assert not len(names[names["name"] == "deleteme"])
+
+
+def test_download_csv_roundtrip(lagoon, tmp_path):
+    content = 'foo,bar\n"hi,ho",easy\n"John ""X"" Smith",2\n'
+    path = _write(tmp_path, "rt.csv", content)
+    info = lagoon.ingest(path, "rt")
+    out = "".join(lagoon.download(info, fmt="csv"))
+    assert out == 'foo,bar\r\n"hi,ho",easy\r\n"John ""X"" Smith",2\r\n'
+
+
+def test_json_ingest_and_roundtrip(lagoon, tmp_path):
+    content = '{"id": 1}\n{"id": 2, "name": "test"}\n'
+    path = _write(tmp_path, "j.json", content)
+    info = lagoon.ingest(path, "jsrc")
+    assert info.format == "json"
+    assert info.row_count == 2
+    assert info.json_type == '{"id":number, "name":optional string}'
+    assert info.columns == [("c1", "data", "JSON")]
+    # byte roundtrip (runtests.sh:160-168)
+    assert "".join(lagoon.download(info)) == content
+
+
+def test_json_escape_roundtrip(lagoon, tmp_path):
+    content = '{"name": "John \\"Crazy\\" Smith"}\n'
+    path = _write(tmp_path, "esc.json", content)
+    info = lagoon.ingest(path, "esc")
+    assert "".join(lagoon.download(info)) == content
+
+
+def test_json_array_split(lagoon, tmp_path):
+    path = _write(tmp_path, "arr.json", "[1,2,3,4,5]")
+    info = lagoon.ingest(path, "arr", json_path="[_]")
+    assert info.row_count == 5
+    assert info.json_type == "number"
+
+
+def test_json_invalid_fails(lagoon, tmp_path):
+    path = _write(tmp_path, "bad.json", '{"a": 5')
+    with pytest.raises(Exception):
+        lagoon.ingest(path, "bad")
+
+
+def test_suid_dedup(lagoon, tmp_path):
+    p = _write(tmp_path, "s.csv", SIMPLE)
+    i1 = lagoon.ingest(p, "suid1", source_identifier="HASH123")
+    i2 = lagoon.ingest(p, "suid1", source_identifier="HASH123")
+    assert i1.ix == i2.ix  # second ingest skipped
+    assert "SUID:HASH123" in i1.tags
+
+
+def test_sql_passthrough_and_security(lagoon, tmp_path):
+    p = _write(tmp_path, "sec.csv", SIMPLE)
+    info = lagoon.ingest(p, "sec")
+    # owner can query
+    rows = lagoon.sql("SELECT a, b FROM sec_v1_typed WHERE a > 1 ORDER BY a").collect()
+    assert [r.a for r in rows] == [2, 3]
+    # other user denied by default
+    with pytest.raises(QueryDenied):
+        lagoon.sql("SELECT * FROM sec_v1_typed", user="mallory")
+    # public flag opens it up
+    from lagoon_spark import security
+
+    security.set_public(lagoon.catalog, info.ix)
+    assert lagoon.sql("SELECT count(*) AS n FROM sec_v1_typed", user="mallory").collect()[0].n == 3
+    # writes rejected
+    with pytest.raises(QueryDenied):
+        lagoon.sql("DROP TABLE sec_v1_typed")
+    with pytest.raises(QueryDenied):
+        lagoon.sql("INSERT INTO sec_v1_typed VALUES (1)")
+    # unknown tables rejected
+    with pytest.raises(QueryDenied):
+        lagoon.sql("SELECT * FROM no_such_table")
+    # CTEs fine
+    assert (
+        lagoon.sql(
+            "WITH t AS (SELECT a FROM sec_v1_typed) SELECT count(*) AS n FROM t"
+        ).collect()[0].n
+        == 3
+    )
+
+
+def test_acl_groups(lagoon, tmp_path):
+    from lagoon_spark import security
+
+    p = _write(tmp_path, "acl.csv", SIMPLE)
+    info = lagoon.ingest(p, "acl")
+    security.add_to_group(lagoon.catalog, "AB", "alice")
+    security.grant(lagoon.catalog, info.ix, "AB", "read", subject_type="group")
+    assert security.can_read(lagoon.catalog, "alice", info.ix)
+    assert not security.can_read(lagoon.catalog, "bob", info.ix)
+    rows = lagoon.sql("SELECT count(*) AS n FROM acl_v1_typed", user="alice").collect()
+    assert rows[0].n == 3
+    security.revoke(lagoon.catalog, info.ix, "AB", subject_type="group")
+    assert not security.can_read(lagoon.catalog, "alice", info.ix)
+
+
+def test_compaction_preserves_versions(lagoon, tmp_path):
+    """runcompactiontests.sh: per-version download identical pre/post."""
+    p1 = _write(tmp_path, "c1.csv", "k,x\n1,true\n1,false\n2,true\n")
+    p2 = _write(tmp_path, "c2.csv", "k,x\n1,true\n1,false\n2,true\n3,false\n")
+    i1 = lagoon.ingest(p1, "compactme")
+    i2 = lagoon.ingest(p2, "compactme")
+    before1 = "".join(lagoon.download(i1))
+    before2 = "".join(lagoon.download(i2))
+    lagoon.compact("compactme")
+    a1 = lagoon.spark.sql("SELECT k, x FROM compactme_v1 ORDER BY ix").collect()
+    a2 = lagoon.spark.sql("SELECT k, x FROM compactme_v2 ORDER BY ix").collect()
+    assert [(r.k, r.x) for r in a1] == [("1", "true"), ("1", "false"), ("2", "true")]
+    assert [(r.k, r.x) for r in a2] == [
+        ("1", "true"), ("1", "false"), ("2", "true"), ("3", "false"),
+    ]
+    assert before1.startswith("k,x")
+    assert before2.count("\r\n") == 5  # header + 4 rows
+
+
+def test_extra_data_ingest(lagoon, tmp_path):
+    """F20: multi-part foreign ingest — headers are parent-column values."""
+    md = _write(tmp_path, "projects_md.csv", "project-id,metadata\nSRP1,v1\nSRP2,v2\n")
+    data = _write(tmp_path, "projects_data.csv", "SRP1,SRP2\ntrue,false\nfalse,true\n")
+    lagoon.ingest(md, "projects_md")
+    info = lagoon.ingest_extra_data(
+        data, "projects_data", metadata_source="projects_md", metadata_field="project-id"
+    )
+    rows = lagoon.dataframe(info, typed=False).orderBy("ix").collect()
+    assert info.row_count == 4  # 2 rows × 2 columns
+    parent = lagoon.catalog.get_source("projects_md")
+    pdf = lagoon.dataframe(parent, typed=False).collect()
+    key_by_ix = {r.ix: r.c1 for r in pdf}
+    for r in rows:
+        assert key_by_ix[r.foreign_ix] == r["project-id"]
+
+
+def test_catalog_search(lagoon, tmp_path):
+    p = _write(tmp_path, "s1.csv", SIMPLE)
+    lagoon.ingest(p, "alpha_data", tags=["genomics", "prod"], description="alpha dataset")
+    lagoon.ingest(p, "beta_data", tags=["test"], description="beta dataset")
+    infos, total = lagoon.catalog.search(name_contains="alpha")
+    assert total == 1 and infos[0].name == "alpha_data"
+    infos, total = lagoon.catalog.search(tags_all=["genomics"])
+    assert total == 1
+    infos, total = lagoon.catalog.search(ts_query="alpha | beta")
+    assert total == 2
+    infos, total = lagoon.catalog.search(ts_query="tag:genomics")
+    assert total == 1 and infos[0].name == "alpha_data"
+    infos, total = lagoon.catalog.search(ts_query="!beta")
+    assert all(i.name != "beta_data" for i in infos)
+    infos, total = lagoon.catalog.search(
+        order_by="name", offset=0, limit=1, name_contains="data"
+    )
+    assert total == 2 and len(infos) == 1
+    # column-name search (weight B)
+    infos, total = lagoon.catalog.search(ts_query="column:a")
+    assert total >= 1
