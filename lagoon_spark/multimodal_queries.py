@@ -1,0 +1,154 @@
+"""Multimodal pipeline queries: binary asset columns over the documents
+table.
+
+The synthetic tables carry no binary columns, so each query first
+materializes one deterministically from ``documents.text`` (utf-8
+encode, optionally wrapped in a magic-byte container) — both engines
+build byte-identical blobs, so metadata/decode results hash-match.
+
+The Spark side exercises the real multimodal plumbing
+(BinaryType columns, JVM magic-byte sniffing, Arrow-batched
+``mapInPandas`` decode/featurize); the DuckDB oracle computes the same
+functions from the text/arithmetic definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lagoon_spark.operators import multimodal as mm
+from lagoon_spark.queries import df_query
+from lagoon_spark.session import register_views
+
+
+# ---------------------------------------------------------------------------
+# m01 — asset metadata: byte length, digest, magic-byte media sniffing
+# ---------------------------------------------------------------------------
+
+# deterministic per-row container: jpeg / png / bare text by doc_id % 3
+_M01_ORACLE = """
+WITH assets AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN unhex('FFD8FF') || encode(text)
+           WHEN 1 THEN unhex('89504E47') || encode(text)
+           ELSE encode(text)
+         END AS content
+  FROM documents
+)
+SELECT doc_id,
+       octet_length(content) AS byte_len,
+       CASE doc_id % 3
+         WHEN 0 THEN 'image/jpeg'
+         WHEN 1 THEN 'image/png'
+         ELSE 'application/octet-stream'
+       END AS media_type,
+       md5(hex(content)) AS digest
+FROM assets
+"""
+
+
+@df_query(
+    "m01_asset_metadata",
+    "Binary asset metadata: byte length, md5-over-hex digest, magic-byte media sniffing.",
+    _M01_ORACLE,
+)
+def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    assets = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.unhex(F.lit("FFD8FF")))
+            .when(F.col("doc_id") % 3 == 1, F.unhex(F.lit("89504E47")))
+            .otherwise(F.unhex(F.lit(""))),
+            F.encode("text", "UTF-8"),
+        ).alias("content"),
+    )
+    out = mm.asset_metadata(assets, "content")
+    return out.select("doc_id", "byte_len", "media_type", "digest")
+
+
+# ---------------------------------------------------------------------------
+# m02 — Arrow-batched byte-histogram feature extraction (mapInPandas)
+# ---------------------------------------------------------------------------
+
+_M02_ORACLE = "SELECT doc_id AS id, " + ", ".join(
+    f"CAST(length(text) - length(replace(text, '{chr(b)}', '')) AS BIGINT) AS n_{chr(b)}"
+    for b in mm.FEATURE_ALPHABET
+) + " FROM documents"
+
+
+@df_query(
+    "m02_byte_features",
+    "Byte-histogram feature extraction over binary assets (Arrow-batched mapInPandas).",
+    _M02_ORACLE,
+)
+def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    assets = spark.table("documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    return mm.byte_histogram_features(assets, "doc_id", "content")
+
+
+# ---------------------------------------------------------------------------
+# m03 — frame sampling over a binary stream (JVM-side explode/substring)
+# ---------------------------------------------------------------------------
+
+_M03_ORACLE = """
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+),
+idx AS (
+  SELECT doc_id, hx, unnest(range(0, length(hx) // 32)) AS frame_idx
+  FROM h
+)
+SELECT doc_id, frame_idx, substr(hx, CAST(frame_idx * 32 + 1 AS BIGINT), 32) AS frame_hex
+FROM idx WHERE frame_idx % 2 = 0
+"""
+
+
+@df_query(
+    "m03_frame_sample",
+    "Every-2nd 16-byte frame sampled from binary payloads (keyframe-sampling shape).",
+    _M03_ORACLE,
+)
+def m03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    assets = spark.table("documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("content")
+    )
+    return mm.sample_frames(assets, "doc_id", "content", frame_size=16, every_k=2)
+
+
+# ---------------------------------------------------------------------------
+# m04 — FAKEIMG container decode (mapInPandas round-trip)
+# ---------------------------------------------------------------------------
+
+_M04_ORACLE = """
+SELECT doc_id AS id,
+       CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 48 + 1 AS INTEGER) AS height,
+       CAST(length(text) AS BIGINT) AS payload_bytes,
+       md5(hex(encode(text))) AS payload_digest
+FROM documents
+"""
+
+
+@df_query(
+    "m04_image_decode",
+    "Binary image container decode via Arrow-batched Python (FAKEIMG codec round-trip).",
+    _M04_ORACLE,
+)
+def m04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    imgs = spark.table("documents").select(
+        "doc_id",
+        mm.fake_image_col(
+            F.col("doc_id") % 64 + 1,
+            F.col("doc_id") % 48 + 1,
+            F.encode("text", "UTF-8"),
+        ).alias("content"),
+    )
+    return mm.decode_images(imgs, "doc_id", "content")

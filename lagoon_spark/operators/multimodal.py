@@ -1,0 +1,308 @@
+"""Multimodal column plumbing: opaque binary assets + typed metadata.
+
+The reference has no multimodal support (it is a CSV/JSON→Postgres
+engine); this module is part of the training-data-pipeline extension
+plane. The design treats image/audio/video payloads as opaque
+``binary`` columns with typed metadata alongside, exactly as a 100 TB
+lakehouse would store them (parquet BYTE_ARRAY pages, metadata columns
+prunable without touching the blobs).
+
+Scale story:
+
+* Metadata extraction (byte length, digest, magic-byte sniffing) is
+  pure built-in-function work — JVM-side, whole-stage-codegen, no
+  Python in the loop. A scan computing only these never deserializes
+  the blob into Python.
+* Decode / feature-extraction run as **Arrow-batched** ``mapInPandas``
+  transformations: one Python worker per input split, blobs streamed
+  in Arrow record batches, no driver collect, no shuffle. Output
+  schemas are fixed up-front so Catalyst can prune/push around them.
+* Real codec work (PIL/librosa/av) is unavailable in this container;
+  the codec seams are isolated behind ``_load_codec`` which raises
+  ``NotImplementedError`` with a clear message, and every pipeline is
+  exercised end-to-end with the deterministic FAKEIMG codec below, so
+  the Spark plumbing (schema, batching, partitioning) is real and
+  tested even though the pixel math is stubbed.
+
+FAKEIMG container format (deterministic stand-in for a real codec):
+``b"FAKEIMG\\0" + width:u32be + height:u32be + payload bytes``.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FAKE_MAGIC = b"FAKEIMG\x00"
+_HEADER_LEN = len(FAKE_MAGIC) + 8
+
+# magic-byte prefixes → media type (hex, uppercase — matches F.hex)
+MAGIC_PREFIXES: tuple[tuple[str, str], ...] = (
+    ("FFD8FF", "image/jpeg"),
+    ("89504E47", "image/png"),
+    ("47494638", "image/gif"),
+    ("52494646", "audio/wav"),  # RIFF (WAV/AVI family)
+    ("1A45DFA3", "video/webm"),
+    (FAKE_MAGIC.hex().upper(), "image/fakeimg"),
+)
+DEFAULT_MEDIA_TYPE = "application/octet-stream"
+
+
+# ---------------------------------------------------------------------------
+# JVM-side metadata (no Python in the loop)
+# ---------------------------------------------------------------------------
+
+def byte_length(col: str | Column) -> Column:
+    """Payload size in bytes (``length`` on BinaryType counts bytes)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c).cast("long")
+
+
+def content_hex_digest(col: str | Column) -> Column:
+    """md5 over the uppercase hex rendering of the bytes.
+
+    Going through hex makes the digest reproducible in engines whose
+    md5 only accepts strings (e.g. DuckDB) — same bytes → same hex →
+    same digest everywhere.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.hex(c))
+
+
+def sniff_media_type(col: str | Column) -> Column:
+    """Magic-byte container sniffing, fully JVM-side.
+
+    A when-chain over hex prefixes of the first 8 bytes; constant-folded
+    by Catalyst into one codegen'd expression. Unknown → octet-stream.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    head = F.hex(F.substring(c, 1, 8))
+    expr: Column | None = None
+    for prefix, mt in MAGIC_PREFIXES:
+        cond = head.startswith(prefix)
+        expr = F.when(cond, mt) if expr is None else expr.when(cond, mt)
+    assert expr is not None
+    return expr.otherwise(DEFAULT_MEDIA_TYPE)
+
+
+def asset_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Attach typed metadata columns next to an opaque binary column.
+
+    The added columns are scalar, so downstream filters on them prune
+    parquet row groups without reading the blob pages at all.
+    """
+    return (
+        df.withColumn("byte_len", byte_length(content_col))
+        .withColumn("media_type", sniff_media_type(content_col))
+        .withColumn("digest", content_hex_digest(content_col))
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    frame_size: int = 16,
+    every_k: int = 2,
+) -> DataFrame:
+    """Frame sampling over a binary stream, JVM-side.
+
+    Treats the payload as ``frame_size``-byte frames and keeps every
+    ``every_k``-th one (a video keyframe-sampling stand-in). Built from
+    ``sequence`` + ``posexplode`` + ``substring`` — distributed, no
+    Python, output rows stay on the executor that held the blob (no
+    shuffle; explode is a map-side operator).
+    """
+    c = F.col(content_col)
+    n_frames = (F.length(c) / F.lit(frame_size)).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_frames - 1))
+    frames = df.select(
+        F.col(id_col), c.alias("__content"), idx.alias("frame_idx")
+    ).filter((F.col("frame_idx") % every_k) == 0)
+    return frames.select(
+        id_col,
+        "frame_idx",
+        F.hex(
+            F.expr(f"substring(__content, frame_idx * {frame_size} + 1, {frame_size})")
+        ).alias("frame_hex"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FAKEIMG codec (deterministic stand-in; real codecs stubbed)
+# ---------------------------------------------------------------------------
+
+def encode_fake_image(width: int, height: int, payload: bytes) -> bytes:
+    """Build a FAKEIMG container (test/data-gen helper, driver-side)."""
+    return FAKE_MAGIC + struct.pack(">II", width, height) + payload
+
+
+def fake_image_col(width: Column, height: Column, payload: Column) -> Column:
+    """Build FAKEIMG containers JVM-side from (width, height, payload).
+
+    Uses hex assembly (``unhex`` of concatenated hex parts) so the whole
+    construction is codegen'd — this is how the tests and the oracle
+    queries materialize binary assets from the synthetic tables.
+    """
+    def u32be(c: Column) -> Column:
+        return F.lpad(F.hex(c.cast("bigint")), 8, "0")
+
+    return F.unhex(
+        F.concat(
+            F.lit(FAKE_MAGIC.hex().upper()),
+            u32be(width),
+            u32be(height),
+            F.hex(payload),
+        )
+    )
+
+
+def _load_codec(media_type: str):
+    """Seam for real decoders. PIL/librosa/av are not in this container;
+    anything but FAKEIMG raises with a clear install hint."""
+    if media_type == "image/fakeimg":
+        return _decode_fake_image
+    try:  # pragma: no cover - real codecs absent in the test container
+        if media_type.startswith("image/"):
+            import PIL.Image  # noqa: F401
+
+            raise NotImplementedError(
+                "PIL present but real decode is not wired up yet"
+            )
+    except ImportError:
+        pass
+    raise NotImplementedError(
+        f"no codec for {media_type!r} in this environment "
+        "(install Pillow/librosa/av and extend _load_codec)"
+    )
+
+
+def _decode_fake_image(blob: bytes) -> tuple[int, int, bytes]:
+    if blob[: len(FAKE_MAGIC)] != FAKE_MAGIC:
+        raise ValueError("not a FAKEIMG container")
+    width, height = struct.unpack(">II", blob[len(FAKE_MAGIC) : _HEADER_LEN])
+    return width, height, blob[_HEADER_LEN:]
+
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload_bytes", LongType()),
+        StructField("payload_digest", StringType()),
+    ]
+)
+
+
+def decode_images(
+    df: DataFrame, id_col: str, content_col: str, media_type: str = "image/fakeimg"
+) -> DataFrame:
+    """Decode binary images to typed metadata via Arrow-batched Python.
+
+    ``mapInPandas``: each Arrow batch of blobs is decoded in one Python
+    call per batch (not per row); partitioning is inherited from the
+    input, so at 100 TB this runs as a pure map stage. The codec seam
+    raises ``NotImplementedError`` for formats without a decoder.
+    """
+    codec = _load_codec(media_type)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, ws, hs, ns, digs = [], [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                w, h, payload = codec(bytes(blob))
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                ns.append(len(payload))
+                digs.append(hashlib.md5(payload.hex().upper().encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "payload_bytes": ns,
+                    "payload_digest": digs,
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(decode, DECODED_SCHEMA)
+
+
+def resize_fake_images(
+    df: DataFrame, id_col: str, content_col: str, scale_num: int, scale_den: int
+) -> DataFrame:
+    """Deterministic 'resize': rescale header dims, truncate payload
+    proportionally (area ratio). A real implementation swaps the inner
+    function for PIL's resize; the Spark plumbing (Arrow batches, fixed
+    output schema, map-only plan) is identical either way.
+    """
+    out_schema = StructType(
+        [StructField("id", LongType()), StructField("content", BinaryType())]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                w, h, payload = _decode_fake_image(bytes(blob))
+                nw = max(1, w * scale_num // scale_den)
+                nh = max(1, h * scale_num // scale_den)
+                keep = max(1, len(payload) * scale_num * scale_num // (scale_den * scale_den))
+                blobs.append(encode_fake_image(nw, nh, payload[:keep]))
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "content": blobs})
+
+    return df.select(id_col, content_col).mapInPandas(resize, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Byte-histogram features (Arrow-batched, vectorized in numpy)
+# ---------------------------------------------------------------------------
+
+FEATURE_ALPHABET = b"abcdefgh"
+
+
+def byte_histogram_features(
+    df: DataFrame, id_col: str, content_col: str, alphabet: bytes = FEATURE_ALPHABET
+) -> DataFrame:
+    """Per-asset counts of each byte in ``alphabet`` — a stand-in for a
+    real feature extractor with the same execution shape (binary in,
+    fixed-width numeric vector out, Arrow batches, map-only)."""
+    import numpy as np
+
+    fields = [StructField("id", LongType())] + [
+        StructField(f"n_{chr(b)}", LongType()) for b in alphabet
+    ]
+    out_schema = StructType(fields)
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {"id": list(pdf[id_col])}
+            counts = {b: [] for b in alphabet}
+            for blob in pdf[content_col]:
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                hist = np.bincount(arr, minlength=256)
+                for b in alphabet:
+                    counts[b].append(int(hist[b]))
+            for b in alphabet:
+                cols[f"n_{chr(b)}"] = counts[b]
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, content_col).mapInPandas(featurize, out_schema)

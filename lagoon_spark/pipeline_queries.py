@@ -430,3 +430,132 @@ def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.rp_lsh_buckets(emb, "embedding", dim=64, bits=8, seed=42).select(
         "vec_id", "lsh_bucket"
     )
+
+
+# ---------------------------------------------------------------------------
+# s04 — LSH-bucketed ANN top-k (the scale path: candidates from the
+# query's bucket only, then exact cosine re-rank)
+# ---------------------------------------------------------------------------
+
+def _s04_oracle(dim: int = 64, bits: int = 8, seed: int = 42, k: int = 5) -> str:
+    bucket_sql = _s03_oracle(dim, bits, seed)
+    bucket_expr = bucket_sql.split("SELECT vec_id, ")[1].split(" AS lsh_bucket")[0]
+    cos = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(d.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))), "
+        "(a, b) -> a + b) "
+        "/ (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(d.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        "(a, b) -> a + b)) "
+        "* sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        "(a, b) -> a + b)))"
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket_expr} AS lsh_bucket FROM embeddings),
+q AS (SELECT lsh_bucket AS qb, embedding AS qv FROM b WHERE vec_id = 0),
+d AS (SELECT b.vec_id, b.embedding FROM b, q WHERE b.lsh_bucket = q.qb AND b.vec_id <> 0)
+SELECT vec_id, round({cos}, 9) AS cosine
+FROM d, q
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""
+
+
+@df_query(
+    "s04_lsh_ann_topk",
+    "ANN top-5: LSH bucket pre-filter (query's bucket only) + exact cosine re-rank.",
+    _s04_oracle(),
+)
+def s04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    buckets = similarity.rp_lsh_buckets(emb, "embedding", dim=64, bits=8, seed=42)
+    q = buckets.filter(F.col("vec_id") == 0).select(
+        F.col("lsh_bucket").alias("__qb"), F.col("embedding").alias("__qvec")
+    )
+    cands = (
+        buckets.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("lsh_bucket") == F.col("__qb"))
+    )
+    return (
+        cands.select(
+            "vec_id",
+            F.round(similarity.cosine_to("embedding", "__qvec"), 9).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# s05 — IVF coarse-quantizer cell assignment
+# ---------------------------------------------------------------------------
+
+def _ivf_centroids(dim: int = 64, cells: int = 4, seed: int = 7) -> list[list[float]]:
+    return similarity._pseudo_hyperplanes(dim, cells, seed)
+
+
+def _s05_oracle(dim: int = 64, cells: int = 4, seed: int = 7) -> str:
+    cents = _ivf_centroids(dim, cells, seed)
+    dists = []
+    for c in cents:
+        arr = "[" + ", ".join(f"CAST({w:.17g} AS DOUBLE)" for w in c) + "]"
+        dists.append(
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(embedding, (x, i) -> "
+            f"(CAST(x AS DOUBLE) - ({arr})[i]) * (CAST(x AS DOUBLE) - ({arr})[i]))), "
+            f"(a, b) -> a + b)"
+        )
+    # same fold as ivf_assign: strict < keeps the earliest argmin
+    best_c, best_d = "-1", "CAST('inf' AS DOUBLE)"
+    for ci, d in enumerate(dists):
+        best_c = f"CASE WHEN ({d}) < {best_d} THEN {ci} ELSE {best_c} END"
+        best_d = f"CASE WHEN ({d}) < {best_d} THEN ({d}) ELSE {best_d} END"
+    return f"SELECT vec_id, CAST({best_c} AS INTEGER) AS ivf_cell FROM embeddings"
+
+
+@df_query(
+    "s05_ivf_cells",
+    "IVF coarse-quantizer: nearest-centroid cell per embedding (ANN partition path).",
+    _s05_oracle(),
+)
+def s05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    return similarity.ivf_assign(emb, "embedding", _ivf_centroids()).select(
+        "vec_id", F.col("ivf_cell").cast("int").alias("ivf_cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d09 — BPE-ish regex token counting
+# ---------------------------------------------------------------------------
+
+# letter runs | digit runs | single non-alnum — leftmost-first in both
+# Java regex (Spark) and RE2 (DuckDB); no lookahead (RE2 lacks it).
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+_D09_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS INTEGER) AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS INTEGER)
+         AS n_unique_tokens
+FROM documents
+"""
+
+
+@df_query(
+    "d09_bpe_token_count",
+    "BPE-ish regex tokenizer: total + distinct subword-token counts per document.",
+    _D09_ORACLE,
+)
+def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    # pattern via lit(): Spark SQL string literals would eat the \s
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), F.lit(0))
+    return spark.table("documents").select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )

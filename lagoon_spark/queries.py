@@ -747,3 +747,5 @@ def get_query(name: str) -> QueryDef:
 # register the training-data pipeline queries (import side effect; the
 # module imports sql_query/df_query from here, which are defined above)
 from lagoon_spark import pipeline_queries  # noqa: E402,F401  (circular-safe)
+from lagoon_spark import multimodal_queries  # noqa: E402,F401
+from lagoon_spark import streaming_queries  # noqa: E402,F401

@@ -53,6 +53,38 @@ TABLES = (
 _NANO_TS_CACHE: dict[str, list[str]] = {}
 
 
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Ship the lagoon_spark package to Python workers.
+
+    Arrow-batched operators (mapInPandas / applyInPandasWithState)
+    pickle their closures by reference to this module; a driver process
+    launched from another cwd (e.g. the correctness driver) would leave
+    workers unable to import it. ``addPyFile`` distributes a zip of the
+    package to every worker's sys.path — the same mechanism used to
+    ship code to a real cluster.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_lagoon_pyfiles_added", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"lagoon_spark_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._lagoon_pyfiles_added = True
+
+
 def _nano_ts_columns(path: str) -> list[str]:
     """Columns stored as parquet timestamp[ns] (from the file footer)."""
     if path not in _NANO_TS_CACHE:
@@ -87,6 +119,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     # deterministic regardless of host timezone.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_workers_can_import(spark)
 
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -1,0 +1,214 @@
+"""Streaming operators over the events stream.
+
+Scale story: every operator here is expressed so the streaming and
+batch plans share one builder —
+
+* ``windowed_event_stats``: tumbling event-time windows + watermark.
+  State per (window, event_type) only; late data beyond the watermark
+  is dropped, so state is bounded regardless of input volume.
+* ``sessionize_stream``: ``session_window`` gap sessions (native Spark
+  state store); ``sessionize_batch`` is the identical semantics as a
+  lag/cumsum window-function plan (SQL-expressible → DuckDB oracle).
+* ``stateful_user_counts``: ``applyInPandasWithState`` — the custom-
+  stateful-operator seam (per-key Arrow batches + a GroupState handle,
+  processing-time timeouts evict idle keys, so state stays bounded).
+
+On a real cluster the source would be Kafka/files-on-S3; the tests
+drive the same plans from a parquet file stream with
+``trigger(availableNow=True)`` and a memory sink, then assert parity
+with the batch plan the DuckDB oracle already gates.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+GAP_MICROS = 30 * 60 * 1_000_000  # 30-minute session gap
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file-source stream (one file = one batch).
+
+    The driver's parquet stores TIMESTAMP(NANOS); with
+    ``nanosAsLong`` the scan yields int64 which we convert to
+    TIMESTAMP_NTZ exactly (integer DIV, no double round-trip) — same
+    conversion as the batch view in ``session.register_views``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    # the file stream source requires a directory; select the single
+    # table file with a glob filter
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+    )
+
+
+def windowed_event_stats(
+    events: DataFrame, window: str = "1 hour", watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window × event_type: count + exact value sum.
+
+    One builder for both modes: a streaming input gets a watermark (so
+    the state store can emit+evict closed windows); a batch input runs
+    the identical aggregation and is what the DuckDB oracle checks.
+    The sum goes through DECIMAL so batch, streaming, and the oracle
+    agree bitwise (float accumulation order differs between engines).
+    """
+    if events.isStreaming:
+        # watermarks require TIMESTAMP (not NTZ); session tz is pinned
+        # UTC so the LTZ round-trip below is instant-preserving
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+        if watermark:
+            events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_dec"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            F.col("sum_value_dec").cast("double").alias("sum_value"),
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_micros: int = GAP_MICROS) -> DataFrame:
+    """Gap-based sessionization as a window-function plan (batch).
+
+    Classic two-window formulation: flag rows whose gap to the previous
+    event (per user, event-time order, event_id tiebreak) exceeds the
+    gap, then a running sum of flags numbers the sessions. Two window
+    functions over the same (user_id, ts) sort → Catalyst executes one
+    shuffle + one sort, reused by both.
+    """
+    from pyspark.sql import Window as W
+
+    ev = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    order = W.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("us") - F.lag("us").over(order)) > gap_micros, 1
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(order.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """The same session semantics on a stream via native session
+    windows (state-store backed, watermark-evicted)."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = StructType([StructField("n", LongType())])
+_COUNT_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_ts", TimestampNTZType()),
+    ]
+)
+
+
+def stateful_user_counts(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful operator: running per-user event count.
+
+    ``applyInPandasWithState`` — each trigger delivers the key's new
+    rows as Arrow batches; the running total lives in the state store
+    (a single LongType per key, so state size is O(distinct users),
+    independent of event volume). With a processing-time timeout idle
+    keys are evicted. This is the template for any reference-less
+    stateful operator (e.g. hypertable rollups, online dedup).
+    """
+
+    def update(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n = state.get[0] if state.exists else 0
+        last = None
+        for pdf in pdfs:
+            n += len(pdf)
+            m = pdf["ts"].max()
+            last = m if last is None else max(last, m)
+        state.update((n,))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "last_ts": [last]}
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_COUNT_OUT,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

@@ -1,0 +1,72 @@
+"""Registry entries for the streaming plane, run on the batch path.
+
+The plan builders in ``lagoon_spark.streaming.ops`` are mode-agnostic;
+here they run over the batch ``events`` view so the DuckDB oracle gates
+their semantics. ``tests/test_streaming.py`` runs the same builders
+over ``readStream`` and asserts parity with these batch results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lagoon_spark.queries import df_query
+from lagoon_spark.session import register_views
+from lagoon_spark.streaming import ops
+
+
+# Tumbling windows are epoch-aligned, so a 1-hour window start is
+# exactly date_trunc('hour', ts) — DuckDB computes the same bucket.
+_ST01_ORACLE = """
+SELECT date_trunc('hour', ts) AS bucket_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@df_query(
+    "st01_windowed_event_stats",
+    "Tumbling 1-hour event-time window × event_type: count + exact sum (streaming builder, batch-gated).",
+    _ST01_ORACLE,
+)
+def st01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return ops.windowed_event_stats(spark.table("events"), window="1 hour")
+
+
+_ST02_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+numbered AS (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(us) AS start_us,
+       MAX(us) AS end_us
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+@df_query(
+    "st02_sessionize",
+    "30-minute-gap sessionization per user (lag/cumsum plan; session_window on the stream path).",
+    _ST02_ORACLE,
+)
+def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return ops.sessionize_batch(spark.table("events"))

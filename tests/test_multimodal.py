@@ -1,0 +1,97 @@
+"""Multimodal operator plumbing: schemas, batching, codec seams."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from lagoon_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [
+        (1, b"\xff\xd8\xff\xe0" + b"jpegdata"),
+        (2, b"\x89PNG\r\n\x1a\n" + b"pngdata"),
+        (3, b"RIFF\x00\x00\x00\x00WAVE"),
+        (4, b"plain text bytes"),
+        (5, mm.encode_fake_image(8, 6, b"payloadpayload")),
+    ]
+    return spark.createDataFrame(rows, "id long, content binary")
+
+
+def test_asset_metadata(assets):
+    out = {r["id"]: r for r in mm.asset_metadata(assets, "content").collect()}
+    assert out[1]["media_type"] == "image/jpeg"
+    assert out[2]["media_type"] == "image/png"
+    assert out[3]["media_type"] == "audio/wav"
+    assert out[4]["media_type"] == "application/octet-stream"
+    assert out[5]["media_type"] == "image/fakeimg"
+    assert out[4]["byte_len"] == len(b"plain text bytes")
+    expect = hashlib.md5(b"plain text bytes".hex().upper().encode()).hexdigest()
+    assert out[4]["digest"] == expect
+
+
+def test_metadata_is_jvm_only(assets):
+    """No Python evaluation in the metadata plan (scales as a pure scan)."""
+    plan = mm.asset_metadata(assets, "content")._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_decode_fake_images(spark):
+    rows = [(i, mm.encode_fake_image(i * 10, i * 5, b"x" * i)) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "id long, content binary")
+    out = {r["id"]: r for r in mm.decode_images(df, "id", "content").collect()}
+    assert out[3]["width"] == 30 and out[3]["height"] == 15
+    assert out[3]["payload_bytes"] == 3
+    assert out[2]["payload_digest"] == hashlib.md5(b"xx".hex().upper().encode()).hexdigest()
+
+
+def test_decode_unknown_codec_raises(spark):
+    df = spark.createDataFrame([(1, b"\xff\xd8\xff")], "id long, content binary")
+    with pytest.raises(NotImplementedError, match="no codec"):
+        mm.decode_images(df, "id", "content", media_type="image/jpeg")
+
+
+def test_fake_image_col_roundtrip(spark):
+    """JVM-side container assembly decodes identically to the Python one."""
+    df = spark.createDataFrame([(7, "hello")], "id long, s string").select(
+        "id",
+        mm.fake_image_col(F.lit(320), F.lit(200), F.encode("s", "UTF-8")).alias(
+            "content"
+        ),
+    )
+    blob = bytes(df.collect()[0]["content"])
+    assert blob == mm.encode_fake_image(320, 200, b"hello")
+    out = mm.decode_images(df, "id", "content").collect()[0]
+    assert (out["width"], out["height"], out["payload_bytes"]) == (320, 200, 5)
+
+
+def test_resize_fake_images(spark):
+    df = spark.createDataFrame(
+        [(1, mm.encode_fake_image(100, 60, b"p" * 100))], "id long, content binary"
+    )
+    out = mm.resize_fake_images(df, "id", "content", 1, 2).collect()[0]
+    w, h, payload = mm._decode_fake_image(bytes(out["content"]))
+    assert (w, h) == (50, 30)
+    assert len(payload) == 25  # area ratio 1/4
+
+
+def test_sample_frames(spark):
+    content = bytes(range(64))  # 4 frames of 16
+    df = spark.createDataFrame([(1, content)], "id long, content binary")
+    rows = mm.sample_frames(df, "id", "content", frame_size=16, every_k=2).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 2]
+    assert rows[0]["frame_hex"] == content[:16].hex().upper()
+    assert rows[1]["frame_hex"] == content[32:48].hex().upper()
+
+
+def test_byte_histogram_features_batching(spark):
+    """Featurizer is correct across multiple partitions/batches."""
+    rows = [(i, f"abc{'d' * i}".encode()) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, content binary").repartition(4)
+    out = {r["id"]: r for r in mm.byte_histogram_features(df, "id", "content").collect()}
+    assert len(out) == 200
+    assert out[5]["n_a"] == 1 and out[5]["n_d"] == 5 and out[5]["n_h"] == 0

@@ -1,0 +1,97 @@
+"""Streaming plane: stream/batch parity for the shared plan builders,
+plus the custom stateful operator.
+
+Each test drives the real Structured Streaming engine: file source over
+the events parquet → trigger(availableNow) → memory sink, then compares
+against the batch plan (itself gated by the DuckDB oracle in
+test_queries_oracle.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lagoon_spark.session import register_views
+from lagoon_spark.streaming import ops
+
+
+def _run_stream(df, name, output_mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def _rows(df, key_cols):
+    return sorted(tuple(r) for r in df.select(*key_cols).collect())
+
+
+def test_windowed_stats_stream_matches_batch(spark, sf_small):
+    register_views(spark, sf_small)
+    batch = ops.windowed_event_stats(spark.table("events"))
+    stream = ops.windowed_event_stats(ops.read_events_stream(spark, sf_small))
+    # complete mode: emit every window (append would withhold windows
+    # newer than the final watermark, which never close in a finite run)
+    _run_stream(stream, "win_stats", "complete")
+    got = spark.table("win_stats")
+    cols = ["bucket_start", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert len(got.collect()) > 0
+
+
+def test_session_windows_stream_matches_batch_sessions(spark, sf_small):
+    register_views(spark, sf_small)
+    stream = ops.sessionize_stream(ops.read_events_stream(spark, sf_small))
+    _run_stream(stream, "sessions", "complete")
+    got = spark.table("sessions")
+
+    batch = ops.sessionize_batch(spark.table("events"))
+    # session_window's (start, end] extends gap past the last event;
+    # compare the invariant parts: per-user session count and sizes.
+    b = _rows(
+        batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        ),
+        ["user_id", "n_sessions", "n_events"],
+    )
+    s = _rows(
+        got.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        ),
+        ["user_id", "n_sessions", "n_events"],
+    )
+    assert s == b
+
+
+def test_stateful_user_counts(spark, sf_small):
+    register_views(spark, sf_small)
+    stream = ops.stateful_user_counts(ops.read_events_stream(spark, sf_small))
+    _run_stream(stream, "user_counts", "update")
+    got = spark.table("user_counts")
+    # memory sink in update mode appends every emission; the last row
+    # per user is the final state
+    final = {
+        r["user_id"]: r["n_events"]
+        for r in got.orderBy("user_id", "n_events").collect()
+    }
+    expect = {
+        r["user_id"]: r["n"]
+        for r in spark.table("events").groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert final == expect
+
+
+def test_watermark_in_plan(spark, sf_small):
+    stream = ops.windowed_event_stats(
+        ops.read_events_stream(spark, sf_small), watermark="2 hours"
+    )
+    plan = stream._jdf.queryExecution().logical().toString()
+    assert "EventTimeWatermark" in plan
