@@ -107,17 +107,19 @@ def pairwise_cosine(
     cond = F.col("id_a") < F.col("id_b")
     for c in block_cols or []:
         cond = cond & (F.col(c) == F.col(f"{c}__b"))
-    return (
-        a.join(b, cond)
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.expr(_dot_expr("v_a", "v_b")) / (F.col("norm_a") * F.col("norm_b")), 9
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= min_cosine)
+    scored = a.join(b, cond).select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.expr(_dot_expr("v_a", "v_b")) / (F.col("norm_a") * F.col("norm_b")), 9
+        ).alias("cosine"),
     )
+    # barrier before the threshold filter — without it Catalyst pushes
+    # the filter into the join condition and the dot-product fold runs
+    # multiple times per candidate pair (see dedup.ngram_jaccard_pairs)
+    scored = scored.persist()
+    scored.count()
+    return scored.filter(F.col("cosine") >= min_cosine)
 
 
 def _pseudo_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
