@@ -121,6 +121,12 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ensure_workers_can_import(spark)
 
+    # registration is idempotent per (session, sf_dir): re-reading ten
+    # parquet footers per query call costs ~0.3s that every registered
+    # query would otherwise pay
+    if getattr(spark, "_lagoon_views_dir", None) == sf_dir:
+        return
+
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
@@ -131,3 +137,4 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
                     F.expr(f"CAST(timestamp_micros(`{c}` DIV 1000) AS TIMESTAMP_NTZ)"),
                 )
             df.createOrReplaceTempView(name)
+    spark._lagoon_views_dir = sf_dir
