@@ -1,0 +1,150 @@
+"""Postgres JSON operator family over Spark columns.
+
+Surface inventory from the reference's R dplyr translations
+(`clients/RLagoon/R/dplyrlagoon.r:88-100`): ``-> ->> #> #>> @> <@ ?
+?& ?|``. The JVM-expressible operators compile to built-in functions
+(``get_json_object``, ``json_object_keys`` — codegen'd, scale as plain
+scans); structural containment (``@>``/``<@``) has no Spark built-in
+and ships as an Arrow-vectorized Pandas UDF implementing the Postgres
+recursive-containment rules.
+
+Hot-path guidance: when the needle shape is known statically (e.g.
+``props @> '{"k": 1}'``), prefer the equivalent
+``get_json_object(props, '$.k') = '1'`` expression — it stays in
+whole-stage codegen. The generic UDF is for ad-hoc / user-supplied
+needles.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# -- path selection (`->`, `->>`, `#>`, `#>>`) ------------------------------
+
+def json_get(col: str | Column, key: str | int) -> Column:
+    """``col -> key``: member (or array element) as JSON text."""
+    path = f"$[{key}]" if isinstance(key, int) else f"$.{key}"
+    return F.get_json_object(_c(col), path)
+
+
+def json_get_text(col: str | Column, key: str | int) -> Column:
+    """``col ->> key``: member as text (get_json_object already
+    unquotes scalar strings, matching ``->>``)."""
+    return json_get(col, key)
+
+
+def _path(keys: list[str | int]) -> str:
+    out = "$"
+    for k in keys:
+        out += f"[{k}]" if isinstance(k, int) else f".{k}"
+    return out
+
+
+def json_path(col: str | Column, keys: list[str | int]) -> Column:
+    """``col #> '{a,b,0}'``: selection by path list."""
+    return F.get_json_object(_c(col), _path(keys))
+
+
+def json_path_text(col: str | Column, keys: list[str | int]) -> Column:
+    """``col #>> path`` — text form of :func:`json_path`."""
+    return json_path(col, keys)
+
+
+# -- key existence (`?`, `?&`, `?|`) ----------------------------------------
+
+def jsonb_exists(col: str | Column, key: str) -> Column:
+    """``col ? key``: does the top-level object have the key?"""
+    return F.array_contains(F.json_object_keys(_c(col)), key)
+
+
+def jsonb_exists_all(col: str | Column, keys: list[str]) -> Column:
+    """``col ?& keys``: all keys present."""
+    ks = F.json_object_keys(_c(col))
+    out = F.lit(True)
+    for k in keys:
+        out = out & F.array_contains(ks, k)
+    return out
+
+
+def jsonb_exists_any(col: str | Column, keys: list[str]) -> Column:
+    """``col ?| keys``: any key present."""
+    ks = F.json_object_keys(_c(col))
+    out = F.lit(False)
+    for k in keys:
+        out = out | F.array_contains(ks, k)
+    return out
+
+
+# -- structural containment (`@>`, `<@`) ------------------------------------
+
+def _pg_contains(hay, needle) -> bool:
+    """Postgres jsonb containment: objects need every needle pair
+    contained; arrays need every needle element contained in some
+    haystack element (scalar needle in array haystack also matches);
+    scalars compare by equality."""
+    if isinstance(needle, dict):
+        if not isinstance(hay, dict):
+            return False
+        return all(k in hay and _pg_contains(hay[k], v) for k, v in needle.items())
+    if isinstance(needle, list):
+        if not isinstance(hay, list):
+            return False
+        return all(any(_pg_contains(h, n) for h in hay) for n in needle)
+    if isinstance(hay, list):
+        # top-level scalar-in-array special case
+        return any(h == needle for h in hay)
+    return hay == needle
+
+
+def jsonb_contains(col: str | Column, needle_json: str) -> Column:
+    """``col @> needle``: structural containment of a constant needle.
+
+    Arrow-vectorized Pandas UDF (the needle parses once per batch);
+    map-only, no shuffle — but see the module docstring for the
+    codegen-friendly alternative when the needle shape is static.
+    """
+    @pandas_udf("boolean")
+    def contains(s: pd.Series) -> pd.Series:
+        needle = json.loads(needle_json)
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return _pg_contains(json.loads(v), needle)
+            except ValueError:
+                return None
+
+        return s.map(one)
+
+    return contains(_c(col))
+
+
+def jsonb_contained(col: str | Column, hay_json: str) -> Column:
+    """``col <@ hay``: the column value is contained in the constant."""
+    @pandas_udf("boolean")
+    def contained(s: pd.Series) -> pd.Series:
+        hay = json.loads(hay_json)
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return _pg_contains(hay, json.loads(v))
+            except ValueError:
+                return None
+
+        return s.map(one)
+
+    return contained(_c(col))

@@ -740,6 +740,81 @@ WHERE n_regionkey <> r_regionkey AND n_nationkey < 5 AND r_regionkey < 3
 )
 
 
+# ---------------------------------------------------------------------------
+# Postgres JSON operator family (`dplyrlagoon.r:88-100`): @>, ?, ->
+# ---------------------------------------------------------------------------
+
+_Q37_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_contains
+FROM events
+WHERE json_contains(props, '{"k": 7}')
+GROUP BY event_type
+"""
+
+
+def _q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from lagoon_spark.functions import jsonb_contains
+
+    register_views(spark, sf_dir)
+    return (
+        spark.table("events")
+        .filter(jsonb_contains("props", '{"k": 7}'))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_contains"))
+    )
+
+
+_register(
+    QueryDef(
+        "q37_json_containment",
+        "Postgres @> structural containment over a JSON column (vectorized shim).",
+        _q37,
+        _Q37_ORACLE,
+    )
+)
+
+
+_Q38_ORACLE = """
+SELECT event_type,
+       SUM(CASE WHEN list_contains(json_keys(props), 'k') THEN 1 ELSE 0 END) AS n_has_k,
+       SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                THEN 1 ELSE 0 END) AS n_big_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def _q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from lagoon_spark.functions import json_get_text, jsonb_exists
+
+    register_views(spark, sf_dir)
+    return (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(jsonb_exists("props", "k"), 1).otherwise(0)).alias("n_has_k"),
+            F.sum(
+                F.when(json_get_text("props", "k").cast("bigint") > 50, 1).otherwise(0)
+            ).alias("n_big_k"),
+        )
+    )
+
+
+_register(
+    QueryDef(
+        "q38_json_key_ops",
+        "Postgres ? key-existence and ->> extraction operators (JVM-side shims).",
+        _q38,
+        _Q38_ORACLE,
+    )
+)
+
+
 def get_query(name: str) -> QueryDef:
     return _REGISTRY[name]
 
