@@ -815,6 +815,90 @@ _register(
 )
 
 
+# ---------------------------------------------------------------------------
+# Recursive CTE (QueryPlan.hs:167 RecursiveUnion) — Spark has none;
+# the Spark-native pattern is a driver-controlled iterative union with
+# a fixpoint test. Each iteration is a distributed map; the driver only
+# checks emptiness.
+# ---------------------------------------------------------------------------
+
+_Q39_ORACLE = """
+WITH RECURSIVE anc AS (
+  SELECT n_nationkey AS node, n_nationkey // 2 AS anc FROM nation WHERE n_nationkey > 0
+  UNION ALL
+  SELECT node, anc // 2 FROM anc WHERE anc > 0
+)
+SELECT node, anc FROM anc
+"""
+
+
+def _q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    base = (
+        spark.table("nation")
+        .selectExpr("n_nationkey AS node", "n_nationkey DIV 2 AS anc")
+        .filter("node > 0")
+    )
+    acc = base
+    frontier = base
+    # fixpoint loop — ancestor chains halve each step, so depth is
+    # O(log max_key); each step is a narrow map over the frontier only
+    while True:
+        frontier = frontier.filter("anc > 0").selectExpr("node", "anc DIV 2 AS anc")
+        if frontier.isEmpty():
+            break
+        acc = acc.unionByName(frontier)
+    return acc
+
+
+_register(
+    QueryDef(
+        "q39_recursive_ancestors",
+        "Recursive CTE (ancestor closure) as a driver-controlled iterative union with fixpoint.",
+        _q39,
+        _Q39_ORACLE,
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Ranking window-function family (QueryPlan.hs:176 WindowAgg;
+# dplyrlagoon.r:112-131 window variants)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "q40_rank_family",
+    "rank/dense_rank/percent_rank/cume_dist/ntile over one shared window sort.",
+    """
+SELECT l_orderkey, l_linenumber,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       PERCENT_RANK() OVER w AS prnk,
+       CUME_DIST() OVER w AS cd,
+       NTILE(4) OVER w AS tile
+FROM lineitem
+WINDOW w AS (PARTITION BY l_linenumber ORDER BY l_quantity, l_orderkey)
+""",
+)
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets (Aggregate/Group family; beyond q29's ROLLUP)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "q41_cube",
+    "CUBE over (returnflag, linestatus) with GROUPING() markers and exact decimal sums.",
+    """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       GROUPING(l_returnflag) AS g_rf,
+       GROUPING(l_linestatus) AS g_ls
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+)
+
+
 def get_query(name: str) -> QueryDef:
     return _REGISTRY[name]
 
