@@ -77,20 +77,35 @@ class Lagoon:
             if hits:
                 return self.catalog.get_source_by_ix(hits[0])
 
-        ftype = file_type or (
-            "json" if path.lower().endswith(".json") else "tabular"
-        )
-        if ftype == "json":
-            info = self._ingest_json(
-                path, name, description=description, created=created, url=url,
-                json_path=json_path,
+        # A26: input acquisition — URL fetch / single-entry zip spool
+        # (`Ingest.hs:580-691`); the original location is recorded as
+        # the source URL
+        from lagoon_spark.ingest.input import acquire
+
+        cleanup: list[str] = []
+        local = acquire(path, cleanup)
+        if url is None and local != path:
+            url = path
+
+        try:
+            ftype = file_type or (
+                "json" if local.lower().endswith(".json") else "tabular"
             )
-        else:
-            info = self._ingest_tabular(
-                path, name, description=description, created=created, url=url,
-                has_headers=has_headers, delimiter=delimiter, quote=quote,
-                no_type_inference=no_type_inference, peek_rows=peek_rows,
-            )
+            if ftype == "json":
+                info = self._ingest_json(
+                    local, name, description=description, created=created, url=url,
+                    json_path=json_path,
+                )
+            else:
+                info = self._ingest_tabular(
+                    local, name, description=description, created=created, url=url,
+                    has_headers=has_headers, delimiter=delimiter, quote=quote,
+                    no_type_inference=no_type_inference, peek_rows=peek_rows,
+                )
+        finally:
+            for f in cleanup:
+                if os.path.exists(f):
+                    os.unlink(f)
         for t in tags or []:
             self.catalog.tag(info.ix, t)
         if source_identifier is not None:

@@ -16,6 +16,15 @@ def spark():
     yield s
 
 
+@pytest.fixture()
+def lagoon(spark, tmp_path):
+    from lagoon_spark.engine import Lagoon
+
+    lg = Lagoon(spark, str(tmp_path / "warehouse"), user="tester")
+    lg.init_db()
+    return lg
+
+
 @pytest.fixture(scope="session")
 def sf_small() -> str:
     return SF_SMALL

@@ -14,13 +14,6 @@ from lagoon_spark.engine import Lagoon
 from lagoon_spark.security import QueryDenied
 
 
-@pytest.fixture()
-def lagoon(spark, tmp_path):
-    lg = Lagoon(spark, str(tmp_path / "warehouse"), user="tester")
-    lg.init_db()
-    return lg
-
-
 def _write(tmp_path, name, text):
     p = tmp_path / name
     p.write_text(text)
