@@ -378,6 +378,12 @@ class Lagoon:
         frames = []
         for info in infos:
             df = self.spark.read.parquet(self._data_path(info.table_name))
+            if "ixs" in df.columns:
+                # already-compacted source: membership lives in the ixs
+                # array — take only this version's rows (found by the
+                # compaction property test: recompacting otherwise
+                # attributes every version's rows to each version)
+                df = df.filter(F.array_contains("ixs", info.version)).drop("ixs")
             for c in phys:
                 if c not in df.columns:
                     df = df.withColumn(c, F.lit(None).cast("string"))
@@ -405,6 +411,10 @@ class Lagoon:
 
         latest = infos[-1]
         compact_table = f"compact{latest.ix}"
+        if any(i.table_name == compact_table for i in infos):
+            # recompaction: never overwrite the directory being read —
+            # alternate deterministically between two physical names
+            compact_table = f"compact{latest.ix}b"
         compacted.write.mode("overwrite").parquet(self._data_path(compact_table))
         stored = self.spark.read.parquet(self._data_path(compact_table))
 
