@@ -529,6 +529,52 @@ def s05(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d10 — composite quality filter (Gopher-style keep/drop gate)
+# ---------------------------------------------------------------------------
+
+_D10_ORACLE = """
+WITH s AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+         round((length(text) - (len(string_split(text, ' ')) - 1))
+               / greatest(len(list_filter(string_split(text, ' '), w -> w <> '')), 1), 6)
+           AS mean_token_len,
+         round(len(list_filter(string_split(text, ' '),
+                   w -> list_contains(['the','a','of','and','is','to','in'], w)))
+               / greatest(len(list_filter(string_split(text, ' '), w -> w <> '')), 1), 6)
+           AS stopword_ratio
+  FROM documents
+)
+SELECT doc_id, n_tokens, mean_token_len, stopword_ratio,
+       (n_tokens BETWEEN 10 AND 1000)
+         AND (mean_token_len BETWEEN 2.0 AND 12.0)
+         AND (stopword_ratio >= 0.01) AS keep
+FROM s
+"""
+
+
+@df_query(
+    "d10_quality_filter",
+    "Composite quality gate: token-count, token-length, and stopword-ratio rules → keep flag.",
+    _D10_ORACLE,
+)
+def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    stats = spark.table("documents").select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.mean_token_len("text").alias("mean_token_len"),
+        text.stopword_ratio("text").alias("stopword_ratio"),
+    )
+    return stats.withColumn(
+        "keep",
+        F.col("n_tokens").between(10, 1000)
+        & F.col("mean_token_len").between(2.0, 12.0)
+        & (F.col("stopword_ratio") >= 0.01),
+    )
+
+
+# ---------------------------------------------------------------------------
 # d09 — BPE-ish regex token counting
 # ---------------------------------------------------------------------------
 
