@@ -353,6 +353,46 @@ class Lagoon:
         for row in df.drop("ix").toLocalIterator():
             yield _csv_line(["" if v is None else str(v) for v in row])
 
+    # -- catalog dump (`lagoon dump-db-info`; golden-test oracle) -----------
+
+    def dump_db_info(self) -> str:
+        """Canonical text dump of the whole catalog, one block per
+        source version in (name, version) order — the same golden-diff
+        artifact the reference's integration suite pins its inference,
+        naming, and versioning semantics to (`runtests.sh:107-118`,
+        `dbinfo.expected`).
+        """
+        sources = self.catalog.load("sources")
+        infos = [
+            self.catalog.get_source_by_ix(int(row["ix"]))
+            for _, row in sources.iterrows()
+        ]
+        out = []
+        for i in sorted(infos, key=lambda s: (s.name, s.version)):
+            lines = [
+                f"{i.name} (version {i.version})",
+                f"  URL         {i.url or '(local)'}",
+                f"  description {i.description or i.name}",
+                f"  tags        {', '.join(sorted(i.tags)) if i.tags else '(no tags)'}",
+                f"  created     {i.created}",
+                f"  added by    {i.added_by}",
+                f"  deprecated  {i.deprecated}",
+                f"  table       {i.table_name} (with view {i.view_name})",
+            ]
+            if i.typed_table_name:
+                lines.append(
+                    f"  typed       {i.typed_table_name} (with view {i.typed_view_name})"
+                )
+            if i.json_type:
+                lines.append(f"  JSON type   {i.json_type}")
+            lines.append(f"  row count   {i.row_count}")
+            lines.append("  columns")
+            lines.append("    \tType\tName")
+            for phys, header, ctype in i.columns:
+                lines.append(f"    {phys}\t{ctype}\t{header}")
+            out.append("\n".join(lines))
+        return "\n\n".join(out) + "\n"
+
     # -- compaction (A24) ----------------------------------------------------
 
     def compact(self, name: str) -> SourceInfo:
