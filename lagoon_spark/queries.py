@@ -899,6 +899,48 @@ GROUP BY CUBE(l_returnflag, l_linestatus)
 )
 
 
+# ---------------------------------------------------------------------------
+# Unpivot / melt (the A25 multi-part-ingest building block, exposed as
+# a first-class relational operator)
+# ---------------------------------------------------------------------------
+
+_Q42_ORACLE = """
+SELECT o_orderkey, measure, CAST(val AS DOUBLE) AS val
+FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+             CAST(o_custkey AS DOUBLE) AS custkey
+      FROM orders WHERE o_orderkey < 100)
+UNPIVOT (val FOR measure IN (price, custkey))
+"""
+
+
+def _q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    base = (
+        spark.table("orders")
+        .filter("o_orderkey < 100")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.col("o_custkey").cast("double").alias("custkey"),
+        )
+    )
+    return base.unpivot(
+        ["o_orderkey"], ["price", "custkey"], "measure", "val"
+    )
+
+
+_register(
+    QueryDef(
+        "q42_unpivot",
+        "Unpivot/melt wide measures into (key, measure, value) rows.",
+        _q42,
+        _Q42_ORACLE,
+    )
+)
+
+
 def get_query(name: str) -> QueryDef:
     return _REGISTRY[name]
 

@@ -70,3 +70,27 @@ GROUP BY user_id, session_id
 def st02(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return ops.sessionize_batch(spark.table("events"))
+
+
+# The applyInPandasWithState operator's final state equals this batch
+# aggregation (parity asserted in tests/test_streaming.py); gating the
+# batch form gives the custom stateful op an oracle too.
+_ST03_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events, MAX(ts) AS last_ts
+FROM events
+GROUP BY user_id
+"""
+
+
+@df_query(
+    "st03_stateful_user_counts",
+    "Final state of the applyInPandasWithState per-user counter (batch-equivalent form).",
+    _ST03_ORACLE,
+)
+def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    return spark.table("events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts")
+    )
