@@ -68,6 +68,7 @@ class Lagoon:
         source_identifier: str | None = None,
         peek_rows: int = 1000,
         file_type: str | None = None,
+        progress=None,
     ) -> SourceInfo:
         # A17: source-identifier dedup — if a source already carries the
         # SUID tag, return it instead of re-ingesting
@@ -87,6 +88,13 @@ class Lagoon:
         if url is None and local != path:
             url = path
 
+        # phase-level progress events (the reference streams JSON-line
+        # notifications during ingest, `Interface/Ingest.hs:350-455`;
+        # Spark's unit of progress is the job/phase, not the row batch,
+        # so events mark pipeline phases and carry row counts)
+        emit = progress or (lambda e: None)
+        emit({"event": "input", "source": path, "local": local})
+
         try:
             ftype = file_type or (
                 "json" if local.lower().endswith(".json") else "tabular"
@@ -94,13 +102,14 @@ class Lagoon:
             if ftype == "json":
                 info = self._ingest_json(
                     local, name, description=description, created=created, url=url,
-                    json_path=json_path,
+                    json_path=json_path, emit=emit,
                 )
             else:
                 info = self._ingest_tabular(
                     local, name, description=description, created=created, url=url,
                     has_headers=has_headers, delimiter=delimiter, quote=quote,
                     no_type_inference=no_type_inference, peek_rows=peek_rows,
+                    emit=emit,
                 )
         finally:
             for f in cleanup:
@@ -110,11 +119,13 @@ class Lagoon:
             self.catalog.tag(info.ix, t)
         if source_identifier is not None:
             self.catalog.tag(info.ix, f"SUID:{source_identifier}")
-        return self.catalog.get_source_by_ix(info.ix)
+        out = self.catalog.get_source_by_ix(info.ix)
+        emit({"event": "done", "ix": out.ix, "version": out.version, "rows": out.row_count})
+        return out
 
     def _ingest_tabular(
         self, path, name, *, description, created, url, has_headers,
-        delimiter, quote, no_type_inference, peek_rows,
+        delimiter, quote, no_type_inference, peek_rows, emit=lambda e: None,
     ) -> SourceInfo:
         fmt = csvmod.guess_format(path)
         fmt.has_headers = has_headers
@@ -124,6 +135,7 @@ class Lagoon:
         fmt.quote = quote
 
         width, header = csvmod.scan_width(self.spark, path, fmt)
+        emit({"event": "format", "width": width, "has_headers": bool(has_headers and header)})
         ix, version, table_name, view_name = self.catalog.new_source(
             name, url=url, description=description, added_by=self.user,
             created=created, fmt="tabular",
@@ -133,6 +145,7 @@ class Lagoon:
         untyped.write.mode("overwrite").parquet(self._data_path(table_name))
         stored = self.spark.read.parquet(self._data_path(table_name))
         row_count = stored.count()
+        emit({"event": "loaded", "rows": row_count})
 
         # friendly headers (A11/A12): sanitized, deduped; headerless
         # files keep the physical names (`DataFormat.hs:103-108`)
@@ -163,6 +176,7 @@ class Lagoon:
                 ],
             )
             typed_df.write.mode("overwrite").parquet(self._data_path(typed_table))
+            emit({"event": "typed", "columns": [(h, t) for _p, h, t in cols]})
 
         self.catalog.set_columns(ix, cols)
         self.catalog.update_source(
@@ -175,6 +189,7 @@ class Lagoon:
 
     def _ingest_json(
         self, path, name, *, description, created, url, json_path,
+        emit=lambda e: None,
     ) -> SourceInfo:
         """JSON ingest (`Ingest.hs:231-255`): one TEXT column holding the
         raw value per row (JSON sources never get a typed table,
@@ -208,6 +223,7 @@ class Lagoon:
         untyped.write.mode("overwrite").parquet(self._data_path(table_name))
         stored = self.spark.read.parquet(self._data_path(table_name))
         row_count = stored.count()
+        emit({"event": "loaded", "rows": row_count})
 
         # distributed JsonType inference: per-partition fold, driver reduce
         def part_type(rows):
@@ -352,6 +368,35 @@ class Lagoon:
         yield _csv_line(friendly)
         for row in df.drop("ix").toLocalIterator():
             yield _csv_line(["" if v is None else str(v) for v in row])
+
+    # -- query-result export (A21 output formats, `UserQuery.hs:31-47`) -----
+
+    def export_query(
+        self, query: str, fmt: str = "csv", user: str | None = None
+    ) -> Iterator[str]:
+        """Run a security-checked query and stream the result in one of
+        the reference's `/sql` response formats: ``csv`` (RFC4180 with
+        header), ``json`` (newline-separated objects), or
+        ``json_array`` (one JSON array document). Streams via
+        ``toLocalIterator`` — driver memory stays O(partition).
+        """
+        df = self.sql(query, user=user)
+        if fmt == "csv":
+            yield _csv_line(list(df.columns))
+            for row in df.toLocalIterator():
+                yield _csv_line(["" if v is None else str(v) for v in row])
+        elif fmt == "json":
+            for line in df.toJSON().toLocalIterator():
+                yield line + "\n"
+        elif fmt == "json_array":
+            yield "["
+            first = True
+            for line in df.toJSON().toLocalIterator():
+                yield line if first else "," + line
+                first = False
+            yield "]"
+        else:
+            raise ValueError(f"unknown export format {fmt!r}")
 
     # -- catalog dump (`lagoon dump-db-info`; golden-test oracle) -----------
 

@@ -1,0 +1,51 @@
+"""Query-result export formats (A21) and ingest progress events."""
+
+from __future__ import annotations
+
+import json
+
+
+def test_export_query_csv(lagoon, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text('name,qty\n"a,b",1\nplain,2\n')
+    lagoon.ingest(str(p), "exp")
+    out = "".join(lagoon.export_query("SELECT name, qty FROM exp_v1_typed ORDER BY ix", "csv"))
+    assert out == 'name,qty\r\n"a,b",1\r\nplain,2\r\n'
+
+
+def test_export_query_json_lines_and_array(lagoon, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("k,v\nx,1\ny,2\n")
+    lagoon.ingest(str(p), "expj")
+    lines = "".join(lagoon.export_query("SELECT k, v FROM expj_v1_typed ORDER BY ix", "json"))
+    rows = [json.loads(line) for line in lines.strip().splitlines()]
+    assert rows == [{"k": "x", "v": 1}, {"k": "y", "v": 2}]
+
+    arr = "".join(lagoon.export_query("SELECT k FROM expj_v1 ORDER BY ix", "json_array"))
+    assert json.loads(arr) == [{"k": "x"}, {"k": "y"}]
+
+
+def test_export_rejects_writes(lagoon, tmp_path):
+    import pytest
+
+    from lagoon_spark.security import QueryDenied
+
+    p = tmp_path / "t.csv"
+    p.write_text("a\n1\n")
+    lagoon.ingest(str(p), "sec")
+    with pytest.raises(QueryDenied):
+        list(lagoon.export_query("DROP TABLE sec_v1", "csv"))
+
+
+def test_ingest_progress_events(lagoon, tmp_path):
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    events = []
+    info = lagoon.ingest(str(p), "prog", progress=events.append)
+    kinds = [e["event"] for e in events]
+    assert kinds == ["input", "format", "loaded", "typed", "done"]
+    by_kind = {e["event"]: e for e in events}
+    assert by_kind["format"]["width"] == 2
+    assert by_kind["loaded"]["rows"] == 2
+    assert by_kind["typed"]["columns"] == [("a", "INTEGER"), ("b", "TEXT")]
+    assert by_kind["done"]["ix"] == info.ix and by_kind["done"]["rows"] == 2
