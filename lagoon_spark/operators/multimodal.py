@@ -293,16 +293,20 @@ def byte_histogram_features(
     out_schema = StructType(fields)
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # fully vectorized per batch: concatenate all blobs into one
+        # uint8 array and segment-count with reduceat — no Python loop
+        # over rows, which matters once batches carry MBs of payload
         for pdf in batches:
-            cols: dict[str, list] = {"id": list(pdf[id_col])}
-            counts = {b: [] for b in alphabet}
-            for blob in pdf[content_col]:
-                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
-                hist = np.bincount(arr, minlength=256)
-                for b in alphabet:
-                    counts[b].append(int(hist[b]))
+            blobs = [bytes(b) for b in pdf[content_col]]
+            lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=len(blobs))
+            flat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            offsets = np.zeros(len(blobs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            cols: dict[str, object] = {"id": pdf[id_col].to_numpy()}
             for b in alphabet:
-                cols[f"n_{chr(b)}"] = counts[b]
+                hits = (flat == b).astype(np.int64)
+                csum = np.concatenate(([0], np.cumsum(hits)))
+                cols[f"n_{chr(b)}"] = csum[offsets + lens] - csum[offsets]
             yield pd.DataFrame(cols)
 
     return df.select(id_col, content_col).mapInPandas(featurize, out_schema)

@@ -1,0 +1,69 @@
+"""Physical-plan regression tests — the scale properties SCALE.md
+claims, asserted against the actual executed plans so they cannot
+silently regress.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lagoon_spark.queries import registry
+from lagoon_spark.session import register_views
+
+QS = registry()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _views(spark, sf_small):
+    register_views(spark, sf_small)
+
+
+def test_star_join_broadcasts_all_dimensions(spark, sf_small):
+    plan = _plan(QS["q02_revenue_by_nation"].spark_fn(spark, sf_small))
+    # every dim side arrives broadcast; the fact table never shuffles
+    # before the partial aggregate
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_pushdown_and_pruning(spark, sf_small):
+    plan = _plan(QS["q02_revenue_by_nation"].spark_fn(spark, sf_small))
+    assert "PushedFilters: [IsNotNull" in plan
+    # region scan must push the literal filter down to parquet
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_aggregate_is_partial_before_shuffle(spark, sf_small):
+    plan = _plan(QS["q01_pricing_summary"].spark_fn(spark, sf_small))
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_topk_uses_heap_not_global_sort(spark, sf_small):
+    plan = _plan(QS["s01_cosine_topk"].spark_fn(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lsh_pairs_have_no_postjoin_aggregation(spark, sf_small):
+    """The first-band dedup must keep the pair stream shuffle-free:
+    no aggregation keyed on the emitted pairs anywhere in the plan
+    (the old implementation dedup'd band collisions with a
+    groupBy(id_a, id_b) shuffle over millions of rows; SCALE.md §3)."""
+    plan = _plan(QS["d06_minhash_lsh_pairs"].spark_fn(spark, sf_small))
+    assert "HashAggregate(keys=[id_a" not in plan
+    assert "hashpartitioning(id_a" not in plan
+
+
+def test_text_stats_stay_jvm_side(spark, sf_small):
+    for name in ("d01_text_stats", "d02_lang_id", "d03_fingerprint", "d07_simhash"):
+        plan = _plan(QS[name].spark_fn(spark, sf_small))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+
+
+def test_whole_stage_codegen_on_relational_plane(spark, sf_small):
+    df = QS["q01_pricing_summary"].spark_fn(spark, sf_small)
+    df.count()  # codegen spans appear in the AQE final plan only
+    assert "WholeStageCodegen" in _plan(df)
