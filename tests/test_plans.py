@@ -65,5 +65,7 @@ def test_text_stats_stay_jvm_side(spark, sf_small):
 
 def test_whole_stage_codegen_on_relational_plane(spark, sf_small):
     df = QS["q01_pricing_summary"].spark_fn(spark, sf_small)
-    df.count()  # codegen spans appear in the AQE final plan only
-    assert "WholeStageCodegen" in _plan(df)
+    df.collect()  # codegen markers appear in the AQE final plan only
+    plan = _plan(df)
+    # "*(n)" prefixes mark operators inside whole-stage-codegen spans
+    assert "isFinalPlan=true" in plan and plan.count("*(") >= 2
