@@ -341,12 +341,51 @@ class Lagoon:
 
     # -- SQL passthrough (A21/A22) ------------------------------------------
 
+    def register_metadata_views(self) -> None:
+        """Expose the catalog itself to `/sql` as read-only views —
+        the reference lets queries read its metadata tables
+        (`Verified.hs:844-854`)."""
+        import pandas as pd
+
+        sources = self.catalog.load("sources")
+        names = self.catalog.load("sourcenames").rename(columns={"ix": "sourcename_ix"})
+        src = sources.merge(names, on="sourcename_ix", how="left")[
+            [
+                "ix", "name", "version", "url", "description", "created",
+                "added_by", "deprecated", "row_count", "table_name",
+                "view_name", "format",
+            ]
+        ]
+        cols = self.catalog.load("sourcecolumns")
+        tags = self.catalog.load("tags")
+
+        def reg(pdf: pd.DataFrame, view: str) -> None:
+            # explicit schema: pandas object → string, and empty tables
+            # cannot infer one at all
+            pdf = pdf.copy()
+            fields = []
+            for c in pdf.columns:
+                if str(pdf[c].dtype).startswith("int"):
+                    t = "long"
+                elif str(pdf[c].dtype) == "bool":
+                    t = "boolean"
+                else:
+                    t = "string"
+                    pdf[c] = pdf[c].astype("string")
+                fields.append(f"{c} {t}")
+            self.spark.createDataFrame(pdf, ", ".join(fields)).createOrReplaceTempView(view)
+
+        reg(src, "lagoon_sources")
+        reg(cols, "lagoon_columns")
+        reg(tags, "lagoon_tags")
+
     def sql(self, query: str, user: str | None = None) -> DataFrame:
         """Security-checked SQL (`Verified.hs:795-854`): walk the parsed
         plan, reject writes/unknown relations, check per-dataset ACLs."""
         from lagoon_spark.security import verify_user_query
 
         self.register_all_views()
+        self.register_metadata_views()
         verify_user_query(self, query, user or self.user)
         return self.spark.sql(query)
 

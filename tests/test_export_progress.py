@@ -37,6 +37,26 @@ def test_export_rejects_writes(lagoon, tmp_path):
         list(lagoon.export_query("DROP TABLE sec_v1", "csv"))
 
 
+def test_metadata_tables_queryable(lagoon, tmp_path):
+    """The reference lets /sql read its metadata tables
+    (`Verified.hs:844-854`) — same here via lagoon_* views."""
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n5,x\n")
+    lagoon.ingest(str(p), "meta_demo", tags=["tagged"])
+    rows = lagoon.sql(
+        "SELECT s.name, s.row_count, c.header, c.type, t.tag "
+        "FROM lagoon_sources s "
+        "JOIN lagoon_columns c ON c.source_ix = s.ix "
+        "JOIN lagoon_tags t ON t.source_ix = s.ix "
+        "WHERE s.name = 'meta_demo' ORDER BY c.column_name"
+    ).collect()
+    assert [(r.header, r.type, r.tag) for r in rows] == [
+        ("a", "INTEGER", "tagged"),
+        ("b", "TEXT", "tagged"),
+    ]
+    assert rows[0].row_count == 1
+
+
 def test_ingest_progress_events(lagoon, tmp_path):
     p = tmp_path / "t.csv"
     p.write_text("a,b\n1,x\n2,y\n")
