@@ -941,6 +941,75 @@ _register(
 )
 
 
+# ---------------------------------------------------------------------------
+# Pivot (wide conditional aggregation)
+# ---------------------------------------------------------------------------
+
+_Q43_ORACLE = """
+SELECT l_linenumber,
+       CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_A,
+       CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_N,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_R
+FROM lineitem
+GROUP BY l_linenumber
+"""
+
+
+def _q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    return (
+        spark.table("lineitem")
+        .groupBy("l_linenumber")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+        .select(
+            "l_linenumber",
+            F.col("A").alias("qty_A"),
+            F.col("N").alias("qty_N"),
+            F.col("R").alias("qty_R"),
+        )
+    )
+
+
+_register(
+    QueryDef(
+        "q43_pivot",
+        "Pivot long→wide: per-linenumber quantity sums split by return flag.",
+        _q43,
+        _Q43_ORACLE,
+    )
+)
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (quantile_cont family)
+# ---------------------------------------------------------------------------
+# l_quantity is integer-valued, so interpolated quantiles land on exact
+# quarters — bitwise-identical across engines.
+
+sql_query(
+    "q44_percentiles",
+    "Exact continuous percentiles (p25/p50/p75) of quantity per line number.",
+    """
+SELECT l_linenumber,
+       PERCENTILE(l_quantity, 0.25) AS p25,
+       PERCENTILE(l_quantity, 0.5) AS p50,
+       PERCENTILE(l_quantity, 0.75) AS p75
+FROM lineitem
+GROUP BY l_linenumber
+""",
+    """
+SELECT l_linenumber,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.5) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75
+FROM lineitem
+GROUP BY l_linenumber
+""",
+)
+
+
 def get_query(name: str) -> QueryDef:
     return _REGISTRY[name]
 

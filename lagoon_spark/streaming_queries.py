@@ -94,3 +94,55 @@ def st03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("events").groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts")
     )
+
+
+# Hypertable-style hierarchical rollup: the daily tier is computed FROM
+# the hourly tier's partials (decimal sums are associative, so the
+# re-aggregation is exact) — the pattern a continuous-aggregate /
+# hypertable maintains incrementally at scale.
+_ST04_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@df_query(
+    "st04_hierarchical_rollup",
+    "Daily rollup computed from the hourly tier's partial aggregates (hypertable pattern).",
+    _ST04_ORACLE,
+)
+def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    hourly = (
+        spark.table("events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.to_date("hour").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("s").alias("s2"),
+        )
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            F.col("s2").cast("double").alias("sum_value"),
+        )
+    )
