@@ -15,4 +15,18 @@ PySpark + small pure-Python logic.
 
 __version__ = "0.1.0"
 
-from lagoon_spark.session import get_spark  # noqa: F401
+from lagoon_spark.session import get_spark, register_views  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy: importing the engine/query registry pulls in pyspark.sql
+    # machinery that light-weight consumers of get_spark don't need
+    if name == "Lagoon":
+        from lagoon_spark.engine import Lagoon
+
+        return Lagoon
+    if name == "registry":
+        from lagoon_spark.queries import registry
+
+        return registry
+    raise AttributeError(name)
