@@ -1,0 +1,193 @@
+"""Corpus-assembly queries (c01-c06): the training-data operations a
+100 TB pipeline runs after cleaning — deterministic sampling, holdout
+splits, chunking, corpus mixing, global shuffle, sequence packing.
+
+Every query is oracle-gated: the keep/split/order decisions are pure
+integer functions of the row id (operators/corpus.py), so DuckDB
+computes the identical result with plain SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lagoon_spark.operators import corpus
+from lagoon_spark.queries import df_query
+from lagoon_spark.session import register_views
+
+_BUCKET = corpus.duck_id_bucket("doc_id")
+
+# ---------------------------------------------------------------------------
+# c01 — stratified sampling (per-language rates, hash-bucket determinism)
+# ---------------------------------------------------------------------------
+
+_C01_RATES = {"en": 85, "zh": 60, "de": 40, "fr": 40, "es": 40}
+_C01_DEFAULT = 20
+
+_C01_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(_C01_RATES.items()))
+    + f" ELSE {_C01_DEFAULT} END"
+)
+
+_C01_ORACLE = f"""
+SELECT doc_id, lang, {_BUCKET} AS sample_bucket
+FROM documents
+WHERE {_BUCKET} < {_C01_CASE}
+"""
+
+
+@df_query(
+    "c01_stratified_sample",
+    "Stratified corpus sampling: per-language keep rates via stable hash buckets (no RNG).",
+    _C01_ORACLE,
+)
+def c01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "lang")
+    return corpus.stratified_sample(docs, "doc_id", "lang", _C01_RATES, _C01_DEFAULT)
+
+
+# ---------------------------------------------------------------------------
+# c02 — train/val/test split (stable holdout assignment)
+# ---------------------------------------------------------------------------
+
+_C02_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN {_BUCKET} < 80 THEN 'train'
+            WHEN {_BUCKET} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@df_query(
+    "c02_train_val_test_split",
+    "Deterministic train/val/test assignment by id hash bucket (stable across runs/engines).",
+    _C02_ORACLE,
+)
+def c02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id")
+    return corpus.train_val_test_split(docs, "doc_id").select("doc_id", "split")
+
+
+# ---------------------------------------------------------------------------
+# c03 — document chunking into token windows (size 64, stride 32)
+# ---------------------------------------------------------------------------
+
+_C03_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS st
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(st // 32 AS INTEGER) AS chunk_idx,
+       CAST(len(toks[st + 1 : st + 64]) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(toks[st + 1 : st + 64], ' ') AS chunk_text
+FROM s
+"""
+
+
+@df_query(
+    "c03_chunk_documents",
+    "Explode documents into overlapping 64-token windows with stride 32 (row-local, no shuffle).",
+    _C03_ORACLE,
+)
+def c03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    return corpus.chunk_tokens(docs, "doc_id", "text", size=64, stride=32)
+
+
+# ---------------------------------------------------------------------------
+# c04 — corpus mixture: per-source sampling rates + mixture report
+# ---------------------------------------------------------------------------
+
+# rate is a pure function of the source id digits: 15 + 5 * (num % 10)
+_C04_RATE_DUCK = "15 + 5 * (CAST(substr(source, 4) AS BIGINT) % 10)"
+
+_C04_ORACLE = f"""
+SELECT source,
+       COUNT(*) AS n_total,
+       SUM(CASE WHEN {_BUCKET} < {_C04_RATE_DUCK} THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN {_BUCKET} < {_C04_RATE_DUCK} THEN n_chars ELSE 0 END) AS chars_kept
+FROM documents
+GROUP BY source
+"""
+
+
+@df_query(
+    "c04_corpus_mixture",
+    "Weighted corpus mixing: per-source keep rates with a kept/total mixture report.",
+    _C04_ORACLE,
+)
+def c04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "source", "n_chars")
+    rate = 15 + 5 * (F.pmod(F.substring("source", 4, 16).cast("long"), F.lit(10)))
+    kept = (corpus.id_bucket("doc_id") < rate).cast("long")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(kept).alias("n_kept"),
+        F.sum(kept * F.col("n_chars")).alias("chars_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# c05 — deterministic global shuffle (total order by id hash)
+# ---------------------------------------------------------------------------
+
+_C05_ORACLE = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY {corpus.duck_id_hash('doc_id')}, doc_id) AS INTEGER)
+         AS shuffle_pos
+FROM documents
+"""
+
+
+@df_query(
+    "c05_global_shuffle",
+    "Deterministic global training-order shuffle: range-partitioned sort by hash(id).",
+    _C05_ORACLE,
+)
+def c05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id")
+    return corpus.global_shuffle(docs, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# c06 — sequence packing: global token offsets + fixed-budget bins
+# ---------------------------------------------------------------------------
+
+_C06_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens,
+         {corpus.duck_id_hash('doc_id')} AS h
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset,
+       COALESCE(SUM(n_tokens) OVER (ORDER BY h, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 1024 AS bin_id
+FROM t
+"""
+
+
+@df_query(
+    "c06_pack_sequences",
+    "Sequence packing: concat-order token offsets and 1024-token bin ids over the shuffled order.",
+    _C06_ORACLE,
+)
+def c06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    return corpus.pack_token_offsets(docs, "doc_id", "text", budget=1024)

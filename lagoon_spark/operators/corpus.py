@@ -1,0 +1,163 @@
+"""Corpus assembly operators for training-data pipelines: deterministic
+sampling, train/val/test splits, document chunking, corpus mixing,
+global shuffle, and sequence packing.
+
+These are the operations that turn a cleaned document table into model
+training input. None exist in the reference (tweag/lagoon stops at
+ingest + SQL); they extend the engine the way SURVEY.md §7 step 9
+prescribes. All are pure DataFrame transformations built from JVM-side
+expressions — no UDFs, no driver collects.
+
+Scale design:
+
+* **Hash-bucket sampling** replaces `rand()`-based sampling: the keep
+  decision is a pure function of the row id, so it is reproducible
+  across runs/engines, re-executable per partition (no RNG state), and
+  stable under retries/speculative execution — exactly what a 100 TB
+  sampling job needs. Map-only: no shuffle at all.
+* **Chunking** is a row-local explode: output size ~ tokens/stride per
+  document, parallelism follows the input splits.
+* **Global shuffle / packing** use one range-partitioned global sort
+  (Spark's orderBy) — the canonical distributed shuffle-sort; the only
+  whole-data shuffle in the family and unavoidable for a total order.
+  Packing then needs only a running sum over the same order (no second
+  shuffle: the window rides the sort's partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from lagoon_spark.operators.text import token_count
+
+# Knuth-style multiplicative hash, exact in int64 for ids < 2^63/MULT;
+# ids are reduced mod HASH_MOD first so arbitrary 64-bit ids stay exact.
+HASH_MULT = 2654435761
+HASH_ADD = 40503
+HASH_MOD = 1_000_000_007
+
+
+def id_hash(id_col: str | Column) -> Column:
+    """Deterministic engine-portable hash of an integer id column."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (F.pmod(c, F.lit(HASH_MOD)) * HASH_MULT + HASH_ADD) % HASH_MOD
+
+
+def id_bucket(id_col: str | Column, buckets: int = 100) -> Column:
+    """Stable bucket in [0, buckets) — the sampling/splitting primitive."""
+    return id_hash(id_col) % buckets
+
+
+def duck_id_hash(expr: str) -> str:
+    """The identical hash as DuckDB SQL (oracle side)."""
+    return f"(({expr}) % {HASH_MOD} * {HASH_MULT} + {HASH_ADD}) % {HASH_MOD}"
+
+
+def duck_id_bucket(expr: str, buckets: int = 100) -> str:
+    return f"({duck_id_hash(expr)}) % {buckets}"
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, strata_col: str, rates: dict[str, int], default_rate: int
+) -> DataFrame:
+    """Keep rows where hash-bucket(id) < per-stratum percentage.
+
+    Map-only (no shuffle, no RNG): the sample is a deterministic
+    function of (id, stratum), identical on every engine and rerun.
+    """
+    rate: Column = F.lit(default_rate)
+    for key in sorted(rates):
+        rate = F.when(F.col(strata_col) == key, F.lit(rates[key])).otherwise(rate)
+    return df.withColumn("sample_bucket", id_bucket(id_col)).filter(
+        F.col("sample_bucket") < rate
+    )
+
+
+def train_val_test_split(
+    df: DataFrame, id_col: str, train_pct: int = 80, val_pct: int = 10
+) -> DataFrame:
+    """Append a 'split' column: train/val/test by stable hash bucket.
+
+    The holdout assignment must never move between runs or engines —
+    hash-bucketing the id guarantees that; `rand()` would not.
+    """
+    b = id_bucket(id_col)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Explode documents into overlapping token windows (size, stride).
+
+    Row-local: tokenize once, generate window starts 0, stride, 2*stride
+    … < n_tokens, slice. Output rows = ceil(n/stride) per doc; empty
+    documents yield no chunks. The explode is the chunking analog of the
+    reference's JSON array split (SURVEY A3) — one input row to many
+    output rows with provenance kept.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
+    base = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") > 0)
+    )
+    starts = F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, size)
+    return (
+        base.select(F.col(id_col), "__toks", F.explode(starts).alias("__start"))
+        .select(
+            F.col(id_col),
+            (F.col("__start") / stride).cast("int").alias("chunk_idx"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+    )
+
+
+def global_shuffle(df: DataFrame, id_col: str, pos_col: str = "shuffle_pos") -> DataFrame:
+    """Deterministic global shuffle: total order by hash(id).
+
+    One range-partitioned sort (Spark samples split points, then each
+    partition sorts locally) — the standard distributed shuffle for
+    training-example ordering. row_number over the full order runs on
+    the sort's own partitioning; determinism comes from the (hash, id)
+    tiebreak being a total order.
+    """
+    w = Window.orderBy(id_hash(id_col).asc(), F.col(id_col).asc())
+    return df.withColumn(pos_col, F.row_number().over(w))
+
+
+def pack_token_offsets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget: int = 1024,
+) -> DataFrame:
+    """Concatenation packing: assign each document a global token offset
+    and a fixed-budget bin id, in deterministic shuffled order.
+
+    This is the "concat then cut every `budget` tokens" packing used to
+    build fixed-length training sequences: tok_offset = running sum of
+    token counts over the shuffled order; bin = tok_offset // budget.
+    One global sort + a running-sum window over the same order.
+    """
+    w = Window.orderBy(id_hash(id_col).asc(), F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    out = df.select(
+        F.col(id_col), token_count(text_col).cast("long").alias("n_tokens")
+    ).withColumn("tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return out.withColumn(
+        "bin_id", (F.col("tok_offset") / budget).cast("long")
+    )

@@ -1019,3 +1019,4 @@ def get_query(name: str) -> QueryDef:
 from lagoon_spark import pipeline_queries  # noqa: E402,F401  (circular-safe)
 from lagoon_spark import multimodal_queries  # noqa: E402,F401
 from lagoon_spark import streaming_queries  # noqa: E402,F401
+from lagoon_spark import corpus_queries  # noqa: E402,F401
