@@ -1010,6 +1010,71 @@ GROUP BY l_linenumber
 )
 
 
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS (generalizes q29 ROLLUP / q41 CUBE)
+# ---------------------------------------------------------------------------
+
+_Q45 = """
+SELECT l_returnflag,
+       l_linestatus,
+       GROUPING(l_returnflag) AS g_flag,
+       GROUPING(l_linestatus) AS g_status,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
+"""
+
+sql_query(
+    "q45_grouping_sets",
+    "Explicit GROUPING SETS with GROUPING() markers (Aggregate/Group family).",
+    _Q45,
+)
+
+# ---------------------------------------------------------------------------
+# Value-based RANGE window frame (WindowAgg family, peer semantics)
+# ---------------------------------------------------------------------------
+# RANGE frames are value-based: all peers of the current o_totalprice are
+# in or out together, so the count is deterministic regardless of tie
+# order — no tiebreak column needed.
+
+_Q46 = """
+SELECT o_orderkey,
+       o_custkey,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_close
+FROM orders
+"""
+
+sql_query(
+    "q46_window_range_frame",
+    "Value-based RANGE window frame: orders within a 1000-unit price band per customer.",
+    _Q46,
+)
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL subquery (top-2 orders per customer)
+# ---------------------------------------------------------------------------
+
+_Q47 = """
+SELECT c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+"""
+
+sql_query(
+    "q47_lateral_topn",
+    "Correlated LATERAL subquery: per-customer top-2 orders by price.",
+    _Q47,
+)
+
+
 def get_query(name: str) -> QueryDef:
     return _REGISTRY[name]
 
