@@ -228,6 +228,19 @@ class Catalog:
             "tags", tags[~((tags["source_ix"] == ix) & (tags["tag"] == tag))]
         )
 
+    def get_column(self, ix: int, column: str) -> tuple[str, str, str]:
+        """Look up one column of a source by physical or friendly name
+        (parity with the reference's GetColumn command,
+        `src/interface/src/Lagoon/Interface/Prog.hs`). Returns
+        (physical_name, header, type); KeyError if absent."""
+        sc = self.load("sourcecolumns")
+        mine = sc[sc["source_ix"] == ix]
+        hit = mine[(mine["column_name"] == column) | (mine["header"] == column)]
+        if not len(hit):
+            raise KeyError(f"no column {column!r} in source ix={ix}")
+        r = hit.iloc[0]
+        return (str(r["column_name"]), str(r["header"]), str(r["type"]))
+
     def find_by_tag(self, tag: str) -> list[int]:
         tags = self.load("tags")
         return [int(x) for x in tags[tags["tag"] == tag]["source_ix"]]

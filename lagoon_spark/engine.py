@@ -324,6 +324,73 @@ class Lagoon:
         self.register_views(out)
         return out
 
+    def make_typed(self, info: SourceInfo) -> SourceInfo:
+        """Build the typed table for an already-ingested untyped source.
+
+        Parity with the reference's standalone MakeTyped command
+        (`src/interface/src/Lagoon/Interface/Prog.hs` `MakeTyped`,
+        `src/backend/src/Lagoon/DB/Typed.hs:31-105`): a source ingested
+        with ``no_type_inference`` can be typed after the fact — run the
+        inference lattice over the stored untyped rows, materialize the
+        cast, update the catalog, re-register views.
+        """
+        if info.format != "tabular":
+            raise ValueError("make_typed applies to tabular sources only")
+        stored = self.spark.read.parquet(self._data_path(info.table_name))
+        phys = [c[0] for c in info.columns]
+        friendly = [c[1] for c in info.columns]
+        inferred = infer_column_types(stored, phys)
+        cols = [
+            (p, h, ic.type.value)
+            for (p, h), ic in zip(zip(phys, friendly), inferred)
+        ]
+        self.catalog.set_columns(info.ix, cols)
+        typed_table = info.typed_table_name or f"typed{info.ix}"
+        typed_view = info.typed_view_name or f"{info.view_name}_typed"
+        typed_df = stored.select(
+            "ix", *[cast_expr(ic.name, ic.type).alias(ic.name) for ic in inferred]
+        )
+        typed_df.write.mode("overwrite").parquet(self._data_path(typed_table))
+        self.catalog.update_source(
+            info.ix, typed_table_name=typed_table, typed_view_name=typed_view
+        )
+        out = self.catalog.get_source_by_ix(info.ix)
+        self.register_views(out)
+        return out
+
+    def infer_json_type(self, path: str, json_path: str | None = None) -> str:
+        """Infer and render the JsonType of a file without ingesting it.
+
+        Parity with the reference's standalone InferJsonType command
+        (`Interface/Prog.hs` `InferJsonType`): same splitter + lattice
+        as JSON ingest, no catalog writes. Distributed for JSONL; the
+        json-path splitter streams on the driver in constant memory.
+        """
+        import json as _json
+
+        if json_path is not None or self._json_needs_splitting(path):
+            jpath = jsonsplit.parse_path(json_path) if json_path else jsonsplit.HERE
+            jt = jsontype.UNKNOWN
+            with open(path, encoding="utf-8") as f:
+                for raw in jsonsplit.split_values(f, jpath):
+                    jt = jsontype.unify(jt, jsontype.type_of_value(_json.loads(raw)))
+            return jsontype.render(jt)
+
+        lines = self.spark.read.text(path).filter(F.trim(F.col("value")) != "")
+
+        def part_type(rows):
+            t = jsontype.UNKNOWN
+            for r in rows:
+                t = jsontype.unify(
+                    t, jsontype.type_of_value(_json.loads(r["value"]))
+                )
+            yield t
+
+        jt = jsontype.UNKNOWN
+        for p in lines.rdd.mapPartitions(part_type).collect():
+            jt = jsontype.unify(jt, p)
+        return jsontype.render(jt)
+
     # -- delete (A27) --------------------------------------------------------
 
     def delete_source(self, info: SourceInfo) -> None:

