@@ -99,6 +99,14 @@ class Lagoon:
             ftype = file_type or (
                 "json" if local.lower().endswith(".json") else "tabular"
             )
+            # UTF-16 tabular inputs (BOM or NUL-pattern sniff) transcode
+            # to a UTF-8 spool during acquisition — beyond the reference,
+            # whose UTF-16 fixtures are disabled (disabled-tests/082-085)
+            if ftype != "json":
+                codec = csvmod.sniff_utf16(local)
+                if codec:
+                    local = csvmod.transcode_to_utf8(local, codec, cleanup)
+                    emit({"event": "encoding", "detected": codec})
             if ftype == "json":
                 info = self._ingest_json(
                     local, name, description=description, created=created, url=url,
@@ -134,7 +142,15 @@ class Lagoon:
             fmt.delimiter = delimiter
         fmt.quote = quote
 
-        width, header = csvmod.scan_width(self.spark, path, fmt)
+        width, header, saw_bad = csvmod.scan_width(self.spark, path, fmt)
+        # encoding fallback (`Ingest.hs:138-148`): the distributed scan
+        # flagged undecodable bytes; confirm with a strict driver decode,
+        # then re-read everything as Latin1 (header included)
+        if saw_bad and fmt.encoding.upper() in ("UTF-8", "UTF8") and csvmod.utf8_invalid(path):
+            fmt.encoding = "ISO-8859-1"
+            if fmt.has_headers:
+                header = csvmod.read_header_bytes(path, fmt, "iso-8859-1")
+            emit({"event": "encoding", "fallback": "ISO-8859-1"})
         emit({"event": "format", "width": width, "has_headers": bool(has_headers and header)})
         ix, version, table_name, view_name = self.catalog.new_source(
             name, url=url, description=description, added_by=self.user,
@@ -655,7 +671,7 @@ class Lagoon:
         )
 
         fmt = csvmod.guess_format(path)
-        width, header = csvmod.scan_width(self.spark, path, fmt)
+        width, header, _bad = csvmod.scan_width(self.spark, path, fmt)
         raw = with_ix(csvmod.read_untyped(self.spark, path, fmt, width))
         pairs = F.array(
             *[

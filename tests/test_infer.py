@@ -109,7 +109,7 @@ def test_spark_inference_f1(spark, tmp_path):
         "false,5,1123456789,3.6,b\n"
     )
     fmt = CsvFormat()
-    width, header = scan_width(spark, str(p), fmt)
+    width, header, _bad = scan_width(spark, str(p), fmt)
     assert width == 5 and header == ["bool", "int", "bigint", "real", "text"]
     df = read_untyped(spark, str(p), fmt, width)
     types = [ic.type for ic in infer_column_types(df)]
