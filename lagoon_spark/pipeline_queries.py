@@ -248,6 +248,117 @@ def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d11 — near-dup clusters: LSH pairs → connected components → representative
+# ---------------------------------------------------------------------------
+
+def _d11_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4, min_matches: int = 8) -> str:
+    seeds = dedup.minhash_seeds(num_hashes)
+    sig_items = ", ".join(
+        f"list_min(list_transform(f, x -> (x % {MOD} * {a} + {b}) % {MOD}))"
+        for a, b in seeds
+    )
+    band_keys = ", ".join(
+        " || '_' || ".join(f"s[{b * rows + r + 1}]" for r in range(rows))
+        for b in range(bands)
+    )
+    band_ids = ", ".join(str(b) for b in range(bands))
+    matches = " + ".join(
+        f"CASE WHEN sa[{i + 1}] = sb[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH RECURSIVE fps AS (
+  SELECT doc_id, list_distinct({_DUCK_WORD_FPS}) AS f FROM documents
+),
+sig AS (
+  SELECT doc_id, [{sig_items}] AS s FROM fps
+),
+banded AS (
+  SELECT doc_id, s, unnest([{band_ids}]) AS band, unnest([{band_keys}]) AS key FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+strong AS (
+  SELECT id_a, id_b FROM pairs WHERE ({matches}) >= {min_matches}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM strong
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM strong
+),
+walk(node, reach) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+)
+SELECT node AS doc_id, MIN(reach) AS cluster FROM walk GROUP BY node
+"""
+
+
+@df_query(
+    "d11_neardup_clusters",
+    "Full near-dup pipeline: MinHash LSH pairs (est>=0.5) -> connected "
+    "components -> (doc_id, cluster representative) for every document.",
+    _d11_oracle(),
+)
+def d11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    return dedup.neardup_clusters(
+        docs, "doc_id", "text",
+        num_hashes=16, bands=4, rows_per_band=4, min_matches=8,
+    )
+
+
+# ---------------------------------------------------------------------------
+# d12 — vocabulary: token document-frequency + idf, top 100
+# ---------------------------------------------------------------------------
+
+_D12_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS token
+  FROM documents
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT token, COUNT(*) AS doc_freq,
+       round(ln((SELECT n_docs FROM n) / CAST(COUNT(*) AS DOUBLE)), 6) AS idf
+FROM toks
+GROUP BY token
+ORDER BY doc_freq DESC, token
+LIMIT 100
+"""
+
+
+@df_query(
+    "d12_vocabulary",
+    "Corpus vocabulary: per-token document frequency + idf, top 100 "
+    "(explode distinct tokens -> one shuffle on token).",
+    _D12_ORACLE,
+)
+def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    n_docs = float(docs.count())
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .withColumn(
+            "idf",
+            F.round(F.log(F.lit(n_docs) / F.col("doc_freq").cast("double")), 6),
+        )
+        .orderBy(F.desc("doc_freq"), "token")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
 # d07 — SimHash
 # ---------------------------------------------------------------------------
 

@@ -1085,3 +1085,4 @@ from lagoon_spark import pipeline_queries  # noqa: E402,F401  (circular-safe)
 from lagoon_spark import multimodal_queries  # noqa: E402,F401
 from lagoon_spark import streaming_queries  # noqa: E402,F401
 from lagoon_spark import corpus_queries  # noqa: E402,F401
+from lagoon_spark import temporal_queries  # noqa: E402,F401
