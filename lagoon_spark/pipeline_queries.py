@@ -716,3 +716,162 @@ def d09(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d13 — portable HyperLogLog: cross-engine-identical distinct sketch
+# ---------------------------------------------------------------------------
+
+def _d13_oracle() -> str:
+    from lagoon_spark.operators.sketches import hll_oracle_sql
+
+    inner = hll_oracle_sql("events", ["event_type"], "user_id", p=8)
+    return f"""
+WITH hll AS ({inner})
+SELECT h.event_type, h.approx_distinct, e.exact_distinct
+FROM hll h
+JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type) e
+  ON h.event_type = e.event_type
+"""
+
+
+@df_query(
+    "d13_hll_distinct",
+    "Portable HyperLogLog (p=8): per-event-type distinct-user estimate that "
+    "is bit-identical across engines (dyadic register sums are order-free), "
+    "side-by-side with the exact count.",
+    _d13_oracle(),
+)
+def d13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lagoon_spark.operators.sketches import hll_distinct
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    hll = hll_distinct(ev, ["event_type"], "user_id", p=8)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return hll.join(exact, "event_type").select(
+        "event_type", "approx_distinct", "exact_distinct"
+    )
+
+
+# ---------------------------------------------------------------------------
+# s06 — BM25 keyword search: inverted-index scoring, top-10
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _s06_oracle() -> str:
+    k1, b = _BM25_K1, _BM25_B
+    terms_list = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    # per-term score columns summed in a fixed order (a groupBy SUM over
+    # doubles would be accumulation-order-dependent)
+    per_term = " + ".join(
+        f"COALESCE(MAX(CASE WHEN term = '{t}' THEN s END), 0.0)" for t in _BM25_TERMS
+    )
+    return f"""
+WITH stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         SUM(len(list_filter(string_split(text, ' '), w -> w <> ''))) AS total_len
+  FROM documents
+),
+docs AS (
+  SELECT doc_id, len(list_filter(string_split(text, ' '), w -> w <> '')) AS dl,
+         text FROM documents
+),
+tf AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, unnest(list_filter(string_split(text, ' '),
+              w -> list_contains([{terms_list}], w))) AS term
+        FROM docs) x
+  GROUP BY doc_id, dl, term
+),
+df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln((s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * {k1 + 1.0!r})
+           / (tf.tf + {k1!r} * (1.0 - {b!r} + {b!r} * tf.dl
+              / (s.total_len / s.n_docs))) AS s
+  FROM tf JOIN df ON tf.term = df.term, stats s
+)
+SELECT doc_id, round({per_term}, 6) AS bm25
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
+@df_query(
+    "s06_bm25_topk",
+    "BM25 keyword relevance (k1=1.2, b=0.75) for a 3-term query; "
+    "fixed-order per-term summation keeps doubles engine-identical.",
+    _s06_oracle(),
+)
+def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    k1, b = _BM25_K1, _BM25_B
+    docs = spark.table("documents").select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("dl"),
+        F.col("text"),
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").alias("total_len"),
+    )
+    terms = docs.select(
+        "doc_id",
+        "dl",
+        F.explode(
+            F.filter(
+                F.split(F.col("text"), " "),
+                lambda w: w.isin(*[F.lit(t) for t in _BM25_TERMS]),
+            )
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "s",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b)
+                    * F.col("dl")
+                    / (F.col("total_len") / F.col("n_docs"))
+                )
+            ),
+        )
+    )
+    per_term = None
+    for t in _BM25_TERMS:
+        c = F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+        )
+        per_term = c if per_term is None else per_term + c
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(per_term, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
