@@ -158,6 +158,72 @@ def sessionize_stream(
     )
 
 
+def dedup_events(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Online exact dedup: first event per key wins.
+
+    Streaming input → ``dropDuplicatesWithinWatermark``: the state store
+    keeps one entry per key only until the watermark passes it, so state
+    is bounded by key cardinality *per watermark horizon* — the only way
+    streaming dedup survives unbounded input. Batch input → plain
+    ``dropDuplicates`` (what the DuckDB oracle gates: one survivor per
+    key; survivor *identity* is pinned by min event_id in the query
+    layer since both engines pick arbitrarily otherwise).
+    """
+    if events.isStreaming:
+        return (
+            events.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys)
+        )
+    return events.dropDuplicates(keys)
+
+
+def error_purchase_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    horizon_sec: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: purchases within ``horizon_sec``
+    after an error, per user — the streaming twin of the batch
+    range-join query (t02).
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time distance, so the state store can evict rows once the
+    other side's watermark passes the horizon — the condition is not
+    just semantics, it is what makes the join's state finite.
+    """
+    l = (
+        left.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    r = (
+        right.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("value"),
+        )
+    )
+    return l.join(
+        r,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon_sec} SECONDS")),
+    ).select("error_id", "user_id", "purchase_id", "value")
+
+
 _STATE_SCHEMA = StructType([StructField("n", LongType())])
 _COUNT_OUT = StructType(
     [

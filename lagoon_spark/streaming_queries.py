@@ -110,6 +110,61 @@ GROUP BY 1, 2
 """
 
 
+# Survivor identity pinned to min event_id per key so batch, streaming
+# (first-arrival == min id: the file stream delivers in file order),
+# and the oracle agree on *which* row survives.
+_ST05_ORACLE = """
+SELECT user_id, event_type, event_id, value FROM (
+  SELECT user_id, event_type, event_id, value,
+         MIN(event_id) OVER (PARTITION BY user_id, event_type) AS keeper
+  FROM events
+) t WHERE event_id = keeper
+"""
+
+
+@df_query(
+    "st05_stream_dedup",
+    "Online dedup (dropDuplicatesWithinWatermark on the stream path): "
+    "first event per (user, type), min-id survivor in batch form.",
+    _ST05_ORACLE,
+)
+def st05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events").select("user_id", "event_type", "event_id", "value")
+    keep = F.min("event_id").over(W.partitionBy("user_id", "event_type"))
+    return ev.withColumn("__k", keep).filter(F.col("event_id") == F.col("__k")).drop("__k")
+
+
+_ST06_ORACLE = """
+SELECT l.event_id AS error_id, l.user_id, r.event_id AS purchase_id, r.value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
+JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts
+ AND r.ts <= l.ts + INTERVAL 1 HOUR
+"""
+
+
+@df_query(
+    "st06_stream_stream_join",
+    "Stream-stream interval join (watermarked, state-bounded): purchases "
+    "within 1h after each error (batch twin of the same plan).",
+    _ST06_ORACLE,
+)
+def st06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    return ops.error_purchase_join_stream(
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
 @df_query(
     "st04_hierarchical_rollup",
     "Daily rollup computed from the hourly tier's partial aggregates (hypertable pattern).",

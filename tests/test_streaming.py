@@ -89,6 +89,41 @@ def test_stateful_user_counts(spark, sf_small):
     assert final == expect
 
 
+def test_stream_dedup_matches_batch_keys(spark, sf_small):
+    register_views(spark, sf_small)
+    stream = ops.dedup_events(
+        ops.read_events_stream(spark, sf_small), ["user_id", "event_type"]
+    )
+    _run_stream(stream, "dedup_ev", "append")
+    got = spark.table("dedup_ev")
+    batch = ops.dedup_events(spark.table("events"), ["user_id", "event_type"])
+    # survivor identity is arrival-order-dependent in both engines;
+    # the invariant is the key set (and so the row count)
+    assert _rows(got, ["user_id", "event_type"]) == _rows(
+        batch, ["user_id", "event_type"]
+    )
+
+
+def test_stream_stream_join_matches_batch_pairs(spark, sf_small):
+    register_views(spark, sf_small)
+    ev = ops.read_events_stream(spark, sf_small)
+    stream = ops.error_purchase_join_stream(
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    _run_stream(stream, "ss_join", "append")
+    got = spark.table("ss_join")
+
+    bev = spark.table("events")
+    batch = ops.error_purchase_join_stream(
+        bev.filter(F.col("event_type") == "error"),
+        bev.filter(F.col("event_type") == "purchase"),
+    )
+    cols = ["error_id", "user_id", "purchase_id", "value"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert len(got.collect()) > 0
+
+
 def test_watermark_in_plan(spark, sf_small):
     stream = ops.windowed_event_stats(
         ops.read_events_stream(spark, sf_small), watermark="2 hours"
