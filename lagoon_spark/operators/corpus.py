@@ -161,3 +161,59 @@ def pack_token_offsets(
     return out.withColumn(
         "bin_id", (F.col("tok_offset") / budget).cast("long")
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_docs: int | None = None,
+    max_doc_frac: float | None = None,
+    sep: str = "\n",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """CCNet-style boilerplate removal: drop lines shared by many docs.
+
+    A line (``sep``-delimited segment) is boilerplate when it occurs in
+    more than ``max_docs`` documents (or ``max_doc_frac`` of the corpus)
+    — headers, footers, cookie banners, license blurbs. Docs are
+    reassembled from their surviving lines in original order; a doc
+    that was all boilerplate comes back as ''.
+
+    Scale design: explode to (line, doc) — the only data-sized shuffle
+    is the line-frequency groupBy (uniform key, map-side combinable;
+    hash the line to a fixed-width key first at real scale). The
+    frequency table joins back per line, and reassembly is one more
+    groupBy on doc id. The corpus-size scalar rides a broadcast
+    1-row cross join, never a driver round-trip.
+    """
+    if (max_docs is None) == (max_doc_frac is None):
+        raise ValueError("exactly one of max_docs / max_doc_frac")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    )
+    freq = lines.groupBy("__line").agg(
+        F.countDistinct(id_col).alias("__dfreq")
+    )
+    if max_docs is not None:
+        keep_cond = F.col("__dfreq") <= F.lit(max_docs)
+        joined = lines.join(freq, "__line")
+    else:
+        total = df.agg(F.count(F.lit(1)).alias("__n"))
+        joined = lines.join(freq, "__line").crossJoin(F.broadcast(total))
+        keep_cond = F.col("__dfreq") <= F.lit(max_doc_frac) * F.col("__n")
+    kept = joined.filter(keep_cond).select(id_col, "__pos", "__line")
+    agg = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+        ).alias(out_col)
+    )
+    return df.select(id_col).join(agg, id_col, "left").select(
+        id_col, F.coalesce(out_col, F.lit("")).alias(out_col)
+    )

@@ -193,3 +193,34 @@ def ivf_assign(
         best_cell = F.when(better, F.lit(ci)).otherwise(best_cell)
         best_d = F.when(better, d).otherwise(best_d)
     return df.withColumn(out_col, best_cell)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    levels: int = 127,
+    out_col: str = "quantized",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Symmetric int8-style quantization: q = floor(v * scale + 0.5).
+
+    ``scale = levels / max(|v|)`` per row (absmax quantization — the
+    standard int8 embedding compression). floor(x + 0.5) instead of
+    round() because round-half modes differ across engines while
+    floor is IEEE-exact everywhere; all arithmetic is float64, so the
+    identical bits come out of any engine. Row-local, no shuffle —
+    a pure map over 100 TB of vectors.
+    """
+    amax = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    scale = F.when(amax > 0, F.lit(float(levels)) / amax).otherwise(F.lit(1.0))
+    df = df.withColumn(scale_col, scale)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.col(scale_col) + F.lit(0.5)).cast(
+            "int"
+        ),
+    )
+    return df.withColumn(out_col, q)

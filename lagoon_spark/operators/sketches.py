@@ -1,4 +1,4 @@
-"""Distributed sketches: a cross-engine-exact HyperLogLog.
+"""Distributed sketches: cross-engine-exact HyperLogLog and Count-Min.
 
 Spark's ``approx_count_distinct`` and DuckDB's ``approx_count_distinct``
 are both HLL but with different hash functions and register layouts, so
@@ -142,4 +142,167 @@ SELECT {gc},
               ELSE (CAST({alpha * m * m!r} AS DOUBLE)) / (s + ({m} - nb))
          END, 4) AS {out_col}
 FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — engine-portable token-frequency estimation
+# ---------------------------------------------------------------------------
+#
+# The same philosophy as the HLL above: a fully specified integer recipe
+# so the identical estimate comes out of Spark and the DuckDB oracle.
+#
+# * token hash fp = the portable rolling hash from operators/text.py
+#   (left fold of acc*31 + ascii, mod 1e9+7) — already the minhash
+#   building block, exact in both engines;
+# * row i of the sketch maps fp to cell ((fp * a_i + b_i) mod P) mod W
+#   with the documented seed family a_i = 2i+1, b_i = 7919 i + 13
+#   (odd multipliers → bijective over Z_P); fp < P and a_i tiny keep
+#   the product far inside int64 in both engines;
+# * estimate(token) = min over rows of the cell counter — the classic
+#   CMS upper bound: est >= true, est <= true + eps*N w.h.p. with
+#   eps = e/W over d = depth independent rows.
+#
+# Scale: the build is two map-side-combinable shuffles — (fp -> count)
+# collapses token occurrences to distinct tokens, then (row, cell) sums
+# to a d*W-cell table (a few KB) regardless of corpus size. That tiny
+# table is the broadcast side of every probe join. At 100 TB the fp
+# shuffle is the only data-sized stage and it is a uniform-key
+# aggregation with partial combine.
+
+from lagoon_spark.operators import text as _text
+
+
+def cms_seeds(depth: int) -> list[tuple[int, int]]:
+    return [(2 * i + 1, 7919 * i + 13) for i in range(depth)]
+
+
+def token_fp_py(s: str) -> int:
+    """Driver-side twin of operators/text.py word_fingerprints (probes
+    are compile-time constants, so both engines get them as literals)."""
+    acc = 0
+    for ch in s:
+        acc = (acc * _text.MULT + ord(ch)) % _text.MOD
+    return acc
+
+
+def cms_sketch(
+    df: DataFrame, text_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Build the (row, cell, cnt) sketch table over all token occurrences."""
+    toks = df.select(F.explode(_text.word_fingerprints(text_col)).alias("fp"))
+    per_fp = toks.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    cells = per_fp.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (((F.col("fp") * a + b) % F.lit(_text.MOD)) % width).alias(
+                            "cell"
+                        ),
+                    )
+                    for i, (a, b) in enumerate(cms_seeds(depth))
+                ]
+            )
+        ).alias("s"),
+        "c",
+    )
+    return cells.groupBy("s.row", "s.cell").agg(F.sum("c").alias("cnt"))
+
+
+def cms_token_estimates(
+    df: DataFrame,
+    text_col: str,
+    probes: list[str],
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """CMS estimate vs exact count for a fixed probe-token list.
+
+    The sketch side is broadcast (d*W cells); absent cells count 0, so
+    a never-seen token still gets a (possibly collision-inflated)
+    estimate — the defining CMS behavior.
+    """
+    spark = df.sparkSession
+    sketch = cms_sketch(df, text_col, depth=depth, width=width)
+    probe_rows = [(t, token_fp_py(t)) for t in probes]
+    probe = spark.createDataFrame(probe_rows, "token string, fp bigint")
+    pcells = probe.select(
+        "token",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (((F.col("fp") * a + b) % F.lit(_text.MOD)) % width).alias(
+                            "cell"
+                        ),
+                    )
+                    for i, (a, b) in enumerate(cms_seeds(depth))
+                ]
+            )
+        ).alias("s"),
+    ).select("token", "fp", "s.row", "s.cell")
+    est = (
+        pcells.join(F.broadcast(sketch), ["row", "cell"], "left")
+        .groupBy("token", "fp")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
+    )
+    exact = (
+        df.select(F.explode(_text.word_fingerprints(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return (
+        est.join(F.broadcast(exact), "fp", "left")
+        .select(
+            "token",
+            "est_count",
+            F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
+        )
+    )
+
+
+def cms_oracle_sql(
+    table: str,
+    text_col: str,
+    probes: list[str],
+    depth: int = 4,
+    width: int = 1024,
+) -> str:
+    """The identical CMS recipe as DuckDB SQL."""
+    mod, mult = _text.MOD, _text.MULT
+    fps = (
+        f"list_transform(list_filter(string_split({text_col}, ' '), w -> w <> ''), "
+        f"w -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length(w) + 1), i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))), "
+        f"(a, b) -> (a * {mult} + b) % {mod}))"
+    )
+    seeds_vals = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(cms_seeds(depth)))
+    probe_vals = ", ".join(f"('{t}', {token_fp_py(t)})" for t in probes)
+    return f"""
+WITH toks AS (SELECT unnest({fps}) AS fp FROM {table}),
+per_fp AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY fp),
+seeds(row, a, b) AS (VALUES {seeds_vals}),
+sketch AS (
+  SELECT s.row, ((CAST(p.fp AS BIGINT) * s.a + s.b) % {mod}) % {width} AS cell,
+         CAST(SUM(p.c) AS BIGINT) AS cnt
+  FROM per_fp p, seeds s GROUP BY 1, 2
+),
+probes(token, fp) AS (VALUES {probe_vals}),
+pcells AS (
+  SELECT p.token, CAST(p.fp AS BIGINT) AS fp, s.row,
+         ((CAST(p.fp AS BIGINT) * s.a + s.b) % {mod}) % {width} AS cell
+  FROM probes p, seeds s
+),
+est AS (
+  SELECT pc.token, pc.fp, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est_count
+  FROM pcells pc LEFT JOIN sketch sk ON sk.row = pc.row AND sk.cell = pc.cell
+  GROUP BY pc.token, pc.fp
+)
+SELECT e.token, e.est_count,
+       CAST(COALESCE(x.c, 0) AS BIGINT) AS exact_count
+FROM est e LEFT JOIN per_fp x ON x.fp = e.fp
 """

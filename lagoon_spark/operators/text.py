@@ -145,3 +145,45 @@ def word_hashes_fast(col: str, seed: int = 42) -> Column:
         f"transform(array_distinct(filter(split({col}, ' '), w -> w <> '')), "
         f"w -> xxhash64(w, {seed}))"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + text normalization (training-corpus cleaning)
+# ---------------------------------------------------------------------------
+#
+# Patterns are deliberately restricted to syntax with identical meaning
+# in Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+# repetition, \b word boundaries — no lookaround, no backreferences.
+# Order matters: EMAIL before IP (an email's host part contains dots),
+# SSN/PHONE before IP (digit-group prefixes).
+
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\+?\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Replace emails / SSNs / phones / IPv4s with typed placeholders.
+
+    A chain of JVM-side regexp_replace calls — row-local, no shuffle,
+    whole-stage-codegen; exactly what a 100 TB cleaning pass wants.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_RULES:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(col: str | Column) -> dict[str, Column]:
+    """Per-kind match counts (audit/metrics side of a redaction pass)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {kind: F.regexp_count(c, F.lit(pat)) for kind, pat, _ in PII_RULES}
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Canonical text form: lowercase, whitespace runs collapsed, trimmed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))

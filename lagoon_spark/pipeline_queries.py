@@ -875,3 +875,171 @@ def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# d14 — portable Count-Min sketch: token-frequency estimates vs exact
+# ---------------------------------------------------------------------------
+
+_CMS_PROBES = ["table", "spark", "hash", "merge", "the", "window", "zzz_absent"]
+
+
+def _d14_oracle() -> str:
+    from lagoon_spark.operators.sketches import cms_oracle_sql
+
+    return cms_oracle_sql("documents", "text", _CMS_PROBES, depth=4, width=1024)
+
+
+@df_query(
+    "d14_cms_token_counts",
+    "Portable Count-Min sketch (4x1024): corpus token-frequency estimates "
+    "bit-identical across engines, side-by-side with exact counts "
+    "(includes a never-seen probe exercising the zero/collision path).",
+    _d14_oracle(),
+)
+def d14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lagoon_spark.operators.sketches import cms_token_estimates
+
+    register_views(spark, sf_dir)
+    return cms_token_estimates(
+        spark.table("documents"), "text", _CMS_PROBES, depth=4, width=1024
+    )
+
+
+# ---------------------------------------------------------------------------
+# d15 — PII redaction + normalization (corpus cleaning pass)
+# ---------------------------------------------------------------------------
+#
+# The testdata corpus carries no PII, so the query plants a
+# deterministic email/IP/phone per document (same expression in both
+# engines) and the operator chain must scrub it back out. Patterns are
+# Java-regex/RE2-portable (see operators/text.py PII_RULES).
+
+_D15_SYNTH = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), "
+    "'@example.com from 10.0.', CAST(doc_id % 256 AS STRING), "
+    "'.7 call 555-123-4567')"
+)
+
+
+def _d15_oracle() -> str:
+    red = _D15_SYNTH
+    for _, pat, repl in text.PII_RULES:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    red = f"trim(regexp_replace(lower({red}), '\\s+', ' ', 'g'))"
+    counts = ", ".join(
+        f"len(regexp_extract_all({_D15_SYNTH}, '{pat}')) AS n_{kind}"
+        for kind, pat, _ in text.PII_RULES
+    )
+    return f"SELECT doc_id, {red} AS redacted, {counts} FROM documents"
+
+
+@df_query(
+    "d15_pii_redaction",
+    "PII scrub (emails/SSNs/phones/IPv4 -> typed placeholders) + whitespace/"
+    "case normalization, with per-kind audit counts — all JVM-side regex, "
+    "row-local, no shuffle.",
+    _d15_oracle(),
+)
+def d15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").withColumn("__synth", F.expr(_D15_SYNTH))
+    counts = text.pii_counts("__synth")
+    return docs.select(
+        "doc_id",
+        text.normalize_text(text.redact_pii("__synth")).alias("redacted"),
+        *[c.alias(f"n_{kind}") for kind, c in counts.items()],
+    )
+
+
+# ---------------------------------------------------------------------------
+# d16 — boilerplate line removal (CCNet-style line-frequency filter)
+# ---------------------------------------------------------------------------
+#
+# Documents get a synthetic second line: half share one footer line
+# (appears in n/2 docs -> boilerplate, removed), half get a unique tail
+# (kept). The original text line is unique per doc (kept).
+
+_D16_SYNTH = (
+    "concat(text, chr(10), CASE WHEN doc_id % 2 = 0 "
+    "THEN 'standard footer all rights reserved' "
+    "ELSE concat('unique tail ', CAST(doc_id AS STRING)) END)"
+)
+_D16_MAX_DOCS = 3
+
+
+def _d16_oracle() -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, {_D16_SYNTH} AS t FROM documents),
+ls AS (SELECT doc_id, string_split(t, chr(10)) AS arr FROM docs),
+lines AS (
+  SELECT doc_id, unnest(range(1, len(arr) + 1)) AS pos, unnest(arr) AS line
+  FROM ls
+),
+freq AS (SELECT line, COUNT(DISTINCT doc_id) AS dfreq FROM lines GROUP BY line),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l JOIN freq f ON f.line = l.line
+  WHERE f.dfreq <= {_D16_MAX_DOCS}
+),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+@df_query(
+    "d16_boilerplate_removal",
+    "Line-frequency boilerplate filter: lines occurring in > K documents "
+    "(injected shared footer) are dropped, docs reassembled in line order.",
+    _d16_oracle(),
+)
+def d16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lagoon_spark.operators.corpus import remove_boilerplate_lines
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", F.expr(_D16_SYNTH).alias("__t")
+    )
+    return remove_boilerplate_lines(
+        docs, "doc_id", "__t", max_docs=_D16_MAX_DOCS
+    )
+
+
+# ---------------------------------------------------------------------------
+# s07 — int8 embedding quantization (absmax, engine-exact)
+# ---------------------------------------------------------------------------
+
+_S07_ORACLE = """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') AS amax
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, embedding,
+         CASE WHEN amax > 0 THEN 127.0 / amax ELSE 1.0 END AS scale
+  FROM m
+)
+SELECT vec_id, scale,
+       list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INTEGER)) AS quantized
+FROM s
+"""
+
+
+@df_query(
+    "s07_quantize_embeddings",
+    "Absmax int8 quantization of the embedding column: q = floor(v*scale+0.5),"
+    " scale = 127/max|v| — float64 throughout so both engines emit identical "
+    "bits; a pure row-local map (the 100 TB compression pass).",
+    _S07_ORACLE,
+)
+def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return similarity.quantize_embeddings(
+        spark.table("embeddings"), "embedding"
+    ).select("vec_id", "scale", "quantized")

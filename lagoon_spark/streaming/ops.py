@@ -278,3 +278,93 @@ def stateful_user_counts(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+_TOTAL_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("micro_total", LongType()),
+    ]
+)
+
+
+def tws_available() -> bool:
+    """``transformWithStateInPandas`` needs protobuf in the Python worker
+    (its driver-side state protocol is protobuf-encoded); gate on it so
+    environments without the wheel fall back loudly, not with a worker
+    crash deep inside a microbatch."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_value_totals(events: DataFrame) -> DataFrame:
+    """Running per-user event count + value total via ``transformWithState``
+    (the Spark 4 arbitrary-state API; requires the RocksDB state store).
+
+    Exactness across batch/stream/oracle: values are fixed-pointed to
+    integer micros with ``floor(v*1e6 + 0.5)`` — identical IEEE double
+    ops in Spark expressions, numpy, and DuckDB — and accumulated in
+    integer arithmetic, which is associative, so accumulation order
+    (shuffle nondeterminism, trigger slicing) cannot change the result.
+    State is two int64s per user — O(distinct users), independent of
+    event volume.
+    """
+    if not events.isStreaming:
+        micro = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        return events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(micro).alias("micro_total"),
+        )
+
+    if not tws_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package in the "
+            "Python worker; install protobuf or use stateful_user_counts "
+            "(applyInPandasWithState) instead"
+        )
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", StructType([StructField("n", LongType()), StructField("micro", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            if self._state.exists():
+                n, micro = self._state.get()
+            else:
+                n, micro = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                micro += int(
+                    np.floor(pdf["value"].to_numpy(dtype="float64") * 1e6 + 0.5)
+                    .astype("int64")
+                    .sum()
+                )
+            self._state.update((n, micro))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "micro_total": [micro]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Totals(),
+        outputStructType=_TOTAL_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )

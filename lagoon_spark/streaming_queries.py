@@ -201,3 +201,24 @@ def st04(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s2").cast("double").alias("sum_value"),
         )
     )
+
+
+_ST07_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS micro_total
+FROM events
+GROUP BY user_id
+"""
+
+
+@df_query(
+    "st07_running_user_totals",
+    "Running per-user count + fixed-point value total (transformWithState "
+    "arbitrary-state API on the stream path; integer-micros accumulation "
+    "makes batch, stream, and oracle bit-identical).",
+    _ST07_ORACLE,
+)
+def st07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return ops.running_user_value_totals(spark.table("events"))

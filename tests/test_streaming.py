@@ -130,3 +130,29 @@ def test_watermark_in_plan(spark, sf_small):
     )
     plan = stream._jdf.queryExecution().logical().toString()
     assert "EventTimeWatermark" in plan
+
+
+@pytest.mark.skipif(
+    not ops.tws_available(),
+    reason="transformWithStateInPandas needs protobuf in the Python worker",
+)
+def test_running_totals_stream_matches_batch(spark, sf_small):
+    register_views(spark, sf_small)
+    stream = ops.running_user_value_totals(ops.read_events_stream(spark, sf_small))
+    _run_stream(stream, "tws_totals", "update")
+    got = {
+        r["user_id"]: (r["n_events"], r["micro_total"])
+        for r in spark.table("tws_totals").orderBy("n_events").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n_events"], r["micro_total"])
+        for r in ops.running_user_value_totals(spark.table("events")).collect()
+    }
+    assert got == batch
+
+
+def test_running_totals_batch_twin(spark, sf_small):
+    register_views(spark, sf_small)
+    out = ops.running_user_value_totals(spark.table("events"))
+    assert out.columns == ["user_id", "n_events", "micro_total"]
+    assert out.count() > 0

@@ -1,0 +1,119 @@
+"""Corpus-cleaning operators: PII redaction, normalization, boilerplate
+line removal, embedding quantization, count-min sketch properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lagoon_spark.operators import text
+from lagoon_spark.operators.corpus import remove_boilerplate_lines
+from lagoon_spark.operators.similarity import quantize_embeddings
+from lagoon_spark.operators.sketches import cms_token_estimates
+
+
+def test_redact_pii_all_kinds(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "ssn 123-45-6789 phone 555-123-4567 done"),
+            (3, "host 192.168.0.1 up"),
+            (4, "clean text stays"),
+        ],
+        "id long, t string",
+    )
+    got = {r["id"]: r["r"] for r in df.select("id", text.redact_pii("t").alias("r")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "ssn <SSN> phone <PHONE> done"
+    assert got[3] == "host <IP> up"
+    assert got[4] == "clean text stays"
+
+
+def test_pii_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a@b.co c@d.io and 10.0.0.1")], "id long, t string"
+    )
+    counts = text.pii_counts("t")
+    row = df.select(
+        *[c.alias(k) for k, c in counts.items()]
+    ).collect()[0]
+    assert row["email"] == 2
+    assert row["ipv4"] == 1
+    assert row["ssn"] == 0
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame([(1, "  MiXeD   Case\t\ttabs  ")], "id long, t string")
+    got = df.select(text.normalize_text("t").alias("n")).collect()[0]["n"]
+    assert got == "mixed case tabs"
+
+
+def test_boilerplate_removal_multiline(spark):
+    footer = "all rights reserved"
+    docs = [
+        (1, "alpha body\n" + footer),
+        (2, "beta body\n" + footer),
+        (3, "gamma body\n" + footer),
+        (4, footer),  # all-boilerplate doc -> empty
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(
+            df, "doc_id", "text", max_docs=2
+        ).collect()
+    }
+    assert out[1] == "alpha body"
+    assert out[2] == "beta body"
+    assert out[3] == "gamma body"
+    assert out[4] == ""
+
+
+def test_boilerplate_line_order_preserved(spark):
+    df = spark.createDataFrame(
+        [(1, "z last\ncommon\na first"), (2, "common\nmid"), (3, "common\nother")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_boilerplate_lines(df, "doc_id", "text", max_docs=2).collect()
+    }
+    # surviving lines keep original document order, not sorted order
+    assert out[1] == "z last\na first"
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df, "embedding").collect()}
+    q1, s1 = rows[1]["quantized"], rows[1]["scale"]
+    # absmax element maps to ±127 exactly; others reconstruct within 1/scale
+    assert min(q1) == -127
+    for orig, q in zip([0.5, -1.0, 0.25], q1):
+        assert abs(q / s1 - orig) <= 0.5 / s1 + 1e-12
+    # zero vector: scale 1.0, all-zero codes (no div-by-zero)
+    assert rows[2]["quantized"] == [0, 0, 0]
+    assert rows[2]["scale"] == 1.0
+
+
+def test_cms_upper_bound_property(spark):
+    # tiny width forces collisions: estimates must stay >= exact, and
+    # equal exact when width is ample
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma " + ("alpha" if i % 2 else "delta")) for i in range(40)],
+        "doc_id long, text string",
+    )
+    probes = ["alpha", "beta", "delta", "absent_tok"]
+    tight = {
+        r["token"]: r
+        for r in cms_token_estimates(df, "text", probes, depth=2, width=8).collect()
+    }
+    for t in probes:
+        assert tight[t]["est_count"] >= tight[t]["exact_count"]
+    wide = {
+        r["token"]: r
+        for r in cms_token_estimates(df, "text", probes, depth=4, width=4096).collect()
+    }
+    assert all(wide[t]["est_count"] == wide[t]["exact_count"] for t in probes)
+    assert wide["absent_tok"]["exact_count"] == 0
