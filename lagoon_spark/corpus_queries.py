@@ -191,3 +191,97 @@ def c06(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = spark.table("documents").select("doc_id", "text")
     return corpus.pack_token_offsets(docs, "doc_id", "text", budget=1024)
+
+
+# ---------------------------------------------------------------------------
+# c07 — the end-to-end corpus pipeline, composed from the operator library
+# ---------------------------------------------------------------------------
+#
+# normalize → quality-filter → exact-dedup → split → chunk, as ONE
+# DataFrame plan (Catalyst sees the whole pipeline: the normalize and
+# filter stages fuse into the scan, dedup is the only wide shuffle
+# before chunking's row-local explode). This is the shape of a real
+# 100 TB pretraining-data job; the oracle mirrors every stage as a CTE.
+
+_C07_ORACLE = f"""
+WITH cleaned AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+stats AS (
+  SELECT doc_id, t,
+         len(list_filter(string_split(t, ' '), w -> w <> '')) AS n_tokens,
+         round((length(t) - (len(string_split(t, ' ')) - 1))
+               / greatest(len(list_filter(string_split(t, ' '), w -> w <> '')), 1), 6) AS mtl,
+         round(len(list_filter(string_split(t, ' '),
+               w -> list_contains(['the','a','of','and','is','to','in'], w)))
+               / greatest(len(list_filter(string_split(t, ' '), w -> w <> '')), 1), 6) AS swr
+  FROM cleaned
+),
+quality AS (
+  SELECT doc_id, t FROM stats
+  WHERE n_tokens BETWEEN 10 AND 1000
+    AND mtl BETWEEN 2.0 AND 12.0
+    AND swr >= 0.01
+),
+dedup AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, t, MIN(doc_id) OVER (PARTITION BY t) AS keeper FROM quality
+  ) WHERE doc_id = keeper
+),
+sp AS (
+  SELECT doc_id, t,
+         CASE WHEN {_BUCKET} < 80 THEN 'train'
+              WHEN {_BUCKET} < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM dedup
+),
+tk AS (
+  SELECT doc_id, split,
+         list_filter(string_split(t, ' '), w -> w <> '') AS toks
+  FROM sp
+),
+s AS (
+  SELECT doc_id, split, toks, unnest(range(0, len(toks), 32)) AS st
+  FROM tk WHERE len(toks) > 0
+)
+SELECT doc_id, split,
+       CAST(st // 32 AS INTEGER) AS chunk_idx,
+       CAST(len(toks[st + 1 : st + 64]) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(toks[st + 1 : st + 64], ' ') AS chunk_text
+FROM s
+"""
+
+
+@df_query(
+    "c07_e2e_corpus_pipeline",
+    "End-to-end corpus build: normalize -> quality filter -> exact dedup -> "
+    "train/val/test split -> overlapping token chunks, one composed plan "
+    "(the oracle mirrors each stage as a CTE).",
+    _C07_ORACLE,
+)
+def c07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lagoon_spark.operators import dedup as dedup_ops
+    from lagoon_spark.operators import text as text_ops
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    cleaned = docs.select("doc_id", text_ops.normalize_text("text").alias("t"))
+    stats = cleaned.select(
+        "doc_id",
+        "t",
+        text_ops.token_count("t").alias("__nt"),
+        text_ops.mean_token_len("t").alias("__mtl"),
+        text_ops.stopword_ratio("t").alias("__swr"),
+    )
+    quality = stats.filter(
+        F.col("__nt").between(10, 1000)
+        & F.col("__mtl").between(2.0, 12.0)
+        & (F.col("__swr") >= 0.01)
+    ).select("doc_id", "t")
+    deduped = dedup_ops.exact_dedup(quality, ["t"], id_col="doc_id")
+    sp = corpus.train_val_test_split(deduped, "doc_id")
+    chunks = corpus.chunk_tokens(sp, "doc_id", "t", size=64, stride=32)
+    return chunks.join(sp.select("doc_id", "split"), "doc_id").select(
+        "doc_id", "split", "chunk_idx", "n_chunk_tokens", "chunk_text"
+    )
