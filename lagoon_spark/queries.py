@@ -1075,6 +1075,34 @@ sql_query(
 )
 
 
+sql_query(
+    "q48_variant_json",
+    "Spark 4 VariantType JSON access: parse_json + typed variant_get "
+    "(the open-format binary JSON column SURVEY §1.2 maps ColJSON to on "
+    "Spark 4); try_variant_get on a missing path exercises NULL-safety.",
+    """
+SELECT VARIANT_GET(PARSE_JSON(props), '$.k', 'bigint') % 7 AS k_mod,
+       COUNT(*) AS n,
+       MIN(VARIANT_GET(PARSE_JSON(props), '$.k', 'bigint')) AS min_k,
+       MAX(VARIANT_GET(PARSE_JSON(props), '$.k', 'bigint')) AS max_k,
+       SUM(CASE WHEN TRY_VARIANT_GET(PARSE_JSON(props), '$.absent', 'string')
+                IS NULL THEN 1 ELSE 0 END) AS n_missing
+FROM events
+GROUP BY VARIANT_GET(PARSE_JSON(props), '$.k', 'bigint') % 7
+""",
+    """
+SELECT CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 7 AS k_mod,
+       COUNT(*) AS n,
+       MIN(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(SUM(CASE WHEN JSON_EXTRACT_STRING(props, '$.absent') IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+FROM events
+GROUP BY CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 7
+""",
+)
+
+
 def get_query(name: str) -> QueryDef:
     return _REGISTRY[name]
 
