@@ -306,3 +306,96 @@ SELECT e.token, e.est_count,
        CAST(COALESCE(x.c, 0) AS BIGINT) AS exact_count
 FROM est e LEFT JOIN per_fp x ON x.fp = e.fp
 """
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch — approximate percentiles without a global sort
+# ---------------------------------------------------------------------------
+#
+# Exact percentiles (q44) need a per-group sort; at 100 TB that is a
+# full range-partitioned shuffle of the data. The histogram sketch
+# replaces it with ONE map-side-combinable groupBy onto fixed-width
+# bins — the histogram is O(value_range/step) per group no matter how
+# many rows feed it — then a window over the tiny histogram picks the
+# first bin whose cumulative count crosses each target rank. Error is
+# bounded by the bin width, cost by the histogram size.
+#
+# Portability: bin = floor(v/step) is one exactly-rounded IEEE divide +
+# exact floor; rank crossings compare cum*100 >= pct*n in pure integer
+# arithmetic — no ceil(q*n) float threshold to differ in the last ulp.
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    step: int,
+    pcts: list[int],
+) -> DataFrame:
+    """Per-group approximate percentiles (lower bin edge), error <= step.
+
+    ``pcts`` are integer percents (e.g. [50, 90, 99]). Returns one row
+    per group with ``p<pct>`` columns plus the group row count.
+    """
+    from pyspark.sql import Window
+
+    b = F.floor(F.col(value_col) / F.lit(float(step))).cast("long")
+    hist = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, b.alias("__bin"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    cw = hist.select(
+        *group_cols,
+        "__bin",
+        F.sum("__c").over(w_cum).alias("__cum"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    aggs = [
+        (
+            F.min(
+                F.when(F.col("__cum") * 100 >= F.lit(p) * F.col("__n"), F.col("__bin"))
+            )
+            * step
+        ).alias(f"p{p}")
+        for p in pcts
+    ]
+    return cw.groupBy(*group_cols).agg(*aggs, F.max("__n").alias("n_rows"))
+
+
+def histogram_quantiles_oracle_sql(
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    step: int,
+    pcts: list[int],
+) -> str:
+    gc = ", ".join(group_cols)
+    sel = ",\n       ".join(
+        f"CAST(MIN(CASE WHEN cum * 100 >= {p} * n THEN bin END) * {step} AS BIGINT) AS p{p}"
+        for p in pcts
+    )
+    return f"""
+WITH h AS (
+  SELECT {gc}, CAST(floor({value_col} / {float(step)!r}) AS BIGINT) AS bin,
+         COUNT(*) AS c
+  FROM {table} WHERE {value_col} IS NOT NULL
+  GROUP BY {gc}, bin
+),
+cw AS (
+  SELECT {gc}, bin,
+         SUM(c) OVER (PARTITION BY {gc} ORDER BY bin) AS cum,
+         SUM(c) OVER (PARTITION BY {gc}) AS n
+  FROM h
+)
+SELECT {gc},
+       {sel},
+       CAST(MAX(n) AS BIGINT) AS n_rows
+FROM cw GROUP BY {gc}
+"""

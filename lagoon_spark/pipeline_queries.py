@@ -1043,3 +1043,35 @@ def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_embeddings(
         spark.table("embeddings"), "embedding"
     ).select("vec_id", "scale", "quantized")
+
+
+# ---------------------------------------------------------------------------
+# d17 — histogram quantile sketch: percentiles without a global sort
+# ---------------------------------------------------------------------------
+
+def _d17_oracle() -> str:
+    from lagoon_spark.operators.sketches import histogram_quantiles_oracle_sql
+
+    return histogram_quantiles_oracle_sql(
+        "lineitem", ["l_returnflag"], "l_extendedprice", step=64, pcts=[50, 90, 99]
+    )
+
+
+@df_query(
+    "d17_histogram_quantiles",
+    "Histogram quantile sketch: per-group p50/p90/p99 of extendedprice from "
+    "fixed-width bins — one map-side-combinable shuffle instead of q44's "
+    "global sort; integer rank crossings keep engines bit-identical.",
+    _d17_oracle(),
+)
+def d17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lagoon_spark.operators.sketches import histogram_quantiles
+
+    register_views(spark, sf_dir)
+    return histogram_quantiles(
+        spark.table("lineitem"),
+        ["l_returnflag"],
+        "l_extendedprice",
+        step=64,
+        pcts=[50, 90, 99],
+    )

@@ -49,3 +49,36 @@ def test_hll_ignores_nulls(spark):
     )
     est = hll_distinct(df, ["g"], "v", p=8).collect()[0]["approx_distinct"]
     assert est == pytest.approx(2.0, abs=0.1)
+
+
+def test_histogram_quantiles_error_bound(spark, sf_small):
+    from lagoon_spark.operators.sketches import histogram_quantiles
+    from lagoon_spark.session import register_views
+    import pyspark.sql.functions as F
+
+    register_views(spark, sf_small)
+    li = spark.table("lineitem")
+    step = 64
+    est = {
+        r["l_returnflag"]: r
+        for r in histogram_quantiles(
+            li, ["l_returnflag"], "l_extendedprice", step=step, pcts=[50, 90]
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").alias("e50"),
+            F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)").alias("e90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    for flag, row in est.items():
+        assert row["n_rows"] == exact[flag]["n"]
+        # the sketch's integer rank crossing IS percentile_disc's
+        # definition (smallest v with CDF >= p), so the disc value lies
+        # inside the crossing bin: lower-edge estimate within one step
+        assert row["p50"] <= exact[flag]["e50"] <= row["p50"] + step
+        assert row["p90"] <= exact[flag]["e90"] <= row["p90"] + step
