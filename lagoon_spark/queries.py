@@ -1103,6 +1103,83 @@ GROUP BY CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 7
 )
 
 
+sql_query(
+    "q49_funnel",
+    "Ordered conversion funnel (view -> click -> purchase by first-occurrence "
+    "time per user): one conditional-aggregation pass, no self-joins — the "
+    "scalable funnel shape (a 3-way self-join would shuffle the events table "
+    "three times; this shuffles once on user_id with map-side combine).",
+    """
+WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+       COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                  THEN 1 END) AS n_view_click,
+       COUNT(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                   AND t_purchase > t_click THEN 1 END) AS n_funnel_complete,
+       COUNT(*) AS n_users
+FROM stages
+""",
+)
+
+
+_Q50_ORACLE = """
+WITH days AS (
+  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+),
+first AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(d)) AS DATE) AS cohort_week
+  FROM days GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT f.cohort_week, dy.user_id,
+         CAST((dy.d - f.cohort_week) // 7 AS INTEGER) AS week_offset
+  FROM days dy JOIN first f ON f.user_id = dy.user_id
+)
+SELECT cohort_week, week_offset,
+       COUNT(DISTINCT user_id) AS n_active_users
+FROM activity GROUP BY cohort_week, week_offset
+"""
+
+
+@df_query(
+    "q50_cohort_retention",
+    "Cohort retention: users grouped by first-activity week, counted per "
+    "active week offset — two shuffles on user_id (first-touch agg + "
+    "activity distinct), both map-side combinable.",
+    _Q50_ORACLE,
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    days = spark.table("events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first = days.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("d")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        days.join(first, "user_id")
+        .select(
+            "cohort_week",
+            "user_id",
+            F.floor(F.datediff("d", "cohort_week") / 7).cast("int").alias(
+                "week_offset"
+            ),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active_users")
+    )
+
+
 def get_query(name: str) -> QueryDef:
     return _REGISTRY[name]
 
