@@ -69,3 +69,33 @@ def test_whole_stage_codegen_on_relational_plane(spark, sf_small):
     plan = _plan(df)
     # "*(n)" prefixes mark operators inside whole-stage-codegen spans
     assert "isFinalPlan=true" in plan and plan.count("*(") >= 2
+
+
+def test_cms_probe_join_broadcasts_sketch(spark, sf_small):
+    """The d*W-cell sketch and the exact-count table are the broadcast
+    sides; a shuffle join keyed on sketch cells would defeat the point
+    of summarizing 100 TB into KBs."""
+    plan = _plan(QS["d14_cms_token_counts"].spark_fn(spark, sf_small))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_redaction_is_map_only(spark, sf_small):
+    plan = _plan(QS["d15_pii_redaction"].spark_fn(spark, sf_small))
+    assert "Exchange" not in plan  # pure row-local regex chain
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_histogram_quantiles_no_global_sort_of_data(spark, sf_small):
+    """The sketch exists to avoid q44's range-partitioned global sort:
+    the only wide exchange is the bin groupBy (partial-aggregated);
+    sorts appear only inside the per-group window over the tiny
+    histogram, never as a data-sized range partitioning."""
+    plan = _plan(QS["d17_histogram_quantiles"].spark_fn(spark, sf_small))
+    assert "rangepartitioning" not in plan.lower()
+    assert "partial_count" in plan
+
+
+def test_quantize_embeddings_map_only(spark, sf_small):
+    plan = _plan(QS["s07_quantize_embeddings"].spark_fn(spark, sf_small))
+    assert "Exchange" not in plan
