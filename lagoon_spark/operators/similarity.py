@@ -224,3 +224,126 @@ def quantize_embeddings(
         ),
     )
     return df.withColumn(out_col, q)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic distributed k-means (IVF centroid training)
+# ---------------------------------------------------------------------------
+
+KMEANS_FP = 1 << 20  # fixed-point scale for order-free mean accumulation
+
+
+def kmeans_fit_predict(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    dim: int,
+    out_col: str = "cell",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means, engine-deterministic: (assignments, centroids).
+
+    Every source of nondeterminism in textbook distributed k-means is
+    pinned down:
+
+    * init: ``cell = id % k`` (no RNG — reproducible on any engine);
+    * mean update: per-dimension sums accumulate ``floor(x*2^20+0.5)``
+      **integers** (associative — shuffle order can't change the mean),
+      converted to a double centroid once per iteration;
+    * argmin ties break toward the lowest cell id;
+    * empty cells keep their previous centroid (zeros before the first
+      update).
+
+    Scale shape: each iteration is ONE map-side-combinable groupBy on
+    (cell, dim); the k×dim centroid table is collected (a few KB — the
+    canonical "small model state" driver round-trip) and re-broadcast
+    as literals in the next assignment expression, which is row-local.
+    100 TB of vectors never shuffles on anything but the k·dim cells.
+    """
+    from pyspark.sql import functions as F
+
+    centroids = [[0.0] * dim for _ in range(k)]
+    assigned = df.withColumn(out_col, F.pmod(F.col(id_col), F.lit(k)))
+    for _ in range(iters):
+        sums = (
+            assigned.select(
+                F.col(out_col).alias("__cell"),
+                F.posexplode(F.col(vec_col)).alias("__pos", "__x"),
+            )
+            .groupBy("__cell", "__pos")
+            .agg(
+                F.sum(
+                    F.floor(F.col("__x").cast("double") * KMEANS_FP + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).alias("__s"),
+                F.count(F.lit(1)).alias("__c"),
+            )
+        )
+        for row in sums.collect():
+            centroids[row["__cell"]][row["__pos"]] = row["__s"] / (
+                row["__c"] * float(KMEANS_FP)
+            )
+        assigned = ivf_assign(df, vec_col, centroids, out_col=out_col)
+    return assigned.select(id_col, out_col), centroids
+
+
+def kmeans_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    dim: int,
+) -> str:
+    """The identical unrolled Lloyd recipe as DuckDB SQL."""
+    fp = KMEANS_FP
+    zeros = "[" + ", ".join(["CAST(0.0 AS DOUBLE)"] * dim) + "]"
+    dist = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(a.v, c.cv), "
+        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))), "
+        "(acc, d) -> acc + d)"
+    )
+    ctes = [
+        f"a0 AS (SELECT {id_col} AS vid, {vec_col} AS v, {id_col} % {k} AS cell FROM {table})"
+    ]
+    for it in range(1, iters + 1):
+        prev = f"cf{it - 1}" if it > 1 else None
+        ctes.append(
+            f"""m{it} AS (
+  SELECT cell, pos,
+         SUM(CAST(floor(CAST(x AS DOUBLE) * {fp} + 0.5) AS BIGINT)) AS s,
+         COUNT(*) AS c
+  FROM (SELECT cell, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS x FROM a{it - 1})
+  GROUP BY cell, pos
+)"""
+        )
+        ctes.append(
+            f"""cl{it} AS (
+  SELECT cell, list(CAST(s AS DOUBLE) / (CAST(c AS DOUBLE) * {float(fp)!r}) ORDER BY pos) AS cv
+  FROM m{it} GROUP BY cell
+)"""
+        )
+        fallback = "p.cv" if prev else zeros
+        join_prev = f" LEFT JOIN {prev} p ON p.cell = r.j" if prev else ""
+        ctes.append(
+            f"""cf{it} AS (
+  SELECT r.j AS cell, COALESCE(cl.cv, {fallback}) AS cv
+  FROM range(0, {k}) r(j) LEFT JOIN cl{it} cl ON cl.cell = r.j{join_prev}
+)"""
+        )
+        ctes.append(
+            f"""a{it} AS (
+  SELECT vid, v, cell FROM (
+    SELECT a.vid, a.v, c.cell,
+           row_number() OVER (PARTITION BY a.vid ORDER BY {dist} ASC, c.cell ASC) AS rn
+    FROM (SELECT vid, v FROM a0) a CROSS JOIN cf{it} c
+  ) WHERE rn = 1
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"WITH {body}\nSELECT vid AS {id_col}, CAST(cell AS BIGINT) AS cell FROM a{iters}"

@@ -1075,3 +1075,34 @@ def d17(spark: SparkSession, sf_dir: str) -> DataFrame:
         step=64,
         pcts=[50, 90, 99],
     )
+
+
+# ---------------------------------------------------------------------------
+# s08 — deterministic k-means: IVF centroid training + final assignment
+# ---------------------------------------------------------------------------
+
+def _s08_oracle() -> str:
+    from lagoon_spark.operators.similarity import kmeans_oracle_sql
+
+    return kmeans_oracle_sql(
+        "embeddings", "vec_id", "embedding", k=8, iters=2, dim=64
+    )
+
+
+@df_query(
+    "s08_kmeans_cells",
+    "Deterministic distributed k-means (k=8, 2 Lloyd rounds): id-mod init, "
+    "fixed-point integer mean accumulation (shuffle-order-free), lowest-cell "
+    "tie-break — the IVF coarse-quantizer trainer, bit-identical across "
+    "engines; each round is one (cell,dim) groupBy + a broadcast "
+    "centroid-literal assignment.",
+    _s08_oracle(),
+)
+def s08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lagoon_spark.operators.similarity import kmeans_fit_predict
+
+    register_views(spark, sf_dir)
+    assigned, _ = kmeans_fit_predict(
+        spark.table("embeddings"), "vec_id", "embedding", k=8, iters=2, dim=64
+    )
+    return assigned

@@ -3,8 +3,6 @@ line removal, embedding quantization, count-min sketch properties."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from lagoon_spark.operators import text
 from lagoon_spark.operators.corpus import remove_boilerplate_lines
 from lagoon_spark.operators.similarity import quantize_embeddings
@@ -117,3 +115,35 @@ def test_cms_upper_bound_property(spark):
     }
     assert all(wide[t]["est_count"] == wide[t]["exact_count"] for t in probes)
     assert wide["absent_tok"]["exact_count"] == 0
+
+
+def test_kmeans_deterministic_and_improving(spark, sf_small):
+    from lagoon_spark.operators.similarity import ivf_assign, kmeans_fit_predict
+    from lagoon_spark.session import register_views
+
+    register_views(spark, sf_small)
+    emb = spark.table("embeddings")
+
+    def sse(centroids, assigned):
+        # per-row distance to its assigned centroid
+        rows = assigned.join(emb, "vec_id").collect()
+        tot = 0.0
+        for r in rows:
+            c = centroids[r["cell"]]
+            tot += sum(
+                (float(x) - y) ** 2 for x, y in zip(r["embedding"], c)
+            )
+        return tot
+
+    a1, c1 = kmeans_fit_predict(emb, "vec_id", "embedding", k=8, iters=1, dim=64)
+    a2, c2 = kmeans_fit_predict(emb, "vec_id", "embedding", k=8, iters=2, dim=64)
+    a2b, c2b = kmeans_fit_predict(emb, "vec_id", "embedding", k=8, iters=2, dim=64)
+
+    # determinism: identical assignments and centroids across runs
+    assert c2 == c2b
+    assert sorted(map(tuple, a2.collect())) == sorted(map(tuple, a2b.collect()))
+    # Lloyd monotonicity: SSE after 2 rounds <= after 1 round
+    assert sse(c2, a2) <= sse(c1, a1) + 1e-9
+    # every vector assigned to a valid cell
+    cells = {r["cell"] for r in a2.select("cell").distinct().collect()}
+    assert cells <= set(range(8))
