@@ -1106,3 +1106,58 @@ def s08(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table("embeddings"), "vec_id", "embedding", k=8, iters=2, dim=64
     )
     return assigned
+
+
+# ---------------------------------------------------------------------------
+# d18 — repetition score (Gopher-style quality signal)
+# ---------------------------------------------------------------------------
+#
+# Fraction of duplicated word 3-grams per document: repetitive docs
+# (boilerplate loops, keyword stuffing, degenerate generations) score
+# high and get filtered. Row-local array arithmetic — a pure map.
+
+_D18_N = 3
+
+_D18_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(len(list_filter(string_split(text, ' '), w -> w <> '')) - {_D18_N - 1}, 0) + 1),
+           i -> array_to_string(list_filter(string_split(text, ' '), w -> w <> '')[i : i + {_D18_N - 1}], ' ')
+         ) AS grams
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       round(CASE WHEN len(grams) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+             END, 6) AS rep_ratio
+FROM g
+"""
+
+
+@df_query(
+    "d18_repetition_score",
+    "Gopher-style repetition signal: duplicated word-trigram fraction per "
+    "document (row-local array arithmetic, no shuffle).",
+    _D18_ORACLE,
+)
+def d18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    n = _D18_N
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(filter(split(text, ' '), w -> w <> '')) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(filter(split(text, ' '), w -> w <> ''), i, {n})))"
+    )
+    docs = spark.table("documents").select("doc_id", grams.alias("__g"))
+    return docs.select(
+        "doc_id",
+        F.size("__g").cast("long").alias("n_grams"),
+        F.round(
+            F.when(F.size("__g") == 0, F.lit(0.0)).otherwise(
+                F.lit(1.0)
+                - F.size(F.array_distinct("__g")).cast("double") / F.size("__g")
+            ),
+            6,
+        ).alias("rep_ratio"),
+    )
