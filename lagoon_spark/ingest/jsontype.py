@@ -96,10 +96,30 @@ def unify(a: JsonType, b: JsonType) -> JsonType:
         return NUMBER
     if isinstance(a, JBool) and isinstance(b, JBool):
         return BOOL
-    if isinstance(a, Nullable):
-        return Nullable(unify(a.of, b))
-    if isinstance(b, Nullable):
-        return Nullable(unify(a, b.of))
+    if isinstance(a, Nullable) or isinstance(b, Nullable):
+        # Two deliberate divergences from the reference's clause order
+        # (TypeInference.hs:118-120), both on inputs no reference
+        # fixture pins, both REQUIRED for a partition-parallel fold
+        # (the reference folds one value at a time in stream order;
+        # we reduce partial results in arbitrary grouping/order, so
+        # unify must be a true commutative/associative join — the
+        # property tests in test_jsontype_property.py enforce it):
+        #
+        # 1. unwrap BOTH sides before recursing — the reference's
+        #    one-side-at-a-time clauses double-wrap nullable⊔nullable
+        #    (`[null,null]` would print "nullable nullable unknown");
+        # 2. Mixed absorbs nullability (nullable(mixed) ≡ mixed) —
+        #    the reference yields Mixed or Nullable Mixed depending on
+        #    whether the null arrived before or after the conflict;
+        #    the one golden-pinned case (026_parse-arr-03.json
+        #    `["hi",true,false,null]` → `[mixed]`) agrees with
+        #    absorption.
+        ia = a.of if isinstance(a, Nullable) else a
+        ib = b.of if isinstance(b, Nullable) else b
+        inner = unify(ia, ib)
+        if isinstance(inner, Mixed):
+            return MIXED
+        return inner if isinstance(inner, Nullable) else Nullable(inner)
     if isinstance(a, JArray) and isinstance(b, JArray):
         return JArray(unify(a.of, b.of))
     if isinstance(a, JObject) and isinstance(b, JObject):
