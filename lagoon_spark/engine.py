@@ -83,10 +83,35 @@ class Lagoon:
         # the source URL
         from lagoon_spark.ingest.input import acquire
 
+        # Sharded ingest (beyond the reference, which ingests one file
+        # per source): a directory or glob of same-schema shards reads
+        # as ONE source. Spark's csv/text readers take globs natively,
+        # drop the header of every file, and enumerate splits in a
+        # deterministic listing order — so `ix` stays a stable 1-based
+        # file-order id across shards (the 100 TB input is always a
+        # directory, never a single file). Driver-side probes (format
+        # guess, encoding sniff) run on the lexicographically first
+        # shard.
+        import glob as globmod
+
         cleanup: list[str] = []
-        local = acquire(path, cleanup)
-        if url is None and local != path:
-            url = path
+        multi = os.path.isdir(path) or any(ch in path for ch in "*?[")
+        probe: str | None = None
+        if multi:
+            pattern = os.path.join(path, "*") if os.path.isdir(path) else path
+            shards = sorted(f for f in globmod.glob(pattern) if os.path.isfile(f))
+            if not shards:
+                raise FileNotFoundError(f"no files match {path}")
+            if json_path is not None:
+                raise ValueError(
+                    "json_path splitting operates on a single document; "
+                    "ingest shards individually or as JSONL"
+                )
+            local, probe = path, shards[0]
+        else:
+            local = acquire(path, cleanup)
+            if url is None and local != path:
+                url = path
 
         # phase-level progress events (the reference streams JSON-line
         # notifications during ingest, `Interface/Ingest.hs:350-455`;
@@ -97,12 +122,12 @@ class Lagoon:
 
         try:
             ftype = file_type or (
-                "json" if local.lower().endswith(".json") else "tabular"
+                "json" if (probe or local).lower().endswith(".json") else "tabular"
             )
             # UTF-16 tabular inputs (BOM or NUL-pattern sniff) transcode
             # to a UTF-8 spool during acquisition — beyond the reference,
             # whose UTF-16 fixtures are disabled (disabled-tests/082-085)
-            if ftype != "json":
+            if ftype != "json" and not multi:
                 codec = csvmod.sniff_utf16(local)
                 if codec:
                     local = csvmod.transcode_to_utf8(local, codec, cleanup)
@@ -110,13 +135,14 @@ class Lagoon:
             if ftype == "json":
                 info = self._ingest_json(
                     local, name, description=description, created=created, url=url,
-                    json_path=json_path, emit=emit,
+                    json_path=json_path, emit=emit, probe_path=probe,
                 )
             else:
                 info = self._ingest_tabular(
                     local, name, description=description, created=created, url=url,
                     has_headers=has_headers, delimiter=delimiter, quote=quote,
                     no_type_inference=no_type_inference, peek_rows=peek_rows,
+                    probe_path=probe,
                     emit=emit,
                 )
         finally:
@@ -134,8 +160,13 @@ class Lagoon:
     def _ingest_tabular(
         self, path, name, *, description, created, url, has_headers,
         delimiter, quote, no_type_inference, peek_rows, emit=lambda e: None,
+        probe_path: str | None = None,
     ) -> SourceInfo:
-        fmt = csvmod.guess_format(path)
+        # sharded ingest probes (format guess, strict encoding decode,
+        # raw header bytes) run on the first shard; distributed scans
+        # take the glob/dir itself
+        probe = probe_path or path
+        fmt = csvmod.guess_format(probe)
         fmt.has_headers = has_headers
         fmt.peek_rows = peek_rows
         if delimiter is not None:
@@ -146,10 +177,10 @@ class Lagoon:
         # encoding fallback (`Ingest.hs:138-148`): the distributed scan
         # flagged undecodable bytes; confirm with a strict driver decode,
         # then re-read everything as Latin1 (header included)
-        if saw_bad and fmt.encoding.upper() in ("UTF-8", "UTF8") and csvmod.utf8_invalid(path):
+        if saw_bad and fmt.encoding.upper() in ("UTF-8", "UTF8") and csvmod.utf8_invalid(probe):
             fmt.encoding = "ISO-8859-1"
             if fmt.has_headers:
-                header = csvmod.read_header_bytes(path, fmt, "iso-8859-1")
+                header = csvmod.read_header_bytes(probe, fmt, "iso-8859-1")
             emit({"event": "encoding", "fallback": "ISO-8859-1"})
         emit({"event": "format", "width": width, "has_headers": bool(has_headers and header)})
         ix, version, table_name, view_name = self.catalog.new_source(
@@ -205,7 +236,7 @@ class Lagoon:
 
     def _ingest_json(
         self, path, name, *, description, created, url, json_path,
-        emit=lambda e: None,
+        emit=lambda e: None, probe_path: str | None = None,
     ) -> SourceInfo:
         """JSON ingest (`Ingest.hs:231-255`): one TEXT column holding the
         raw value per row (JSON sources never get a typed table,
@@ -220,7 +251,12 @@ class Lagoon:
             created=created, fmt="json",
         )
         spool = None
-        if json_path is not None or self._json_needs_splitting(path):
+        if json_path is not None or self._json_needs_splitting(probe_path or path):
+            if probe_path is not None:
+                raise ValueError(
+                    "sharded JSON ingest requires JSONL shards (one value "
+                    "per line); multi-line documents need per-file ingest"
+                )
             jpath = jsonsplit.parse_path(json_path) if json_path else jsonsplit.HERE
             spool = tempfile.NamedTemporaryFile(
                 "w", suffix=".jsonl", delete=False, encoding="utf-8"

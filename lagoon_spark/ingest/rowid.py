@@ -8,13 +8,20 @@ ingest depend on this numbering, so it must be deterministic — and at
 
 Implementation: ``monotonically_increasing_id()`` is
 ``(partition_id << 33) + row_index_in_partition`` with a *dense*
-per-partition index, and Spark's file-scan partition order is
-deterministic for a given file listing. So:
+per-partition index. Numbering must be **filename-major** for sharded
+sources: Spark packs file splits into partitions sorted by SIZE (the
+scheduler's bin-packing), so partition id order is not file order.
+Rows are therefore grouped by (input file, partition); groups sort by
+(file, pid) — splits of one file keep ascending pid = ascending byte
+offset, since same-file splits are appended to the partition list in
+offset order — and each group's rows are contiguous in ``mid`` within
+their partition, so ``mid - min(mid per group)`` is the dense
+in-group index. So:
 
-1. one tiny job collects per-partition row counts (counts only — bytes
-   proportional to #partitions, not #rows);
-2. a broadcast offset map turns (partition_id, local_index) into the
-   global 1-based ix.
+1. one tiny job collects per-(file, partition) row counts + min ids
+   (bytes proportional to #files × #partitions, not #rows);
+2. a broadcast offset map turns (group, local_index) into the global
+   1-based ix.
 
 Two narrow scans, no shuffle, no sort.
 """
@@ -26,21 +33,35 @@ from pyspark.sql import functions as F
 
 
 def with_ix(df: DataFrame, ix_col: str = "ix") -> DataFrame:
-    tagged = df.withColumn("__mid", F.monotonically_increasing_id())
-    tagged = tagged.withColumn("__pid", F.spark_partition_id())
-    counts = (
-        tagged.groupBy("__pid").count().collect()
-    )  # #partitions rows — metadata-sized
-    offsets: dict[int, int] = {}
+    from pyspark.errors import AnalysisException
+
+    base = df.withColumn("__mid", F.monotonically_increasing_id()).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    try:
+        tagged = base.withColumn("__file", F.input_file_name())
+        tagged.schema  # force analysis: multi-source plans reject it
+    except AnalysisException:
+        # not a single file scan (e.g. the foreign-ingest join) — file
+        # identity is meaningless there; partition order alone is the
+        # original single-source numbering
+        tagged = base.withColumn("__file", F.lit(""))
+    groups = (
+        tagged.groupBy("__file", "__pid")
+        .agg(F.count(F.lit(1)).alias("__n"), F.min("__mid").alias("__min"))
+        .collect()
+    )  # #files × #partitions rows — metadata-sized
+    offsets: list[tuple[str, int, int, int]] = []  # (file, pid, min_mid, offset)
     acc = 0
-    for row in sorted(counts, key=lambda r: r["__pid"]):
-        offsets[row["__pid"]] = acc
-        acc += row["count"]
-    mapping = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    for row in sorted(groups, key=lambda r: (r["__file"], r["__pid"])):
+        offsets.append((row["__file"], row["__pid"], row["__min"], acc))
+        acc += row["__n"]
+    key = F.concat_ws("#", F.col("__file"), F.col("__pid").cast("string"))
+    base_map = F.create_map(
+        *[F.lit(x) for f, p, _m, off in offsets for x in (f"{f}#{p}", off)]
     )
-    local = F.col("__mid") - (F.col("__pid").cast("long") * F.lit(1 << 33))
-    return (
-        tagged.withColumn(ix_col, (mapping[F.col("__pid")] + local + 1).cast("long"))
-        .drop("__mid", "__pid")
+    min_map = F.create_map(
+        *[F.lit(x) for f, p, m, _off in offsets for x in (f"{f}#{p}", m)]
     )
+    ix = (base_map[key] + (F.col("__mid") - min_map[key]) + 1).cast("long")
+    return tagged.withColumn(ix_col, ix).drop("__mid", "__pid", "__file")
