@@ -194,6 +194,44 @@ def c06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# c08 — token-budget mixing: per-source cumulative cutoff
+# ---------------------------------------------------------------------------
+
+_C08_BUDGET = 600
+
+_C08_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS BIGINT) AS n_tokens,
+         {corpus.duck_id_hash('doc_id')} AS h
+  FROM documents
+),
+o AS (
+  SELECT doc_id, source, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS src_tok_offset
+  FROM t
+)
+SELECT doc_id, source, n_tokens, src_tok_offset
+FROM o WHERE src_tok_offset < {_C08_BUDGET}
+"""
+
+
+@df_query(
+    "c08_token_budget_mix",
+    "Token-budget corpus mixing: per-source running-sum cutoff in deterministic "
+    "shuffled order (how a '2B tokens of web, 500M of code' mixture spec is realized).",
+    _C08_ORACLE,
+)
+def c08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "source", "text")
+    return corpus.token_budget_sample(
+        docs, "doc_id", "text", "source", budget=_C08_BUDGET
+    )
+
+
+# ---------------------------------------------------------------------------
 # c07 — the end-to-end corpus pipeline, composed from the operator library
 # ---------------------------------------------------------------------------
 #

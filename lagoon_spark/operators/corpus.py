@@ -163,6 +163,94 @@ def pack_token_offsets(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    budget: int,
+) -> DataFrame:
+    """Per-source token-budget sampling: walk each source's documents in
+    deterministic shuffled order and keep every document that *starts*
+    before the source's token budget is exhausted.
+
+    This is how a mixture spec like "2B tokens of web, 500M of code" is
+    realized: the cut point is a running sum of token counts over the
+    (hash, id) order, so the selected set is a pure function of the data
+    — stable across runs, engines, and retries.
+
+    Scale design: one shuffle keyed by source (mixture sources are a
+    bounded set). Within a source the running sum is a window over the
+    deterministic order. A pathologically hot source is the classic
+    skew case — handle it two-phase (per-salt partial sums, then a
+    prefix-sum over salt totals, cf. operators/skew.py); at any sane
+    source cardinality the direct window is the right plan.
+    """
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(id_hash(id_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    ).withColumn("src_tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return out.filter(F.col("src_tok_offset") < budget)
+
+
+def distinct_ngrams(text_col: str, n: int = 3) -> Column:
+    """Distinct word ``n``-gram shingles of a text column (row-local).
+
+    Tokenization matches the rest of the library (split on single
+    spaces); shingles are space-joined token windows. Returns an empty
+    array for texts shorter than ``n`` tokens.
+    """
+    toks = F.split(F.col(text_col), " ")
+    # lower bound 1 (not 0): sequence(1, 0) counts *down* in Spark, and
+    # slice(…, 0, …) is a runtime error; the WHEN guard below makes the
+    # short-text value irrelevant, this keeps it well-defined too
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shared_gram_counts(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for each training document, count the
+    distinct word ``n``-grams it shares with *any* evaluation document.
+    Returns (id, n_shared_grams) for contaminated documents only —
+    anti-join the result against the corpus to drop them.
+
+    Scale design: the eval side (benchmarks, held-out sets) is tiny
+    relative to a 100 TB corpus, so its distinct-gram dictionary is a
+    broadcast build side; the training side explodes shingles and
+    probes map-side. The only shuffle is the final per-doc count —
+    O(contaminated shingles), not O(corpus).
+    """
+    eval_grams = (
+        eval_df.select(F.explode(distinct_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    train_grams = train_df.select(
+        F.col(id_col), F.explode(distinct_ngrams(text_col, n)).alias("gram")
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     id_col: str,

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lagoon_spark.operators import dedup, similarity, text
+from lagoon_spark.operators import corpus, dedup, similarity, text
 from lagoon_spark.queries import df_query
 from lagoon_spark.session import register_views
 
@@ -1161,3 +1161,54 @@ def d18(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rep_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d19 — benchmark decontamination (shared n-grams vs a held-out eval set)
+# ---------------------------------------------------------------------------
+#
+# The eval set is the hash-bucket >= 95 slice of the corpus (a stable
+# 5% holdout standing in for benchmark data); a training document is
+# contaminated if it shares any word 3-gram with any eval document.
+# The eval gram dictionary broadcasts; the corpus side never shuffles
+# until the per-doc count.
+
+_D19_N = 3
+_D19_EVAL_BUCKET = 95
+
+_D19_GRAMS = f"""
+  SELECT doc_id, {corpus.duck_id_bucket('doc_id')} AS b,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - {_D19_N - 1}, 0) + 1),
+           i -> array_to_string(string_split(text, ' ')[i : i + {_D19_N - 1}], ' '))) AS grams
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= {_D19_N}
+"""
+
+_D19_ORACLE = f"""
+WITH g AS ({_D19_GRAMS}),
+eg AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE b >= {_D19_EVAL_BUCKET}
+),
+tg AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g WHERE b < {_D19_EVAL_BUCKET}
+)
+SELECT tg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM tg JOIN eg USING (gram)
+GROUP BY tg.doc_id
+"""
+
+
+@df_query(
+    "d19_decontamination",
+    "Benchmark decontamination: training documents sharing word 3-grams with "
+    "a hash-defined eval holdout (broadcast gram dictionary, map-side probe).",
+    _D19_ORACLE,
+)
+def d19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    b = corpus.id_bucket("doc_id")
+    eval_df = docs.filter(b >= _D19_EVAL_BUCKET)
+    train_df = docs.filter(b < _D19_EVAL_BUCKET)
+    return corpus.shared_gram_counts(train_df, eval_df, "doc_id", "text", n=_D19_N)

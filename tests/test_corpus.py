@@ -83,3 +83,62 @@ def test_packing_offsets_are_contiguous(spark, sf_small):
         assert r["tok_offset"] == pos
         assert r["bin_id"] == pos // 256
         pos += r["n_tokens"]
+
+
+def test_token_budget_sample_prefix_property(spark, sf_small):
+    """Kept docs are exactly the prefix of each source's (hash, id) walk
+    whose starting offset is under budget; offsets are running sums."""
+    docs = _docs(spark, sf_small).select("doc_id", "source", "text")
+    out = corpus.token_budget_sample(docs, "doc_id", "text", "source", budget=600)
+    rows = out.collect()
+    assert rows, "budget 600 should keep at least the first doc per source"
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    n_sources = docs.select("source").distinct().count()
+    # every source keeps at least its first document (offset 0 < budget)
+    assert len(by_src) == n_sources
+    for src, members in by_src.items():
+        members.sort(key=lambda r: r["src_tok_offset"])
+        assert members[0]["src_tok_offset"] == 0
+        running = 0
+        for m in members:
+            assert m["src_tok_offset"] == running, (src, m)
+            assert m["src_tok_offset"] < 600
+            running += m["n_tokens"]
+
+
+def test_token_budget_sample_is_deterministic(spark, sf_small):
+    docs = _docs(spark, sf_small).select("doc_id", "source", "text")
+    a = corpus.token_budget_sample(docs, "doc_id", "text", "source", budget=600)
+    b = corpus.token_budget_sample(docs, "doc_id", "text", "source", budget=600)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_decontamination_flags_planted_copy(spark, sf_small):
+    """A training doc that IS an eval doc's text shares all its grams;
+    a doc with no 3-gram overlap is not flagged."""
+    eval_df = spark.createDataFrame(
+        [(1000001, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    train_df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # exact copy: 3 shared grams
+            (2, "prefix words then alpha beta gamma suffix"),  # one shared gram
+            (3, "zeta eta theta iota kappa"),        # disjoint: not flagged
+            (4, "too short"),                        # < n tokens: not flagged
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["n_shared_grams"]
+        for r in corpus.shared_gram_counts(train_df, eval_df, "doc_id", "text", n=3).collect()
+    }
+    assert out == {1: 3, 2: 1}
+
+
+def test_decontamination_empty_eval_set(spark, sf_small):
+    docs = _docs(spark, sf_small).select("doc_id", "text")
+    empty = docs.filter(F.lit(False))
+    out = corpus.shared_gram_counts(docs, empty, "doc_id", "text", n=3)
+    assert out.count() == 0
