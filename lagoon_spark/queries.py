@@ -779,9 +779,10 @@ _register(
 
 _Q38_ORACLE = """
 SELECT event_type,
-       SUM(CASE WHEN list_contains(json_keys(props), 'k') THEN 1 ELSE 0 END) AS n_has_k,
-       SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
-                THEN 1 ELSE 0 END) AS n_big_k
+       CAST(SUM(CASE WHEN list_contains(json_keys(props), 'k') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_has_k,
+       CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_big_k
 FROM events
 GROUP BY event_type
 """
