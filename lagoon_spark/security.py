@@ -79,6 +79,27 @@ _ALLOWED_SUFFIXES = {
 
 _DENIED_HINTS = ("Command", "Insert", "Write", "Delete", "Update", "Merge", "Create", "Drop", "Alter")
 
+# Scalar functions with JVM-escape power. The reference delegates
+# scalar-function privilege checks to Postgres; Spark has no such
+# layer, so the analog screens them here: these are denied outright,
+# and any function NOT in the session's function registry is denied
+# fail-closed (matching QueryPlan.hs:339's unknown-node behavior).
+_DENIED_FUNCTIONS = {"reflect", "java_method"}
+
+_session_fn_cache: dict[int, frozenset[str]] = {}
+
+
+def _session_functions(spark) -> frozenset[str]:
+    """Registered function names for this session (builtins + engine
+    UDFs), cached per SparkSession."""
+    key = id(spark)
+    cached = _session_fn_cache.get(key)
+    if cached is None:
+        rows = spark.sql("SHOW FUNCTIONS").collect()
+        cached = frozenset(str(r[0]).lower() for r in rows)
+        _session_fn_cache[key] = cached
+    return cached
+
 
 class QueryDenied(Exception):
     pass
@@ -93,7 +114,14 @@ def _parse_plan_json(spark, sql: str) -> list[dict]:
     return json.loads(plan.toJSON())
 
 
-def _walk(nodes: list[dict], relations: set[str], cte_names: set[str]) -> None:
+def _walk(
+    nodes: list[dict],
+    relations: set[str],
+    cte_names: set[str],
+    functions: set[str] | None = None,
+) -> None:
+    if functions is None:
+        functions = set()
     for node in nodes:
         cls = node.get("class", "")
         simple = cls.rsplit(".", 1)[-1]
@@ -102,6 +130,16 @@ def _walk(nodes: list[dict], relations: set[str], cte_names: set[str]) -> None:
         if "TableValuedFunction" in simple or simple == "UnresolvedGenerator":
             # reference: "Query plan contains functions"
             raise QueryDenied("Query plan contains functions")
+        if simple == "UnresolvedFunction":
+            ident = node.get("nameParts")
+            if isinstance(ident, str):
+                parts = [p.strip() for p in ident.strip("[]").split(",")]
+            else:
+                parts = [str(p) for p in (ident or [])]
+            if len(parts) != 1:
+                # qualified (db.fn) functions can't be safe builtins
+                raise QueryDenied(f"Qualified function not allowed: {'.'.join(parts)}")
+            functions.add(parts[0].lower())
         if simple in ("UnresolvedWith", "With"):
             # cteRelations: [Tuple2/3 of (name, plan, ...)]
             for item in node.get("cteRelations", []) or []:
@@ -125,22 +163,22 @@ def _walk(nodes: list[dict], relations: set[str], cte_names: set[str]) -> None:
             raise QueryDenied(f"Unrecognized plan node (fail closed): {simple}")
         # nested plans (subqueries, CTE definitions) hide in field values
         for v in node.values():
-            _walk_nested(v, relations, cte_names)
+            _walk_nested(v, relations, cte_names, functions)
 
 
-def _walk_nested(v, relations, cte_names) -> None:
+def _walk_nested(v, relations, cte_names, functions=None) -> None:
     if isinstance(v, list):
         if v and isinstance(v[0], dict) and "class" in v[0]:
-            _walk(v, relations, cte_names)
+            _walk(v, relations, cte_names, functions)
         else:
             for item in v:
-                _walk_nested(item, relations, cte_names)
+                _walk_nested(item, relations, cte_names, functions)
     elif isinstance(v, dict):
         if "class" in v:
-            _walk([v], relations, cte_names)
+            _walk([v], relations, cte_names, functions)
         else:
             for item in v.values():
-                _walk_nested(item, relations, cte_names)
+                _walk_nested(item, relations, cte_names, functions)
 
 
 # --- ACL storage on top of the Catalog ----------------------------------
@@ -250,7 +288,15 @@ def verify_user_query(engine, sql: str, user: str) -> None:
     nodes = _parse_plan_json(engine.spark, sql)
     relations: set[str] = set()
     cte_names: set[str] = set()
-    _walk(nodes, relations, cte_names)
+    functions: set[str] = set()
+    _walk(nodes, relations, cte_names, functions)
+
+    registered = _session_functions(engine.spark)
+    for fn in functions:
+        if fn in _DENIED_FUNCTIONS:
+            raise QueryDenied(f"Function not allowed: {fn}")
+        if fn not in registered:
+            raise QueryDenied(f"Unknown function (fail closed): {fn}")
 
     sources = engine.catalog.load("sources")
     by_view: dict[str, int] = {}

@@ -221,6 +221,31 @@ def test_sql_passthrough_and_security(lagoon, tmp_path):
     )
 
 
+def test_scalar_function_screening(lagoon, tmp_path):
+    p = _write(tmp_path, "fnsec.csv", SIMPLE)
+    lagoon.ingest(p, "fnsec")
+    # JVM-escape scalar functions denied even for the owner
+    with pytest.raises(QueryDenied):
+        lagoon.sql("SELECT java_method('java.lang.System','getProperty','user.dir')")
+    with pytest.raises(QueryDenied):
+        lagoon.sql("SELECT reflect('java.lang.System','getProperty','java.home')")
+    with pytest.raises(QueryDenied):
+        lagoon.sql("SELECT a, java_method('java.lang.Thread','currentThread') FROM fnsec_v1_typed")
+    # unknown / qualified functions fail closed
+    with pytest.raises(QueryDenied):
+        lagoon.sql("SELECT no_such_fn(a) FROM fnsec_v1_typed")
+    with pytest.raises(QueryDenied):
+        lagoon.sql("SELECT somedb.fn(a) FROM fnsec_v1_typed")
+    # ordinary builtins (scalar, aggregate, window, lambda HOFs) still pass
+    assert lagoon.sql("SELECT upper('x') AS u").collect()[0].u == "X"
+    assert lagoon.sql(
+        "SELECT a, sum(b) OVER (ORDER BY a) AS s FROM fnsec_v1_typed"
+    ).count() == 3
+    assert lagoon.sql(
+        "SELECT transform(array(1,2), x -> x + 1) AS t"
+    ).collect()[0].t == [2, 3]
+
+
 def test_acl_groups(lagoon, tmp_path):
     from lagoon_spark import security
 
