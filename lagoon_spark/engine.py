@@ -324,33 +324,51 @@ class Lagoon:
 
     # -- views ---------------------------------------------------------------
 
+    def _source_frame(self, info: SourceInfo, typed: bool = False) -> DataFrame:
+        """Physical rows of one source *version*.
+
+        For a compacted source the backing table is shared by every
+        version and carries the ``ixs`` membership array — the version's
+        content is ``array_contains(ixs, version)`` plus this version's
+        own column slice (`DB/ColumnSpec.hs:117-144` createCompactView).
+        """
+        table = (
+            info.typed_table_name if (typed and info.typed_table_name) else info.table_name
+        )
+        df = self.spark.read.parquet(self._data_path(table))
+        if "ixs" in df.columns:
+            phys = [c[0] for c in info.columns]
+            df = df.filter(F.array_contains("ixs", info.version)).select("ix", *phys)
+        return df
+
     def register_views(self, info: SourceInfo) -> None:
         """A11: friendly-name views `<name>_v<N>` (+`_typed`)."""
         phys = [c[0] for c in info.columns]
         friendly = [c[1] for c in info.columns]
-        untyped = self.spark.read.parquet(self._data_path(info.table_name))
+        untyped = self._source_frame(info, typed=False)
         untyped.select(
             "ix", *[F.col(p).alias(h) for p, h in zip(phys, friendly)]
         ).createOrReplaceTempView(info.view_name)
         if info.typed_table_name:
-            typed = self.spark.read.parquet(self._data_path(info.typed_table_name))
+            typed = self._source_frame(info, typed=True)
             typed.select(
                 "ix", *[F.col(p).alias(h) for p, h in zip(phys, friendly)]
             ).createOrReplaceTempView(info.typed_view_name)
 
     def register_all_views(self) -> None:
+        from pyspark.errors import AnalysisException
+
         sources = self.catalog.load("sources")
         for _, row in sources.iterrows():
             try:
                 self.register_views(self.catalog.get_source_by_ix(int(row["ix"])))
-            except FileNotFoundError:
+            except (FileNotFoundError, AnalysisException):
+                # a missing/corrupt data dir must not poison every later
+                # query on the surviving sources
                 pass
 
     def dataframe(self, info: SourceInfo, typed: bool = True) -> DataFrame:
-        table = (
-            info.typed_table_name if (typed and info.typed_table_name) else info.table_name
-        )
-        return self.spark.read.parquet(self._data_path(table))
+        return self._source_frame(info, typed=typed)
 
     # -- typed re-cast (A10 + setColumnType, `DB/ColumnSpec.hs:182-189`) ----
 
@@ -448,8 +466,16 @@ class Lagoon:
     def delete_source(self, info: SourceInfo) -> None:
         import shutil
 
+        # a compacted version shares its physical table with its
+        # siblings — only remove a directory no other catalog row
+        # still references
+        sources = self.catalog.load("sources")
+        others = sources[sources["ix"] != info.ix]
+        referenced = set(others["table_name"].dropna()) | set(
+            others["typed_table_name"].dropna()
+        )
         for t in (info.table_name, info.typed_table_name):
-            if t:
+            if t and t not in referenced:
                 p = self._data_path(t)
                 if os.path.exists(p):
                     shutil.rmtree(p)
@@ -661,23 +687,17 @@ class Lagoon:
         compacted.write.mode("overwrite").parquet(self._data_path(compact_table))
         stored = self.spark.read.parquet(self._data_path(compact_table))
 
-        # repoint every version at the compacted table; drop originals
+        # repoint every version at the compacted table; drop originals;
+        # re-register views (register_views applies the per-version
+        # ixs filter + column slice for compacted tables)
         import shutil
 
         for info in infos:
-            friendly = [h for _p, h, _t in info.columns]
-            vdf = stored.filter(F.array_contains("ixs", info.version)).select(
-                "ix",
-                *[
-                    F.col(p).alias(h)
-                    for p, h in zip(phys[: len(friendly)], friendly)
-                ],
-            )
-            vdf.createOrReplaceTempView(info.view_name)
             old = self._data_path(info.table_name)
             if os.path.exists(old) and info.table_name != compact_table:
                 shutil.rmtree(old)
             self.catalog.update_source(info.ix, table_name=compact_table)
+            self.register_views(self.catalog.get_source_by_ix(info.ix))
         return self.catalog.get_source(name, versions[-1])
 
     # -- multi-part / foreign ingest (A25) -----------------------------------

@@ -31,8 +31,14 @@ group) holds ≥ the required level.
 from __future__ import annotations
 
 import json
+import re
+import weakref
 
 import pandas as pd
+
+# the only string-serialized function identifier shape we accept:
+# "[simple_name]" with no quoting, commas, or nested brackets
+_SIMPLE_FN_IDENT = re.compile(r"^\[([A-Za-z_][A-Za-z0-9_]*)\]$")
 
 LEVELS = {"read": 1, "update": 2, "manage": 3}  # DB/Schema.hs:83-93
 
@@ -84,21 +90,47 @@ _DENIED_HINTS = ("Command", "Insert", "Write", "Delete", "Update", "Merge", "Cre
 # layer, so the analog screens them here: these are denied outright,
 # and any function NOT in the session's function registry is denied
 # fail-closed (matching QueryPlan.hs:339's unknown-node behavior).
-_DENIED_FUNCTIONS = {"reflect", "java_method"}
+# Name aliases drift across Spark versions (try_reflect appeared in
+# 3.5), so the resolved expression class is screened too.
+_DENIED_FUNCTIONS = {"reflect", "java_method", "try_reflect"}
 
-_session_fn_cache: dict[int, frozenset[str]] = {}
+# Any registry entry resolving to a reflection-capable expression is a
+# JVM escape regardless of what name it was registered under
+# (CallMethodViaReflection backs reflect/java_method; TryReflect is the
+# TRY-semantics wrapper).
+_DENIED_CLASS_MARKERS = ("reflect",)
+
+_session_fn_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_session_fn_class_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _session_functions(spark) -> frozenset[str]:
     """Registered function names for this session (builtins + engine
-    UDFs), cached per SparkSession."""
-    key = id(spark)
-    cached = _session_fn_cache.get(key)
+    UDFs), cached per SparkSession (weakly — the cache entry dies with
+    the session, so a recycled id() can never inherit a dead session's
+    function set)."""
+    cached = _session_fn_cache.get(spark)
     if cached is None:
         rows = spark.sql("SHOW FUNCTIONS").collect()
         cached = frozenset(str(r[0]).lower() for r in rows)
-        _session_fn_cache[key] = cached
+        _session_fn_cache[spark] = cached
     return cached
+
+
+def _function_class(spark, fn: str) -> str:
+    """Resolved implementation class for a registered function name
+    (empty string when the catalog cannot resolve it — callers treat
+    that as unscreenable and rely on the name checks)."""
+    cache = _session_fn_class_cache.get(spark)
+    if cache is None:
+        cache = {}
+        _session_fn_class_cache[spark] = cache
+    if fn not in cache:
+        try:
+            cache[fn] = str(spark.catalog.getFunction(fn).className or "")
+        except Exception:
+            cache[fn] = ""
+    return cache[fn]
 
 
 class QueryDenied(Exception):
@@ -132,10 +164,22 @@ def _walk(
             raise QueryDenied("Query plan contains functions")
         if simple == "UnresolvedFunction":
             ident = node.get("nameParts")
-            if isinstance(ident, str):
-                parts = [p.strip() for p in ident.strip("[]").split(",")]
+            if isinstance(ident, list):
+                parts = [str(p) for p in ident]
+            elif isinstance(ident, str):
+                # Spark serializes Seq[String] as the literal "[name]".
+                # Only the trivially-safe single-identifier shape is
+                # accepted; anything with commas/backticks/brackets
+                # inside is NOT tokenized (mis-splitting risk) — denied
+                # with an explicit message instead
+                m = _SIMPLE_FN_IDENT.match(ident)
+                if not m:
+                    raise QueryDenied(
+                        "Unparseable function identifier (fail closed)"
+                    )
+                parts = [m.group(1)]
             else:
-                parts = [str(p) for p in (ident or [])]
+                parts = []
             if len(parts) != 1:
                 # qualified (db.fn) functions can't be safe builtins
                 raise QueryDenied(f"Qualified function not allowed: {'.'.join(parts)}")
@@ -297,6 +341,12 @@ def verify_user_query(engine, sql: str, user: str) -> None:
             raise QueryDenied(f"Function not allowed: {fn}")
         if fn not in registered:
             raise QueryDenied(f"Unknown function (fail closed): {fn}")
+        # name-independent screen: deny any registry entry whose
+        # resolved expression class is reflection-backed, so future
+        # aliases of reflect/java_method stay denied without a list edit
+        cls = _function_class(engine.spark, fn).lower()
+        if any(marker in cls for marker in _DENIED_CLASS_MARKERS):
+            raise QueryDenied(f"Function not allowed (reflection): {fn}")
 
     sources = engine.catalog.load("sources")
     by_view: dict[str, int] = {}

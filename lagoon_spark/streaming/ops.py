@@ -44,17 +44,40 @@ GAP_MICROS = 30 * 60 * 1_000_000  # 30-minute session gap
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file-source stream (one file = one batch).
 
-    The driver's parquet stores TIMESTAMP(NANOS); with
-    ``nanosAsLong`` the scan yields int64 which we convert to
-    TIMESTAMP_NTZ exactly (integer DIV, no double round-trip) — same
-    conversion as the batch view in ``session.register_views``.
+    The ``ts`` physical type varies across driver testdata generations
+    (TIMESTAMP(NANOS) vs timestamp[us]), so the parquet footer decides
+    the read strategy — the same probe the batch path uses
+    (``session._nano_ts_columns``):
+
+    * ``ns`` → ``nanosAsLong`` int64 scan + exact integer DIV to
+      TIMESTAMP_NTZ (no double round-trip);
+    * ``us``/``ms`` without timezone → read TIMESTAMP_NTZ directly;
+    * instant-annotated (tz-aware) → read TIMESTAMP, cast to NTZ under
+      the pinned UTC session zone (instant-preserving).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import pyarrow.dataset as ds
+    import pyarrow.types as pat
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    events_path = os.path.join(sf_dir, "events.parquet")
+    ts_type = ds.dataset(events_path, format="parquet").schema.field("ts").type
+    is_nano = pat.is_timestamp(ts_type) and ts_type.unit == "ns"
+    tz_aware = pat.is_timestamp(ts_type) and ts_type.tz is not None
+
+    if is_nano:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ts_field = StructField("ts", LongType())
+    elif tz_aware:
+        from pyspark.sql.types import TimestampType
+
+        ts_field = StructField("ts", TimestampType())
+    else:
+        ts_field = StructField("ts", TimestampNTZType())
+
     schema = StructType(
         [
             StructField("event_id", LongType()),
-            StructField("ts", LongType()),
+            ts_field,
             StructField("user_id", LongType()),
             StructField("event_type", StringType()),
             StructField("value", DoubleType()),
@@ -68,9 +91,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
-    )
+    if is_nano:
+        raw = raw.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)")
+        )
+    elif tz_aware:
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return raw
 
 
 def windowed_event_stats(
