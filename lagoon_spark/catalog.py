@@ -88,6 +88,39 @@ def _now() -> str:
     return datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
 
 
+# Catalog layout version. v1 = the pre-dbmeta layout (no version file);
+# v2 records the version in dbmeta and reconciles every table to the
+# current column set. Bump this and add a _MIGRATIONS entry whenever the
+# layout changes.
+CATALOG_VERSION = 2
+
+
+def _migrate_1_to_2(cat: "Catalog") -> None:
+    """v1 → v2: schema-reconcile each catalog table — add any column the
+    current layout has that the stored file lacks (with type-appropriate
+    defaults), drop nothing. Opens warehouses written before the version
+    file existed."""
+    defaults = {"int64": 0, "bool": False, "object": None}
+    for table, spec in _TABLES.items():
+        p = cat._path(table)
+        if not os.path.exists(p):
+            continue
+        df = pd.read_parquet(p)
+        changed = False
+        for col, dtype in spec.items():
+            if col not in df.columns:
+                df[col] = pd.Series(
+                    [defaults[dtype]] * len(df), dtype=dtype, index=df.index
+                )
+                changed = True
+        if changed:
+            df = df[[c for c in spec] + [c for c in df.columns if c not in spec]]
+            df.to_parquet(p, index=False)
+
+
+_MIGRATIONS = {1: _migrate_1_to_2}
+
+
 class Catalog:
     def __init__(self, warehouse: str):
         self.warehouse = warehouse
@@ -118,16 +151,63 @@ class Catalog:
         self._cache[table].to_parquet(self._path(table), index=False)
 
     def init_db(self, reset: bool = False) -> None:
-        """A29: create (or reset) the catalog storage."""
+        """A29: create (or reset) the catalog storage; an existing
+        warehouse written by an older layout is upgraded in place
+        through the migration chain first."""
         if reset:
             import shutil
 
             if os.path.exists(self.warehouse):
                 shutil.rmtree(self.warehouse)
         os.makedirs(self.dir, exist_ok=True)
+        if not reset and self.schema_version() > 0:
+            self.migrate()
         for t in _TABLES:
             if reset or not os.path.exists(self._path(t)):
                 self.save(t, self._empty(t))
+        self._write_version(CATALOG_VERSION)
+
+    # -- schema migrations (A29; `DB/Migration.hs:71-120` parity) -----------
+
+    def schema_version(self) -> int:
+        """0 = empty warehouse, 1 = pre-dbmeta layout (rounds 1-2),
+        else the recorded version."""
+        p = self._path("dbmeta")
+        if os.path.exists(p):
+            meta = pd.read_parquet(p)
+            hit = meta[meta["key"] == "schema_version"]
+            if len(hit):
+                return int(hit.iloc[0]["value"])
+        if any(os.path.exists(self._path(t)) for t in _TABLES):
+            return 1
+        return 0
+
+    def _write_version(self, version: int) -> None:
+        os.makedirs(self.dir, exist_ok=True)
+        pd.DataFrame(
+            [{"key": "schema_version", "value": str(version)}]
+        ).to_parquet(self._path("dbmeta"), index=False)
+
+    def migrate(self) -> int:
+        """Chain migrations version-by-version up to CATALOG_VERSION
+        (the reference walks its migration list the same way,
+        `src/backend/src/Lagoon/DB/Migration.hs:71-120`). Returns the
+        final version. Unknown future versions fail loudly."""
+        v = self.schema_version()
+        if v > CATALOG_VERSION:
+            raise RuntimeError(
+                f"warehouse schema v{v} is newer than this engine "
+                f"(v{CATALOG_VERSION}); refusing to downgrade"
+            )
+        while v < CATALOG_VERSION:
+            step = _MIGRATIONS.get(v)
+            if step is None:
+                raise RuntimeError(f"no migration from catalog schema v{v}")
+            step(self)
+            v += 1
+            self._write_version(v)
+            self._cache.clear()
+        return v
 
     # -- sources / versions (A14, A15) --------------------------------------
 

@@ -65,3 +65,42 @@ def with_ix(df: DataFrame, ix_col: str = "ix") -> DataFrame:
     )
     ix = (base_map[key] + (F.col("__mid") - min_map[key]) + 1).cast("long")
     return tagged.withColumn(ix_col, ix).drop("__mid", "__pid", "__file")
+
+
+def dense_order_ix(df: DataFrame, order_col: str, out_col: str = "ix"):
+    """Dense 1-based rank of ``order_col`` (values must be unique)
+    without a single-task global window.
+
+    Range-partition on the order column (parallel shuffle, sampled
+    boundaries), then per-partition ``row_number`` plus a broadcast
+    prefix-offset map — the ix-assignment scheme shared with
+    :func:`with_ix`. ``repartitionByRange`` resamples boundaries per
+    job, so the frame is persisted to pin ONE materialization for both
+    the metadata-sized count job and the numbering job.
+
+    Returns ``(out_df, pinned)``; the caller must ``pinned.unpersist()``
+    after materializing ``out_df`` (e.g. after the parquet write).
+    """
+    from pyspark.sql import Window as W
+
+    ranged = (
+        df.repartitionByRange(F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = ranged.groupBy("__pid").count().collect()  # metadata-sized
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[int(row["__pid"])] = acc
+        acc += int(row["count"])
+    if not offsets:  # zero rows
+        return ranged.withColumn(out_col, F.lit(0).cast("long")).drop("__pid"), ranged
+    off_map = F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+    )
+    local_w = W.partitionBy("__pid").orderBy(order_col)
+    out = ranged.withColumn(
+        out_col, (off_map[F.col("__pid")] + F.row_number().over(local_w)).cast("long")
+    ).drop("__pid")
+    return out, ranged

@@ -62,7 +62,10 @@ def hll_distinct(
     NULL values are ignored (COUNT DISTINCT semantics). The hash domain
     assumes ``|value| < 2^31`` so ``value * KNUTH`` stays inside int64
     (Spark would wrap silently, DuckDB would error — staying in range
-    keeps both exact); wider keys should pre-hash to 32 bits.
+    keeps both exact); wider keys should pre-hash to 32 bits. Negative
+    values are folded into the non-negative residue class up front
+    (``pmod``) — Spark's truncating and DuckDB's flooring division
+    diverge on negatives, so everything downstream stays non-negative.
     """
     df = df.filter(F.col(value_col).isNotNull())
     m = 1 << p
@@ -70,7 +73,7 @@ def hll_distinct(
     max_rho = w_bits + 1
     alpha = 0.7213 / (1.0 + 1.079 / m)
 
-    h = _mix_spark((F.col(value_col).cast("long") * F.lit(KNUTH)) % F.lit(M32))
+    h = _mix_spark(F.pmod(F.col(value_col).cast("long") * F.lit(KNUTH), F.lit(M32)))
     bucket = (h / F.lit(1 << w_bits)).cast("long")
     w = h % F.lit(1 << w_bits)
     rho = F.when(w == 0, F.lit(max_rho)).otherwise(
@@ -113,7 +116,7 @@ def hll_oracle_sql(
     return f"""
 WITH h0 AS (
   SELECT {gc},
-         (CAST({value_col} AS BIGINT) * {KNUTH}) % {M32} AS hh
+         ((CAST({value_col} AS BIGINT) * {KNUTH}) % {M32} + {M32}) % {M32} AS hh
   FROM {table}
   WHERE {value_col} IS NOT NULL
 ),

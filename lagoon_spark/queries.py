@@ -47,8 +47,47 @@ class QueryDef:
 
 _REGISTRY: dict[str, QueryDef] = {}
 
+# Driver-gate naming: the correctness driver samples registry keys that
+# look like q<NN>_..., so every extension entry carries a pinned q-number
+# prefix in its canonical key (e.g. ``q59_d01_text_stats``). The numbers
+# are explicit — adding a query never renumbers an existing one — and
+# the short name still resolves through ``get_query``/``registry``
+# lookups via this map.
+_DRIVER_PREFIX = {
+    "c01_stratified_sample": "q51", "c02_train_val_test_split": "q52",
+    "c03_chunk_documents": "q53", "c04_corpus_mixture": "q54",
+    "c05_global_shuffle": "q55", "c06_pack_sequences": "q56",
+    "c07_e2e_corpus_pipeline": "q57", "c08_token_budget_mix": "q58",
+    "d01_text_stats": "q59", "d02_lang_id": "q60",
+    "d03_fingerprint": "q61", "d04_exact_dup_clusters": "q62",
+    "d05_dedup_keep_first": "q63", "d06_minhash_lsh_pairs": "q64",
+    "d07_simhash": "q65", "d08_ngram_jaccard_pairs": "q66",
+    "d09_bpe_token_count": "q67", "d10_quality_filter": "q68",
+    "d11_neardup_clusters": "q69", "d12_vocabulary": "q70",
+    "d13_hll_distinct": "q71", "d14_cms_token_counts": "q72",
+    "d15_pii_redaction": "q73", "d16_boilerplate_removal": "q74",
+    "d17_histogram_quantiles": "q75", "d18_repetition_score": "q76",
+    "d19_decontamination": "q77",
+    "m01_asset_metadata": "q78", "m02_byte_features": "q79",
+    "m03_frame_sample": "q80", "m04_image_decode": "q81",
+    "s01_cosine_topk": "q82", "s02_cosine_pairs_blocked": "q83",
+    "s03_rp_lsh_buckets": "q84", "s04_lsh_ann_topk": "q85",
+    "s05_ivf_cells": "q86", "s06_bm25_topk": "q87",
+    "s07_quantize_embeddings": "q88", "s08_kmeans_cells": "q89",
+    "st01_windowed_event_stats": "q90", "st02_sessionize": "q91",
+    "st03_stateful_user_counts": "q92", "st04_hierarchical_rollup": "q93",
+    "st05_stream_dedup": "q94", "st06_stream_stream_join": "q95",
+    "st07_running_user_totals": "q96",
+    "t01_asof_join": "q97", "t02_range_join": "q98",
+}
+
+_SHORT_NAME = {f"{p}_{short}": short for short, p in _DRIVER_PREFIX.items()}
+
 
 def _register(q: QueryDef) -> None:
+    prefix = _DRIVER_PREFIX.get(q.name)
+    if prefix:
+        q.name = f"{prefix}_{q.name}"
     _REGISTRY[q.name] = q
 
 
@@ -861,6 +900,31 @@ _register(
     )
 )
 
+# Native WITH RECURSIVE (Spark 4 RecursiveUnion; reference surface
+# QueryPlan.hs:167 RecursiveUnion). Same ancestor closure as q39, but
+# expressed as SQL text — the form a /sql user would POST — instead of
+# the driver-controlled fixpoint loop.
+sql_query(
+    "q99_recursive_cte_sql",
+    "WITH RECURSIVE ancestor closure as native SQL (RecursiveUnion).",
+    """
+WITH RECURSIVE anc AS (
+  SELECT n_nationkey AS node, n_nationkey DIV 2 AS anc FROM nation WHERE n_nationkey > 0
+  UNION ALL
+  SELECT node, anc DIV 2 FROM anc WHERE anc > 0
+)
+SELECT node, anc FROM anc
+""",
+    """
+WITH RECURSIVE anc AS (
+  SELECT n_nationkey AS node, n_nationkey // 2 AS anc FROM nation WHERE n_nationkey > 0
+  UNION ALL
+  SELECT node, anc // 2 FROM anc WHERE anc > 0
+)
+SELECT node, anc FROM anc
+""",
+)
+
 # ---------------------------------------------------------------------------
 # Ranking window-function family (QueryPlan.hs:176 WindowAgg;
 # dplyrlagoon.r:112-131 window variants)
@@ -1182,7 +1246,13 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def get_query(name: str) -> QueryDef:
-    return _REGISTRY[name]
+    """Fetch by canonical key or by the extension short name."""
+    if name in _REGISTRY:
+        return _REGISTRY[name]
+    prefix = _DRIVER_PREFIX.get(name)
+    if prefix:
+        return _REGISTRY[f"{prefix}_{name}"]
+    raise KeyError(name)
 
 
 # register the training-data pipeline queries (import side effect; the

@@ -182,6 +182,17 @@ def test_json_invalid_fails(lagoon, tmp_path):
         lagoon.ingest(path, "bad")
 
 
+def test_jsonl_extension_routes_to_json(lagoon, tmp_path):
+    """.jsonl/.ndjson are JSON ingests, not CSV (a .jsonl routed to the
+    tabular path ate the first line as a header — found by
+    bench_ingest)."""
+    p = _write(tmp_path, "vals.jsonl", '{"x": 1}\n{"x": 2}\n{"x": 3}\n')
+    info = lagoon.ingest(p, "jl")
+    assert info.format == "json"
+    assert info.row_count == 3
+    assert info.json_type == '{"x":number}'
+
+
 def test_suid_dedup(lagoon, tmp_path):
     p = _write(tmp_path, "s.csv", SIMPLE)
     i1 = lagoon.ingest(p, "suid1", source_identifier="HASH123")
@@ -219,6 +230,15 @@ def test_sql_passthrough_and_security(lagoon, tmp_path):
         ).collect()[0].n
         == 3
     )
+    # recursive CTEs pass the walker (UnresolvedWith + self-reference
+    # resolved through cte_names) and execute natively (Spark 4
+    # RecursiveUnion; reference surface QueryPlan.hs:167)
+    rows = lagoon.sql(
+        "WITH RECURSIVE t(n) AS (SELECT CAST(a AS INT) FROM sec_v1_typed "
+        "UNION ALL SELECT n+10 FROM t WHERE n < 25) "
+        "SELECT count(*) AS c FROM t"
+    ).collect()
+    assert rows[0].c == 12  # {1,2,3} then +10 three times (guard n<25)
 
 
 def test_scalar_function_screening(lagoon, tmp_path):
@@ -325,6 +345,50 @@ def test_delete_compacted_version_keeps_siblings(lagoon, tmp_path):
     assert os.path.exists(table_path)
     lagoon.delete_source(i2)
     assert not os.path.exists(table_path)
+
+
+def test_catalog_migration_from_v1(spark, tmp_path):
+    """A29: init_db opens a pre-dbmeta (round-1-format) warehouse and
+    upgrades it in place — version file written, missing columns added,
+    existing data preserved, engine queries work."""
+    from lagoon_spark.catalog import CATALOG_VERSION, Catalog
+
+    # build a v2 warehouse the normal way, then strip it down to the
+    # v1 layout: remove dbmeta and drop a column an old layout lacked
+    wh = str(tmp_path / "warehouse")
+    lg = Lagoon(spark, wh, user="tester")
+    lg.init_db()
+    p = tmp_path / "m.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    lg.ingest(str(p), "mig")
+    import os
+
+    import pandas as pd
+
+    cat_dir = os.path.join(wh, "catalog")
+    os.unlink(os.path.join(cat_dir, "dbmeta.parquet"))
+    sp = os.path.join(cat_dir, "sources.parquet")
+    pd.read_parquet(sp).drop(columns=["json_type"]).to_parquet(sp, index=False)
+
+    cat = Catalog(wh)
+    assert cat.schema_version() == 1
+    lg2 = Lagoon(spark, wh, user="tester")
+    lg2.init_db()  # runs the migration chain
+    assert lg2.catalog.schema_version() == CATALOG_VERSION
+    info = lg2.catalog.get_source("mig")
+    assert info.row_count == 2 and info.json_type is None
+    assert lg2.sql("SELECT count(*) AS n FROM mig_v1_typed").collect()[0].n == 2
+
+
+def test_catalog_refuses_future_schema(tmp_path):
+    from lagoon_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat._write_version(99)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="newer"):
+        cat.migrate()
 
 
 def test_extra_data_ingest(lagoon, tmp_path):

@@ -7,10 +7,9 @@ from __future__ import annotations
 
 import pytest
 
-from lagoon_spark.queries import registry
+from lagoon_spark.queries import get_query
 from lagoon_spark.session import register_views
 
-QS = registry()
 
 
 def _plan(df) -> str:
@@ -23,7 +22,7 @@ def _views(spark, sf_small):
 
 
 def test_star_join_broadcasts_all_dimensions(spark, sf_small):
-    plan = _plan(QS["q02_revenue_by_nation"].spark_fn(spark, sf_small))
+    plan = _plan(get_query("q02_revenue_by_nation").spark_fn(spark, sf_small))
     # every dim side arrives broadcast; the fact table never shuffles
     # before the partial aggregate
     assert plan.count("BroadcastHashJoin") == 4
@@ -31,19 +30,19 @@ def test_star_join_broadcasts_all_dimensions(spark, sf_small):
 
 
 def test_scan_pushdown_and_pruning(spark, sf_small):
-    plan = _plan(QS["q02_revenue_by_nation"].spark_fn(spark, sf_small))
+    plan = _plan(get_query("q02_revenue_by_nation").spark_fn(spark, sf_small))
     assert "PushedFilters: [IsNotNull" in plan
     # region scan must push the literal filter down to parquet
     assert "EqualTo(r_name,ASIA)" in plan
 
 
 def test_aggregate_is_partial_before_shuffle(spark, sf_small):
-    plan = _plan(QS["q01_pricing_summary"].spark_fn(spark, sf_small))
+    plan = _plan(get_query("q01_pricing_summary").spark_fn(spark, sf_small))
     assert "partial_sum" in plan or "partial_count" in plan
 
 
 def test_topk_uses_heap_not_global_sort(spark, sf_small):
-    plan = _plan(QS["s01_cosine_topk"].spark_fn(spark, sf_small))
+    plan = _plan(get_query("s01_cosine_topk").spark_fn(spark, sf_small))
     assert "TakeOrderedAndProject" in plan
 
 
@@ -52,19 +51,19 @@ def test_lsh_pairs_have_no_postjoin_aggregation(spark, sf_small):
     no aggregation keyed on the emitted pairs anywhere in the plan
     (the old implementation dedup'd band collisions with a
     groupBy(id_a, id_b) shuffle over millions of rows; SCALE.md §3)."""
-    plan = _plan(QS["d06_minhash_lsh_pairs"].spark_fn(spark, sf_small))
+    plan = _plan(get_query("d06_minhash_lsh_pairs").spark_fn(spark, sf_small))
     assert "HashAggregate(keys=[id_a" not in plan
     assert "hashpartitioning(id_a" not in plan
 
 
 def test_text_stats_stay_jvm_side(spark, sf_small):
     for name in ("d01_text_stats", "d02_lang_id", "d03_fingerprint", "d07_simhash"):
-        plan = _plan(QS[name].spark_fn(spark, sf_small))
+        plan = _plan(get_query(name).spark_fn(spark, sf_small))
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
 
 
 def test_whole_stage_codegen_on_relational_plane(spark, sf_small):
-    df = QS["q01_pricing_summary"].spark_fn(spark, sf_small)
+    df = get_query("q01_pricing_summary").spark_fn(spark, sf_small)
     df.collect()  # codegen markers appear in the AQE final plan only
     plan = _plan(df)
     # "*(n)" prefixes mark operators inside whole-stage-codegen spans
@@ -75,13 +74,13 @@ def test_cms_probe_join_broadcasts_sketch(spark, sf_small):
     """The d*W-cell sketch and the exact-count table are the broadcast
     sides; a shuffle join keyed on sketch cells would defeat the point
     of summarizing 100 TB into KBs."""
-    plan = _plan(QS["d14_cms_token_counts"].spark_fn(spark, sf_small))
+    plan = _plan(get_query("d14_cms_token_counts").spark_fn(spark, sf_small))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
 
 
 def test_pii_redaction_is_map_only(spark, sf_small):
-    plan = _plan(QS["d15_pii_redaction"].spark_fn(spark, sf_small))
+    plan = _plan(get_query("d15_pii_redaction").spark_fn(spark, sf_small))
     assert "Exchange" not in plan  # pure row-local regex chain
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
@@ -91,11 +90,34 @@ def test_histogram_quantiles_no_global_sort_of_data(spark, sf_small):
     the only wide exchange is the bin groupBy (partial-aggregated);
     sorts appear only inside the per-group window over the tiny
     histogram, never as a data-sized range partitioning."""
-    plan = _plan(QS["d17_histogram_quantiles"].spark_fn(spark, sf_small))
+    plan = _plan(get_query("d17_histogram_quantiles").spark_fn(spark, sf_small))
     assert "rangepartitioning" not in plan.lower()
     assert "partial_count" in plan
 
 
 def test_quantize_embeddings_map_only(spark, sf_small):
-    plan = _plan(QS["s07_quantize_embeddings"].spark_fn(spark, sf_small))
+    plan = _plan(get_query("s07_quantize_embeddings").spark_fn(spark, sf_small))
     assert "Exchange" not in plan
+
+
+def test_dense_order_ix_no_single_partition_exchange(spark):
+    """Compaction's ix assignment (ingest/rowid.dense_order_ix) must not
+    funnel the data through one task: the window runs per range
+    partition, so the plan carries no SinglePartition exchange — the
+    round-1/2 verdict's compaction scale-killer, asserted closed."""
+    from pyspark.sql import functions as F
+
+    from lagoon_spark.ingest.rowid import dense_order_ix
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") * 7919 % 100003).alias("ord"), F.col("id").alias("payload")
+    )
+    out, pinned = dense_order_ix(df, "ord")
+    try:
+        plan = _plan(out)
+        assert "SinglePartition" not in plan
+        rows = out.orderBy("ord").collect()
+        # dense 1-based, ascending with ord
+        assert [r["ix"] for r in rows] == list(range(1, 10001))
+    finally:
+        pinned.unpersist()
