@@ -34,11 +34,22 @@ from lagoon_spark.ingest.rowid import with_ix
 
 
 class Lagoon:
-    def __init__(self, spark: SparkSession, warehouse: str, user: str = "unknown"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        user: str = "unknown",
+        default_public: bool = False,
+    ):
+        """``default_public`` mirrors the reference server's
+        sources-default-public setting: new datasets become public at
+        the ``update`` level (anyone can download / add versions, not
+        manage) unless the ingest overrides it."""
         self.spark = spark
         self.warehouse = warehouse
         self.catalog = Catalog(warehouse)
         self.user = user
+        self.default_public = default_public
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -68,6 +79,7 @@ class Lagoon:
         source_identifier: str | None = None,
         peek_rows: int = 1000,
         file_type: str | None = None,
+        public: bool | None = None,
         progress=None,
     ) -> SourceInfo:
         # A17: source-identifier dedup — if a source already carries the
@@ -77,6 +89,37 @@ class Lagoon:
             hits = self.catalog.find_by_tag(f"SUID:{source_identifier}")
             if hits:
                 return self.catalog.get_source_by_ix(hits[0])
+
+        # A28 enforcement (the reference's security suite scenario):
+        # a NEW dataset name needs the CREATE capability; a new VERSION
+        # of an existing name needs ≥ update on it (or ownership/admin)
+        from lagoon_spark import security as _sec
+
+        existing_versions = self.catalog.versions(name)
+        if existing_versions:
+            # dataset rights anchor on the dataset, not on who uploaded
+            # the latest version: the creator (v1 owner) always may, and
+            # an update grant/public level on ANY version counts (the
+            # reference attaches ACLs to the sourcename)
+            creator = self.catalog.get_source(name, existing_versions[0]).added_by
+            level = max(
+                _sec.user_level(
+                    self.catalog,
+                    self.user,
+                    self.catalog.get_source(name, v).ix,
+                )
+                for v in existing_versions
+            )
+            if not (
+                _sec.is_admin(self.user)
+                or creator == self.user
+                or level >= _sec.LEVELS["update"]
+            ):
+                raise _sec.PermissionDenied(
+                    f"{self.user!r} may not add a version to {name!r}"
+                )
+        elif not _sec.has_capability(self.catalog, self.user, "create"):
+            raise _sec.PermissionDenied(f"{self.user!r} may not create datasets")
 
         # A26: input acquisition — URL fetch / single-entry zip spool
         # (`Ingest.hs:580-691`); the original location is recorded as
@@ -155,6 +198,10 @@ class Lagoon:
             self.catalog.tag(info.ix, t)
         if source_identifier is not None:
             self.catalog.tag(info.ix, f"SUID:{source_identifier}")
+        # visibility: explicit override > engine default; public datasets
+        # sit at the update level (download + new versions, no manage)
+        if public if public is not None else self.default_public:
+            _sec.set_public(self.catalog, info.ix, True, level="update")
         out = self.catalog.get_source_by_ix(info.ix)
         emit({"event": "done", "ix": out.ix, "version": out.version, "rows": out.row_count})
         return out
@@ -447,6 +494,17 @@ class Lagoon:
     def delete_source(self, info: SourceInfo) -> None:
         import shutil
 
+        from lagoon_spark import security as _sec
+
+        if not (
+            _sec.is_admin(self.user)
+            or info.added_by == self.user
+            or _sec.can_manage(self.catalog, self.user, info.ix)
+        ):
+            raise _sec.PermissionDenied(
+                f"{self.user!r} may not delete {info.name!r} v{info.version}"
+            )
+
         # a compacted version shares its physical table with its
         # siblings — only remove a directory no other catalog row
         # still references
@@ -522,6 +580,16 @@ class Lagoon:
         newline-separated raw JSON — byte-roundtrips the ingest,
         `Download.hs:47-139`). Iterates `toLocalIterator`, so driver
         memory stays constant."""
+        from lagoon_spark import security as _sec
+
+        if not (
+            _sec.is_admin(self.user)
+            or info.added_by == self.user
+            or _sec.can_read(self.catalog, self.user, info.ix)
+        ):
+            raise _sec.PermissionDenied(
+                f"{self.user!r} may not download {info.name!r} v{info.version}"
+            )
         if fmt is None:
             fmt = "json" if info.format == "json" else "csv"
         df = self.dataframe(info, typed=False).orderBy("ix")

@@ -8,6 +8,9 @@ users rely on. ``json_ops`` re-expresses that family over Spark.
 
 from lagoon_spark.functions.json_ops import (
     json_get,
+    jsonb_concat,
+    jsonb_delete_key,
+    jsonb_delete_path,
     json_get_text,
     json_path,
     json_path_text,
@@ -20,6 +23,9 @@ from lagoon_spark.functions.json_ops import (
 
 __all__ = [
     "json_get",
+    "jsonb_concat",
+    "jsonb_delete_key",
+    "jsonb_delete_path",
     "json_get_text",
     "json_path",
     "json_path_text",

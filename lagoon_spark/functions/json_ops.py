@@ -148,3 +148,107 @@ def jsonb_contained(col: str | Column, hay_json: str) -> Column:
         return s.map(one)
 
     return contained(_c(col))
+
+
+# -- modifiers (`-`, `#-`, `||`) --------------------------------------------
+#
+# Postgres jsonb modifiers return jsonb; there is no Spark built-in for
+# JSON mutation, so these are Arrow-vectorized UDFs. Output text is
+# canonicalized (sorted keys, no whitespace) — Postgres jsonb likewise
+# re-serializes in its own canonical key order, so queries must not
+# depend on the raw byte order of either engine's output; compare via
+# extraction (`json_object_keys`, `get_json_object`) instead.
+
+
+def _dump(obj) -> str:
+    return json.dumps(obj, separators=(",", ":"), sort_keys=True)
+
+
+def jsonb_delete_key(col: str | Column, key: str | int) -> Column:
+    """``col - 'key'`` / ``col - index``: remove an object key, a
+    matching string element, or an array element by (negative-ok)
+    index — the Postgres ``-`` operator."""
+    @pandas_udf("string")
+    def delete(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                obj = json.loads(v)
+            except ValueError:
+                return None
+            if isinstance(obj, dict):
+                if isinstance(key, str):
+                    obj.pop(key, None)
+            elif isinstance(obj, list):
+                if isinstance(key, str):
+                    obj = [x for x in obj if x != key]
+                elif -len(obj) <= key < len(obj):
+                    obj = obj[:key] + obj[key + 1 :] if key >= 0 else (
+                        obj[: len(obj) + key] + obj[len(obj) + key + 1 :]
+                    )
+            return _dump(obj)
+
+        return s.map(one)
+
+    return delete(_c(col))
+
+
+def jsonb_delete_path(col: str | Column, keys: list[str | int]) -> Column:
+    """``col #- '{a,b,...}'``: remove the value at a path
+    (object keys / array indexes along the way)."""
+    @pandas_udf("string")
+    def delete_path(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                obj = json.loads(v)
+            except ValueError:
+                return None
+            node = obj
+            for k in keys[:-1]:
+                if isinstance(node, dict) and isinstance(k, str) and k in node:
+                    node = node[k]
+                elif isinstance(node, list) and isinstance(k, int) and -len(node) <= k < len(node):
+                    node = node[k]
+                else:
+                    return _dump(obj)  # path absent → unchanged (PG behavior)
+            last = keys[-1]
+            if isinstance(node, dict) and isinstance(last, str):
+                node.pop(last, None)
+            elif isinstance(node, list) and isinstance(last, int) and -len(node) <= last < len(node):
+                del node[last]
+            return _dump(obj)
+
+        return s.map(one)
+
+    return delete_path(_c(col))
+
+
+def jsonb_concat(col: str | Column, other_json: str) -> Column:
+    """``col || other``: shallow object merge (right wins), array
+    concatenation, scalar-to-array promotion — the Postgres ``||``
+    operator with a constant right side."""
+    other = json.loads(other_json)
+
+    @pandas_udf("string")
+    def concat(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                obj = json.loads(v)
+            except ValueError:
+                return None
+            if isinstance(obj, dict) and isinstance(other, dict):
+                merged = dict(obj)
+                merged.update(other)
+                return _dump(merged)
+            left = obj if isinstance(obj, list) else [obj]
+            right = other if isinstance(other, list) else [other]
+            return _dump(left + right)
+
+        return s.map(one)
+
+    return concat(_c(col))

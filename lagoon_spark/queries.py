@@ -855,6 +855,54 @@ _register(
 )
 
 
+# jsonb modifiers (`-`, `||`; `functions/json_ops.py` also ships `#-`).
+# Raw modifier output is engine-canonical text, so the comparison rides
+# extraction (sorted key list + one extracted value), never raw bytes.
+_Q100_ORACLE = """
+WITH m AS (
+  SELECT json_merge_patch(json_merge_patch(props, '{"k":null}'), '{"z":"w"}') AS stamped
+  FROM events
+)
+SELECT array_to_string(list_sort(json_keys(stamped)), ',') AS keys_after,
+       json_extract_string(stamped, '$.z') AS z,
+       COUNT(*) AS n
+FROM m GROUP BY keys_after, z
+"""
+
+
+def _q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from lagoon_spark.functions import jsonb_concat, jsonb_delete_key
+
+    register_views(spark, sf_dir)
+    stamped = jsonb_concat(
+        jsonb_delete_key(F.col("props"), "k"), '{"z":"w"}'
+    )
+    return (
+        spark.table("events")
+        .select(stamped.alias("stamped"))
+        .select(
+            F.concat_ws(",", F.sort_array(F.json_object_keys("stamped"))).alias(
+                "keys_after"
+            ),
+            F.get_json_object("stamped", "$.z").alias("z"),
+        )
+        .groupBy("keys_after", "z")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_register(
+    QueryDef(
+        "q100_jsonb_modifiers",
+        "Postgres jsonb modifier operators - and || (delete key, shallow merge).",
+        _q100,
+        _Q100_ORACLE,
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # Recursive CTE (QueryPlan.hs:167 RecursiveUnion) — Spark has none;
 # the Spark-native pattern is a driver-controlled iterative union with

@@ -40,6 +40,13 @@ import pandas as pd
 # "[simple_name]" with no quoting, commas, or nested brackets
 _SIMPLE_FN_IDENT = re.compile(r"^\[([A-Za-z_][A-Za-z0-9_]*)\]$")
 
+# relations may be multi-part ([db, table]) and view names may carry
+# unicode (sanitize keeps it), but each part must be quote/bracket/
+# comma/space-free so the comma split cannot mis-tokenize
+_SIMPLE_REL_IDENT = re.compile(
+    r"^\[([^\s,\[\]`'\"]+(?:,\s*[^\s,\[\]`'\"]+)*)\]$"
+)
+
 LEVELS = {"read": 1, "update": 2, "manage": 3}  # DB/Schema.hs:83-93
 
 # Logical operator classes a read-only SELECT can produce (the Spark
@@ -191,10 +198,21 @@ def _walk(
                     cte_names.add(str(item["_1"]).lower())
         if simple == "UnresolvedRelation":
             ident = node.get("multipartIdentifier")
-            if isinstance(ident, str):
-                parts = [p.strip() for p in ident.strip("[]").split(",")]
+            if isinstance(ident, list):
+                parts = [str(p) for p in ident]
+            elif isinstance(ident, str):
+                # same safe-shape rule as function identifiers: plain
+                # [a] / [a, b] only — backtick-quoted names with commas
+                # or brackets inside are not tokenized (they would
+                # mis-split); deny explicitly instead
+                m = _SIMPLE_REL_IDENT.match(ident)
+                if not m:
+                    raise QueryDenied(
+                        "Unparseable relation identifier (fail closed)"
+                    )
+                parts = [p.strip() for p in m.group(1).split(",")]
             else:
-                parts = [str(p) for p in (ident or [])]
+                raise QueryDenied("Unparseable relation identifier (fail closed)")
             relations.add(parts[-1].lower())
             continue
         # the operator allowlist applies to logical-plan operators; the
@@ -230,9 +248,21 @@ def _walk_nested(v, relations, cte_names, functions=None) -> None:
 _SEC_TABLES = {
     "groups": {"ix": "int64", "name": "object"},
     "group_members": {"group_ix": "int64", "user": "object"},
+    "group_managers": {"group_ix": "int64", "user": "object"},
     "grants": {"source_ix": "int64", "subject_type": "object", "subject": "object", "level": "object"},
-    "public_sources": {"source_ix": "int64"},
+    "public_sources": {"source_ix": "int64", "level": "object"},
+    "user_caps": {"user": "object", "capability": "object", "allowed": "bool"},
 }
+
+# the administrator principal (the reference authenticates an admin via
+# the DB admin password, `runsecuritytests.sh:75`; the library analog is
+# a distinguished username every check passes)
+ADMIN = "admin"
+
+# global capabilities (`DB/Schema.hs` users table flags): granted by
+# default, explicitly revocable — CREATEGROUP gates create_group,
+# CREATE gates ingesting a *new* dataset name
+CAPABILITIES = {"create", "creategroup"}
 
 
 def _sec_load(catalog, table: str) -> pd.DataFrame:
@@ -253,26 +283,111 @@ def _sec_save(catalog, table: str, df: pd.DataFrame) -> None:
     )
 
 
-def create_group(catalog, name: str) -> int:
+class PermissionDenied(Exception):
+    pass
+
+
+def is_admin(user: str | None) -> bool:
+    return user == ADMIN
+
+
+def set_capability(catalog, user: str, capability: str, allowed: bool) -> None:
+    """Grant/revoke a global capability (admin operation — the library
+    analog of `manage-user --grant/--revoke`)."""
+    if capability not in CAPABILITIES:
+        raise ValueError(capability)
+    caps = _sec_load(catalog, "user_caps")
+    caps = caps[~((caps["user"] == user) & (caps["capability"] == capability))]
+    _sec_save(catalog, "user_caps", pd.concat([caps, pd.DataFrame([{
+        "user": user, "capability": capability, "allowed": allowed,
+    }])], ignore_index=True))
+
+
+def has_capability(catalog, user: str, capability: str) -> bool:
+    """Capabilities default to granted (`runsecuritytests.sh`: 'users
+    can create groups/datasets by default'), explicit revocation wins."""
+    if is_admin(user):
+        return True
+    caps = _sec_load(catalog, "user_caps")
+    hit = caps[(caps["user"] == user) & (caps["capability"] == capability)]
+    if len(hit):
+        return bool(hit.iloc[0]["allowed"])
+    return True
+
+
+def _group_ix(catalog, name: str) -> int | None:
     g = _sec_load(catalog, "groups")
-    if len(g[g["name"] == name]):
-        return int(g[g["name"] == name].iloc[0]["ix"])
+    hit = g[g["name"] == name]
+    return int(hit.iloc[0]["ix"]) if len(hit) else None
+
+
+def create_group(catalog, name: str, actor: str | None = None) -> int:
+    """Create a group; the creator becomes its manager. With an actor,
+    the CREATEGROUP capability is enforced."""
+    if actor is not None and not has_capability(catalog, actor, "creategroup"):
+        raise PermissionDenied(f"{actor!r} may not create groups")
+    existing = _group_ix(catalog, name)
+    if existing is not None:
+        return existing
+    g = _sec_load(catalog, "groups")
     ix = int(g["ix"].max()) + 1 if len(g) else 1
     _sec_save(catalog, "groups", pd.concat([g, pd.DataFrame([{"ix": ix, "name": name}])], ignore_index=True))
+    if actor is not None and not is_admin(actor):
+        mg = _sec_load(catalog, "group_managers")
+        _sec_save(catalog, "group_managers", pd.concat([mg, pd.DataFrame([{
+            "group_ix": ix, "user": actor,
+        }])], ignore_index=True))
     return ix
 
 
-def add_to_group(catalog, group: str, user: str) -> None:
+def is_group_manager(catalog, group: str, user: str) -> bool:
+    if is_admin(user):
+        return True
+    gix = _group_ix(catalog, group)
+    if gix is None:
+        return False
+    mg = _sec_load(catalog, "group_managers")
+    return bool(len(mg[(mg["group_ix"] == gix) & (mg["user"] == user)]))
+
+
+def set_group_manager(catalog, group: str, user: str, manager: bool, actor: str | None = None) -> None:
+    """Grant/revoke manage rights on a group (managers and the admin
+    can do this — 'admins can give other people admin rights')."""
+    if actor is not None and not is_group_manager(catalog, group, actor):
+        raise PermissionDenied(f"{actor!r} does not manage group {group!r}")
+    gix = create_group(catalog, group)
+    mg = _sec_load(catalog, "group_managers")
+    mg = mg[~((mg["group_ix"] == gix) & (mg["user"] == user))]
+    if manager:
+        mg = pd.concat([mg, pd.DataFrame([{"group_ix": gix, "user": user}])], ignore_index=True)
+    _sec_save(catalog, "group_managers", mg)
+
+
+def add_to_group(catalog, group: str, user: str, actor: str | None = None) -> None:
+    """With an actor, only group managers (or admin) may add members —
+    'group membership does not imply manage rights'."""
+    if actor is not None and not is_group_manager(catalog, group, actor):
+        raise PermissionDenied(f"{actor!r} does not manage group {group!r}")
     gix = create_group(catalog, group)
     m = _sec_load(catalog, "group_members")
     if not len(m[(m["group_ix"] == gix) & (m["user"] == user)]):
         _sec_save(catalog, "group_members", pd.concat([m, pd.DataFrame([{"group_ix": gix, "user": user}])], ignore_index=True))
 
 
-def remove_from_group(catalog, group: str, user: str) -> None:
+def remove_from_group(catalog, group: str, user: str, actor: str | None = None) -> None:
+    if actor is not None and not is_group_manager(catalog, group, actor):
+        raise PermissionDenied(f"{actor!r} does not manage group {group!r}")
     gix = create_group(catalog, group)
     m = _sec_load(catalog, "group_members")
     _sec_save(catalog, "group_members", m[~((m["group_ix"] == gix) & (m["user"] == user))])
+
+
+def group_members(catalog, group: str) -> list[str]:
+    gix = _group_ix(catalog, group)
+    if gix is None:
+        return []
+    m = _sec_load(catalog, "group_members")
+    return sorted(m[m["group_ix"] == gix]["user"].tolist())
 
 
 def grant(catalog, source_ix: int, subject: str, level: str, subject_type: str = "user") -> None:
@@ -290,19 +405,46 @@ def revoke(catalog, source_ix: int, subject: str, subject_type: str = "user") ->
     _sec_save(catalog, "grants", g[~((g["source_ix"] == source_ix) & (g["subject_type"] == subject_type) & (g["subject"] == subject))])
 
 
-def set_public(catalog, source_ix: int, public: bool = True) -> None:
+def set_public(
+    catalog,
+    source_ix: int,
+    public: bool = True,
+    level: str = "read",
+    actor: str | None = None,
+    owner: str | None = None,
+) -> None:
+    """Mark a dataset public at an access level (the reference supports
+    a custom public access level, `runsecuritytests.sh` 'CUSTOM PUBLIC
+    ACCESS LEVEL'). With an actor, manage rights are enforced ('public
+    does not give admin rights')."""
+    if level not in LEVELS:
+        raise ValueError(level)
+    if actor is not None and not (
+        is_admin(actor)
+        or actor == owner
+        or user_level(catalog, actor, source_ix) >= LEVELS["manage"]
+    ):
+        raise PermissionDenied(f"{actor!r} may not change visibility of {source_ix}")
     p = _sec_load(catalog, "public_sources")
     p = p[p["source_ix"] != source_ix]
     if public:
-        p = pd.concat([p, pd.DataFrame([{"source_ix": source_ix}])], ignore_index=True)
+        p = pd.concat(
+            [p, pd.DataFrame([{"source_ix": source_ix, "level": level}])],
+            ignore_index=True,
+        )
     _sec_save(catalog, "public_sources", p)
 
 
 def user_level(catalog, user: str, source_ix: int) -> int:
-    """Max access level for user on source (0 = none), via direct grants
-    or group membership (the 'can-read cache' recomputed on demand)."""
+    """Max access level for user on source (0 = none), via the public
+    level, direct grants, or group membership (the 'can-read cache'
+    recomputed on demand)."""
     pub = _sec_load(catalog, "public_sources")
-    level = 1 if len(pub[pub["source_ix"] == source_ix]) else 0
+    mine_pub = pub[pub["source_ix"] == source_ix]
+    level = 0
+    if len(mine_pub):
+        raw = mine_pub.iloc[0].get("level")
+        level = LEVELS.get(raw if isinstance(raw, str) else "read", 1)
     g = _sec_load(catalog, "grants")
     mine = g[g["source_ix"] == source_ix]
     direct = mine[(mine["subject_type"] == "user") & (mine["subject"] == user)]
@@ -320,7 +462,15 @@ def user_level(catalog, user: str, source_ix: int) -> int:
 
 
 def can_read(catalog, user: str, source_ix: int) -> bool:
-    return user_level(catalog, user, source_ix) >= LEVELS["read"]
+    return is_admin(user) or user_level(catalog, user, source_ix) >= LEVELS["read"]
+
+
+def can_update(catalog, user: str, source_ix: int) -> bool:
+    return is_admin(user) or user_level(catalog, user, source_ix) >= LEVELS["update"]
+
+
+def can_manage(catalog, user: str, source_ix: int) -> bool:
+    return is_admin(user) or user_level(catalog, user, source_ix) >= LEVELS["manage"]
 
 
 # --- the verified query entry point --------------------------------------

@@ -77,3 +77,48 @@ def test_null_and_invalid_json(jdf):
     assert out[5] is None
     bad = jdf.sparkSession.createDataFrame([(1, "{not json")], "id long, js string")
     assert _vals(bad.select("id", j.jsonb_contains("js", "{}").alias("c")), "c")[1] is None
+
+
+@pytest.mark.parametrize(
+    "js,key,expect",
+    [
+        ('{"a": 1, "k": 7}', "k", '{"a":1}'),
+        ('{"a": 1}', "k", '{"a":1}'),  # absent key → unchanged
+        ('["x", "y", "x"]', "x", '["y"]'),  # string element removal
+        ('["a", "b", "c"]', 1, '["a","c"]'),  # index removal
+        ('["a", "b", "c"]', -1, '["a","b"]'),  # negative index
+    ],
+)
+def test_jsonb_delete_key(spark, js, key, expect):
+    df = spark.createDataFrame([(js,)], "js string")
+    got = df.select(j.jsonb_delete_key("js", key).alias("d")).collect()[0]["d"]
+    assert got == expect
+
+
+@pytest.mark.parametrize(
+    "js,path,expect",
+    [
+        ('{"a": {"b": 1, "c": 2}}', ["a", "b"], '{"a":{"c":2}}'),
+        ('{"a": [10, 20]}', ["a", 0], '{"a":[20]}'),
+        ('{"a": 1}', ["x", "y"], '{"a":1}'),  # absent path → unchanged
+    ],
+)
+def test_jsonb_delete_path(spark, js, path, expect):
+    df = spark.createDataFrame([(js,)], "js string")
+    got = df.select(j.jsonb_delete_path("js", path).alias("d")).collect()[0]["d"]
+    assert got == expect
+
+
+@pytest.mark.parametrize(
+    "js,other,expect",
+    [
+        ('{"a": 1}', '{"b": 2}', '{"a":1,"b":2}'),
+        ('{"a": 1}', '{"a": 9}', '{"a":9}'),  # right wins
+        ("[1]", "[2, 3]", "[1,2,3]"),
+        ('"x"', "[1]", '["x",1]'),  # scalar promotes to array
+    ],
+)
+def test_jsonb_concat(spark, js, other, expect):
+    df = spark.createDataFrame([(js,)], "js string")
+    got = df.select(j.jsonb_concat("js", other).alias("d")).collect()[0]["d"]
+    assert got == expect

@@ -1,0 +1,171 @@
+"""The reference's security integration scenario as a pytest.
+
+Mirrors `clients/cmdline/test-cases/runsecuritytests.sh` section by
+section: users Alice/Bob/Carol, groups AB/BC/AC, global capabilities
+(CREATEGROUP / CREATE), group manage rights, public-vs-private
+datasets with the leveled public default, and per-dataset custom
+public access levels. The library analog of the admin password is the
+distinguished ``admin`` principal.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lagoon_spark import security as sec
+from lagoon_spark.engine import Lagoon
+from lagoon_spark.security import ADMIN, PermissionDenied, QueryDenied
+
+
+@pytest.fixture()
+def world(spark, tmp_path):
+    """A shared warehouse with a public-by-default engine per user."""
+    wh = str(tmp_path / "wh")
+    engines = {
+        u: Lagoon(spark, wh, user=u, default_public=True)
+        for u in (ADMIN, "alice", "bob", "carol")
+    }
+    engines[ADMIN].init_db()
+    # one shared catalog object so pandas caches stay coherent across
+    # the per-user engine facades
+    for e in engines.values():
+        e.catalog = engines[ADMIN].catalog
+    return engines
+
+
+def _csv(tmp_path, name, text="a,b\n1,x\n2,y\n"):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+def test_group_capability_chain(world):
+    """CREATING GROUPS (`runsecuritytests.sh:78-96`)."""
+    cat = world[ADMIN].catalog
+    # admin creates AB; Bob creates BC by default capability
+    sec.create_group(cat, "AB", actor=ADMIN)
+    sec.create_group(cat, "BC", actor="bob")
+    # admin revokes CREATEGROUP for Carol -> she fails
+    sec.set_capability(cat, "carol", "creategroup", False)
+    with pytest.raises(PermissionDenied):
+        sec.create_group(cat, "AC", actor="carol")
+    # grant back -> she succeeds
+    sec.set_capability(cat, "carol", "creategroup", True)
+    sec.create_group(cat, "AC", actor="carol")
+    assert sec.is_group_manager(cat, "BC", "bob")
+    assert sec.is_group_manager(cat, "AC", "carol")
+
+
+def test_group_management_rights(world):
+    """GROUP MANAGEMENT (`runsecuritytests.sh:98-147`)."""
+    cat = world[ADMIN].catalog
+    sec.create_group(cat, "BC", actor="bob")
+    # creator has manage rights: Bob adds himself, Carol, Alice; then
+    # removes Alice again
+    sec.add_to_group(cat, "BC", "bob", actor="bob")
+    sec.add_to_group(cat, "BC", "carol", actor="bob")
+    sec.add_to_group(cat, "BC", "alice", actor="bob")
+    sec.remove_from_group(cat, "BC", "alice", actor="bob")
+    assert sec.group_members(cat, "BC") == ["bob", "carol"]
+    # membership does not imply manage rights: Carol cannot add Alice
+    with pytest.raises(PermissionDenied):
+        sec.add_to_group(cat, "BC", "alice", actor="carol")
+    # admin has all rights on a group they did not create
+    sec.add_to_group(cat, "BC", "alice", actor=ADMIN)
+    sec.remove_from_group(cat, "BC", "alice", actor=ADMIN)
+    # admin grants Alice manage rights -> she can add herself and Bob
+    sec.set_group_manager(cat, "BC", "alice", True, actor=ADMIN)
+    sec.add_to_group(cat, "BC", "alice", actor="alice")
+    sec.add_to_group(cat, "BC", "bob", actor="alice")
+    # revoked -> she cannot remove Bob anymore
+    sec.set_group_manager(cat, "BC", "alice", False, actor=ADMIN)
+    with pytest.raises(PermissionDenied):
+        sec.remove_from_group(cat, "BC", "bob", actor="alice")
+    # managers can mint other managers, and new managers can demote the
+    # old ones ('admins can revoke other people's admin rights')
+    sec.create_group(cat, "AC", actor="carol")
+    sec.set_group_manager(cat, "AC", "alice", True, actor="carol")
+    sec.set_group_manager(cat, "AC", "carol", False, actor="alice")
+    sec.add_to_group(cat, "AC", "carol", actor="alice")
+    with pytest.raises(PermissionDenied):
+        sec.add_to_group(cat, "AC", "bob", actor="carol")
+
+
+def test_dataset_create_capability(world, tmp_path):
+    """CREATING DATASETS (`runsecuritytests.sh:149-175`)."""
+    cat = world[ADMIN].catalog
+    world[ADMIN].ingest(_csv(tmp_path, "admin.csv"), "admin_ds")
+    world["alice"].ingest(_csv(tmp_path, "alice.csv"), "alice_ds")
+    world["bob"].ingest(_csv(tmp_path, "bob.csv"), "bob_ds")
+    sec.set_capability(cat, "carol", "create", False)
+    with pytest.raises(PermissionDenied):
+        world["carol"].ingest(_csv(tmp_path, "carol.csv"), "carol_ds")
+    sec.set_capability(cat, "carol", "create", True)
+    world["carol"].ingest(_csv(tmp_path, "carol.csv"), "carol_ds")
+
+
+def test_public_vs_private_lifecycle(world, tmp_path):
+    """PUBLIC VERSUS NON-PUBLIC (`runsecuritytests.sh:177-214`)."""
+    cat = world[ADMIN].catalog
+    info = world["bob"].ingest(_csv(tmp_path, "pub.csv"), "bobpub")
+    # public by default: Alice can download AND upload a new version
+    assert "".join(world["alice"].download(info)).startswith("a,b")
+    v2 = world["alice"].ingest(_csv(tmp_path, "pub2.csv"), "bobpub")
+    assert v2.version == 2
+    # ...but public does not give admin rights
+    with pytest.raises(PermissionDenied):
+        sec.set_public(cat, info.ix, False, actor="alice", owner=info.added_by)
+    # the uploader has admin rights: Bob makes it private
+    sec.set_public(cat, info.ix, False, actor="bob", owner=info.added_by)
+    sec.set_public(cat, v2.ix, False, actor=ADMIN, owner=v2.added_by)
+    with pytest.raises(PermissionDenied):
+        list(world["alice"].download(info))
+    with pytest.raises(PermissionDenied):
+        world["alice"].ingest(_csv(tmp_path, "pub3.csv"), "bobpub")
+    with pytest.raises(PermissionDenied):
+        sec.set_public(cat, info.ix, True, actor="alice", owner=info.added_by)
+    # made public again -> Alice can download and update, still not manage
+    sec.set_public(cat, info.ix, True, level="update", actor="bob", owner=info.added_by)
+    latest = cat.get_source("bobpub")
+    sec.set_public(cat, latest.ix, True, level="update", actor=ADMIN, owner=latest.added_by)
+    assert "".join(world["alice"].download(info)).startswith("a,b")
+    world["alice"].ingest(_csv(tmp_path, "pub4.csv"), "bobpub")
+    with pytest.raises(PermissionDenied):
+        sec.set_public(cat, info.ix, False, actor="alice", owner=info.added_by)
+
+
+def test_private_on_ingest_override(world, tmp_path):
+    """OVERRIDE DEFAULT (`runsecuritytests.sh:216-230`): explicit
+    private ingest under a public-by-default engine."""
+    info = world["bob"].ingest(
+        _csv(tmp_path, "priv.csv"), "bobpriv", public=False
+    )
+    with pytest.raises(PermissionDenied):
+        list(world["alice"].download(info))
+    with pytest.raises(QueryDenied):
+        world["alice"].sql("SELECT * FROM bobpriv_v1", user="alice")
+
+
+def test_custom_public_access_level(world, tmp_path):
+    """CUSTOM PUBLIC ACCESS LEVEL (`runsecuritytests.sh:232-`):
+    read-level public allows download but NOT new versions."""
+    cat = world[ADMIN].catalog
+    info = world["bob"].ingest(
+        _csv(tmp_path, "ro.csv"), "bob_ro", public=False
+    )
+    sec.set_public(cat, info.ix, True, level="read", actor="bob", owner="bob")
+    assert "".join(world["alice"].download(info)).startswith("a,b")
+    with pytest.raises(PermissionDenied):
+        world["alice"].ingest(_csv(tmp_path, "ro2.csv"), "bob_ro")
+
+
+def test_delete_requires_manage(world, tmp_path):
+    cat = world[ADMIN].catalog
+    info = world["bob"].ingest(_csv(tmp_path, "del.csv"), "bobdel")
+    with pytest.raises(PermissionDenied):
+        world["alice"].delete_source(info)  # public=update < manage
+    sec.grant(cat, info.ix, "alice", "manage")
+    world["alice"].delete_source(info)
+    # admin can always delete
+    info2 = world["bob"].ingest(_csv(tmp_path, "del2.csv"), "bobdel2")
+    world[ADMIN].delete_source(info2)
