@@ -25,8 +25,16 @@ def main() -> None:
     spark = get_spark("lagoon_spark_bench")
     qs = registry()
 
-    # warm the JVM + parquet footers once (not counted)
+    # warm the JVM + parquet footers + Python/Arrow worker pool once
+    # (not counted) — otherwise the first Pandas-UDF query's recorded
+    # time includes ~1 s of worker startup that is not query cost
     qs["q12_distinct"].spark_fn(spark, sf_dir).count()
+    from pyspark.sql.functions import pandas_udf
+
+    # lambda form: `from __future__ import annotations` stringizes type
+    # hints, which pandas_udf's hint inference cannot read
+    _warm = pandas_udf(lambda s: s, "long")
+    spark.range(1000).select(_warm("id")).count()
 
     timings: dict[str, float] = {}
     for name, q in sorted(qs.items()):

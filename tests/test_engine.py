@@ -303,6 +303,12 @@ def test_compaction_preserves_versions(lagoon, tmp_path):
     ]
     assert before1.startswith("k,x")
     assert before2.count("\r\n") == 5  # header + 4 rows
+    # per-version download byte-identical pre/post compaction — the
+    # reference's runcompactiontests.sh:49-62 property
+    i1 = lagoon.catalog.get_source("compactme", 1)
+    i2 = lagoon.catalog.get_source("compactme", 2)
+    assert "".join(lagoon.download(i1)) == before1
+    assert "".join(lagoon.download(i2)) == before2
 
 
 def test_compacted_views_survive_sql_entry(lagoon, tmp_path):
