@@ -419,7 +419,8 @@ class Lagoon:
             for p, h, t in info.columns
         ]
         self.catalog.set_columns(info.ix, cols)
-        stored = self.spark.read.parquet(self._data_path(info.table_name))
+        # _source_frame applies the version filter for compacted sources
+        stored = self._source_frame(info, typed=False)
         typed_table = info.typed_table_name or f"typed{info.ix}"
         typed_view = info.typed_view_name or f"{info.view_name}_typed"
         typed_df = stored.select(
@@ -446,7 +447,8 @@ class Lagoon:
         """
         if info.format != "tabular":
             raise ValueError("make_typed applies to tabular sources only")
-        stored = self.spark.read.parquet(self._data_path(info.table_name))
+        # _source_frame applies the version filter for compacted sources
+        stored = self._source_frame(info, typed=False)
         phys = [c[0] for c in info.columns]
         friendly = [c[1] for c in info.columns]
         inferred = infer_column_types(stored, phys)

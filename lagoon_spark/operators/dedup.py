@@ -124,7 +124,13 @@ def lsh_candidate_pairs(
             "_", *[F.col("__sig")[b * rows_per_band + r] for r in range(rows_per_band)]
         )
 
-    members = df.select(F.col(sig_col).alias("__sig"), F.col(id_col).alias("__id"))
+    # (id, signature) computed ONCE and pinned: it feeds the within
+    # self-join and both cross-expansion joins — without the persist
+    # the (expensive) signature expressions would recompute from the
+    # source scan once per join
+    members = df.select(
+        F.col(sig_col).alias("__sig"), F.col(id_col).alias("__id")
+    ).persist()
     # one row per distinct signature (at production scale this tiny
     # table is the materialized signature dictionary)
     groups = (
@@ -133,7 +139,7 @@ def lsh_candidate_pairs(
         .withColumn("__keys", F.array(*[band_key(b) for b in range(bands)]))
         .persist()
     )
-    groups.count()  # eager: both join sides read a warm cache
+    groups.count()  # eager: all join sides read a warm cache
 
     # (a) within-group pairs: identical signatures ⇒ est = 1.0; a
     # self-join on the signature emits each unordered pair once
@@ -235,7 +241,11 @@ def neardup_clusters(
             "_", *[F.col("__sig")[b * rows_per_band + r] for r in range(rows_per_band)]
         )
 
-    members = sigs.select(F.col("minhash").alias("__sig"), F.col(id_col).alias("__id"))
+    # pinned for the same reason as in lsh_candidate_pairs: the minhash
+    # expressions must not recompute for the final member join
+    members = sigs.select(
+        F.col("minhash").alias("__sig"), F.col(id_col).alias("__id")
+    ).persist()
     groups = (
         members.groupBy("__sig")
         .agg(F.min("__id").alias("__gid"))

@@ -311,6 +311,40 @@ def test_compaction_preserves_versions(lagoon, tmp_path):
     assert "".join(lagoon.download(i2)) == before2
 
 
+def test_compaction_mixed_widths(lagoon, tmp_path):
+    """Versions with different column counts compact into one table at
+    max width; each version's view slices back to its own columns."""
+    p1 = _write(tmp_path, "w1.csv", "a,b\n1,x\n")
+    p2 = _write(tmp_path, "w2.csv", "a,b,c\n2,y,true\n3,z,false\n")
+    lagoon.ingest(p1, "widths")
+    lagoon.ingest(p2, "widths")
+    lagoon.compact("widths")
+    v1 = lagoon.sql("SELECT * FROM widths_v1").columns
+    v2 = lagoon.sql("SELECT * FROM widths_v2").columns
+    assert v1 == ["ix", "a", "b"]
+    assert v2 == ["ix", "a", "b", "c"]
+    rows1 = lagoon.sql("SELECT a, b FROM widths_v1").collect()
+    assert [(r.a, r.b) for r in rows1] == [("1", "x")]
+    rows2 = lagoon.sql("SELECT a, b, c FROM widths_v2 ORDER BY a").collect()
+    assert [(r.a, r.b, r.c) for r in rows2] == [
+        ("2", "y", "true"), ("3", "z", "false"),
+    ]
+
+
+def test_set_column_type_on_compacted_source(lagoon, tmp_path):
+    """Typed re-materialization of one compacted version must use only
+    that version's rows (the shared table holds the whole union)."""
+    p1 = _write(tmp_path, "t1.csv", "a\n1\n2\n")
+    p2 = _write(tmp_path, "t2.csv", "a\n9\n")
+    lagoon.ingest(p1, "ctyped")
+    lagoon.ingest(p2, "ctyped")
+    lagoon.compact("ctyped")
+    i1 = lagoon.catalog.get_source("ctyped", 1)
+    out = lagoon.set_column_type(i1, "a", "TEXT")
+    typed = lagoon.dataframe(out, typed=True).orderBy("ix").collect()
+    assert [r.c1 for r in typed] == ["1", "2"]  # v2's row 9 absent
+
+
 def test_compacted_views_survive_sql_entry(lagoon, tmp_path):
     """Per-version views stay version-filtered through `engine.sql`
     (which re-registers all views) and through `dataframe`/`download` —
