@@ -331,6 +331,25 @@ def test_compaction_mixed_widths(lagoon, tmp_path):
     ]
 
 
+def test_ingest_after_compaction_then_recompact(lagoon, tmp_path):
+    """A new version ingested AFTER compaction (fresh table beside the
+    shared compact table) must survive a recompaction of the mix."""
+    p1 = _write(tmp_path, "a.csv", "a\n1\n2\n")
+    p2 = _write(tmp_path, "b.csv", "a\n3\n")
+    p3 = _write(tmp_path, "c.csv", "a\n4\n5\n")
+    lagoon.ingest(p1, "seq")
+    lagoon.ingest(p2, "seq")
+    lagoon.compact("seq")
+    lagoon.ingest(p3, "seq")
+    assert lagoon.sql("SELECT COUNT(*) AS n FROM seq_v3").collect()[0].n == 2
+    lagoon.compact("seq")
+    got = {
+        v: sorted(r.a for r in lagoon.sql(f"SELECT a FROM seq_v{v}").collect())
+        for v in (1, 2, 3)
+    }
+    assert got == {1: ["1", "2"], 2: ["3"], 3: ["4", "5"]}
+
+
 def test_set_column_type_on_compacted_source(lagoon, tmp_path):
     """Typed re-materialization of one compacted version must use only
     that version's rows (the shared table holds the whole union)."""
