@@ -53,6 +53,23 @@ class Lagoon:
 
     # -- lifecycle -----------------------------------------------------------
 
+    def _check_can_add_version(self, name: str, _sec) -> None:
+        """New name → CREATE capability; existing name → dataset
+        creator, admin, or ≥ update level on the dataset."""
+        existing_versions = self.catalog.versions(name)
+        if existing_versions:
+            first = self.catalog.get_source(name, existing_versions[0])
+            if not (
+                _sec.is_admin(self.user)
+                or first.added_by == self.user
+                or _sec.can_update(self.catalog, self.user, first.ix)
+            ):
+                raise _sec.PermissionDenied(
+                    f"{self.user!r} may not add a version to {name!r}"
+                )
+        elif not _sec.has_capability(self.catalog, self.user, "create"):
+            raise _sec.PermissionDenied(f"{self.user!r} may not create datasets")
+
     def init_db(self, reset: bool = False) -> None:
         self.catalog.init_db(reset=reset)
         os.makedirs(os.path.join(self.warehouse, "data"), exist_ok=True)
@@ -82,44 +99,33 @@ class Lagoon:
         public: bool | None = None,
         progress=None,
     ) -> SourceInfo:
+        # A28 enforcement (the reference's security suite scenario):
+        # a NEW dataset name needs the CREATE capability; a new VERSION
+        # of an existing name needs ≥ update on the dataset (rights are
+        # sourcename-anchored — security.user_level aggregates versions)
+        from lagoon_spark import security as _sec
+
+        self._check_can_add_version(name, _sec)
+
         # A17: source-identifier dedup — if a source already carries the
         # SUID tag, return it instead of re-ingesting
-        # (`Interface/Ingest.hs:160-174`)
+        # (`Interface/Ingest.hs:160-174`). Runs AFTER the permission
+        # check: an unauthorized caller must not learn another dataset's
+        # metadata through a SUID probe
         if source_identifier is not None:
             hits = self.catalog.find_by_tag(f"SUID:{source_identifier}")
             if hits:
-                return self.catalog.get_source_by_ix(hits[0])
-
-        # A28 enforcement (the reference's security suite scenario):
-        # a NEW dataset name needs the CREATE capability; a new VERSION
-        # of an existing name needs ≥ update on it (or ownership/admin)
-        from lagoon_spark import security as _sec
-
-        existing_versions = self.catalog.versions(name)
-        if existing_versions:
-            # dataset rights anchor on the dataset, not on who uploaded
-            # the latest version: the creator (v1 owner) always may, and
-            # an update grant/public level on ANY version counts (the
-            # reference attaches ACLs to the sourcename)
-            creator = self.catalog.get_source(name, existing_versions[0]).added_by
-            level = max(
-                _sec.user_level(
-                    self.catalog,
-                    self.user,
-                    self.catalog.get_source(name, v).ix,
-                )
-                for v in existing_versions
-            )
-            if not (
-                _sec.is_admin(self.user)
-                or creator == self.user
-                or level >= _sec.LEVELS["update"]
-            ):
-                raise _sec.PermissionDenied(
-                    f"{self.user!r} may not add a version to {name!r}"
-                )
-        elif not _sec.has_capability(self.catalog, self.user, "create"):
-            raise _sec.PermissionDenied(f"{self.user!r} may not create datasets")
+                found = self.catalog.get_source_by_ix(hits[0])
+                if not (
+                    _sec.is_admin(self.user)
+                    or found.added_by == self.user
+                    or _sec.can_read(self.catalog, self.user, found.ix)
+                ):
+                    raise _sec.PermissionDenied(
+                        f"{self.user!r} may not read the existing source for "
+                        f"identifier {source_identifier!r}"
+                    )
+                return found
 
         # A26: input acquisition — URL fetch / single-entry zip spool
         # (`Ingest.hs:580-691`); the original location is recorded as
@@ -775,7 +781,20 @@ class Lagoon:
         becomes a row (foreign ix → parent row, value) — a melt/unpivot
         plus a broadcast join against the parent mapping.
         """
+        from lagoon_spark import security as _sec
+
+        # same A28 gates as a plain ingest: the caller must be able to
+        # create the new dataset AND read the parent it melts against
+        self._check_can_add_version(name, _sec)
         parent = self.catalog.get_source(metadata_source)
+        if not (
+            _sec.is_admin(self.user)
+            or parent.added_by == self.user
+            or _sec.can_read(self.catalog, self.user, parent.ix)
+        ):
+            raise _sec.PermissionDenied(
+                f"{self.user!r} may not read parent dataset {metadata_source!r}"
+            )
         pdf = self.dataframe(parent, typed=False)
         phys_by_header = {h: p for p, h, _t in parent.columns}
         field_col = phys_by_header.get(metadata_field) or phys_by_header.get(

@@ -196,7 +196,8 @@ def jsonb_delete_key(col: str | Column, key: str | int) -> Column:
 
 def jsonb_delete_path(col: str | Column, keys: list[str | int]) -> Column:
     """``col #- '{a,b,...}'``: remove the value at a path
-    (object keys / array indexes along the way)."""
+    (object keys / array indexes along the way). An empty path returns
+    the operand unchanged (canonicalized), matching ``#- '{}'``."""
     @pandas_udf("string")
     def delete_path(s: pd.Series) -> pd.Series:
         def one(v):
@@ -206,6 +207,8 @@ def jsonb_delete_path(col: str | Column, keys: list[str | int]) -> Column:
                 obj = json.loads(v)
             except ValueError:
                 return None
+            if not keys:
+                return _dump(obj)
             node = obj
             for k in keys[:-1]:
                 if isinstance(node, dict) and isinstance(k, str) and k in node:

@@ -192,7 +192,11 @@ def render(t: JsonType) -> str:
         parts = []
         for k, optional, ft in t.fields:  # sorted key order (Map.toList)
             opt = "optional " if optional else ""
-            parts.append(f'"{k}":{opt}{render(ft)}')
+            # json.dumps escapes quotes/backslashes in the key — the
+            # parser's string_lit json.loads them back; a raw f-string
+            # here corrupted the render/parse round-trip the
+            # distributed inference relies on
+            parts.append(f"{json.dumps(k)}:{opt}{render(ft)}")
         return "{" + ", ".join(parts) + "}"
     raise TypeError(t)
 

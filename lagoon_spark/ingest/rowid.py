@@ -75,18 +75,25 @@ def dense_order_ix(df: DataFrame, order_col: str, out_col: str = "ix"):
     boundaries), then per-partition ``row_number`` plus a broadcast
     prefix-offset map — the ix-assignment scheme shared with
     :func:`with_ix`. ``repartitionByRange`` resamples boundaries per
-    job, so the frame is persisted to pin ONE materialization for both
-    the metadata-sized count job and the numbering job.
+    job, so the frame is ``localCheckpoint``-ed to pin ONE
+    materialization for both the metadata-sized count job and the
+    numbering job. Checkpoint (not persist) on purpose: a persisted
+    partition lost to executor failure would silently RECOMPUTE with
+    different range boundaries — duplicated/skipped ix with no error —
+    whereas a lost checkpoint partition fails the job loudly and the
+    whole assignment retries. On a multi-executor cluster, swap in
+    ``setCheckpointDir`` + ``checkpoint()`` for fault tolerance.
 
-    Returns ``(out_df, pinned)``; the caller must ``pinned.unpersist()``
-    after materializing ``out_df`` (e.g. after the parquet write).
+    Returns ``(out_df, pinned)``; the caller should ``pinned.unpersist()``
+    after materializing ``out_df`` (e.g. after the parquet write) to
+    free the checkpoint blocks.
     """
     from pyspark.sql import Window as W
 
     ranged = (
         df.repartitionByRange(F.col(order_col))
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = ranged.groupBy("__pid").count().collect()  # metadata-sized
     offsets: dict[int, int] = {}

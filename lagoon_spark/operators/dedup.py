@@ -127,15 +127,17 @@ def lsh_candidate_pairs(
     # (id, signature) computed ONCE and pinned: it feeds the within
     # self-join and both cross-expansion joins — without the persist
     # the (expensive) signature expressions would recompute from the
-    # source scan once per join
+    # source scan once per join. MEMORY_AND_DISK blocks are LRU-evicted
+    # under pressure; long-lived sessions doing many dedup runs should
+    # materialize the signature dictionary as a real table instead
     members = df.select(
         F.col(sig_col).alias("__sig"), F.col(id_col).alias("__id")
     ).persist()
     # one row per distinct signature (at production scale this tiny
     # table is the materialized signature dictionary)
     groups = (
-        members.groupBy("__sig")
-        .agg(F.count(F.lit(1)).alias("__m"))
+        members.select("__sig")
+        .distinct()
         .withColumn("__keys", F.array(*[band_key(b) for b in range(bands)]))
         .persist()
     )

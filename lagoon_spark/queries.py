@@ -81,9 +81,6 @@ _DRIVER_PREFIX = {
     "t01_asof_join": "q97", "t02_range_join": "q98",
 }
 
-_SHORT_NAME = {f"{p}_{short}": short for short, p in _DRIVER_PREFIX.items()}
-
-
 def _register(q: QueryDef) -> None:
     prefix = _DRIVER_PREFIX.get(q.name)
     if prefix:
@@ -858,10 +855,15 @@ _register(
 # jsonb modifiers (`-`, `||`; `functions/json_ops.py` also ships `#-`).
 # Raw modifier output is engine-canonical text, so the comparison rides
 # extraction (sorted key list + one extracted value), never raw bytes.
+# the object guard pins the comparison to the shapes where Spark's
+# PG-semantics modifiers and DuckDB's json_merge_patch agree (on a
+# JSON array `||`/merge_patch genuinely differ, and NULL props would
+# group as '' in Spark vs NULL in DuckDB)
 _Q100_ORACLE = """
 WITH m AS (
   SELECT json_merge_patch(json_merge_patch(props, '{"k":null}'), '{"z":"w"}') AS stamped
   FROM events
+  WHERE props IS NOT NULL AND ltrim(props) LIKE '{%'
 )
 SELECT array_to_string(list_sort(json_keys(stamped)), ',') AS keys_after,
        json_extract_string(stamped, '$.z') AS z,
@@ -881,6 +883,9 @@ def _q100(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         spark.table("events")
+        .filter(
+            F.col("props").isNotNull() & F.ltrim(F.col("props")).startswith("{")
+        )
         .select(stamped.alias("stamped"))
         .select(
             F.concat_ws(",", F.sort_array(F.json_object_keys("stamped"))).alias(

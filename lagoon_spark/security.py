@@ -435,10 +435,18 @@ def set_public(
     _sec_save(catalog, "public_sources", p)
 
 
-def user_level(catalog, user: str, source_ix: int) -> int:
-    """Max access level for user on source (0 = none), via the public
-    level, direct grants, or group membership (the 'can-read cache'
-    recomputed on demand)."""
+def _sibling_ixes(catalog, source_ix: int) -> list[int]:
+    """All version ixes of the dataset that owns ``source_ix``."""
+    sources = catalog.load("sources")
+    row = sources[sources["ix"] == source_ix]
+    if not len(row):
+        return [source_ix]
+    sn = row.iloc[0]["sourcename_ix"]
+    return [int(x) for x in sources[sources["sourcename_ix"] == sn]["ix"]]
+
+
+def _version_level(catalog, user: str, source_ix: int) -> int:
+    """Access level from grants/public rows naming this exact ix."""
     pub = _sec_load(catalog, "public_sources")
     mine_pub = pub[pub["source_ix"] == source_ix]
     level = 0
@@ -459,6 +467,17 @@ def user_level(catalog, user: str, source_ix: int) -> int:
     for _, row in via_group.iterrows():
         level = max(level, LEVELS[row["level"]])
     return level
+
+
+def user_level(catalog, user: str, source_ix: int) -> int:
+    """Max access level for user on the DATASET owning ``source_ix``
+    (0 = none): the reference attaches ACLs to the sourcename, so a
+    grant or public level on any version confers on every version —
+    the 'can-read cache' recomputed on demand."""
+    return max(
+        _version_level(catalog, user, ix)
+        for ix in _sibling_ixes(catalog, source_ix)
+    )
 
 
 def can_read(catalog, user: str, source_ix: int) -> bool:

@@ -101,6 +101,7 @@ def test_jsonb_delete_key(spark, js, key, expect):
         ('{"a": {"b": 1, "c": 2}}', ["a", "b"], '{"a":{"c":2}}'),
         ('{"a": [10, 20]}', ["a", 0], '{"a":[20]}'),
         ('{"a": 1}', ["x", "y"], '{"a":1}'),  # absent path → unchanged
+        ('{"a": 1}', [], '{"a":1}'),  # #- '{}' → operand unchanged
     ],
 )
 def test_jsonb_delete_path(spark, js, path, expect):

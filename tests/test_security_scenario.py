@@ -159,6 +159,55 @@ def test_custom_public_access_level(world, tmp_path):
         world["alice"].ingest(_csv(tmp_path, "ro2.csv"), "bob_ro")
 
 
+def test_grant_covers_later_versions(world, tmp_path):
+    """ACLs anchor on the dataset (sourcename): a grant issued against
+    one version's ix confers on versions added later."""
+    cat = world[ADMIN].catalog
+    info = world["bob"].ingest(
+        _csv(tmp_path, "g1.csv"), "bobgrant", public=False
+    )
+    sec.grant(cat, info.ix, "alice", "read")
+    v2 = world["bob"].ingest(_csv(tmp_path, "g2.csv"), "bobgrant", public=False)
+    assert "".join(world["alice"].download(v2)).startswith("a,b")
+    with pytest.raises(PermissionDenied):
+        world["carol"].download(v2).__next__()
+
+
+def test_suid_probe_respects_acl(world, tmp_path):
+    """A SUID re-ingest probe must not leak another user's private
+    source metadata."""
+    world["bob"].ingest(
+        _csv(tmp_path, "s.csv"), "bobsuid", public=False,
+        source_identifier="SECRET1",
+    )
+    with pytest.raises(PermissionDenied):
+        world["alice"].ingest(
+            _csv(tmp_path, "s2.csv"), "alice_probe", source_identifier="SECRET1"
+        )
+
+
+def test_extra_data_requires_parent_read(world, tmp_path):
+    """Foreign-column ingest reads the parent — a caller without read
+    rights on it must be refused."""
+    md = _csv(tmp_path, "md.csv", "project-id,meta\nSRP1,v\n")
+    world["bob"].ingest(md, "bob_md", public=False)
+    data = _csv(tmp_path, "data.csv", "SRP1\ntrue\n")
+    with pytest.raises(PermissionDenied):
+        world["alice"].ingest_extra_data(
+            data, "alice_extra", metadata_source="bob_md",
+            metadata_field="project-id",
+        )
+    # with read rights it goes through
+    cat = world[ADMIN].catalog
+    parent = cat.get_source("bob_md")
+    sec.grant(cat, parent.ix, "alice", "read")
+    info = world["alice"].ingest_extra_data(
+        data, "alice_extra", metadata_source="bob_md",
+        metadata_field="project-id",
+    )
+    assert info.row_count == 1
+
+
 def test_delete_requires_manage(world, tmp_path):
     cat = world[ADMIN].catalog
     info = world["bob"].ingest(_csv(tmp_path, "del.csv"), "bobdel")
