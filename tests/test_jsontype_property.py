@@ -12,7 +12,7 @@ import functools
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from lagoon_spark.ingest.jsontype import type_of_value, unify
+from lagoon_spark.ingest.jsontype import parse, render, type_of_value, unify
 
 json_values = st.recursive(
     st.none()
@@ -23,6 +23,16 @@ json_values = st.recursive(
     lambda inner: st.lists(inner, max_size=4)
     | st.dictionaries(st.sampled_from(["a", "b", "c", "k"]), inner, max_size=3),
     max_leaves=12,
+)
+
+# arbitrary (including quote/backslash/unicode) object keys — the
+# render/parse round-trip must survive them because the distributed
+# inference ships rendered partial types between executors and driver
+json_values_hostile_keys = st.recursive(
+    st.none() | st.booleans() | st.integers(-100, 100) | st.text(max_size=6),
+    lambda inner: st.lists(inner, max_size=3)
+    | st.dictionaries(st.text(min_size=1, max_size=6), inner, max_size=3),
+    max_leaves=8,
 )
 
 
@@ -54,6 +64,17 @@ def test_fold_order_and_grouping_invariant(values, rnd):
 def test_idempotent(v):
     t = type_of_value(v)
     assert unify(t, t) == t
+
+
+@settings(max_examples=300, deadline=None)
+@given(json_values_hostile_keys)
+def test_render_parse_roundtrip(v):
+    """render∘parse must be the identity on rendered types for ANY
+    object key — quotes and backslashes included (a raw-f-string render
+    once corrupted this and crashed distributed inference)."""
+    t = type_of_value(v)
+    r = render(t)
+    assert render(parse(r)) == r
 
 
 @settings(max_examples=200, deadline=None)

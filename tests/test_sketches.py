@@ -43,6 +43,24 @@ def test_hll_matches_duckdb_exactly(spark, tmp_path):
     assert got == want  # bit-identical, not approximately equal
 
 
+def test_hll_negative_values_match_duckdb(spark, tmp_path):
+    """Negative inputs exercise the pmod fold: Spark's truncating and
+    DuckDB's flooring division diverge on negative hashes, so the
+    non-negative residue mapping is what keeps the bits identical."""
+    out = str(tmp_path / "negs.parquet")
+    spark.range(5_000).selectExpr(
+        "CAST(id % 3 AS STRING) AS g", "(id * 13 % 4096) - 2048 AS v"
+    ).write.parquet(out)
+    got = {
+        r["g"]: r["approx_distinct"]
+        for r in hll_distinct(spark.read.parquet(out), ["g"], "v", p=8).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM '{out}/*.parquet'")
+    want = dict(con.execute(hll_oracle_sql("t", ["g"], "v", p=8)).fetchall())
+    assert got == want
+
+
 def test_hll_ignores_nulls(spark):
     df = spark.createDataFrame(
         [("g", 1), ("g", 2), ("g", None), ("g", 2)], ["g", "v"]
