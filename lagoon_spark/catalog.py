@@ -126,6 +126,9 @@ class Catalog:
         self.warehouse = warehouse
         self.dir = os.path.join(warehouse, "catalog")
         self._cache: dict[str, pd.DataFrame] = {}
+        # bumped on every write — consumers (engine.sql's view
+        # registration) memoize against it
+        self.mutation_count = 0
 
     # -- storage ------------------------------------------------------------
 
@@ -149,6 +152,7 @@ class Catalog:
         os.makedirs(self.dir, exist_ok=True)
         self._cache[table] = df.reset_index(drop=True)
         self._cache[table].to_parquet(self._path(table), index=False)
+        self.mutation_count += 1
 
     def init_db(self, reset: bool = False) -> None:
         """A29: create (or reset) the catalog storage; an existing

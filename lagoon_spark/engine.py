@@ -573,11 +573,19 @@ class Lagoon:
 
     def sql(self, query: str, user: str | None = None) -> DataFrame:
         """Security-checked SQL (`Verified.hs:795-854`): walk the parsed
-        plan, reject writes/unknown relations, check per-dataset ACLs."""
+        plan, reject writes/unknown relations, check per-dataset ACLs.
+
+        View registration is memoized on the catalog mutation counter —
+        repeated queries against an unchanged catalog skip the
+        N-parquet-footer re-registration pass (the reference's views
+        simply persist in Postgres)."""
         from lagoon_spark.security import verify_user_query
 
-        self.register_all_views()
-        self.register_metadata_views()
+        marker = (id(self.spark), self.catalog.mutation_count)
+        if getattr(self, "_views_marker", None) != marker:
+            self.register_all_views()
+            self.register_metadata_views()
+            self._views_marker = marker
         verify_user_query(self, query, user or self.user)
         return self.spark.sql(query)
 
