@@ -125,3 +125,23 @@ def test_infer_json_type_standalone(lagoon, tmp_path):
 
     arr = _write(tmp_path, "arr.json", "[1, 2, 3]")
     assert lagoon.infer_json_type(arr, json_path="[_]") == "number"
+
+
+def test_quickstart_example_runs():
+    """The GETTING_STARTED parity walkthrough (examples/quickstart.py)
+    must keep working end to end — it is the switch-over demo for a
+    reference user."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "quickstart.py")],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "download v1 roundtrips byte-identically" in out.stdout
+    assert '{"items":[string], "place":string, "transaction":number}' in out.stdout

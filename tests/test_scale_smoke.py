@@ -46,3 +46,35 @@ def test_json_values_ingest(lagoon, tmp_path):
     info = lagoon.ingest(str(p), "big_json")
     assert info.row_count == N_JSON
     assert info.json_type == '{"i":number, "s":string}'
+
+
+def test_compaction_at_scale(lagoon, tmp_path):
+    """The reference compacts a 2M-row dataset in its compaction suite
+    (`runcompactiontests.sh` over gen-test-data many-rows). Same shape
+    at suite-friendly size: v2 = v1 + a suffix (the prefix-extension
+    class the reference tests), compacted ix must stay dense 1..N with
+    no single-task global window (dense_order_ix)."""
+    n = N_CSV // 3
+    p1 = tmp_path / "v1.csv"
+    p2 = tmp_path / "v2.csv"
+    with open(p1, "w") as f:
+        f.write("k,x\n")
+        for i in range(n):
+            f.write(f"{i},{'true' if i % 2 else 'false'}\n")
+    with open(p2, "w") as f:
+        f.write("k,x\n")
+        for i in range(n + 2):
+            f.write(f"{i},{'true' if i % 2 else 'false'}\n")
+    lagoon.ingest(str(p1), "bigcompact")
+    lagoon.ingest(str(p2), "bigcompact")
+    lagoon.compact("bigcompact")
+    c1 = lagoon.sql("SELECT COUNT(*) AS n FROM bigcompact_v1").collect()[0].n
+    c2 = lagoon.sql("SELECT COUNT(*) AS n FROM bigcompact_v2").collect()[0].n
+    assert (c1, c2) == (n, n + 2)
+    # dense ix across the union: max == distinct count == total rows
+    info = lagoon.catalog.get_source("bigcompact", 2)
+    shared = lagoon.spark.read.parquet(lagoon._data_path(info.table_name))
+    stats = shared.selectExpr(
+        "MAX(ix) AS mx", "COUNT(DISTINCT ix) AS d", "COUNT(*) AS n"
+    ).collect()[0]
+    assert stats.mx == stats.d == stats.n == n + 2
