@@ -581,6 +581,9 @@ class Lagoon:
         simply persist in Postgres)."""
         from lagoon_spark.security import verify_user_query
 
+        from lagoon_spark.functions.json_ops import register_sql_functions
+
+        register_sql_functions(self.spark)
         marker = (id(self.spark), self.catalog.mutation_count)
         if getattr(self, "_views_marker", None) != marker:
             self.register_all_views()

@@ -229,6 +229,143 @@ def jsonb_delete_path(col: str | Column, keys: list[str | int]) -> Column:
     return delete_path(_c(col))
 
 
+def _parse_pg_path(p: str) -> list:
+    """Accept a path as a JSON array ('["a",0]') or the Postgres
+    '{a,0}' literal; numeric segments become array indexes."""
+    p = p.strip()
+    if p.startswith("["):
+        return json.loads(p)
+    parts = [seg.strip() for seg in p.strip("{}").split(",") if seg.strip()]
+    out: list = []
+    for seg in parts:
+        try:
+            out.append(int(seg))
+        except ValueError:
+            out.append(seg.strip('"'))
+    return out
+
+
+def register_sql_functions(spark) -> None:
+    """Expose the jsonb operator family to `/sql` as two-argument SQL
+    functions — the reference's users reach these operators through
+    Postgres SQL, so the passthrough surface must offer them too:
+    ``jsonb_contains/jsonb_contained/jsonb_exists/jsonb_exists_any/
+    jsonb_exists_all/jsonb_delete_key/jsonb_delete_path/jsonb_concat``.
+
+    All are Arrow-vectorized; the second argument is usually a literal,
+    parsed once per distinct value. Registration is idempotent per
+    session and invalidates the security walker's function cache so the
+    new names pass its fail-closed registry check.
+    """
+    if getattr(spark, "_lagoon_jsonb_udfs", False):
+        return
+
+    def _two_arg(fn, ret):
+        @pandas_udf(ret)
+        def udf(col: pd.Series, arg: pd.Series) -> pd.Series:
+            cache: dict = {}
+
+            def parsed(n):
+                if n not in cache:
+                    try:
+                        cache[n] = json.loads(n)
+                    except ValueError:
+                        cache[n] = ValueError
+                return cache[n]
+
+            def one(v, n):
+                if v is None or n is None:
+                    return None
+                try:
+                    doc = json.loads(v)
+                except ValueError:
+                    return None
+                return fn(doc, n, parsed)
+
+            return pd.Series(
+                [one(v, n) for v, n in zip(col, arg)], dtype="object"
+            )
+
+        return udf
+
+    def contains(doc, n, parsed):
+        needle = parsed(n)
+        return None if needle is ValueError else _pg_contains(doc, needle)
+
+    def contained(doc, n, parsed):
+        hay = parsed(n)
+        return None if hay is ValueError else _pg_contains(hay, doc)
+
+    def exists(doc, n, _parsed):
+        if isinstance(doc, dict):
+            return n in doc
+        if isinstance(doc, list):
+            return n in doc
+        return False
+
+    def exists_any(doc, n, parsed):
+        keys = parsed(n)
+        return None if keys is ValueError else any(exists(doc, k, None) for k in keys)
+
+    def exists_all(doc, n, parsed):
+        keys = parsed(n)
+        return None if keys is ValueError else all(exists(doc, k, None) for k in keys)
+
+    def delete_key(doc, n, _parsed):
+        if isinstance(doc, dict):
+            doc.pop(n, None)
+        elif isinstance(doc, list):
+            doc = [x for x in doc if x != n]
+        return _dump(doc)
+
+    def delete_path(doc, n, _parsed):
+        keys = _parse_pg_path(n)
+        if not keys:
+            return _dump(doc)
+        node = doc
+        for k in keys[:-1]:
+            if isinstance(node, dict) and isinstance(k, str) and k in node:
+                node = node[k]
+            elif isinstance(node, list) and isinstance(k, int) and -len(node) <= k < len(node):
+                node = node[k]
+            else:
+                return _dump(doc)
+        last = keys[-1]
+        if isinstance(node, dict) and isinstance(last, str):
+            node.pop(last, None)
+        elif isinstance(node, list) and isinstance(last, int) and -len(node) <= last < len(node):
+            del node[last]
+        return _dump(doc)
+
+    def concat(doc, n, parsed):
+        other = parsed(n)
+        if other is ValueError:
+            return None
+        if isinstance(doc, dict) and isinstance(other, dict):
+            merged = dict(doc)
+            merged.update(other)
+            return _dump(merged)
+        left = doc if isinstance(doc, list) else [doc]
+        right = other if isinstance(other, list) else [other]
+        return _dump(left + right)
+
+    spark.udf.register("jsonb_contains", _two_arg(contains, "boolean"))
+    spark.udf.register("jsonb_contained", _two_arg(contained, "boolean"))
+    spark.udf.register("jsonb_exists", _two_arg(exists, "boolean"))
+    spark.udf.register("jsonb_exists_any", _two_arg(exists_any, "boolean"))
+    spark.udf.register("jsonb_exists_all", _two_arg(exists_all, "boolean"))
+    spark.udf.register("jsonb_delete_key", _two_arg(delete_key, "string"))
+    spark.udf.register("jsonb_delete_path", _two_arg(delete_path, "string"))
+    spark.udf.register("jsonb_concat", _two_arg(concat, "string"))
+    spark._lagoon_jsonb_udfs = True
+
+    # the security walker caches SHOW FUNCTIONS per session — a cache
+    # built before this registration would fail-closed on the new names
+    from lagoon_spark import security
+
+    security._session_fn_cache.pop(spark, None)
+
+
 def jsonb_concat(col: str | Column, other_json: str) -> Column:
     """``col || other``: shallow object merge (right wins), array
     concatenation, scalar-to-array promotion — the Postgres ``||``

@@ -406,6 +406,27 @@ def test_delete_compacted_version_keeps_siblings(lagoon, tmp_path):
     assert not os.path.exists(table_path)
 
 
+def test_jsonb_functions_available_in_sql(lagoon, tmp_path):
+    """The jsonb operator family is callable from /sql text — the
+    surface a reference (Postgres) user actually writes against."""
+    p = _write(tmp_path, "jf.csv", SIMPLE)
+    lagoon.ingest(p, "jf")
+    row = lagoon.sql(
+        "SELECT jsonb_contains('{\"a\":1,\"k\":7}', '{\"k\":7}') AS c, "
+        "       jsonb_exists('{\"a\":1}', 'a') AS e, "
+        "       jsonb_delete_key('{\"a\":1,\"k\":7}', 'k') AS dk, "
+        "       jsonb_delete_path('{\"a\":{\"b\":1,\"c\":2}}', '{a,b}') AS dp, "
+        "       jsonb_concat('{\"a\":1}', '{\"z\":\"w\"}') AS cc"
+    ).collect()[0]
+    assert row.c is True and row.e is True
+    assert row.dk == '{"a":1}'
+    assert row.dp == '{"a":{"c":2}}'
+    assert row.cc == '{"a":1,"z":"w"}'
+    # still subject to the walker: unknown functions stay denied
+    with pytest.raises(QueryDenied):
+        lagoon.sql("SELECT jsonb_nonexistent('{}', 'x')")
+
+
 def test_catalog_migration_from_v1(spark, tmp_path):
     """A29: init_db opens a pre-dbmeta (round-1-format) warehouse and
     upgrades it in place — version file written, missing columns added,
