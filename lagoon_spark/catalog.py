@@ -30,7 +30,9 @@ import pandas as pd
 from lagoon_spark.ingest.names import sanitize
 
 _TABLES = {
-    "sourcenames": {"ix": "int64", "name": "object"},
+    # created_by anchors dataset-level ownership: the creator keeps
+    # their rights even after their earliest version is deleted
+    "sourcenames": {"ix": "int64", "name": "object", "created_by": "object"},
     "sources": {
         "ix": "int64",
         "sourcename_ix": "int64",
@@ -90,9 +92,10 @@ def _now() -> str:
 
 # Catalog layout version. v1 = the pre-dbmeta layout (no version file);
 # v2 records the version in dbmeta and reconciles every table to the
-# current column set. Bump this and add a _MIGRATIONS entry whenever the
-# layout changes.
-CATALOG_VERSION = 2
+# current column set; v3 adds sourcenames.created_by (dataset-level
+# ownership) backfilled from each dataset's earliest surviving version.
+# Bump this and add a _MIGRATIONS entry whenever the layout changes.
+CATALOG_VERSION = 3
 
 
 def _migrate_1_to_2(cat: "Catalog") -> None:
@@ -118,7 +121,32 @@ def _migrate_1_to_2(cat: "Catalog") -> None:
             df.to_parquet(p, index=False)
 
 
-_MIGRATIONS = {1: _migrate_1_to_2}
+def _migrate_2_to_3(cat: "Catalog") -> None:
+    """v2 → v3: backfill ``sourcenames.created_by`` from the earliest
+    surviving version's uploader (the best available proxy for the
+    original creator in an old warehouse)."""
+    p = cat._path("sourcenames")
+    if not os.path.exists(p):
+        return
+    names = pd.read_parquet(p)
+    sp = cat._path("sources")
+    sources = pd.read_parquet(sp) if os.path.exists(sp) else None
+    creators = {}
+    if sources is not None and len(sources):
+        earliest = sources.sort_values("version").groupby("sourcename_ix").first()
+        creators = earliest["added_by"].to_dict()
+    if "created_by" not in names.columns:
+        names["created_by"] = None
+    names["created_by"] = [
+        row["created_by"]
+        if isinstance(row.get("created_by"), str)
+        else creators.get(row["ix"])
+        for _, row in names.iterrows()
+    ]
+    names.to_parquet(p, index=False)
+
+
+_MIGRATIONS = {1: _migrate_1_to_2, 2: _migrate_2_to_3}
 
 
 class Catalog:
@@ -237,7 +265,12 @@ class Catalog:
             self.save(
                 "sourcenames",
                 pd.concat(
-                    [names, pd.DataFrame([{"ix": sn_ix, "name": name}])],
+                    [
+                        names,
+                        pd.DataFrame(
+                            [{"ix": sn_ix, "name": name, "created_by": added_by}]
+                        ),
+                    ],
                     ignore_index=True,
                 ),
             )
@@ -354,6 +387,23 @@ class Catalog:
         names = self.load("sourcenames")
         name = names[names["ix"] == row.iloc[0]["sourcename_ix"]].iloc[0]["name"]
         return self._info(row.iloc[0], name)
+
+    def dataset_creator(self, name: str) -> str | None:
+        """The user who created the dataset (sourcename row) — the
+        ownership anchor that survives deletion of early versions.
+        Falls back to the earliest surviving version's uploader for
+        rows migrated from layouts without created_by."""
+        names = self.load("sourcenames")
+        hit = names[names["name"] == name]
+        if not len(hit):
+            return None
+        created_by = hit.iloc[0].get("created_by")
+        if isinstance(created_by, str) and created_by:
+            return created_by
+        vs = self.versions(name)
+        if vs:
+            return self.get_source(name, vs[0]).added_by
+        return None
 
     def versions(self, name: str) -> list[int]:
         names = self.load("sourcenames")

@@ -55,13 +55,16 @@ class Lagoon:
 
     def _check_can_add_version(self, name: str, _sec) -> None:
         """New name → CREATE capability; existing name → dataset
-        creator, admin, or ≥ update level on the dataset."""
+        creator (the sourcename row's created_by — stable even after
+        early versions are deleted), admin, or ≥ update level on the
+        dataset."""
         existing_versions = self.catalog.versions(name)
         if existing_versions:
             first = self.catalog.get_source(name, existing_versions[0])
+            creator = self.catalog.dataset_creator(name)
             if not (
                 _sec.is_admin(self.user)
-                or first.added_by == self.user
+                or creator == self.user
                 or _sec.can_update(self.catalog, self.user, first.ix)
             ):
                 raise _sec.PermissionDenied(
@@ -99,19 +102,15 @@ class Lagoon:
         public: bool | None = None,
         progress=None,
     ) -> SourceInfo:
-        # A28 enforcement (the reference's security suite scenario):
-        # a NEW dataset name needs the CREATE capability; a new VERSION
-        # of an existing name needs ≥ update on the dataset (rights are
-        # sourcename-anchored — security.user_level aggregates versions)
         from lagoon_spark import security as _sec
-
-        self._check_can_add_version(name, _sec)
 
         # A17: source-identifier dedup — if a source already carries the
         # SUID tag, return it instead of re-ingesting
-        # (`Interface/Ingest.hs:160-174`). Runs AFTER the permission
-        # check: an unauthorized caller must not learn another dataset's
-        # metadata through a SUID probe
+        # (`Interface/Ingest.hs:160-174`). Checked FIRST (an idempotent
+        # re-ingest needs only read rights on the existing source, not
+        # add-version rights — nothing is being added), but gated on
+        # can_read so an unauthorized caller cannot learn another
+        # dataset's metadata through a SUID probe
         if source_identifier is not None:
             hits = self.catalog.find_by_tag(f"SUID:{source_identifier}")
             if hits:
@@ -126,6 +125,39 @@ class Lagoon:
                         f"identifier {source_identifier!r}"
                     )
                 return found
+
+        # A28 enforcement (the reference's security suite scenario):
+        # a NEW dataset name needs the CREATE capability; a new VERSION
+        # of an existing name needs ≥ update on the dataset (rights are
+        # sourcename-anchored — security.user_level aggregates versions)
+        self._check_can_add_version(name, _sec)
+
+        # visibility is decided BEFORE any ingest work so a refusal
+        # cannot leave a half-committed version behind. Making a
+        # dataset MORE visible is a manage-level act: a non-manager may
+        # only propagate an already-public dataset's level to the
+        # version they add — never escalate a private dataset. An
+        # explicit public=True without those rights fails loudly; the
+        # engine-default flag silently inherits instead.
+        want_public = public if public is not None else self.default_public
+        apply_public = False
+        if want_public:
+            versions_now = self.catalog.versions(name)
+            if versions_now:
+                first = self.catalog.get_source(name, versions_now[0])
+                apply_public = (
+                    _sec.is_admin(self.user)
+                    or self.catalog.dataset_creator(name) == self.user
+                    or _sec.can_manage(self.catalog, self.user, first.ix)
+                    or _sec.dataset_public_level(self.catalog, first.ix)
+                    >= _sec.LEVELS["update"]
+                )
+            else:
+                apply_public = True  # creator of a brand-new dataset
+            if not apply_public and public:
+                raise _sec.PermissionDenied(
+                    f"{self.user!r} may not make {name!r} public"
+                )
 
         # A26: input acquisition — URL fetch / single-entry zip spool
         # (`Ingest.hs:580-691`); the original location is recorded as
@@ -204,9 +236,9 @@ class Lagoon:
             self.catalog.tag(info.ix, t)
         if source_identifier is not None:
             self.catalog.tag(info.ix, f"SUID:{source_identifier}")
-        # visibility: explicit override > engine default; public datasets
+        # visibility: decided before ingest (see above); public datasets
         # sit at the update level (download + new versions, no manage)
-        if public if public is not None else self.default_public:
+        if apply_public:
             _sec.set_public(self.catalog, info.ix, True, level="update")
         out = self.catalog.get_source_by_ix(info.ix)
         emit({"event": "done", "ix": out.ix, "version": out.version, "rows": out.row_count})
@@ -402,16 +434,23 @@ class Lagoon:
             ).createOrReplaceTempView(info.typed_view_name)
 
     def register_all_views(self) -> None:
+        import warnings
+
         from pyspark.errors import AnalysisException
 
         sources = self.catalog.load("sources")
         for _, row in sources.iterrows():
             try:
                 self.register_views(self.catalog.get_source_by_ix(int(row["ix"])))
-            except (FileNotFoundError, AnalysisException):
+            except (FileNotFoundError, AnalysisException) as e:
                 # a missing/corrupt data dir must not poison every later
-                # query on the surviving sources
-                pass
+                # query on the surviving sources — but say WHICH source
+                # was skipped, or a registration bug surfaces later as a
+                # misleading 'Unknown table' denial
+                warnings.warn(
+                    f"skipping view registration for source ix={row['ix']}: {e}",
+                    stacklevel=2,
+                )
 
     def dataframe(self, info: SourceInfo, typed: bool = True) -> DataFrame:
         return self._source_frame(info, typed=typed)
@@ -507,6 +546,7 @@ class Lagoon:
         if not (
             _sec.is_admin(self.user)
             or info.added_by == self.user
+            or self.catalog.dataset_creator(info.name) == self.user
             or _sec.can_manage(self.catalog, self.user, info.ix)
         ):
             raise _sec.PermissionDenied(
@@ -584,11 +624,17 @@ class Lagoon:
         from lagoon_spark.functions.json_ops import register_sql_functions
 
         register_sql_functions(self.spark)
-        marker = (id(self.spark), self.catalog.mutation_count)
-        if getattr(self, "_views_marker", None) != marker:
+        # the marker lives on the SESSION, not the engine: temp views
+        # are session-global, so an engine for a different warehouse
+        # registering its views must force this one to re-register (an
+        # engine-local marker silently served the other warehouse's
+        # data under the same view names). Keyed by warehouse path —
+        # object ids can be recycled across GC
+        marker = (self.warehouse, self.catalog.mutation_count)
+        if getattr(self.spark, "_lagoon_views_marker", None) != marker:
             self.register_all_views()
             self.register_metadata_views()
-            self._views_marker = marker
+            self.spark._lagoon_views_marker = marker
         verify_user_query(self, query, user or self.user)
         return self.spark.sql(query)
 

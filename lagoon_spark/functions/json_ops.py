@@ -312,6 +312,14 @@ def register_sql_functions(spark) -> None:
         return None if keys is ValueError else all(exists(doc, k, None) for k in keys)
 
     def delete_key(doc, n, _parsed):
+        import numbers
+
+        # an integer argument means index deletion on arrays (Postgres
+        # `jsonb - int`), matching the Python-level jsonb_delete_key
+        if isinstance(n, numbers.Integral) and not isinstance(n, bool):
+            if isinstance(doc, list) and -len(doc) <= n < len(doc):
+                del doc[int(n)]
+            return _dump(doc)
         if isinstance(doc, dict):
             doc.pop(n, None)
         elif isinstance(doc, list):

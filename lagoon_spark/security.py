@@ -445,28 +445,36 @@ def _sibling_ixes(catalog, source_ix: int) -> list[int]:
     return [int(x) for x in sources[sources["sourcename_ix"] == sn]["ix"]]
 
 
-def _version_level(catalog, user: str, source_ix: int) -> int:
-    """Access level from grants/public rows naming this exact ix."""
-    pub = _sec_load(catalog, "public_sources")
+def _version_level(user: str, source_ix: int, tables) -> int:
+    """Access level from grants/public rows naming this exact ix.
+    ``tables`` = (public_sources, grants, my_group_names) loaded once
+    by the caller — re-reading three parquet files per sibling version
+    multiplied ACL-check I/O by the version count."""
+    pub, g, my_groups = tables
     mine_pub = pub[pub["source_ix"] == source_ix]
     level = 0
     if len(mine_pub):
         raw = mine_pub.iloc[0].get("level")
         level = LEVELS.get(raw if isinstance(raw, str) else "read", 1)
-    g = _sec_load(catalog, "grants")
     mine = g[g["source_ix"] == source_ix]
     direct = mine[(mine["subject_type"] == "user") & (mine["subject"] == user)]
     for _, row in direct.iterrows():
         level = max(level, LEVELS[row["level"]])
+    via_group = mine[(mine["subject_type"] == "group") & (mine["subject"].isin(my_groups))]
+    for _, row in via_group.iterrows():
+        level = max(level, LEVELS[row["level"]])
+    return level
+
+
+def _load_acl_tables(catalog, user: str):
+    pub = _sec_load(catalog, "public_sources")
+    g = _sec_load(catalog, "grants")
     members = _sec_load(catalog, "group_members")
     groups = _sec_load(catalog, "groups")
     my_groups = members[members["user"] == user].merge(
         groups, left_on="group_ix", right_on="ix"
     )["name"].tolist()
-    via_group = mine[(mine["subject_type"] == "group") & (mine["subject"].isin(my_groups))]
-    for _, row in via_group.iterrows():
-        level = max(level, LEVELS[row["level"]])
-    return level
+    return pub, g, my_groups
 
 
 def user_level(catalog, user: str, source_ix: int) -> int:
@@ -474,10 +482,23 @@ def user_level(catalog, user: str, source_ix: int) -> int:
     (0 = none): the reference attaches ACLs to the sourcename, so a
     grant or public level on any version confers on every version —
     the 'can-read cache' recomputed on demand."""
+    tables = _load_acl_tables(catalog, user)
     return max(
-        _version_level(catalog, user, ix)
+        _version_level(user, ix, tables)
         for ix in _sibling_ixes(catalog, source_ix)
     )
+
+
+def dataset_public_level(catalog, source_ix: int) -> int:
+    """User-independent public level of the dataset owning
+    ``source_ix`` (0 = private)."""
+    pub = _sec_load(catalog, "public_sources")
+    sib = set(_sibling_ixes(catalog, source_ix))
+    level = 0
+    for _, row in pub[pub["source_ix"].isin(sib)].iterrows():
+        raw = row.get("level")
+        level = max(level, LEVELS.get(raw if isinstance(raw, str) else "read", 1))
+    return level
 
 
 def can_read(catalog, user: str, source_ix: int) -> bool:

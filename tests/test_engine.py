@@ -422,9 +422,32 @@ def test_jsonb_functions_available_in_sql(lagoon, tmp_path):
     assert row.dk == '{"a":1}'
     assert row.dp == '{"a":{"c":2}}'
     assert row.cc == '{"a":1,"z":"w"}'
+    # integer argument = array index deletion (Postgres `jsonb - int`)
+    row2 = lagoon.sql(
+        "SELECT jsonb_delete_key('[\"a\",\"b\",\"c\"]', 1) AS di"
+    ).collect()[0]
+    assert row2.di == '["a","c"]'
     # still subject to the walker: unknown functions stay denied
     with pytest.raises(QueryDenied):
         lagoon.sql("SELECT jsonb_nonexistent('{}', 'x')")
+
+
+def test_sql_views_track_engine_switch(spark, tmp_path):
+    """Two engines on different warehouses sharing one session must not
+    serve each other's data under a shared view name (found by review:
+    an engine-local memoization marker skipped re-registration)."""
+    a = Lagoon(spark, str(tmp_path / "wa"), user="a")
+    b = Lagoon(spark, str(tmp_path / "wb"), user="b")
+    a.init_db()
+    b.init_db()
+    pa = _write(tmp_path, "a.csv", "x\n1\n")
+    pb = _write(tmp_path, "b.csv", "x\n1\n2\n3\n")
+    a.ingest(pa, "shared_name")
+    b.ingest(pb, "shared_name")
+    assert a.sql("SELECT COUNT(*) AS n FROM shared_name_v1").collect()[0].n == 1
+    assert b.sql("SELECT COUNT(*) AS n FROM shared_name_v1").collect()[0].n == 3
+    # back to A: must re-register A's views, not serve B's 3 rows
+    assert a.sql("SELECT COUNT(*) AS n FROM shared_name_v1").collect()[0].n == 1
 
 
 def test_catalog_migration_from_v1(spark, tmp_path):

@@ -208,6 +208,62 @@ def test_extra_data_requires_parent_read(world, tmp_path):
     assert info.row_count == 1
 
 
+def test_update_user_cannot_publicize_private_dataset(world, tmp_path):
+    """An update-level user adding a version must not be able to flip a
+    private dataset public (found by review: set_public ran without an
+    actor on the ingest path)."""
+    cat = world[ADMIN].catalog
+    info = world["bob"].ingest(
+        _csv(tmp_path, "pp.csv"), "bobescal", public=False
+    )
+    sec.grant(cat, info.ix, "alice", "update")
+    # explicit public=True without manage rights is refused loudly
+    with pytest.raises(PermissionDenied):
+        world["alice"].ingest(_csv(tmp_path, "pp2.csv"), "bobescal", public=True)
+    # the engine default silently inherits the dataset's (private)
+    # visibility instead of escalating
+    v2 = world["alice"].ingest(_csv(tmp_path, "pp2.csv"), "bobescal")
+    assert v2.version == 2
+    assert sec.dataset_public_level(cat, v2.ix) == 0
+    with pytest.raises(PermissionDenied):
+        world["carol"].download(v2).__next__()
+
+
+def test_suid_reingest_needs_only_read(world, tmp_path):
+    """An idempotent SUID re-ingest by a read-level user returns the
+    existing source (reference Interface/Ingest.hs:160-174) — it must
+    not demand add-version rights since nothing is added."""
+    cat = world[ADMIN].catalog
+    info = world["bob"].ingest(
+        _csv(tmp_path, "sr.csv"), "bobread", public=False,
+        source_identifier="RID1",
+    )
+    sec.grant(cat, info.ix, "alice", "read")
+    got = world["alice"].ingest(
+        _csv(tmp_path, "sr2.csv"), "whatever", source_identifier="RID1"
+    )
+    assert got.ix == info.ix  # returned, not re-ingested
+
+
+def test_creator_rights_survive_deleting_first_version(world, tmp_path):
+    """Dataset ownership anchors on the sourcename row, not on whichever
+    version happens to be earliest (found by review: deleting v1 handed
+    creator rights to the next-earliest uploader)."""
+    cat = world[ADMIN].catalog
+    i1 = world["bob"].ingest(_csv(tmp_path, "cr.csv"), "bobanchor", public=False)
+    sec.grant(cat, i1.ix, "alice", "update")
+    world["alice"].ingest(_csv(tmp_path, "cr2.csv"), "bobanchor", public=False)
+    world["bob"].delete_source(i1)
+    sec.revoke(cat, i1.ix, "alice")
+    # alice's grant is gone and she is NOT the creator — earliest
+    # surviving version being hers must not confer creator rights
+    with pytest.raises(PermissionDenied):
+        world["alice"].ingest(_csv(tmp_path, "cr3.csv"), "bobanchor", public=False)
+    # bob (the recorded creator) still can, despite owning no version
+    v3 = world["bob"].ingest(_csv(tmp_path, "cr3.csv"), "bobanchor", public=False)
+    assert v3.version == 3
+
+
 def test_delete_requires_manage(world, tmp_path):
     cat = world[ADMIN].catalog
     info = world["bob"].ingest(_csv(tmp_path, "del.csv"), "bobdel")
