@@ -64,29 +64,122 @@ def json_path_text(col: str | Column, keys: list[str | int]) -> Column:
 # -- key existence (`?`, `?&`, `?|`) ----------------------------------------
 
 def jsonb_exists(col: str | Column, key: str) -> Column:
-    """``col ? key``: does the top-level object have the key?"""
-    return F.array_contains(F.json_object_keys(_c(col)), key)
+    """``col ? key`` with the full Postgres shape rules, pure JVM:
+    object → top-level key present; array → some *string* element
+    equals the key; string scalar → equality; other scalars → false;
+    invalid / NULL json → NULL."""
+    c = _c(col)
+    keys = F.json_object_keys(c)
+    arr = F.from_json(c, "array<variant>")
+    quoted = F.lit(json.dumps(key))
+    return (
+        F.when(keys.isNotNull(), F.array_contains(keys, key))
+        .when(arr.isNotNull(), F.exists(arr, lambda e: F.to_json(e) == quoted))
+        .when(
+            F.try_parse_json(c).isNotNull(),
+            F.to_json(F.try_parse_json(c)) == quoted,
+        )
+        .otherwise(F.lit(None).cast("boolean"))
+    )
 
 
 def jsonb_exists_all(col: str | Column, keys: list[str]) -> Column:
-    """``col ?& keys``: all keys present."""
-    ks = F.json_object_keys(_c(col))
+    """``col ?& keys``: all keys present (PG shape rules per key)."""
     out = F.lit(True)
     for k in keys:
-        out = out & F.array_contains(ks, k)
+        out = out & jsonb_exists(col, k)
     return out
 
 
 def jsonb_exists_any(col: str | Column, keys: list[str]) -> Column:
-    """``col ?| keys``: any key present."""
-    ks = F.json_object_keys(_c(col))
+    """``col ?| keys``: any key present (PG shape rules per key)."""
     out = F.lit(False)
     for k in keys:
-        out = out | F.array_contains(ks, k)
+        out = out | jsonb_exists(col, k)
     return out
 
 
 # -- structural containment (`@>`, `<@`) ------------------------------------
+#
+# Two execution tiers. The general tier is an Arrow-vectorized Pandas
+# UDF implementing the full recursive Postgres containment rules. The
+# fast tier handles the dominant case — a *flat object* needle (all
+# values scalar) — entirely JVM-side with Spark 4 variant expressions,
+# keeping the whole plan in codegen with no Python worker round-trip:
+#
+#   to_json(try_variant_get(v, '$.k', 'variant'))
+#
+# distinguishes `7` from `"7"` (the text keeps JSON quoting), so each
+# needle pair compiles to one typed comparison. Numbers compare via a
+# double cast guarded by a not-a-JSON-string check (PG's cross-scale
+# numeric equality: 7 contains 7.0); huge integers beyond 2^53 fall
+# back to the UDF so double rounding can never conflate distinct ints.
+
+_SAFE_KEY = None  # compiled lazily
+
+
+def _key_path_safe(k: str) -> bool:
+    """Keys that embed verbatim into a variant_get path (`$.k`)."""
+    global _SAFE_KEY
+    if _SAFE_KEY is None:
+        import re
+
+        _SAFE_KEY = re.compile(r"^[A-Za-z0-9_]+$")
+    return bool(_SAFE_KEY.match(k))
+
+
+def _flat_needle(needle_json: str):
+    """Parse the needle; return the dict when the JVM tier applies
+    (flat object, path-safe keys, doubles-safe numbers), else None."""
+    try:
+        needle = json.loads(needle_json)
+    except ValueError:
+        return None
+    if not isinstance(needle, dict):
+        return None
+    for k, v in needle.items():
+        if not isinstance(k, str) or not _key_path_safe(k):
+            return None
+        if isinstance(v, (dict, list)):
+            return None
+        if isinstance(v, int) and not isinstance(v, bool) and abs(v) > 2**53:
+            return None
+    return needle
+
+
+def _jvm_flat_contains(col: Column, needle: dict) -> Column:
+    """`col @> needle` for a flat object needle, pure JVM expressions."""
+    v = F.try_parse_json(col)
+    if not needle:
+        # `doc @> '{}'` is true iff doc is an object
+        ok = F.schema_of_variant(v).startswith("OBJECT")
+    else:
+        terms = []
+        for k, val in needle.items():
+            kj = F.to_json(F.try_variant_get(v, f"$.{k}", "variant"))
+            if val is None:
+                t = kj == F.lit("null")
+            elif isinstance(val, bool):
+                t = kj == F.lit("true" if val else "false")
+            elif isinstance(val, (int, float)):
+                t = (
+                    kj.isNotNull()
+                    & ~kj.startswith('"')
+                    & ~kj.isin("true", "false", "null")
+                    & (F.try_variant_get(v, f"$.{k}", "double") == F.lit(float(val)))
+                )
+            else:  # str
+                t = kj.startswith('"') & (
+                    F.try_variant_get(v, f"$.{k}", "string") == F.lit(val)
+                )
+            terms.append(F.coalesce(t, F.lit(False)))
+        ok = terms[0]
+        for t in terms[1:]:
+            ok = ok & t
+    return F.when(
+        col.isNull() | v.isNull(), F.lit(None).cast("boolean")
+    ).otherwise(ok)
+
 
 def _pg_contains(hay, needle) -> bool:
     """Postgres jsonb containment: objects need every needle pair
@@ -110,10 +203,15 @@ def _pg_contains(hay, needle) -> bool:
 def jsonb_contains(col: str | Column, needle_json: str) -> Column:
     """``col @> needle``: structural containment of a constant needle.
 
-    Arrow-vectorized Pandas UDF (the needle parses once per batch);
-    map-only, no shuffle — but see the module docstring for the
-    codegen-friendly alternative when the needle shape is static.
+    Flat object needles (the dominant case) compile to pure JVM variant
+    expressions — no Python worker in the plan. Nested / array / scalar
+    needles ride the general Arrow-vectorized Pandas UDF (the needle
+    parses once per batch); both tiers are map-only, no shuffle.
     """
+    flat = _flat_needle(needle_json)
+    if flat is not None:
+        return _jvm_flat_contains(_c(col), flat)
+
     @pandas_udf("boolean")
     def contains(s: pd.Series) -> pd.Series:
         needle = json.loads(needle_json)
@@ -164,10 +262,49 @@ def _dump(obj) -> str:
     return json.dumps(obj, separators=(",", ":"), sort_keys=True)
 
 
-def jsonb_delete_key(col: str | Column, key: str | int) -> Column:
+def _entries_to_json(entries: Column) -> Column:
+    """Serialize an ``array<struct<key:string,value:variant>>`` to
+    canonical JSON object text (sorted keys, no whitespace), pure JVM.
+
+    Each pair is rendered through ``to_json(map(key, value))`` and
+    brace-stripped, so key escaping and value serialization are Spark's
+    own; the comparator sort avoids ordering variants (unorderable)."""
+    ordered = F.array_sort(
+        entries,
+        lambda a, b: F.when(a["key"] < b["key"], -1)
+        .when(a["key"] > b["key"], 1)
+        .otherwise(0),
+    )
+
+    def pair(e):
+        one = F.to_json(F.create_map(e["key"], e["value"]))
+        return F.substring(one, 2, F.length(one) - 2)
+
+    return F.concat(F.lit("{"), F.concat_ws(",", F.transform(ordered, pair)), F.lit("}"))
+
+
+def jsonb_delete_key(
+    col: str | Column, key: str | int, *, object_only: bool = False
+) -> Column:
     """``col - 'key'`` / ``col - index``: remove an object key, a
     matching string element, or an array element by (negative-ok)
-    index — the Postgres ``-`` operator."""
+    index — the Postgres ``-`` operator.
+
+    With ``object_only=True`` (caller guarantees every document is a
+    JSON object — e.g. after a ``ltrim(col) LIKE '{%'`` filter) and a
+    string key, the operator compiles to JVM ``from_json`` →
+    ``map<string,variant>`` → ``map_filter`` → canonical re-serialize:
+    no Python worker, stays in codegen. Non-object documents return
+    NULL on this tier (an array document would need the element-removal
+    semantics only the general tier implements)."""
+    if object_only and isinstance(key, str):
+        c = _c(col)
+        m = F.from_json(c, "map<string,variant>")
+        filtered = F.map_filter(m, lambda k, _v: k != F.lit(key))
+        return F.when(m.isNull(), F.lit(None).cast("string")).otherwise(
+            _entries_to_json(F.map_entries(filtered))
+        )
+
     @pandas_udf("string")
     def delete(s: pd.Series) -> pd.Series:
         def one(v):
@@ -180,6 +317,11 @@ def jsonb_delete_key(col: str | Column, key: str | int) -> Column:
             if isinstance(obj, dict):
                 if isinstance(key, str):
                     obj.pop(key, None)
+                else:
+                    # PG parity: `'{"a":1}'::jsonb - 1` is an error
+                    raise ValueError(
+                        "cannot delete from object using integer index"
+                    )
             elif isinstance(obj, list):
                 if isinstance(key, str):
                     obj = [x for x in obj if x != key]
@@ -231,17 +373,47 @@ def jsonb_delete_path(col: str | Column, keys: list[str | int]) -> Column:
 
 def _parse_pg_path(p: str) -> list:
     """Accept a path as a JSON array ('["a",0]') or the Postgres
-    '{a,0}' literal; numeric segments become array indexes."""
+    '{a,0}' array literal; numeric unquoted segments become array
+    indexes. Quote-aware: '{a,"b,c"}' is two segments, commas and
+    backslash escapes inside double quotes are literal, and a quoted
+    numeric ('"0"') stays a text key."""
     p = p.strip()
     if p.startswith("["):
         return json.loads(p)
-    parts = [seg.strip() for seg in p.strip("{}").split(",") if seg.strip()]
+    inner = p[1:-1] if p.startswith("{") and p.endswith("}") else p
     out: list = []
-    for seg in parts:
-        try:
-            out.append(int(seg))
-        except ValueError:
-            out.append(seg.strip('"'))
+    i, n = 0, len(inner)
+    while i < n:
+        while i < n and inner[i].isspace():
+            i += 1
+        if i >= n:
+            break
+        if inner[i] == '"':
+            buf = []
+            i += 1
+            while i < n and inner[i] != '"':
+                if inner[i] == "\\" and i + 1 < n:
+                    buf.append(inner[i + 1])
+                    i += 2
+                else:
+                    buf.append(inner[i])
+                    i += 1
+            i += 1  # closing quote
+            out.append("".join(buf))
+            while i < n and inner[i] != ",":
+                i += 1
+            i += 1
+        else:
+            j = inner.find(",", i)
+            if j == -1:
+                j = n
+            seg = inner[i:j].strip()
+            if seg:
+                try:
+                    out.append(int(seg))
+                except ValueError:
+                    out.append(seg)
+            i = j + 1
     return out
 
 
@@ -300,7 +472,11 @@ def register_sql_functions(spark) -> None:
         if isinstance(doc, dict):
             return n in doc
         if isinstance(doc, list):
-            return n in doc
+            # PG `?` on an array tests *string* elements only
+            return any(isinstance(x, str) and x == n for x in doc)
+        if isinstance(doc, str):
+            # PG `?` on a string scalar is equality
+            return doc == n
         return False
 
     def exists_any(doc, n, parsed):
@@ -317,6 +493,8 @@ def register_sql_functions(spark) -> None:
         # an integer argument means index deletion on arrays (Postgres
         # `jsonb - int`), matching the Python-level jsonb_delete_key
         if isinstance(n, numbers.Integral) and not isinstance(n, bool):
+            if isinstance(doc, dict):
+                raise ValueError("cannot delete from object using integer index")
             if isinstance(doc, list) and -len(doc) <= n < len(doc):
                 del doc[int(n)]
             return _dump(doc)
@@ -374,11 +552,42 @@ def register_sql_functions(spark) -> None:
     security._session_fn_cache.pop(spark, None)
 
 
-def jsonb_concat(col: str | Column, other_json: str) -> Column:
+def jsonb_concat(
+    col: str | Column, other_json: str, *, object_only: bool = False
+) -> Column:
     """``col || other``: shallow object merge (right wins), array
     concatenation, scalar-to-array promotion — the Postgres ``||``
-    operator with a constant right side."""
+    operator with a constant right side.
+
+    With ``object_only=True`` and a constant *object* right side, the
+    merge compiles JVM-side: the document's surviving entries
+    (``map_filter`` drops right-side keys) concatenate with the
+    constant's entries (``parse_json`` literals, nested values fine)
+    and re-serialize canonically. Non-object documents return NULL on
+    this tier."""
     other = json.loads(other_json)
+    if object_only and isinstance(other, dict):
+        c = _c(col)
+        m = F.from_json(c, "map<string,variant>")
+        if other:
+            keep = F.map_filter(
+                m, lambda k, _v: ~k.isin(*[F.lit(x) for x in other.keys()])
+            )
+            const_entries = F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("key"),
+                        F.parse_json(F.lit(_dump(v))).alias("value"),
+                    )
+                    for k, v in other.items()
+                ]
+            )
+            entries = F.concat(F.map_entries(keep), const_entries)
+        else:
+            entries = F.map_entries(m)
+        return F.when(m.isNull(), F.lit(None).cast("string")).otherwise(
+            _entries_to_json(entries)
+        )
 
     @pandas_udf("string")
     def concat(s: pd.Series) -> pd.Series:

@@ -75,14 +75,16 @@ def dense_order_ix(df: DataFrame, order_col: str, out_col: str = "ix"):
     boundaries), then per-partition ``row_number`` plus a broadcast
     prefix-offset map — the ix-assignment scheme shared with
     :func:`with_ix`. ``repartitionByRange`` resamples boundaries per
-    job, so the frame is ``localCheckpoint``-ed to pin ONE
-    materialization for both the metadata-sized count job and the
-    numbering job. Checkpoint (not persist) on purpose: a persisted
-    partition lost to executor failure would silently RECOMPUTE with
-    different range boundaries — duplicated/skipped ix with no error —
-    whereas a lost checkpoint partition fails the job loudly and the
-    whole assignment retries. On a multi-executor cluster, swap in
-    ``setCheckpointDir`` + ``checkpoint()`` for fault tolerance.
+    job, so the frame is checkpointed (``lagoon_spark.checkpointing.pin``)
+    to pin ONE materialization for both the metadata-sized count job
+    and the numbering job. Checkpoint (not persist) on purpose: a
+    persisted partition lost to executor failure would silently
+    RECOMPUTE with different range boundaries — duplicated/skipped ix
+    with no error — whereas a lost checkpoint partition fails the job
+    loudly and the whole assignment retries. When the session has a
+    reliable checkpoint dir configured (``sc.setCheckpointDir``, the
+    cluster deployment), ``pin`` upgrades to a fault-tolerant
+    ``checkpoint()`` automatically.
 
     Returns ``(out_df, pinned)``; the caller should ``pinned.unpersist()``
     after materializing ``out_df`` (e.g. after the parquet write) to
@@ -90,10 +92,12 @@ def dense_order_ix(df: DataFrame, order_col: str, out_col: str = "ix"):
     """
     from pyspark.sql import Window as W
 
-    ranged = (
-        df.repartitionByRange(F.col(order_col))
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    from lagoon_spark.checkpointing import pin
+
+    ranged = pin(
+        df.repartitionByRange(F.col(order_col)).withColumn(
+            "__pid", F.spark_partition_id()
+        )
     )
     counts = ranged.groupBy("__pid").count().collect()  # metadata-sized
     offsets: dict[int, int] = {}

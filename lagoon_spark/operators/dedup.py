@@ -310,28 +310,34 @@ def connected_components(
 
     Scale notes: each round is one shuffle on node id (uniform key).
     Iterative DataFrame algorithms MUST truncate lineage per round —
-    ``localCheckpoint`` here; plain ``persist`` leaves the logical plan
-    growing and Catalyst re-optimization cost compounds per iteration
-    (measured 2s → 18s/round by round 4 on a 35-node graph; with
-    checkpointing every round is ~0.5s). On a multi-executor cluster
-    prefer ``setCheckpointDir`` + ``checkpoint()`` for fault tolerance;
-    localCheckpoint trades executor-loss recovery for speed. For
-    adversarial diameters (long chains) the large-star/small-star
-    algorithm (Kiveris et al., "Connected Components in MapReduce")
-    cuts rounds to O(log d) — not needed for dedup-shaped graphs.
-    ``nodes`` (optional) adds isolated nodes, which come out as their
-    own singleton clusters.
+    ``checkpointing.pin`` here; plain ``persist`` leaves the logical
+    plan growing and Catalyst re-optimization cost compounds per
+    iteration (measured 2s → 18s/round by round 4 on a 35-node graph;
+    with checkpointing every round is ~0.5s). ``pin`` upgrades from
+    ``localCheckpoint`` to a fault-tolerant reliable ``checkpoint()``
+    automatically when the session has a checkpoint dir configured
+    (the multi-executor deployment). For adversarial diameters (long
+    chains — e.g. overlapping shingles across a crawl) plain hash-min
+    is O(diameter); if it fails to converge within ``max_iter`` the
+    implementation switches to the two-phase large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14), whose round count is O(log² n), and finishes
+    there. ``nodes`` (optional) adds isolated nodes, which come out as
+    their own singleton clusters.
     """
+    from lagoon_spark.checkpointing import pin
+
     und = edges.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-    und = und.distinct().localCheckpoint()
+    und = pin(und.distinct())
 
     endpoints = und.select(F.col("src").alias(node_col)).distinct()
     if nodes is not None:
         endpoints = nodes.select(F.col(node_col)).unionByName(endpoints).distinct()
-    labels = endpoints.withColumn("cluster", F.col(node_col)).localCheckpoint()
+    labels = pin(endpoints.withColumn("cluster", F.col(node_col)))
 
+    changed = 0
     for _ in range(max_iter):
         nb_min = (
             und.join(
@@ -346,9 +352,8 @@ def connected_components(
         )
         # the changed flag rides in the same checkpointed result — the
         # convergence test is a count over materialized data, not a join
-        new_labels = (
-            labels.join(nb_min, node_col, "left")
-            .select(
+        new_labels = pin(
+            labels.join(nb_min, node_col, "left").select(
                 node_col,
                 F.least(F.col("cluster"), F.coalesce("__nb", "cluster")).alias(
                     "cluster"
@@ -357,13 +362,91 @@ def connected_components(
                     "__ch"
                 ),
             )
-            .localCheckpoint()
         )
         changed = new_labels.filter("__ch").count()
         labels = new_labels.drop("__ch")
         if changed == 0:
             break
+    if changed != 0:
+        # O(diameter) propagation did not converge (chain-shaped graph);
+        # contract the graph by the partial labels — every propagated
+        # cluster collapses to one node — and finish with the
+        # O(log²)-round large-star/small-star algorithm on the (much
+        # smaller) contracted graph, then compose the two mappings.
+        la = labels.select(F.col(node_col).alias("src"), F.col("cluster").alias("__ca"))
+        lb = labels.select(F.col(node_col).alias("dst"), F.col("cluster").alias("__cb"))
+        contracted = (
+            und.join(la, "src")
+            .join(lb, "dst")
+            .filter(F.col("__ca") != F.col("__cb"))
+            .select(F.col("__ca").alias("src"), F.col("__cb").alias("dst"))
+            .distinct()
+        )
+        star = _star_components(contracted)
+        labels = labels.join(
+            star.withColumnRenamed("node", "cluster"), "cluster", "left"
+        ).select(
+            node_col,
+            F.coalesce("__root", F.col("cluster")).alias("cluster"),
+        )
     return labels
+
+
+def _star_components(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — O(log² n) rounds regardless of graph diameter,
+    the escape hatch :func:`connected_components` uses when hash-min
+    propagation exceeds its round budget on a long-chain graph.
+
+    ``pairs``: distinct undirected edges (src, dst), src != dst.
+    Returns (node, __root) for every non-isolated node; roots map to
+    themselves. Each round is two grouped-min shuffles on node id.
+    """
+    from lagoon_spark.checkpointing import pin
+
+    def sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    def mins(s: DataFrame) -> DataFrame:
+        # m(u) = min over the closed neighborhood Γ(u) ∪ {u}
+        return (
+            s.groupBy("src")
+            .agg(F.min("dst").alias("__mn"))
+            .select("src", F.least("__mn", F.col("src")).alias("m"))
+        )
+
+    edges = pin(pairs.filter(F.col("src") != F.col("dst")).distinct())
+    for _ in range(max_rounds):
+        prev = edges
+        # large-star: every strictly larger neighbor of u connects to m(u)
+        s = sym(edges)
+        ls = (
+            s.join(mins(s), "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        edges = pin(ls.filter(F.col("src") != F.col("dst")).distinct())
+        # small-star: every ≤ neighbor of u (and u itself) connects to m(u)
+        s = sym(edges)
+        mm = mins(s)
+        ss = (
+            s.join(mm, "src")
+            .filter(F.col("dst") <= F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(mm.select(F.col("src"), F.col("m").alias("dst")))
+        )
+        edges = pin(ss.filter(F.col("src") != F.col("dst")).distinct())
+        if edges.count() == prev.count() and edges.exceptAll(prev).isEmpty():
+            break
+    # converged edge set is a star forest: (member, root)
+    members = edges.select(F.col("src").alias("node"), F.col("dst").alias("__root"))
+    roots = edges.select(F.col("dst").alias("node")).distinct().withColumn(
+        "__root", F.col("node")
+    )
+    return members.unionByName(roots).groupBy("node").agg(
+        F.min("__root").alias("__root")
+    )
 
 
 def simhash(df: DataFrame, text_col: str, bits: int = 16, out_col: str = "simhash") -> DataFrame:

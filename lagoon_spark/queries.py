@@ -878,8 +878,12 @@ def _q100(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lagoon_spark.functions import jsonb_concat, jsonb_delete_key
 
     register_views(spark, sf_dir)
+    # the `{%` filter below guarantees object documents, admitting the
+    # pure-JVM modifier tier (no Python worker in the plan)
     stamped = jsonb_concat(
-        jsonb_delete_key(F.col("props"), "k"), '{"z":"w"}'
+        jsonb_delete_key(F.col("props"), "k", object_only=True),
+        '{"z":"w"}',
+        object_only=True,
     )
     return (
         spark.table("events")

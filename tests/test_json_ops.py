@@ -43,7 +43,8 @@ def test_exists_operators(jdf):
         j.jsonb_exists_all("js", ["a", "b"]).alias("ea"),
         j.jsonb_exists_any("js", ["tag", "zzz"]).alias("eo"),
     )
-    assert _vals(out, "e")[1] is True and _vals(out, "e")[3] is None
+    # PG `?` on an array tests string elements: [1,2,3] ? 'a' is false
+    assert _vals(out, "e")[1] is True and _vals(out, "e")[3] is False
     assert _vals(out, "ea")[2] is True and _vals(out, "ea")[1] is False
     assert _vals(out, "eo")[1] is True and _vals(out, "eo")[2] is False
 
@@ -123,3 +124,105 @@ def test_jsonb_concat(spark, js, other, expect):
     df = spark.createDataFrame([(js,)], "js string")
     got = df.select(j.jsonb_concat("js", other).alias("d")).collect()[0]["d"]
     assert got == expect
+
+
+# -- JVM fast tiers ---------------------------------------------------------
+
+
+def _no_python_in_plan(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    return plan
+
+
+@pytest.mark.parametrize(
+    "hay,needle,expect",
+    [
+        ('{"a": 1, "b": 2}', '{"a": 1}', True),
+        ('{"a": 1}', '{"a": 2}', False),
+        ('{"a": "7"}', '{"a": 7}', False),  # string vs number
+        ('{"a": 7}', '{"a": "7"}', False),
+        ('{"a": 7.0}', '{"a": 7}', True),  # PG numeric cross-scale equality
+        ('{"a": true}', '{"a": true}', True),
+        ('{"a": true}', '{"a": 1}', False),  # bool is not 1
+        ('{"a": null}', '{"a": null}', True),
+        ('{"b": 1}', '{"a": null}', False),  # absent key != json null
+        ('{"a": "x y"}', '{"a": "x y"}', True),
+        ('[1, 2]', '{"a": 1}', False),  # array doc, object needle
+        ('"x"', "{}", False),
+        ('{"a": 1}', "{}", True),
+        ("{not json", '{"a": 1}', None),
+        (None, '{"a": 1}', None),
+    ],
+)
+def test_jvm_flat_containment(spark, hay, needle, expect):
+    df = spark.createDataFrame([(hay,)], "js string")
+    sel = df.select(j.jsonb_contains("js", needle).alias("c"))
+    _no_python_in_plan(sel)  # flat needles must compile JVM-side
+    assert sel.collect()[0]["c"] is expect
+
+
+def test_jvm_delete_key_object_only(spark):
+    df = spark.createDataFrame(
+        [('{"b": 2, "k": 7, "a": "x"}',), ('{"a": 1}',), ("{bad",), (None,)],
+        "js string",
+    )
+    sel = df.select(j.jsonb_delete_key("js", "k", object_only=True).alias("d"))
+    _no_python_in_plan(sel)
+    got = [r["d"] for r in sel.collect()]
+    assert got == ['{"a":"x","b":2}', '{"a":1}', None, None]
+
+
+def test_jvm_concat_object_only(spark):
+    df = spark.createDataFrame(
+        [('{"a": 1, "z": 0}',), ('{"b": "y"}',), ("{bad",), (None,)],
+        "js string",
+    )
+    sel = df.select(
+        j.jsonb_concat("js", '{"z": "w", "n": {"deep": [1]}}', object_only=True).alias(
+            "d"
+        )
+    )
+    _no_python_in_plan(sel)
+    got = [r["d"] for r in sel.collect()]
+    assert got == [
+        '{"a":1,"n":{"deep":[1]},"z":"w"}',
+        '{"b":"y","n":{"deep":[1]},"z":"w"}',
+        None,
+        None,
+    ]
+
+
+def test_jvm_concat_empty_right(spark):
+    df = spark.createDataFrame([('{"b": 2, "a": 1}',)], "js string")
+    sel = df.select(j.jsonb_concat("js", "{}", object_only=True).alias("d"))
+    _no_python_in_plan(sel)
+    assert sel.collect()[0]["d"] == '{"a":1,"b":2}'
+
+
+# -- PG parity refinements (quote-aware paths, scalar `?`, object - int) ----
+
+
+def test_exists_pg_shape_rules(spark):
+    rows = [(1, '"abc"'), (2, '["x", 1, "abc"]'), (3, "7"), (4, '{"abc": 1}')]
+    df = spark.createDataFrame(rows, "id long, js string")
+    sel = df.select("id", j.jsonb_exists("js", "abc").alias("e"))
+    _no_python_in_plan(sel)
+    v = {r["id"]: r["e"] for r in sel.collect()}
+    # string scalar → equality; array → string-element test; number → false
+    assert v == {1: True, 2: True, 3: False, 4: True}
+
+
+def test_parse_pg_path_quote_aware():
+    assert j._parse_pg_path('{a,"b,c"}') == ["a", "b,c"]
+    assert j._parse_pg_path('{a, 0}') == ["a", 0]
+    assert j._parse_pg_path('{"0"}') == ["0"]  # quoted numeric stays text
+    assert j._parse_pg_path('{"he said \\"hi\\""}') == ['he said "hi"']
+    assert j._parse_pg_path("{}") == []
+    assert j._parse_pg_path('["a", 0]') == ["a", 0]
+
+
+def test_delete_object_with_integer_raises(spark):
+    df = spark.createDataFrame([('{"a": 1}',)], "js string")
+    with pytest.raises(Exception, match="integer index"):
+        df.select(j.jsonb_delete_key("js", 1).alias("d")).collect()

@@ -100,6 +100,17 @@ def test_quantize_embeddings_map_only(spark, sf_small):
     assert "Exchange" not in plan
 
 
+def test_jsonb_family_stays_jvm_side(spark, sf_small):
+    """q37 (flat @> containment) and q100 (modifiers - and || under the
+    object-only filter) must carry no Python worker stage: the variant
+    fast tier (functions/json_ops.py) compiles them to codegen'd JVM
+    expressions — round-3 verdict's one remaining relational-plane
+    Python tax, asserted closed."""
+    for name in ("q37_json_containment", "q100_jsonb_modifiers"):
+        plan = _plan(get_query(name).spark_fn(spark, sf_small))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+
+
 def test_dense_order_ix_no_single_partition_exchange(spark):
     """Compaction's ix assignment (ingest/rowid.dense_order_ix) must not
     funnel the data through one task: the window runs per range
