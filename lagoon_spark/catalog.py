@@ -95,7 +95,7 @@ def _now() -> str:
 # current column set; v3 adds sourcenames.created_by (dataset-level
 # ownership) backfilled from each dataset's earliest surviving version.
 # Bump this and add a _MIGRATIONS entry whenever the layout changes.
-CATALOG_VERSION = 3
+CATALOG_VERSION = 4
 
 
 def _migrate_1_to_2(cat: "Catalog") -> None:
@@ -146,7 +146,54 @@ def _migrate_2_to_3(cat: "Catalog") -> None:
     names.to_parquet(p, index=False)
 
 
-_MIGRATIONS = {1: _migrate_1_to_2, 2: _migrate_2_to_3}
+def _migrate_3_to_4(cat: "Catalog") -> None:
+    """v3 → v4: re-anchor ACL rows from version ix to the dataset's
+    sourcename_ix (matching the reference's CanReadDataset keying).
+    Multiple version rows of one dataset collapse to one anchored row
+    at the *max* level — the pre-migration semantics aggregated levels
+    across sibling versions, so max preserves every access a user had."""
+    level_rank = {"read": 1, "update": 2, "manage": 3}
+    sp = cat._path("sources")
+    sources = pd.read_parquet(sp) if os.path.exists(sp) else None
+
+    def anchor(ix: int) -> int:
+        if sources is None or not len(sources):
+            return int(ix)
+        row = sources[sources["ix"] == ix]
+        return int(row.iloc[0]["sourcename_ix"]) if len(row) else int(ix)
+
+    gp = os.path.join(cat.dir, "grants.parquet")
+    if os.path.exists(gp):
+        g = pd.read_parquet(gp)
+        if "source_ix" in g.columns:
+            g["sourcename_ix"] = [anchor(ix) for ix in g["source_ix"]]
+            g = g.drop(columns=["source_ix"])
+            g["__rank"] = g["level"].map(level_rank).fillna(0)
+            g = (
+                g.sort_values("__rank")
+                .groupby(["sourcename_ix", "subject_type", "subject"], as_index=False)
+                .last()
+                .drop(columns=["__rank"])
+            )
+            g.to_parquet(gp, index=False)
+
+    pp = os.path.join(cat.dir, "public_sources.parquet")
+    if os.path.exists(pp):
+        p = pd.read_parquet(pp)
+        if "source_ix" in p.columns:
+            p["sourcename_ix"] = [anchor(ix) for ix in p["source_ix"]]
+            p = p.drop(columns=["source_ix"])
+            p["__rank"] = p["level"].map(level_rank).fillna(1)
+            p = (
+                p.sort_values("__rank")
+                .groupby(["sourcename_ix"], as_index=False)
+                .last()
+                .drop(columns=["__rank"])
+            )
+            p.to_parquet(pp, index=False)
+
+
+_MIGRATIONS = {1: _migrate_1_to_2, 2: _migrate_2_to_3, 3: _migrate_3_to_4}
 
 
 class Catalog:
@@ -154,8 +201,8 @@ class Catalog:
         self.warehouse = warehouse
         self.dir = os.path.join(warehouse, "catalog")
         self._cache: dict[str, pd.DataFrame] = {}
-        # bumped on every write — consumers (engine.sql's view
-        # registration) memoize against it
+        # bumped on every write through THIS instance; state_token()
+        # is the cross-instance (warehouse-state) change signal
         self.mutation_count = 0
 
     # -- storage ------------------------------------------------------------
@@ -167,6 +214,32 @@ class Catalog:
         return pd.DataFrame(
             {c: pd.Series(dtype=t) for c, t in _TABLES[table].items()}
         )
+
+    def state_token(self) -> str:
+        """Digest of the on-disk catalog state (parquet names, sizes,
+        mtimes). Changes whenever ANY writer mutates the warehouse —
+        this instance, another Catalog object in-process, or an
+        external process — so consumers (engine.sql's view
+        registration) can memoize on warehouse state instead of a
+        per-instance counter, which two instances could coincidentally
+        share (round-3 advisory)."""
+        import hashlib
+
+        h = hashlib.blake2b(digest_size=16)
+        try:
+            entries = sorted(os.scandir(self.dir), key=lambda e: e.name)
+        except FileNotFoundError:
+            return "empty"
+        for e in entries:
+            if e.name.endswith(".parquet"):
+                st = e.stat()
+                h.update(f"{e.name}:{st.st_mtime_ns}:{st.st_size};".encode())
+        return h.hexdigest()
+
+    def refresh(self) -> None:
+        """Drop the in-memory table cache so the next load() re-reads
+        parquet — required after detecting an external write."""
+        self._cache.clear()
 
     def load(self, table: str) -> pd.DataFrame:
         if table not in self._cache:

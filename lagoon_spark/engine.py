@@ -239,7 +239,12 @@ class Lagoon:
         # visibility: decided before ingest (see above); public datasets
         # sit at the update level (download + new versions, no manage)
         if apply_public:
-            _sec.set_public(self.catalog, info.ix, True, level="update")
+            # SYSTEM: the visibility decision was enforced BEFORE the
+            # ingest started (the apply_public gate above) — this call
+            # only applies the already-authorized outcome
+            _sec.set_public(
+                self.catalog, info.ix, True, level="update", actor=_sec.SYSTEM
+            )
         out = self.catalog.get_source_by_ix(info.ix)
         emit({"event": "done", "ix": out.ix, "version": out.version, "rows": out.row_count})
         return out
@@ -628,10 +633,16 @@ class Lagoon:
         # are session-global, so an engine for a different warehouse
         # registering its views must force this one to re-register (an
         # engine-local marker silently served the other warehouse's
-        # data under the same view names). Keyed by warehouse path —
-        # object ids can be recycled across GC
-        marker = (self.warehouse, self.catalog.mutation_count)
+        # data under the same view names). Keyed by warehouse path plus
+        # the catalog's on-disk state digest — NOT a per-instance
+        # counter, which two Catalog objects on one warehouse could
+        # coincidentally share (and which an external writer never
+        # bumps at all).
+        marker = (self.warehouse, self.catalog.state_token())
         if getattr(self.spark, "_lagoon_views_marker", None) != marker:
+            # the state may have been advanced by a different writer —
+            # drop this instance's pandas cache before re-reading
+            self.catalog.refresh()
             self.register_all_views()
             self.register_metadata_views()
             self.spark._lagoon_views_marker = marker

@@ -249,10 +249,36 @@ _SEC_TABLES = {
     "groups": {"ix": "int64", "name": "object"},
     "group_members": {"group_ix": "int64", "user": "object"},
     "group_managers": {"group_ix": "int64", "user": "object"},
-    "grants": {"source_ix": "int64", "subject_type": "object", "subject": "object", "level": "object"},
-    "public_sources": {"source_ix": "int64", "level": "object"},
+    # ACL rows anchor on the DATASET (sourcename_ix), not a version ix:
+    # the reference's CanReadDataset is keyed on sourceNameIx
+    # (`src/backend/src/Lagoon/DB/SourceInfo.hs`), so one revoke or
+    # un-publish covers every version — a caller must never have to
+    # walk versions to make a dataset private (round-3 advisory).
+    "grants": {"sourcename_ix": "int64", "subject_type": "object", "subject": "object", "level": "object"},
+    "public_sources": {"sourcename_ix": "int64", "level": "object"},
     "user_caps": {"user": "object", "capability": "object", "allowed": "bool"},
 }
+
+# Explicit no-enforcement principal for grant/revoke and the group
+# mutators: internal engine plumbing that has already authorized the
+# operation passes SYSTEM; forgetting to thread an actor is an error,
+# not a silent bypass (round-3 advisory: the mutators failed open).
+
+
+class _System:
+    def __repr__(self) -> str:  # pragma: no cover
+        return "security.SYSTEM"
+
+
+SYSTEM = _System()
+
+
+def _check_actor(actor) -> None:
+    if actor is None:
+        raise ValueError(
+            "an actor is required; pass security.SYSTEM to bypass "
+            "enforcement deliberately"
+        )
 
 # the administrator principal (the reference authenticates an admin via
 # the DB admin password, `runsecuritytests.sh:75`; the library analog is
@@ -321,10 +347,11 @@ def _group_ix(catalog, name: str) -> int | None:
     return int(hit.iloc[0]["ix"]) if len(hit) else None
 
 
-def create_group(catalog, name: str, actor: str | None = None) -> int:
-    """Create a group; the creator becomes its manager. With an actor,
-    the CREATEGROUP capability is enforced."""
-    if actor is not None and not has_capability(catalog, actor, "creategroup"):
+def create_group(catalog, name: str, actor=None) -> int:
+    """Create a group; the creator becomes its manager. The CREATEGROUP
+    capability is enforced unless ``actor`` is :data:`SYSTEM`."""
+    _check_actor(actor)
+    if actor is not SYSTEM and not has_capability(catalog, actor, "creategroup"):
         raise PermissionDenied(f"{actor!r} may not create groups")
     existing = _group_ix(catalog, name)
     if existing is not None:
@@ -332,7 +359,7 @@ def create_group(catalog, name: str, actor: str | None = None) -> int:
     g = _sec_load(catalog, "groups")
     ix = int(g["ix"].max()) + 1 if len(g) else 1
     _sec_save(catalog, "groups", pd.concat([g, pd.DataFrame([{"ix": ix, "name": name}])], ignore_index=True))
-    if actor is not None and not is_admin(actor):
+    if actor is not SYSTEM and not is_admin(actor):
         mg = _sec_load(catalog, "group_managers")
         _sec_save(catalog, "group_managers", pd.concat([mg, pd.DataFrame([{
             "group_ix": ix, "user": actor,
@@ -350,12 +377,13 @@ def is_group_manager(catalog, group: str, user: str) -> bool:
     return bool(len(mg[(mg["group_ix"] == gix) & (mg["user"] == user)]))
 
 
-def set_group_manager(catalog, group: str, user: str, manager: bool, actor: str | None = None) -> None:
+def set_group_manager(catalog, group: str, user: str, manager: bool, actor=None) -> None:
     """Grant/revoke manage rights on a group (managers and the admin
     can do this — 'admins can give other people admin rights')."""
-    if actor is not None and not is_group_manager(catalog, group, actor):
+    _check_actor(actor)
+    if actor is not SYSTEM and not is_group_manager(catalog, group, actor):
         raise PermissionDenied(f"{actor!r} does not manage group {group!r}")
-    gix = create_group(catalog, group)
+    gix = create_group(catalog, group, actor=SYSTEM)
     mg = _sec_load(catalog, "group_managers")
     mg = mg[~((mg["group_ix"] == gix) & (mg["user"] == user))]
     if manager:
@@ -363,21 +391,23 @@ def set_group_manager(catalog, group: str, user: str, manager: bool, actor: str 
     _sec_save(catalog, "group_managers", mg)
 
 
-def add_to_group(catalog, group: str, user: str, actor: str | None = None) -> None:
-    """With an actor, only group managers (or admin) may add members —
+def add_to_group(catalog, group: str, user: str, actor=None) -> None:
+    """Only group managers (or admin, or SYSTEM) may add members —
     'group membership does not imply manage rights'."""
-    if actor is not None and not is_group_manager(catalog, group, actor):
+    _check_actor(actor)
+    if actor is not SYSTEM and not is_group_manager(catalog, group, actor):
         raise PermissionDenied(f"{actor!r} does not manage group {group!r}")
-    gix = create_group(catalog, group)
+    gix = create_group(catalog, group, actor=SYSTEM)
     m = _sec_load(catalog, "group_members")
     if not len(m[(m["group_ix"] == gix) & (m["user"] == user)]):
         _sec_save(catalog, "group_members", pd.concat([m, pd.DataFrame([{"group_ix": gix, "user": user}])], ignore_index=True))
 
 
-def remove_from_group(catalog, group: str, user: str, actor: str | None = None) -> None:
-    if actor is not None and not is_group_manager(catalog, group, actor):
+def remove_from_group(catalog, group: str, user: str, actor=None) -> None:
+    _check_actor(actor)
+    if actor is not SYSTEM and not is_group_manager(catalog, group, actor):
         raise PermissionDenied(f"{actor!r} does not manage group {group!r}")
-    gix = create_group(catalog, group)
+    gix = create_group(catalog, group, actor=SYSTEM)
     m = _sec_load(catalog, "group_members")
     _sec_save(catalog, "group_members", m[~((m["group_ix"] == gix) & (m["user"] == user))])
 
@@ -390,19 +420,50 @@ def group_members(catalog, group: str) -> list[str]:
     return sorted(m[m["group_ix"] == gix]["user"].tolist())
 
 
-def grant(catalog, source_ix: int, subject: str, level: str, subject_type: str = "user") -> None:
+def _can_administer(catalog, actor, source_ix: int, owner: str | None) -> bool:
+    return (
+        actor is SYSTEM
+        or is_admin(actor)
+        or (owner is not None and actor == owner)
+        or user_level(catalog, actor, source_ix) >= LEVELS["manage"]
+    )
+
+
+def grant(
+    catalog,
+    source_ix: int,
+    subject: str,
+    level: str,
+    actor=None,
+    subject_type: str = "user",
+    owner: str | None = None,
+) -> None:
+    """Grant ``subject`` an access level on the DATASET owning
+    ``source_ix`` (anchored on the sourcename — covers every version).
+    Only admin, the dataset owner, manage-level holders, or
+    :data:`SYSTEM` may grant."""
+    _check_actor(actor)
     if level not in LEVELS:
         raise ValueError(level)
+    if not _can_administer(catalog, actor, source_ix, owner):
+        raise PermissionDenied(f"{actor!r} may not grant on dataset {source_ix}")
+    anchor = _anchor_ix(catalog, source_ix)
     g = _sec_load(catalog, "grants")
-    g = g[~((g["source_ix"] == source_ix) & (g["subject_type"] == subject_type) & (g["subject"] == subject))]
+    g = g[~((g["sourcename_ix"] == anchor) & (g["subject_type"] == subject_type) & (g["subject"] == subject))]
     _sec_save(catalog, "grants", pd.concat([g, pd.DataFrame([{
-        "source_ix": source_ix, "subject_type": subject_type, "subject": subject, "level": level,
+        "sourcename_ix": anchor, "subject_type": subject_type, "subject": subject, "level": level,
     }])], ignore_index=True))
 
 
-def revoke(catalog, source_ix: int, subject: str, subject_type: str = "user") -> None:
+def revoke(catalog, source_ix: int, subject: str, actor=None, subject_type: str = "user", owner: str | None = None) -> None:
+    """Remove ``subject``'s grant on the dataset owning ``source_ix``.
+    Dataset-anchored: one call revokes across all versions."""
+    _check_actor(actor)
+    if not _can_administer(catalog, actor, source_ix, owner):
+        raise PermissionDenied(f"{actor!r} may not revoke on dataset {source_ix}")
+    anchor = _anchor_ix(catalog, source_ix)
     g = _sec_load(catalog, "grants")
-    _sec_save(catalog, "grants", g[~((g["source_ix"] == source_ix) & (g["subject_type"] == subject_type) & (g["subject"] == subject))])
+    _sec_save(catalog, "grants", g[~((g["sourcename_ix"] == anchor) & (g["subject_type"] == subject_type) & (g["subject"] == subject))])
 
 
 def set_public(
@@ -410,29 +471,41 @@ def set_public(
     source_ix: int,
     public: bool = True,
     level: str = "read",
-    actor: str | None = None,
+    actor=None,
     owner: str | None = None,
 ) -> None:
-    """Mark a dataset public at an access level (the reference supports
-    a custom public access level, `runsecuritytests.sh` 'CUSTOM PUBLIC
-    ACCESS LEVEL'). With an actor, manage rights are enforced ('public
-    does not give admin rights')."""
+    """Mark the DATASET owning ``source_ix`` public at an access level
+    (the reference supports a custom public access level,
+    `runsecuritytests.sh` 'CUSTOM PUBLIC ACCESS LEVEL'). Anchored on
+    the sourcename: publishing any version publishes the dataset, and
+    one ``set_public(ix, False)`` makes it private again regardless of
+    which versions were published. Unless ``actor`` is SYSTEM, manage
+    rights are enforced ('public does not give admin rights')."""
+    _check_actor(actor)
     if level not in LEVELS:
         raise ValueError(level)
-    if actor is not None and not (
-        is_admin(actor)
-        or actor == owner
-        or user_level(catalog, actor, source_ix) >= LEVELS["manage"]
-    ):
+    if not _can_administer(catalog, actor, source_ix, owner):
         raise PermissionDenied(f"{actor!r} may not change visibility of {source_ix}")
+    anchor = _anchor_ix(catalog, source_ix)
     p = _sec_load(catalog, "public_sources")
-    p = p[p["source_ix"] != source_ix]
+    p = p[p["sourcename_ix"] != anchor]
     if public:
         p = pd.concat(
-            [p, pd.DataFrame([{"source_ix": source_ix, "level": level}])],
+            [p, pd.DataFrame([{"sourcename_ix": anchor, "level": level}])],
             ignore_index=True,
         )
     _sec_save(catalog, "public_sources", p)
+
+
+def _anchor_ix(catalog, source_ix: int) -> int:
+    """The dataset anchor (sourcename_ix) owning a version ix; a
+    version unknown to the catalog anchors on itself (synthetic test
+    fixtures)."""
+    sources = catalog.load("sources")
+    row = sources[sources["ix"] == source_ix]
+    if not len(row):
+        return int(source_ix)
+    return int(row.iloc[0]["sourcename_ix"])
 
 
 def _sibling_ixes(catalog, source_ix: int) -> list[int]:
@@ -445,18 +518,17 @@ def _sibling_ixes(catalog, source_ix: int) -> list[int]:
     return [int(x) for x in sources[sources["sourcename_ix"] == sn]["ix"]]
 
 
-def _version_level(user: str, source_ix: int, tables) -> int:
-    """Access level from grants/public rows naming this exact ix.
+def _dataset_level(user: str, anchor_ix: int, tables) -> int:
+    """Access level from grants/public rows anchored on the dataset.
     ``tables`` = (public_sources, grants, my_group_names) loaded once
-    by the caller — re-reading three parquet files per sibling version
-    multiplied ACL-check I/O by the version count."""
+    by the caller."""
     pub, g, my_groups = tables
-    mine_pub = pub[pub["source_ix"] == source_ix]
+    mine_pub = pub[pub["sourcename_ix"] == anchor_ix]
     level = 0
     if len(mine_pub):
         raw = mine_pub.iloc[0].get("level")
         level = LEVELS.get(raw if isinstance(raw, str) else "read", 1)
-    mine = g[g["source_ix"] == source_ix]
+    mine = g[g["sourcename_ix"] == anchor_ix]
     direct = mine[(mine["subject_type"] == "user") & (mine["subject"] == user)]
     for _, row in direct.iterrows():
         level = max(level, LEVELS[row["level"]])
@@ -479,23 +551,20 @@ def _load_acl_tables(catalog, user: str):
 
 def user_level(catalog, user: str, source_ix: int) -> int:
     """Max access level for user on the DATASET owning ``source_ix``
-    (0 = none): the reference attaches ACLs to the sourcename, so a
-    grant or public level on any version confers on every version —
-    the 'can-read cache' recomputed on demand."""
+    (0 = none): ACLs attach to the sourcename (the reference's
+    CanReadDataset sourceNameIx), so one anchored lookup covers every
+    version — the 'can-read cache' recomputed on demand."""
     tables = _load_acl_tables(catalog, user)
-    return max(
-        _version_level(user, ix, tables)
-        for ix in _sibling_ixes(catalog, source_ix)
-    )
+    return _dataset_level(user, _anchor_ix(catalog, source_ix), tables)
 
 
 def dataset_public_level(catalog, source_ix: int) -> int:
     """User-independent public level of the dataset owning
     ``source_ix`` (0 = private)."""
     pub = _sec_load(catalog, "public_sources")
-    sib = set(_sibling_ixes(catalog, source_ix))
+    anchor = _anchor_ix(catalog, source_ix)
     level = 0
-    for _, row in pub[pub["source_ix"].isin(sib)].iterrows():
+    for _, row in pub[pub["sourcename_ix"] == anchor].iterrows():
         raw = row.get("level")
         level = max(level, LEVELS.get(raw if isinstance(raw, str) else "read", 1))
     return level

@@ -76,14 +76,14 @@ def test_prog_command_walkthrough(lagoon, tmp_path):
     assert lagoon.catalog.get_source_by_ix(v2.ix).deprecated
     lagoon.catalog.set_deprecated(v2.ix, False)
 
-    security.set_public(lagoon.catalog, v2.ix, False)
+    security.set_public(lagoon.catalog, v2.ix, False, actor=security.SYSTEM)
     assert not security.can_read(lagoon.catalog, "alice", v2.ix)
     # CreateGroup + ManageGroup + group-level grant
-    security.create_group(lagoon.catalog, "readers")
-    security.add_to_group(lagoon.catalog, "readers", "alice")
-    security.grant(lagoon.catalog, v2.ix, "readers", "read", subject_type="group")
+    security.create_group(lagoon.catalog, "readers", actor=security.SYSTEM)
+    security.add_to_group(lagoon.catalog, "readers", "alice", actor=security.SYSTEM)
+    security.grant(lagoon.catalog, v2.ix, "readers", "read", actor=security.SYSTEM, subject_type="group")
     assert security.can_read(lagoon.catalog, "alice", v2.ix)
-    security.remove_from_group(lagoon.catalog, "readers", "alice")
+    security.remove_from_group(lagoon.catalog, "readers", "alice", actor=security.SYSTEM)
     assert not security.can_read(lagoon.catalog, "alice", v2.ix)
 
     # DownloadSource

@@ -213,7 +213,7 @@ def test_sql_passthrough_and_security(lagoon, tmp_path):
     # public flag opens it up
     from lagoon_spark import security
 
-    security.set_public(lagoon.catalog, info.ix)
+    security.set_public(lagoon.catalog, info.ix, actor=security.SYSTEM)
     assert lagoon.sql("SELECT count(*) AS n FROM sec_v1_typed", user="mallory").collect()[0].n == 3
     # writes rejected
     with pytest.raises(QueryDenied):
@@ -276,13 +276,13 @@ def test_acl_groups(lagoon, tmp_path):
 
     p = _write(tmp_path, "acl.csv", SIMPLE)
     info = lagoon.ingest(p, "acl")
-    security.add_to_group(lagoon.catalog, "AB", "alice")
-    security.grant(lagoon.catalog, info.ix, "AB", "read", subject_type="group")
+    security.add_to_group(lagoon.catalog, "AB", "alice", actor=security.SYSTEM)
+    security.grant(lagoon.catalog, info.ix, "AB", "read", actor=security.SYSTEM, subject_type="group")
     assert security.can_read(lagoon.catalog, "alice", info.ix)
     assert not security.can_read(lagoon.catalog, "bob", info.ix)
     rows = lagoon.sql("SELECT count(*) AS n FROM acl_v1_typed", user="alice").collect()
     assert rows[0].n == 3
-    security.revoke(lagoon.catalog, info.ix, "AB", subject_type="group")
+    security.revoke(lagoon.catalog, info.ix, "AB", actor=security.SYSTEM, subject_type="group")
     assert not security.can_read(lagoon.catalog, "alice", info.ix)
 
 
@@ -481,6 +481,93 @@ def test_catalog_migration_from_v1(spark, tmp_path):
     info = lg2.catalog.get_source("mig")
     assert info.row_count == 2 and info.json_type is None
     assert lg2.sql("SELECT count(*) AS n FROM mig_v1_typed").collect()[0].n == 2
+
+
+def test_view_memo_keyed_on_warehouse_state(spark, tmp_path):
+    """Two Catalog instances on one warehouse must not share a stale
+    view memo: after instance B ingests, instance A's next sql() must
+    see the new dataset even though A's own in-memory mutation counter
+    never moved (round-3 advisory — the old memo keyed on a
+    per-instance counter both instances start at 0)."""
+    wh = str(tmp_path / "wh")
+    a = Lagoon(spark, wh, user="u")
+    a.init_db()
+    pa = _write(tmp_path, "m1.csv", "x\n1\n")
+    a.ingest(pa, "memo_ds")
+    assert a.sql("SELECT count(*) AS n FROM memo_ds_v1").collect()[0].n == 1
+    # a second, independent engine+catalog on the same warehouse
+    b = Lagoon(spark, wh, user="u")
+    pb = _write(tmp_path, "m2.csv", "x\n1\n2\n")
+    b.ingest(pb, "memo_ds2")
+    # A (whose instance counter never changed) must serve the new view
+    assert a.sql("SELECT count(*) AS n FROM memo_ds2_v1").collect()[0].n == 2
+
+
+def test_acl_migration_v3_to_v4(spark, tmp_path):
+    """v3→v4 re-anchors version-ix-keyed ACL rows onto sourcename_ix,
+    collapsing sibling-version rows at the max level."""
+    import os
+
+    import pandas as pd
+
+    from lagoon_spark import security
+    from lagoon_spark.catalog import CATALOG_VERSION, Catalog
+
+    wh = str(tmp_path / "wh")
+    lg = Lagoon(spark, wh, user="bob")
+    lg.init_db()
+    p = _write(tmp_path, "a1.csv", "x\n1\n")
+    v1 = lg.ingest(p, "anch")
+    v2 = lg.ingest(_write(tmp_path, "a2.csv", "x\n1\n2\n"), "anch")
+    cat_dir = os.path.join(wh, "catalog")
+    # write OLD-format (v3) ACL rows: per-version source_ix keying,
+    # different levels on the two versions, one public row each
+    pd.DataFrame(
+        [
+            {"source_ix": v1.ix, "subject_type": "user", "subject": "alice", "level": "read"},
+            {"source_ix": v2.ix, "subject_type": "user", "subject": "alice", "level": "update"},
+        ]
+    ).to_parquet(os.path.join(cat_dir, "grants.parquet"), index=False)
+    pd.DataFrame(
+        [
+            {"source_ix": v1.ix, "level": "read"},
+            {"source_ix": v2.ix, "level": "update"},
+        ]
+    ).to_parquet(os.path.join(cat_dir, "public_sources.parquet"), index=False)
+    cat = Catalog(wh)
+    cat._write_version(3)
+    assert cat.migrate() == CATALOG_VERSION
+    g = pd.read_parquet(os.path.join(cat_dir, "grants.parquet"))
+    assert list(g.columns)[0] == "sourcename_ix" and len(g) == 1
+    assert g.iloc[0]["level"] == "update"  # max across versions survives
+    pub = pd.read_parquet(os.path.join(cat_dir, "public_sources.parquet"))
+    assert len(pub) == 1 and pub.iloc[0]["level"] == "update"
+    # and one revoke / un-publish now covers the whole dataset
+    cat2 = Catalog(wh)
+    security.revoke(cat2, v1.ix, "alice", actor=security.ADMIN)
+    security.set_public(cat2, v2.ix, False, actor=security.ADMIN)
+    assert security.user_level(cat2, "alice", v2.ix) == 0
+    assert security.dataset_public_level(cat2, v1.ix) == 0
+
+
+def test_security_mutators_require_actor(lagoon, tmp_path):
+    from lagoon_spark import security
+
+    p = _write(tmp_path, "ra.csv", SIMPLE)
+    info = lagoon.ingest(p, "reqactor")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="actor"):
+        security.grant(lagoon.catalog, info.ix, "alice", "read")
+    with _pytest.raises(ValueError, match="actor"):
+        security.revoke(lagoon.catalog, info.ix, "alice")
+    with _pytest.raises(ValueError, match="actor"):
+        security.create_group(lagoon.catalog, "nogroup")
+    with _pytest.raises(ValueError, match="actor"):
+        security.set_public(lagoon.catalog, info.ix, False)
+    # and a non-manager actor is refused on grant (fail closed)
+    with _pytest.raises(security.PermissionDenied):
+        security.grant(lagoon.catalog, info.ix, "alice", "read", actor="mallory")
 
 
 def test_catalog_refuses_future_schema(tmp_path):

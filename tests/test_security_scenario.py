@@ -115,19 +115,23 @@ def test_public_vs_private_lifecycle(world, tmp_path):
     # ...but public does not give admin rights
     with pytest.raises(PermissionDenied):
         sec.set_public(cat, info.ix, False, actor="alice", owner=info.added_by)
-    # the uploader has admin rights: Bob makes it private
+    # the uploader has admin rights: Bob makes it private — ONE call
+    # suffices because ACLs anchor on the dataset, even though v2 was
+    # published under its own version ix (round-3 advisory closed)
     sec.set_public(cat, info.ix, False, actor="bob", owner=info.added_by)
-    sec.set_public(cat, v2.ix, False, actor=ADMIN, owner=v2.added_by)
+    assert sec.dataset_public_level(cat, v2.ix) == 0
     with pytest.raises(PermissionDenied):
         list(world["alice"].download(info))
+    with pytest.raises(PermissionDenied):
+        # the sibling version too (carol — alice uploaded v2 and keeps
+        # owner rights on her own upload)
+        list(world["carol"].download(v2))
     with pytest.raises(PermissionDenied):
         world["alice"].ingest(_csv(tmp_path, "pub3.csv"), "bobpub")
     with pytest.raises(PermissionDenied):
         sec.set_public(cat, info.ix, True, actor="alice", owner=info.added_by)
     # made public again -> Alice can download and update, still not manage
     sec.set_public(cat, info.ix, True, level="update", actor="bob", owner=info.added_by)
-    latest = cat.get_source("bobpub")
-    sec.set_public(cat, latest.ix, True, level="update", actor=ADMIN, owner=latest.added_by)
     assert "".join(world["alice"].download(info)).startswith("a,b")
     world["alice"].ingest(_csv(tmp_path, "pub4.csv"), "bobpub")
     with pytest.raises(PermissionDenied):
@@ -166,7 +170,7 @@ def test_grant_covers_later_versions(world, tmp_path):
     info = world["bob"].ingest(
         _csv(tmp_path, "g1.csv"), "bobgrant", public=False
     )
-    sec.grant(cat, info.ix, "alice", "read")
+    sec.grant(cat, info.ix, "alice", "read", actor=ADMIN)
     v2 = world["bob"].ingest(_csv(tmp_path, "g2.csv"), "bobgrant", public=False)
     assert "".join(world["alice"].download(v2)).startswith("a,b")
     with pytest.raises(PermissionDenied):
@@ -200,7 +204,7 @@ def test_extra_data_requires_parent_read(world, tmp_path):
     # with read rights it goes through
     cat = world[ADMIN].catalog
     parent = cat.get_source("bob_md")
-    sec.grant(cat, parent.ix, "alice", "read")
+    sec.grant(cat, parent.ix, "alice", "read", actor=ADMIN)
     info = world["alice"].ingest_extra_data(
         data, "alice_extra", metadata_source="bob_md",
         metadata_field="project-id",
@@ -216,7 +220,7 @@ def test_update_user_cannot_publicize_private_dataset(world, tmp_path):
     info = world["bob"].ingest(
         _csv(tmp_path, "pp.csv"), "bobescal", public=False
     )
-    sec.grant(cat, info.ix, "alice", "update")
+    sec.grant(cat, info.ix, "alice", "update", actor=ADMIN)
     # explicit public=True without manage rights is refused loudly
     with pytest.raises(PermissionDenied):
         world["alice"].ingest(_csv(tmp_path, "pp2.csv"), "bobescal", public=True)
@@ -238,7 +242,7 @@ def test_suid_reingest_needs_only_read(world, tmp_path):
         _csv(tmp_path, "sr.csv"), "bobread", public=False,
         source_identifier="RID1",
     )
-    sec.grant(cat, info.ix, "alice", "read")
+    sec.grant(cat, info.ix, "alice", "read", actor=ADMIN)
     got = world["alice"].ingest(
         _csv(tmp_path, "sr2.csv"), "whatever", source_identifier="RID1"
     )
@@ -251,10 +255,10 @@ def test_creator_rights_survive_deleting_first_version(world, tmp_path):
     creator rights to the next-earliest uploader)."""
     cat = world[ADMIN].catalog
     i1 = world["bob"].ingest(_csv(tmp_path, "cr.csv"), "bobanchor", public=False)
-    sec.grant(cat, i1.ix, "alice", "update")
+    sec.grant(cat, i1.ix, "alice", "update", actor=ADMIN)
     world["alice"].ingest(_csv(tmp_path, "cr2.csv"), "bobanchor", public=False)
     world["bob"].delete_source(i1)
-    sec.revoke(cat, i1.ix, "alice")
+    sec.revoke(cat, i1.ix, "alice", actor=ADMIN)
     # alice's grant is gone and she is NOT the creator — earliest
     # surviving version being hers must not confer creator rights
     with pytest.raises(PermissionDenied):
@@ -269,7 +273,7 @@ def test_delete_requires_manage(world, tmp_path):
     info = world["bob"].ingest(_csv(tmp_path, "del.csv"), "bobdel")
     with pytest.raises(PermissionDenied):
         world["alice"].delete_source(info)  # public=update < manage
-    sec.grant(cat, info.ix, "alice", "manage")
+    sec.grant(cat, info.ix, "alice", "manage", actor=ADMIN)
     world["alice"].delete_source(info)
     # admin can always delete
     info2 = world["bob"].ingest(_csv(tmp_path, "del2.csv"), "bobdel2")
