@@ -769,9 +769,26 @@ class Lagoon:
         width = max(len(i.columns) for i in infos)
         phys = [f"c{i+1}" for i in range(width)]
 
+        tables = [
+            (info, self.spark.read.parquet(self._data_path(info.table_name)))
+            for info in infos
+        ]
+        compact_names = {i.table_name for i, df in tables if "ixs" in df.columns}
+        n_new = sum(1 for _i, df in tables if "ixs" not in df.columns)
+        # Incremental path: an already-compacted prefix (one shared
+        # table) plus freshly ingested versions. The ixs array is
+        # append-only per version (reference semantics), so the merge
+        # can join the new rows against the existing compact table —
+        # never re-matching the prior versions against each other.
+        if (
+            len(compact_names) == 1
+            and 0 < n_new < len(infos)
+            and all("ixs" in df.columns for _i, df in tables[: len(infos) - n_new])
+        ):
+            return self._compact_incremental(name, infos, tables, phys)
+
         frames = []
-        for info in infos:
-            df = self.spark.read.parquet(self._data_path(info.table_name))
+        for info, df in tables:
             if "ixs" in df.columns:
                 # already-compacted source: membership lives in the ixs
                 # array — take only this version's rows (found by the
@@ -809,16 +826,121 @@ class Lagoon:
         numbered, pinned = dense_order_ix(grouped, "__ord")
         try:
             compacted = numbered.select("ix", *phys, "ixs")
-
-            latest = infos[-1]
-            compact_table = f"compact{latest.ix}"
-            if any(i.table_name == compact_table for i in infos):
-                # recompaction: never overwrite the directory being read —
-                # alternate deterministically between two physical names
-                compact_table = f"compact{latest.ix}b"
-            compacted.write.mode("overwrite").parquet(self._data_path(compact_table))
+            self._write_compact(name, infos, compacted)
         finally:
             pinned.unpersist()
+        return self.catalog.get_source(name, versions[-1])
+
+    def _compact_incremental(self, name, infos, tables, phys) -> SourceInfo:
+        """Merge freshly ingested versions into an existing compact
+        table without re-matching prior versions against each other.
+
+        Equivalence to full recompaction (asserted by the compaction
+        property test): a compact row is a (content, k) group — the
+        k-th occurrence of identical content in every member version —
+        and within one content, ix order equals k order (the group's
+        __ord is the min of v·10¹² + orig_ix over members, and the
+        earliest member version of group k also holds occurrence k-1
+        at a smaller orig_ix). So k is recoverable as a per-content
+        row_number over ix, new versions group into the same (content,
+        k) keys, and appended groups — k beyond the existing count —
+        sort after every existing row because their __ord carries a
+        strictly larger version. One scan of the compact table, one of
+        each new version; the join result is pinned so the
+        matched/appended branches cannot re-trigger either scan.
+        """
+        from pyspark.sql import Window as W
+
+        from lagoon_spark.checkpointing import pin
+        from lagoon_spark.ingest.rowid import dense_order_ix
+
+        base = next(df for i, df in tables if "ixs" in df.columns)
+        for c in phys:
+            if c not in base.columns:
+                base = base.withColumn(c, F.lit(None).cast("string"))
+        base = base.select("ix", *phys, "ixs")
+
+        frames = []
+        for info, df in tables:
+            if "ixs" in df.columns:
+                continue
+            for c in phys:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None).cast("string"))
+            frames.append(
+                df.select(
+                    F.lit(info.version).alias("__v"),
+                    F.col("ix").alias("__orig_ix"),
+                    *phys,
+                )
+            )
+        allv = frames[0]
+        for fdf in frames[1:]:
+            allv = allv.unionByName(fdf)
+        occ_w = W.partitionBy(*phys, "__v").orderBy("__orig_ix")
+        delta = (
+            allv.withColumn("__occ", F.row_number().over(occ_w))
+            .groupBy(*phys, "__occ")
+            .agg(
+                F.sort_array(F.collect_set("__v")).alias("__new_ixs"),
+                F.min(F.col("__v") * F.lit(10**12) + F.col("__orig_ix")).alias(
+                    "__ord"
+                ),
+            )
+        )
+
+        k_w = W.partitionBy(*phys).orderBy("ix")
+        based = base.withColumn("__occ", F.row_number().over(k_w))
+        cond = [based[c].eqNullSafe(delta[c]) for c in phys] + [
+            based["__occ"] == delta["__occ"]
+        ]
+        joined = based.join(delta, cond, "full_outer").select(
+            based["ix"].alias("__ix"),
+            *[F.coalesce(based[c], delta[c]).alias(c) for c in phys],
+            based["ixs"].alias("__old_ixs"),
+            delta["__new_ixs"].alias("__new_ixs"),
+            delta["__ord"].alias("__ord"),
+        )
+        # recorded for the IO regression test: exactly one parquet scan
+        # of the compact table and one per new version, never a
+        # per-prior-version rescan
+        self._last_incremental_plan = (
+            joined._jdf.queryExecution().executedPlan().toString()
+        )
+        joined = pin(joined)
+
+        existing = joined.filter(F.col("__ix").isNotNull()).select(
+            F.col("__ix").alias("ix"),
+            *phys,
+            F.when(F.col("__new_ixs").isNull(), F.col("__old_ixs"))
+            .otherwise(F.sort_array(F.concat("__old_ixs", "__new_ixs")))
+            .alias("ixs"),
+        )
+        max_ix = joined.agg(F.max("__ix")).collect()[0][0] or 0
+        appended_src = joined.filter(F.col("__ix").isNull()).select(
+            *phys, F.col("__new_ixs").alias("ixs"), "__ord"
+        )
+        numbered, pinned = dense_order_ix(appended_src, "__ord")
+        try:
+            appended = numbered.select(
+                (F.col("ix") + F.lit(max_ix)).cast("long").alias("ix"), *phys, "ixs"
+            )
+            compacted = existing.unionByName(appended)
+            self._write_compact(name, infos, compacted)
+        finally:
+            pinned.unpersist()
+        return self.catalog.get_source(name, infos[-1].version)
+
+    def _write_compact(self, name, infos, compacted) -> None:
+        """Write the merged frame under a fresh physical name, repoint
+        every version at it, drop the replaced tables, refresh views."""
+        latest = infos[-1]
+        compact_table = f"compact{latest.ix}"
+        if any(i.table_name == compact_table for i in infos):
+            # recompaction: never overwrite the directory being read —
+            # alternate deterministically between two physical names
+            compact_table = f"compact{latest.ix}b"
+        compacted.write.mode("overwrite").parquet(self._data_path(compact_table))
 
         # repoint every version at the compacted table; drop originals;
         # re-register views (register_views applies the per-version
@@ -831,7 +953,6 @@ class Lagoon:
                 shutil.rmtree(old)
             self.catalog.update_source(info.ix, table_name=compact_table)
             self.register_views(self.catalog.get_source_by_ix(info.ix))
-        return self.catalog.get_source(name, versions[-1])
 
     # -- multi-part / foreign ingest (A25) -----------------------------------
 

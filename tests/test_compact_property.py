@@ -27,6 +27,61 @@ def _csv(rows) -> str:
     return "k,v\n" + "".join(f"{a},{b}\n" for a, b in rows)
 
 
+_dataset_multi = st.lists(_version, min_size=2, max_size=4)
+
+
+def _compact_rows(lg, name):
+    info = lg.catalog.get_source(name)
+    import os
+
+    path = os.path.join(lg.warehouse, "data", info.table_name)
+    df = lg.spark.read.parquet(path)
+    cols = sorted(c for c in df.columns if c not in ("ix", "ixs"))
+    return sorted(
+        (r["ix"], tuple(r[c] for c in cols), tuple(r["ixs"]))
+        for r in df.collect()
+    )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(versions=_dataset_multi, split=st.integers(min_value=1, max_value=3))
+def test_incremental_compaction_equals_full(
+    spark, tmp_path_factory, versions, split
+):
+    """compact(v1..vj) → ingest vj+1..vn → compact again must produce
+    the EXACT table (ix numbering, content, ixs provenance) a single
+    full compaction of all versions produces — and the second compact
+    must take the incremental path, scanning the existing compact table
+    once plus each new version once (no per-prior-version rescans)."""
+    split = min(split, len(versions) - 1)
+    tmp = tmp_path_factory.mktemp("compactinc")
+
+    def build(wh, mode):
+        lg = Lagoon(spark, str(tmp / wh), user="prop")
+        lg.init_db()
+        for i, rows in enumerate(versions):
+            p = tmp / f"{wh}_v{i}.csv"
+            p.write_text(_csv(rows))
+            lg.ingest(str(p), "ds")
+            if mode == "incremental" and i + 1 == split:
+                lg.compact("ds")
+        lg.compact("ds")
+        return lg
+
+    inc = build("whi", "incremental")
+    full = build("whf", "full")
+    assert _compact_rows(inc, "ds") == _compact_rows(full, "ds")
+    # the second compact went through the incremental merge, and its
+    # join stage scanned exactly 1 (compact) + n_new parquet sources
+    plan = getattr(inc, "_last_incremental_plan", None)
+    assert plan is not None, "incremental path was not taken"
+    assert plan.count("Scan parquet") == 1 + (len(versions) - split)
+
+
 @settings(
     max_examples=8,
     deadline=None,
