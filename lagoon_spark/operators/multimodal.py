@@ -171,23 +171,36 @@ def fake_image_col(width: Column, height: Column, payload: Column) -> Column:
 
 
 def _load_codec(media_type: str):
-    """Seam for real decoders. PIL/librosa/av are not in this container;
-    anything but FAKEIMG raises with a clear install hint."""
+    """Seam for real decoders. librosa/av are not in this container;
+    image formats route through PIL when it is installed (the
+    codec-present lane in tests/test_multimodal.py exercises this on a
+    real PNG and skips where PIL is absent)."""
     if media_type == "image/fakeimg":
         return _decode_fake_image
-    try:  # pragma: no cover - real codecs absent in the test container
-        if media_type.startswith("image/"):
+    if media_type.startswith("image/"):
+        try:
             import PIL.Image  # noqa: F401
 
-            raise NotImplementedError(
-                "PIL present but real decode is not wired up yet"
-            )
-    except ImportError:
-        pass
+            return _decode_pil
+        except ImportError:
+            pass
     raise NotImplementedError(
         f"no codec for {media_type!r} in this environment "
         "(install Pillow/librosa/av and extend _load_codec)"
     )
+
+
+def _decode_pil(blob: bytes) -> tuple[int, int, bytes]:
+    """Real image decode via Pillow — runs inside the Arrow batch on
+    the executor; returns the same (width, height, raw_payload) shape
+    as the FAKEIMG codec so decode_images is codec-agnostic."""
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(blob))
+    img.load()
+    return img.width, img.height, img.tobytes()
 
 
 def _decode_fake_image(blob: bytes) -> tuple[int, int, bytes]:

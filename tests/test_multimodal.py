@@ -95,3 +95,35 @@ def test_byte_histogram_features_batching(spark):
     out = {r["id"]: r for r in mm.byte_histogram_features(df, "id", "content").collect()}
     assert len(out) == 200
     assert out[5]["n_a"] == 1 and out[5]["n_d"] == 5 and out[5]["n_h"] == 0
+
+
+def test_pil_codec_lane(spark):
+    """Codec-present lane: with Pillow installed, _load_codec routes
+    image/* to a real PIL decode and decode_images works end-to-end on
+    a genuine PNG. Skipped where PIL is absent (this container) — green
+    the day the environment grows Pillow."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (12, 7), color=(1, 2, 3)).save(buf, format="PNG")
+    png = buf.getvalue()
+
+    w, h, payload = mm._decode_pil(png)
+    assert (w, h) == (12, 7) and len(payload) == 12 * 7 * 3
+
+    df = spark.createDataFrame([(1, png)], "id long, content binary")
+    out = mm.decode_images(df, "id", "content", media_type="image/png").collect()[0]
+    assert (out["width"], out["height"]) == (12, 7)
+    assert out["payload_bytes"] == 12 * 7 * 3
+
+
+def test_missing_codec_still_raises():
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="no codec"):
+        mm._load_codec("video/mp4")
