@@ -279,52 +279,77 @@ class Lagoon:
             name, url=url, description=description, added_by=self.user,
             created=created, fmt="tabular",
         )
-        untyped = with_ix(csvmod.read_untyped(self.spark, path, fmt, width))
-        untyped = untyped.select("ix", *[f"c{i+1}" for i in range(width)])
-        untyped.write.mode("overwrite").parquet(self._data_path(table_name))
-        stored = self.spark.read.parquet(self._data_path(table_name))
-        row_count = stored.count()
-        emit({"event": "loaded", "rows": row_count})
+        try:
+            untyped = with_ix(csvmod.read_untyped(self.spark, path, fmt, width))
+            untyped = untyped.select("ix", *[f"c{i+1}" for i in range(width)])
+            untyped.write.mode("overwrite").parquet(self._data_path(table_name))
+            stored = self.spark.read.parquet(self._data_path(table_name))
+            row_count = stored.count()
+            emit({"event": "loaded", "rows": row_count})
 
-        # friendly headers (A11/A12): sanitized, deduped; headerless
-        # files keep the physical names (`DataFormat.hs:103-108`)
-        phys = [f"c{i+1}" for i in range(width)]
-        if has_headers and header:
-            preferred = list(header) + phys[len(header):]
-        else:
-            preferred = phys
-        friendly = no_dup_names(preferred)
+            # friendly headers (A11/A12): sanitized, deduped; headerless
+            # files keep the physical names (`DataFormat.hs:103-108`)
+            phys = [f"c{i+1}" for i in range(width)]
+            if has_headers and header:
+                preferred = list(header) + phys[len(header):]
+            else:
+                preferred = phys
+            friendly = no_dup_names(preferred)
 
-        # A5/A10: inference pass + typed materialization
-        if no_type_inference:
-            cols = [(p, h, ColumnType.TEXT.value) for p, h in zip(phys, friendly)]
-            typed_table = typed_view = None
-        else:
-            inferred = infer_column_types(stored, phys)
-            cols = [
-                (p, h, ic.type.value)
-                for (p, h), ic in zip(zip(phys, friendly), inferred)
-            ]
-            typed_table = f"typed{ix}"
-            typed_view = f"{view_name}_typed"
-            typed_df = stored.select(
-                "ix",
-                *[
-                    cast_expr(ic.name, ic.type).alias(ic.name)
-                    for ic in inferred
-                ],
+            # A5/A10: inference pass + typed materialization
+            if no_type_inference:
+                cols = [(p, h, ColumnType.TEXT.value) for p, h in zip(phys, friendly)]
+                typed_table = typed_view = None
+            else:
+                inferred = infer_column_types(stored, phys)
+                cols = [
+                    (p, h, ic.type.value)
+                    for (p, h), ic in zip(zip(phys, friendly), inferred)
+                ]
+                typed_table = f"typed{ix}"
+                typed_view = f"{view_name}_typed"
+                typed_df = stored.select(
+                    "ix",
+                    *[
+                        cast_expr(ic.name, ic.type).alias(ic.name)
+                        for ic in inferred
+                    ],
+                )
+                typed_df.write.mode("overwrite").parquet(self._data_path(typed_table))
+                emit({"event": "typed", "columns": [(h, t) for _p, h, t in cols]})
+
+            self.catalog.set_columns(ix, cols)
+            self.catalog.update_source(
+                ix, row_count=row_count,
+                typed_table_name=typed_table, typed_view_name=typed_view,
             )
-            typed_df.write.mode("overwrite").parquet(self._data_path(typed_table))
-            emit({"event": "typed", "columns": [(h, t) for _p, h, t in cols]})
-
-        self.catalog.set_columns(ix, cols)
-        self.catalog.update_source(
-            ix, row_count=row_count,
-            typed_table_name=typed_table, typed_view_name=typed_view,
-        )
+        except BaseException:
+            self._rollback_ingest(ix, table_name, f"typed{ix}")
+            raise
         info = self.catalog.get_source_by_ix(ix)
         self.register_views(info)
         return info
+
+    def _rollback_ingest(self, ix: int, *tables: str) -> None:
+        """A failed ingest must leave NO trace: remove the catalog rows
+        registered up front and any partially written data directories,
+        restoring the delete-restores-state invariant (the reference's
+        golden-diff discipline assumes a failed ingest changes
+        nothing). Best-effort by design — the original error always
+        propagates."""
+        import shutil
+
+        for t in tables:
+            p = self._data_path(t)
+            try:
+                if os.path.exists(p):
+                    shutil.rmtree(p)
+            except OSError:  # pragma: no cover - never mask the real error
+                pass
+        try:
+            self.catalog.delete_source(ix)
+        except Exception:  # pragma: no cover - never mask the real error
+            pass
 
     def _ingest_json(
         self, path, name, *, description, created, url, json_path,
@@ -343,42 +368,56 @@ class Lagoon:
             created=created, fmt="json",
         )
         spool = None
-        if json_path is not None or self._json_needs_splitting(probe_path or path):
-            if probe_path is not None:
-                raise ValueError(
-                    "sharded JSON ingest requires JSONL shards (one value "
-                    "per line); multi-line documents need per-file ingest"
+        try:
+            if json_path is not None or self._json_needs_splitting(probe_path or path):
+                if probe_path is not None:
+                    raise ValueError(
+                        "sharded JSON ingest requires JSONL shards (one value "
+                        "per line); multi-line documents need per-file ingest"
+                    )
+                jpath = jsonsplit.parse_path(json_path) if json_path else jsonsplit.HERE
+                spool = tempfile.NamedTemporaryFile(
+                    "w", suffix=".jsonl", delete=False, encoding="utf-8"
                 )
-            jpath = jsonsplit.parse_path(json_path) if json_path else jsonsplit.HERE
-            spool = tempfile.NamedTemporaryFile(
-                "w", suffix=".jsonl", delete=False, encoding="utf-8"
+                with open(path, encoding="utf-8") as f:
+                    for raw in jsonsplit.split_values(f, jpath):
+                        spool.write(raw.replace("\n", " ") + "\n")
+                spool.close()
+                src = spool.name
+            else:
+                src = path
+
+            lines = self.spark.read.text(src).withColumnRenamed("value", "c1")
+            lines = lines.filter(F.trim(F.col("c1")) != "")
+            untyped = with_ix(lines).select("ix", "c1")
+            untyped.write.mode("overwrite").parquet(self._data_path(table_name))
+            stored = self.spark.read.parquet(self._data_path(table_name))
+            row_count = stored.count()
+            emit({"event": "loaded", "rows": row_count})
+
+            # distributed JsonType inference: Arrow-batched fold, driver
+            # reduce. A malformed value fails the fold worker-side; the
+            # rollback below then erases the half-ingested source.
+            jt = _infer_jsontype_distributed(stored, "c1")
+
+            self.catalog.set_columns(ix, [("c1", "data", ColumnType.JSON.value)])
+            self.catalog.update_source(
+                ix, row_count=row_count, json_type=jsontype.render(jt)
             )
-            with open(path, encoding="utf-8") as f:
-                for raw in jsonsplit.split_values(f, jpath):
-                    spool.write(raw.replace("\n", " ") + "\n")
-            spool.close()
-            src = spool.name
-        else:
-            src = path
-
-        lines = self.spark.read.text(src).withColumnRenamed("value", "c1")
-        lines = lines.filter(F.trim(F.col("c1")) != "")
-        untyped = with_ix(lines).select("ix", "c1")
-        untyped.write.mode("overwrite").parquet(self._data_path(table_name))
-        stored = self.spark.read.parquet(self._data_path(table_name))
-        row_count = stored.count()
-        emit({"event": "loaded", "rows": row_count})
-
-        # distributed JsonType inference: Arrow-batched fold, driver reduce
-        jt = _infer_jsontype_distributed(stored, "c1")
-
-        if spool is not None:
-            os.unlink(spool.name)
-
-        self.catalog.set_columns(ix, [("c1", "data", ColumnType.JSON.value)])
-        self.catalog.update_source(
-            ix, row_count=row_count, json_type=jsontype.render(jt)
-        )
+        except BaseException as e:
+            self._rollback_ingest(ix, table_name)
+            # unwrap the worker-side splitter error to the same clean
+            # exception the driver-side splitter raises
+            msg = str(e)
+            if type(e).__name__ == "PythonException" and "JsonSplitError" in msg:
+                tail = msg.split("JsonSplitError:", 1)[1].strip().splitlines()
+                raise jsonsplit.JsonSplitError(
+                    tail[0] if tail else "malformed JSON value"
+                ) from e
+            raise
+        finally:
+            if spool is not None and os.path.exists(spool.name):
+                os.unlink(spool.name)
         info = self.catalog.get_source_by_ix(ix)
         self.register_views(info)
         return info
@@ -1014,19 +1053,23 @@ class Lagoon:
             name, url=None, description=f"extra data for {metadata_source}",
             added_by=self.user, created=created, fmt="tabular",
         )
-        out = with_ix(joined).select("ix", "row_ix", "foreign_ix", metadata_field, "value")
-        out.write.mode("overwrite").parquet(self._data_path(table_name))
-        row_count = self.spark.read.parquet(self._data_path(table_name)).count()
-        self.catalog.set_columns(
-            ix,
-            [
-                ("row_ix", "row_ix", "BIGINT"),
-                ("foreign_ix", "foreign_ix", "BIGINT"),
-                (metadata_field, metadata_field, "TEXT"),
-                ("value", "value", "TEXT"),
-            ],
-        )
-        self.catalog.update_source(ix, row_count=row_count)
+        try:
+            out = with_ix(joined).select("ix", "row_ix", "foreign_ix", metadata_field, "value")
+            out.write.mode("overwrite").parquet(self._data_path(table_name))
+            row_count = self.spark.read.parquet(self._data_path(table_name)).count()
+            self.catalog.set_columns(
+                ix,
+                [
+                    ("row_ix", "row_ix", "BIGINT"),
+                    ("foreign_ix", "foreign_ix", "BIGINT"),
+                    (metadata_field, metadata_field, "TEXT"),
+                    ("value", "value", "TEXT"),
+                ],
+            )
+            self.catalog.update_source(ix, row_count=row_count)
+        except BaseException:
+            self._rollback_ingest(ix, table_name)
+            raise
         info = self.catalog.get_source_by_ix(ix)
         self.spark.read.parquet(self._data_path(table_name)).createOrReplaceTempView(
             info.view_name
@@ -1053,7 +1096,16 @@ def _infer_jsontype_distributed(df: DataFrame, col: str):
         t = jsontype.UNKNOWN
         for pdf in batches:
             for s in pdf[col]:
-                t = jsontype.unify(t, jsontype.type_of_value(_json.loads(s)))
+                try:
+                    parsed = _json.loads(s)
+                except ValueError as err:
+                    # surfaces driver-side as the same clean splitter
+                    # error a malformed document raises (the ingest
+                    # rollback keys on the exception name)
+                    raise jsonsplit.JsonSplitError(
+                        f"invalid JSON value {s[:80]!r}: {err}"
+                    ) from None
+                t = jsontype.unify(t, jsontype.type_of_value(parsed))
         yield pd.DataFrame({"t": [jsontype.render(t)]})
 
     parts = df.select(col).mapInPandas(scan, "t string").collect()

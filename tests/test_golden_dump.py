@@ -158,10 +158,234 @@ def _ingest_corpus(lagoon, tmp_path):
         w("versioned3.csv", "x,y,z\n3,c,true\n"), "versioned", created=PIN
     )
 
+    _ingest_reference_corpus(lagoon, tmp_path)
+
+
+def _ingest_reference_corpus(lagoon, tmp_path):
+    """Fixture-by-fixture mirror of the reference's full test corpus
+    (`clients/cmdline/test-cases/tests/001-088`, golden row counts and
+    types in `dbinfo.expected`), ingested under the reference's own
+    basenames so the per-fixture entries line up side by side.
+
+    Documented divergences from the reference golden:
+    - 023_invalid-01 (truncated JSON) is NOT here: the reference
+      swallows it into a 0-row source (dbinfo.expected:361-375); we
+      fail the ingest cleanly and leave no catalog row — covered by
+      test_invalid_json_rejected below.
+    - 004/005 (bare quote mid-field): the reference's CSV parser drops
+      the malformed record silently (004 shows 1 row for 2 data
+      lines); we never drop rows — the record survives as text.
+    """
+
+    def w(name, text):
+        p = tmp_path / name
+        p.write_text(text)
+        return str(p)
+
+    def ing(name, text, **kw):
+        lagoon.ingest(w(name, text), name, created=PIN, **kw)
+
+    # --- CSV families (001-013) ---
+    ing("001_simple.csv", "Foo\n1\n")
+    ing("002_quotes1.csv", 'foo,bar\n1,2\n"simple",easy\n')
+    ing("003_quotes2.csv", 'foo,bar\n1,2\n"escaped ""quotes""",easy\n')
+    ing("004_quotes3.csv", 'foo,bar\n1,2\ninternal "quotes",easy\n')
+    ing(
+        "005_quotes4.csv",
+        "foo,bar\n1,2\nsimple,easy\n"
+        '"outer","quotes"\n"nested ""quotes""",easy\ninner "quotes",easy\n',
+    )
+    ing(
+        "006_vary_num_rows.csv",
+        "a\na,b\na,b,c\na,b,c,d,e\na,b,c,d\na,b,c\na\n",
+        has_headers=True,  # reference: first row is the (1-wide) header
+    )
+    ing(
+        "007_strange_names.csv",
+        "name with spaces,keywords,create,table,some symbols > and $,"
+        "some unicode 中文,backwards קרב מגע\n"
+        "11,12,13,14,15,16,17\n21,22,23,24,25,26,27\n",
+    )
+    long_a = "longA123456789B123456789C123456789D123456789EB123456789F123456789"
+    ing(
+        "008_strange_names2.csv",
+        f"{long_a}-A,{long_a}-B\n1,2\n3,4\n",
+    )
+    ing("009_dups.csv", "foo,foo,bar,baz,bar,baz\n1,2,3,4,5,6\n")
+    ing("010_dups2.csv", "foo,Foo,bar,baz,BAR,baZ\n1,2,3,4,5,6\n")
+    ing(
+        "011_type-inference.csv",
+        "bool,int,bigint,real,text\n"
+        "0,0,0,0,t\n1,1,1,1,f\nt,2,2,2,0\nf,3,3,3,1\n"
+        "true,4,4,3.5,a\nfalse,5,9234567890,3.6,b\n",
+    )
+    plain = ["1", "2.3", "-4", "+5", "-6.7", "+8.9",
+             "11", "22.33", "-44", "+55", "-66.77", "+88.99"]
+    exps = ["e1", "e-4", "e+5", "e11", "e-44", "e+55"]
+    sci = list(plain)
+    sci += [m + e for m in plain[:6] for e in exps]
+    sci += [m + e for m in plain[6:] for e in ("e11", "e-44", "e+55")]
+    ing("012_scientific.csv", "scientific\n" + "\n".join(sci) + "\n")
+    oor = [m + e for m in ("11", "22.33", "-44", "+55", "-66.77", "+88.99")
+           for e in ("e1111", "e-4444", "e+5555")]
+    ing("013_outofrange.csv", "scientific\n" + "\n".join(oor) + "\n")
+
+    # --- JSONL / multi-line JSON ingest shapes (014-022) ---
+    ing("014_ingest-01.json", '{"name": "John"}\n{"name": "Mary"}\n{"name": "Elvis"}\n')
+    ing(
+        "015_ingest-02.json",
+        '{"name": "John"}\n{"name": "Mary"}\n'
+        '{"name": "Elvis \\"The King\\" Presley"}\n',
+    )
+    ing(
+        "016_ingest-03.json",
+        '[{"name": "John"}\n,{"name": "Mary"}\n'
+        ',{"name": "Elvis \\"The King\\" Presley"}\n]\n',
+    )
+    ing("017_ingest-04.json", "[1,2,3]\n")
+    ing("018_ingest-05a.json", '["一个","另外一个","最后的"]\n')
+    ing("019_ingest-05b.json", '[ "一个"\n, "另外一个"\n, "最后的"\n]\n')
+    ing("020_ingest-05c.json", '[ "一个"\n, "另外一个"\n, "最后的"\n, null\n]\n')
+    ing(
+        "021_ingest-06.json",
+        '{"id": 1, "name": {"first": "John", "last": "Doe"}}\n'
+        '{"id": 2, "name": {"first": "Mary", "last": "Doe"}}\n',
+    )
+    ing("022_ingest-07.json", '{"strange key": 1}\n')
+
+    # --- parse-shape family (024-039): arrays, numbers, objects,
+    # strings with every escape, whitespace-separated value streams ---
+    ing("024_parse-arr-01.json", "[]\n")
+    ing("025_parse-arr-02.json", '["hi"]\n')
+    ing("026_parse-arr-03.json", '["hi", true, false, null]\n')
+    ing("027_parse-num-01.json", "1\n")
+    ing("028_parse-num-02.json", "123\n")
+    ing("029_parse-num-03.json", "-123\n")
+    ing("030_parse-num-04.json", "12 34 56 1.3 1.3e41\n")
+    ing("031_parse-obj-01.json", "{}\n")
+    ing("032_parse-obj-02.json", '{"id": "hi"}\n')
+    ing("033_parse-str-01.json", '"hi"\n')
+    ing("034_parse-str-02.json", '"hi\\"ho"\n')
+    ing(
+        "035_parse-str-03.json",
+        '"simple: \\"\\\\\\/\\b\\f\\n\\r\\t unicode: \\u002F\\u002f"\n',
+    )
+    ing("036_parse-ws-01.json", " true false \n")
+    ing("037_parse-ws-02.json", "\ntrue\n\nfalse\n\n")
+    ing("038_parse-ws-03.json", " 12 34 \n")
+    ing("039_parse-ws-04.json", "\n12\n\n34\n")
+
+    # --- the full JsonType array lattice (040-057) ---
+    ing("040_typ-arr-00.json", "[]\n")
+    ing("041_typ-arr-01a.json", "[1]\n")
+    ing("042_typ-arr-01b.json", "[1,2,3]\n")
+    ing("043_typ-arr-02.json", '["hi"]\n')
+    ing("044_typ-arr-03.json", "[true]\n")
+    ing("045_typ-arr-04.json", "[null]\n")
+    ing("046_typ-arr-05.json", "[1,null]\n")
+    ing("047_typ-arr-06.json", '[1,"true"]\n')
+    ing("048_typ-arr-07.json", "[[1],[2,3]]\n")
+    ing("049_typ-arr-08.json", "[[1],[null]]\n")
+    ing("050_typ-arr-09.json", "[[1],null]\n")
+    ing("051_typ-arr-10.json", "[[1],[null],null]\n")
+    ing("052_typ-arr-11.json", "[[1],[true]]\n")
+    ing("053_typ-arr-12.json", "[[1],true]\n")
+    ing("054_typ-arr-13a.json", "[true,[1]]\n")
+    ing("055_typ-arr-13b.json", '[1,["John","Doe"]]\n')
+    ing("056_typ-arr-14.json", '[[1],[true],["hi"]]\n')
+    ing("057_typ-arr-15.json", '[[1],[true],["hi"],true]\n')
+
+    # --- the object lattice (058-073) + scalars (074-077) ---
+    ing("058_typ-multiple-01.json", '{"id": 1}\n{"id": 2, "name": "test"}\n')
+    ing("059_typ-obj-00.json", "{}\n")
+    ing("060_typ-obj-01a.json", '{"a": true}\n')
+    ing("061_typ-obj-01b.json", '{"a": {"b": 1}}\n')
+    ing("062_typ-obj-02a.json", '{"a": true, "b": 1}\n')
+    ing("063_typ-obj-02b.json", '{"a": 1\n,"b": 2\n,"c": 3\n}\n')
+    ing("064_typ-obj-02c.json", '{"a": 1\n,"b": true\n,"c": "hi"\n,"d": null\n}\n')
+    ing(
+        "065_typ-obj-03.json",
+        '{"id": 1, "name": {"firstName": "John", "lastName": "Doe"}}\n',
+    )
+    ing("066_typ-obj-04.json", '{"a": 1, "b": [2,3], "c": 4}\n')
+    ing("067_typ-obj-05.json", '[1,{"a":2},3]\n')
+    ing(
+        "068_typ-obj-06.json",
+        '{"a": "hi"\n,"b": [1,2,3]\n,"c": \n {"ca": 4\n ,"cb": [5,6,7]\n'
+        ' ,"cc": [8, {"cca": 9}]\n }\n}\n',
+    )
+    ing("069_typ-obj-07.json", '[{"a":1},{"a":2}]\n')
+    ing("070_typ-obj-08.json", '[{"a":1},{"a":true}]\n')
+    ing("071_typ-obj-09a.json", '[{"a":1},{"b":true}]\n')
+    ing("072_typ-obj-09b.json", '[{"b":true},{"a":1}]\n')
+    ing("073_typ-obj-10.json", '[{"a":1},{"a":2,"b":true}]\n')
+    ing("074_typ-scalar-1.json", "1\n")
+    ing("075_typ-scalar-2.json", '"hi"\n')
+    ing("076_typ-scalar-3.json", "true\n")
+    ing("077_typ-scalar-4.json", "null\n")
+
+    # --- partial-numeric, long-value, UTF-8, escape fixtures (078-088) ---
+    ing("078_3a.csv", "foo,bar\n1,2\n3a,4\n5,foo\n")
+    filler = "lorem-ipsum-" * 430  # > maxTextLen (4096) → DOCUMENT
+    ing(
+        "079_longtext.csv",
+        'id,document\n1,hi\n2,"hi"\n3,"hi,ho"\n4,"hi ho"\n5,"' + filler + '"\n',
+    )
+    ing(
+        "080_longjson.json",
+        '{"id": 5, "document": "' + filler + '"}\n',
+    )
+    ing("081_utf8.csv", "header\n活到老学到老\n")
+    ing("086_json_escape.json", '{"name": "John \\"Crazy\\" Smith"}\n')
+    ing("087_escaped_headers.csv", '"foo","bar baz"\n1,2\n')
+    ing(
+        "088_windows-cr.txt",
+        "SomeData\thello_1oneone\tLuna 22\tLuna z6\t42-42-8z\toh_foo\t\t\t\t\r\n"
+        "SomeData\thello_1one69\tLuna 22\t\t42-42-z9\tsomething\t-foo\t<x>\tz\tback\r\n"
+        "SomeData\thello_1oneone\tLuna 22\tLuna z6\t42-42-8z\toh_foo\t\t\t\t\r\n"
+        "SomeData\thello_1onetwo\tLuna 22 (macOS)\t\t<redacted>\tredacted?\tbar\t-bar\tz\tback\r\n",
+    )
+
 
 def test_dump_matches_golden(lagoon, tmp_path):
     _ingest_corpus(lagoon, tmp_path)
     assert lagoon.dump_db_info() == open(GOLDEN).read()
+
+
+def test_invalid_json_rejected_without_trace(lagoon, tmp_path):
+    """023_invalid-01.json family: malformed JSON must fail the ingest
+    cleanly and leave NO catalog row and no data directory — the
+    delete-restores-state discipline applied to failures. (Deliberate
+    divergence: the reference swallows the truncated document into a
+    0-row source, dbinfo.expected:361-375; failing loudly is the safer
+    contract and is pinned here.)"""
+    import pytest
+
+    from lagoon_spark.ingest.jsonsplit import JsonSplitError
+
+    import os as _os
+
+    before = lagoon.dump_db_info()
+    data_dir = _os.path.join(lagoon.warehouse, "data")
+    dirs_before = set(_os.listdir(data_dir)) if _os.path.exists(data_dir) else set()
+
+    cases = {
+        "023_invalid-01.json": '{"a": 5',  # truncated object
+        "invalid-midstream.json": '{"a": 1}\n{"b": oops}\n',  # bad 2nd value
+        "invalid-trailing.json": '{"a": 1} }\n',  # garbage after value
+    }
+    for name, text in cases.items():
+        p = tmp_path / name
+        p.write_text(text)
+        with pytest.raises((JsonSplitError, ValueError)):
+            lagoon.ingest(str(p), name, created=PIN)
+
+    assert lagoon.dump_db_info() == before
+    names = lagoon.catalog.load("sourcenames")["name"].tolist()
+    assert not any(n in names for n in cases)
+    # no orphaned data directories either
+    dirs_after = set(_os.listdir(data_dir)) if _os.path.exists(data_dir) else set()
+    assert dirs_after == dirs_before
 
 
 def test_delete_restores_dump(lagoon, tmp_path):
