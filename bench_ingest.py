@@ -73,6 +73,13 @@ def gen_csv(path: str) -> None:
 
 def main() -> None:
     spark = get_spark("lagoon_spark_bench_ingest")
+    # warm the JVM + Python/Arrow worker pool once (same discipline as
+    # bench.py): the pool cold-start is a per-session constant, not an
+    # ingest cost, and it would otherwise dominate json_infer_sec
+    from pyspark.sql.functions import pandas_udf
+
+    _warm = pandas_udf(lambda s: s, "long")
+    spark.range(1000).select(_warm("id")).count()
     tmp = tempfile.mkdtemp(prefix="lagoon_bench_ingest_")
     try:
         warehouse = os.path.join(tmp, "wh")
@@ -111,6 +118,16 @@ def main() -> None:
                     "reference_json_infer_sec": {"baseline": 9.271, "optimized": 6.679},
                     "csv_rows": N_CSV,
                     "csv_ingest_sec": csv_ingest_sec,
+                    # peak driver-process RSS: the reference's ingest
+                    # discipline is constant driver memory (32 MB cap in
+                    # its harness); ours must stay flat as files grow
+                    "peak_driver_rss_mb": round(
+                        __import__("resource")
+                        .getrusage(__import__("resource").RUSAGE_SELF)
+                        .ru_maxrss
+                        / 1024,
+                        1,
+                    ),
                 }
             )
         )
