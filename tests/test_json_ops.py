@@ -200,6 +200,42 @@ def test_jvm_concat_empty_right(spark):
     assert sel.collect()[0]["d"] == '{"a":1,"b":2}'
 
 
+def test_map_pipeline_and_fusion(spark):
+    """The map-level pipeline (jsonb_object/drop/merge/text) and the
+    transparent fusion of composed object_only text operators: a
+    delete piped into a concat must parse the document ONCE — a single
+    from_json in the analyzed plan — and still produce the canonical
+    composed result."""
+    df = spark.createDataFrame(
+        [('{"k": 7, "a": 1, "z": 0}',), ("{bad",), (None,)], "js string"
+    )
+    composed = j.jsonb_concat(
+        j.jsonb_delete_key("js", "k", object_only=True),
+        '{"z": "w"}',
+        object_only=True,
+    )
+    sel = df.select(composed.alias("d"))
+    _no_python_in_plan(sel)
+    analyzed = sel._jdf.queryExecution().analyzed().toString()
+    # one serialize at the end; the delete's output is never serialized
+    # then re-parsed by the concat (from_json appears once in the data
+    # chain plus once in the null gate, which codegen CSE shares)
+    assert analyzed.count("to_json") == 1, analyzed
+    assert analyzed.count("from_json") == 2, analyzed
+    assert [r["d"] for r in sel.collect()] == ['{"a":1,"z":"w"}', None, None]
+
+    # the explicit pipeline spells the same thing
+    m = j.jsonb_object("js")
+    piped = j.jsonb_text(j.jsonb_merge(j.jsonb_drop(m, ["k"]), '{"z": "w"}'))
+    got = [r["d"] for r in df.select(piped.alias("d")).collect()]
+    assert got == ['{"a":1,"z":"w"}', None, None]
+
+
+def test_jsonb_merge_rejects_non_object():
+    with pytest.raises(ValueError, match="object"):
+        j.jsonb_merge(j.jsonb_object("x"), "[1]")
+
+
 # -- PG parity refinements (quote-aware paths, scalar `?`, object - int) ----
 
 
