@@ -34,7 +34,29 @@ def main() -> None:
     # lambda form: `from __future__ import annotations` stringizes type
     # hints, which pandas_udf's hint inference cannot read
     _warm = pandas_udf(lambda s: s, "long")
-    spark.range(1000).select(_warm("id")).count()
+    spark.range(1000, numPartitions=32).select(_warm("id")).count()
+
+    # mapInPandas / applyInPandas run on worker pools keyed by a
+    # DIFFERENT eval type than scalar pandas_udf — warming one pool
+    # does not warm the others (measured: a trivial mapInPandas after
+    # the scalar warm-up still pays ~3.3s of 32-worker spin-up, and the
+    # first numpy import inside a worker adds ~0.7s more). Import the
+    # batch libs inside the warmers so the per-worker import cost is
+    # also paid here, not inside the first timed query.
+    def _warm_batches(batches):
+        import numpy  # noqa: F401
+
+        for b in batches:
+            yield b
+
+    spark.range(32, numPartitions=32).mapInPandas(_warm_batches, "id long").count()
+
+    def _warm_group(_key, pdf):
+        return pdf
+
+    spark.range(32, numPartitions=32).groupBy("id").applyInPandas(
+        _warm_group, "id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name, q in sorted(qs.items()):

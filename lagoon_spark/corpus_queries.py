@@ -319,7 +319,12 @@ def c07(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "t")
     deduped = dedup_ops.exact_dedup(quality, ["t"], id_col="doc_id")
     sp = corpus.train_val_test_split(deduped, "doc_id")
-    chunks = corpus.chunk_tokens(sp, "doc_id", "t", size=64, stride=32)
-    return chunks.join(sp.select("doc_id", "split"), "doc_id").select(
+    # split rides through the explode (keep_cols) — a join-back here
+    # would recompute the entire normalize/stats/dedup plan twice and
+    # add a shuffle for a column the chunk row already determines
+    chunks = corpus.chunk_tokens(
+        sp, "doc_id", "t", size=64, stride=32, keep_cols=["split"]
+    )
+    return chunks.select(
         "doc_id", "split", "chunk_idx", "n_chunk_tokens", "chunk_text"
     )

@@ -97,6 +97,7 @@ def chunk_tokens(
     text_col: str,
     size: int = 64,
     stride: int = 32,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Explode documents into overlapping token windows (size, stride).
 
@@ -104,20 +105,25 @@ def chunk_tokens(
     … < n_tokens, slice. Output rows = ceil(n/stride) per doc; empty
     documents yield no chunks. The explode is the chunking analog of the
     reference's JSON array split (SURVEY A3) — one input row to many
-    output rows with provenance kept.
+    output rows with provenance kept. ``keep_cols`` ride along through
+    the explode — carrying labels (e.g. a split assignment) here is free
+    and map-only, where a join-back after the fact recomputes the whole
+    upstream plan a second time and shuffles.
     """
+    keep = [F.col(c) for c in (keep_cols or [])]
     toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != F.lit(""))
     base = (
-        df.select(F.col(id_col), toks.alias("__toks"))
+        df.select(F.col(id_col), *keep, toks.alias("__toks"))
         .withColumn("__n", F.size("__toks"))
         .filter(F.col("__n") > 0)
     )
     starts = F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
     chunk = F.slice(F.col("__toks"), F.col("__start") + 1, size)
     return (
-        base.select(F.col(id_col), "__toks", F.explode(starts).alias("__start"))
+        base.select(F.col(id_col), *keep, "__toks", F.explode(starts).alias("__start"))
         .select(
             F.col(id_col),
+            *keep,
             (F.col("__start") / stride).cast("int").alias("chunk_idx"),
             F.size(chunk).alias("n_chunk_tokens"),
             F.concat_ws(" ", chunk).alias("chunk_text"),

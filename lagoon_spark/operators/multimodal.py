@@ -307,19 +307,21 @@ def byte_histogram_features(
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # fully vectorized per batch: concatenate all blobs into one
-        # uint8 array and segment-count with reduceat — no Python loop
-        # over rows, which matters once batches carry MBs of payload
+        # uint8 array and build a per-segment 256-bin histogram with ONE
+        # bincount pass (segment_id*256 + byte) — independent of
+        # alphabet size, where a per-letter cumsum would re-scan the
+        # payload |alphabet| times
         for pdf in batches:
             blobs = [bytes(b) for b in pdf[content_col]]
             lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=len(blobs))
             flat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
-            offsets = np.zeros(len(blobs), dtype=np.int64)
-            np.cumsum(lens[:-1], out=offsets[1:])
+            seg = np.repeat(np.arange(len(blobs), dtype=np.int64), lens)
+            hist = np.bincount(
+                seg * 256 + flat, minlength=len(blobs) * 256
+            ).reshape(len(blobs), 256)
             cols: dict[str, object] = {"id": pdf[id_col].to_numpy()}
             for b in alphabet:
-                hits = (flat == b).astype(np.int64)
-                csum = np.concatenate(([0], np.cumsum(hits)))
-                cols[f"n_{chr(b)}"] = csum[offsets + lens] - csum[offsets]
+                cols[f"n_{chr(b)}"] = hist[:, b]
             yield pd.DataFrame(cols)
 
     return df.select(id_col, content_col).mapInPandas(featurize, out_schema)

@@ -189,12 +189,30 @@ def token_fp_py(s: str) -> int:
     return acc
 
 
+def cms_per_fp_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """The one data-sized pass: token occurrences → (fp, count).
+
+    Both the sketch build and the exact-count comparison derive from
+    this aggregate, so callers that need both (cms_token_estimates)
+    tokenize the corpus exactly once.
+    """
+    toks = df.select(F.explode(_text.word_fingerprints(text_col)).alias("fp"))
+    return toks.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+
+
 def cms_sketch(
     df: DataFrame, text_col: str, depth: int = 4, width: int = 1024
 ) -> DataFrame:
     """Build the (row, cell, cnt) sketch table over all token occurrences."""
-    toks = df.select(F.explode(_text.word_fingerprints(text_col)).alias("fp"))
-    per_fp = toks.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    return cms_sketch_from_counts(
+        cms_per_fp_counts(df, text_col), depth=depth, width=width
+    )
+
+
+def cms_sketch_from_counts(
+    per_fp: DataFrame, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Sketch table from an existing (fp, c) aggregate — metadata-sized."""
     cells = per_fp.select(
         F.explode(
             F.array(
@@ -228,7 +246,11 @@ def cms_token_estimates(
     estimate — the defining CMS behavior.
     """
     spark = df.sparkSession
-    sketch = cms_sketch(df, text_col, depth=depth, width=width)
+    # single data-sized pass: the (fp, count) aggregate feeds BOTH the
+    # sketch cells and the exact-count side (it IS the exact count) —
+    # previously the corpus was tokenized and shuffled twice
+    per_fp = cms_per_fp_counts(df, text_col).persist()
+    sketch = cms_sketch_from_counts(per_fp, depth=depth, width=width)
     probe_rows = [(t, token_fp_py(t)) for t in probes]
     probe = spark.createDataFrame(probe_rows, "token string, fp bigint")
     pcells = probe.select(
@@ -253,11 +275,7 @@ def cms_token_estimates(
         .groupBy("token", "fp")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
     )
-    exact = (
-        df.select(F.explode(_text.word_fingerprints(text_col)).alias("fp"))
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
-    )
+    exact = per_fp.select("fp", F.col("c").alias("exact_count"))
     return (
         est.join(F.broadcast(exact), "fp", "left")
         .select(
