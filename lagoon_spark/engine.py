@@ -1076,6 +1076,29 @@ class Lagoon:
         )
         return info
 
+    def ingest_stream(
+        self,
+        directory: str,
+        name: str,
+        *,
+        checkpoint_dir: str,
+        mode: str = "versions",
+        **kwargs,
+    ):
+        """Continuous ingestion of a watched directory (streaming/ingest.py).
+
+        ``mode='versions'``: each arriving file → a new catalog version
+        through the normal ingest path. ``mode='append'``: arriving
+        files grow one source with incremental lattice typing. Returns
+        a ``StreamIngestor``; call ``run_available()`` for a one-shot
+        catch-up pass or ``start(processing_time=...)`` to stay live.
+        """
+        from lagoon_spark.streaming.ingest import StreamIngestor
+
+        return StreamIngestor(
+            self, directory, name, checkpoint_dir=checkpoint_dir, mode=mode, **kwargs
+        )
+
 
 def _infer_jsontype_distributed(df: DataFrame, col: str):
     """JsonType of a string column: Arrow-batched executor fold, driver

@@ -1,0 +1,364 @@
+"""Streaming ingest — continuous file-arrival ingestion.
+
+The reference is batch-only: ``lagoon ingest <file>`` runs once per
+file (`src/backend/src/Lagoon/Ingest.hs:82-132`). At 100 TB a corpus
+is not a file, it is a *flow* — crawl output landing in object storage
+hour after hour. This module extends the reference's ingest plane to
+that shape the Spark-first way: Structured Streaming's file source
+does checkpointed, exactly-once file discovery, and each micro-batch
+flows through the SAME inference/catalog/security machinery as a
+one-shot ingest.
+
+Two modes:
+
+* ``versions`` — every newly-arrived file becomes a NEW VERSION of the
+  dataset through the ordinary ``Lagoon.ingest`` path: same two-pass
+  inference, same catalog/ACL/golden-dump visibility, same rollback on
+  failure. Discovery streams a ``binaryFile`` source projected to
+  ``path`` only (column pruning keeps file contents unread), so the
+  stream checkpoint carries the processed-file log and a restart
+  resumes exactly where it left off. Per-file idempotency rides the
+  reference's own SUID mechanism (A17, `Interface/Ingest.hs:160-174`):
+  the path+mtime is the source identifier, so a replayed batch finds
+  the existing version instead of duplicating it.
+
+* ``append`` — all arriving files grow ONE source. Rows append to the
+  untyped table with the monotone ``ix`` continuing across batches,
+  and the type lattice folds INCREMENTALLY: the reference's
+  column-level unification (`Tabular/TypeInference.hs:29-44`) is a
+  monoid — max lattice rank + max length — so each batch contributes
+  one O(columns) aggregate merged into the running state; no re-scan
+  of history. A batch can *widen* a column's type (INT ⊔ REAL = REAL,
+  `TypeInference.hs:73-108`): only then is the typed table re-cast in
+  full; in the steady state a batch casts and appends only itself.
+  A wider row-shape arriving later (more columns) is the streaming
+  analog of the reference's mid-ingest ALTER TABLE ADD COLUMN
+  (`DataFormat.hs:251-271`): history is rewritten once via parquet
+  schema-merge (old rows read NULL for the new columns), after which
+  all footers agree again.
+
+Exactly-once: ``foreachBatch`` is at-least-once under failure
+recovery, so append mode records the last committed batch id in its
+state file and skips replays; versions mode is idempotent per file via
+SUID. Single-writer per dataset is assumed (the reference's ingest
+holds a Postgres transaction for the same reason).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import functions as F
+
+from lagoon_spark.ingest import csv as csvmod
+from lagoon_spark.ingest.infer import (
+    InferredColumn,
+    R_ABSENT,
+    cast_expr,
+    rank_expr,
+    rank_to_type,
+)
+from lagoon_spark.ingest.names import no_dup_names
+from lagoon_spark.ingest.rowid import with_ix
+
+
+def _local(path: str) -> str:
+    """file:/x or file:///x URI → filesystem path; plain paths pass."""
+    if path.startswith("file:"):
+        stripped = path[len("file:") :]
+        while stripped.startswith("//"):
+            stripped = stripped[1:]
+        return stripped
+    return path
+
+
+@dataclass
+class _AppendState:
+    """Running lattice + layout state for one append-mode stream."""
+
+    ix: int | None = None  # catalog source ix once created
+    width: int = 0
+    row_count: int = 0
+    last_batch: int = -1
+    ranks: dict[str, int] = field(default_factory=dict)
+    lens: dict[str, int] = field(default_factory=dict)
+    header: list[str] = field(default_factory=list)
+
+    @classmethod
+    def load(cls, path: str) -> "_AppendState":
+        if not os.path.exists(path):
+            return cls()
+        with open(path) as f:
+            return cls(**json.load(f))
+
+    def save(self, path: str) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.__dict__, f)
+        os.replace(tmp, path)
+
+
+class StreamIngestor:
+    """Continuous ingestion of a watched directory into the catalog.
+
+    ``run_available()`` processes everything currently in the directory
+    and returns (trigger availableNow) — the testable unit and also the
+    cron-shaped deployment. ``start(processing_time=...)`` leaves a
+    long-lived query running for a true continuous deployment.
+    """
+
+    def __init__(
+        self,
+        engine,
+        directory: str,
+        name: str,
+        *,
+        checkpoint_dir: str,
+        mode: str = "versions",
+        file_pattern: str | None = None,
+        has_headers: bool = True,
+        delimiter: str | None = None,
+        quote: str | None = '"',
+        description: str | None = None,
+        tags: list[str] | None = None,
+        file_type: str | None = None,
+    ):
+        if mode not in ("versions", "append"):
+            raise ValueError(f"unknown streaming-ingest mode {mode!r}")
+        from lagoon_spark import security as _sec
+
+        # fail closed at construction, not first batch: the stream
+        # owner needs the same rights a one-shot ingest would check
+        engine._check_can_add_version(name, _sec)
+        self.engine = engine
+        self.directory = directory
+        self.name = name
+        self.checkpoint_dir = checkpoint_dir
+        self.mode = mode
+        self.file_pattern = file_pattern
+        self.has_headers = has_headers
+        self.delimiter = delimiter
+        self.quote = quote
+        self.description = description
+        self.tags = tags
+        self.file_type = file_type
+        self._state_path = os.path.join(
+            engine.warehouse, "stream", f"{name}.append.json"
+        )
+
+    # -- plumbing ------------------------------------------------------------
+
+    def _discovery_stream(self):
+        from pyspark.sql.types import (
+            BinaryType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        # binaryFile's fixed schema, stated explicitly — streaming file
+        # sources refuse to infer
+        schema = StructType(
+            [
+                StructField("path", StringType()),
+                StructField("modificationTime", TimestampType()),
+                StructField("length", LongType()),
+                StructField("content", BinaryType()),
+            ]
+        )
+        reader = self.engine.spark.readStream.format("binaryFile").schema(schema)
+        if self.file_pattern:
+            reader = reader.option("pathGlobFilter", self.file_pattern)
+        # path+mtime only: binaryFile prunes the content column, so
+        # discovery never reads file bodies — the per-batch ingest does
+        return reader.load(self.directory).select("path", "modificationTime")
+
+    def _foreach(self, batch_df, batch_id: int) -> None:
+        files = sorted(
+            (r["path"], r["modificationTime"])
+            for r in batch_df.select("path", "modificationTime").collect()
+        )
+        if self.mode == "versions":
+            self._batch_versions(files)
+        else:
+            self._batch_append(files, batch_id)
+
+    def start(self, *, processing_time: str | None = None, available_now: bool = False):
+        writer = self._discovery_stream().writeStream.foreachBatch(
+            self._foreach
+        ).option("checkpointLocation", self.checkpoint_dir)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.queryName(f"lagoon_ingest_{self.name}").start()
+
+    def run_available(self) -> None:
+        """Ingest everything new in the directory, then return."""
+        q = self.start(available_now=True)
+        q.awaitTermination()
+
+    # -- versions mode -------------------------------------------------------
+
+    def _batch_versions(self, files) -> None:
+        for path, mtime in files:
+            self.engine.ingest(
+                _local(path),
+                self.name,
+                description=self.description,
+                tags=self.tags,
+                url=path,
+                has_headers=self.has_headers,
+                delimiter=self.delimiter,
+                quote=self.quote,
+                file_type=self.file_type,
+                # replay-safe: a re-delivered file resolves to its
+                # existing version through the SUID tag (A17)
+                source_identifier=f"stream:{path}:{mtime.isoformat()}",
+            )
+
+    # -- append mode ---------------------------------------------------------
+
+    def _batch_append(self, files, batch_id: int) -> None:
+        st = _AppendState.load(self._state_path)
+        if batch_id <= st.last_batch:
+            return  # foreachBatch replay after recovery — already committed
+        if not files:
+            st.last_batch = batch_id
+            os.makedirs(os.path.dirname(self._state_path), exist_ok=True)
+            st.save(self._state_path)
+            return
+        spark = self.engine.spark
+        catalog = self.engine.catalog
+        paths = [_local(p) for p, _ in files]
+
+        fmt = csvmod.guess_format(paths[0])
+        fmt.has_headers = self.has_headers
+        if self.delimiter is not None:
+            fmt.delimiter = self.delimiter
+        fmt.quote = self.quote
+
+        width, header, _bad = csvmod.scan_width(spark, paths, fmt)
+        first_batch = st.ix is None
+        if first_batch:
+            ix, _version, table, view_name = catalog.new_source(
+                self.name,
+                url=self.directory,
+                description=self.description,
+                added_by=self.engine.user,
+                created=None,
+                fmt="tabular",
+            )
+            st.ix = ix
+            st.header = header
+            for t in self.tags or []:
+                catalog.tag(ix, t)
+        else:
+            info0 = catalog.get_source_by_ix(st.ix)
+            table = info0.table_name
+            view_name = info0.view_name
+
+        new_width = max(width, st.width)
+        data_path = self.engine._data_path(table)
+        typed_path = self.engine._data_path(f"typed{st.ix}")
+
+        if st.width and new_width > st.width:
+            # row-shape widened: one history rewrite via schema-merge
+            # (streaming ALTER TABLE ADD COLUMN), then footers agree
+            self._rewrite_padded(data_path, new_width)
+
+        untyped = with_ix(csvmod.read_untyped(spark, paths, fmt, new_width))
+        untyped = untyped.select(
+            (F.col("ix") + F.lit(st.row_count)).alias("ix"),
+            *[f"c{i + 1}" for i in range(new_width)],
+        )
+        untyped.write.mode("append").parquet(data_path)
+        batch_rows = spark.read.parquet(data_path).count() - st.row_count
+
+        # incremental lattice fold: batch aggregate ⊔ running state
+        phys = [f"c{i + 1}" for i in range(new_width)]
+        batch_frame = spark.read.parquet(data_path).filter(
+            F.col("ix") > st.row_count
+        )
+        aggs = []
+        for c in phys:
+            aggs.append(F.max(rank_expr(c)).alias(f"__r_{c}"))
+            aggs.append(F.max(F.length(F.col(c))).alias(f"__l_{c}"))
+        row = batch_frame.agg(*aggs).collect()[0]
+        old_types = {
+            c: rank_to_type(st.ranks[c], st.lens[c]) for c in st.ranks
+        }
+        for c in phys:
+            br = row[f"__r_{c}"] if row[f"__r_{c}"] is not None else R_ABSENT
+            bl = row[f"__l_{c}"] or 0
+            st.ranks[c] = max(st.ranks.get(c, R_ABSENT), br)
+            st.lens[c] = max(st.lens.get(c, 0), bl)
+        inferred = [
+            InferredColumn(c, rank_to_type(st.ranks[c], st.lens[c]), st.lens[c])
+            for c in phys
+        ]
+        widened = any(
+            c in old_types and ic.type != old_types[c]
+            for c, ic in zip(phys, inferred)
+        )
+
+        # typed table: full re-cast only on a widening event (or the
+        # width rewrite above); otherwise cast and append just the batch
+        full = spark.read.parquet(data_path)
+        casts = [cast_expr(ic.name, ic.type).alias(ic.name) for ic in inferred]
+        if first_batch or widened or (st.width and new_width > st.width):
+            self._overwrite(full.select("ix", *casts), typed_path)
+        else:
+            full.filter(F.col("ix") > st.row_count).select("ix", *casts).write.mode(
+                "append"
+            ).parquet(typed_path)
+
+        preferred = (
+            list(st.header) + phys[len(st.header) :] if st.header else phys
+        )
+        friendly = no_dup_names(preferred)
+        catalog.set_columns(
+            st.ix,
+            [(p, h, ic.type.value) for (p, h), ic in zip(zip(phys, friendly), inferred)],
+        )
+        catalog.update_source(
+            st.ix,
+            row_count=st.row_count + batch_rows,
+            typed_table_name=f"typed{st.ix}",
+            typed_view_name=f"{view_name}_typed",
+        )
+        st.width = new_width
+        st.row_count += batch_rows
+        st.last_batch = batch_id
+        os.makedirs(os.path.dirname(self._state_path), exist_ok=True)
+        st.save(self._state_path)
+        self.engine.register_views(catalog.get_source_by_ix(st.ix))
+
+    def _rewrite_padded(self, data_path: str, new_width: int) -> None:
+        """Schema-merge read → select full width → atomic swap."""
+        spark = self.engine.spark
+        merged = spark.read.option("mergeSchema", "true").parquet(data_path)
+        cols = [F.col("ix")] + [
+            (F.col(f"c{i + 1}") if f"c{i + 1}" in merged.columns else F.lit(None).cast("string")).alias(
+                f"c{i + 1}"
+            )
+            for i in range(new_width)
+        ]
+        self._overwrite(merged.select(*cols), data_path)
+
+    def _overwrite(self, df, path: str) -> None:
+        """Overwrite a parquet dir that the plan may currently read:
+        write beside, then swap (Spark refuses in-place overwrite of an
+        input path)."""
+        tmp = path + ".__rewrite"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)

@@ -1,0 +1,180 @@
+"""Streaming ingest: checkpointed file-arrival ingestion.
+
+Covers both modes of lagoon_spark/streaming/ingest.py:
+
+* versions — each discovered file becomes a new catalog version;
+  the stream checkpoint (plus the SUID tag) makes re-delivery a no-op.
+* append — files grow one source: monotone ix across batches,
+  incremental lattice typing (a later batch widening INT → REAL),
+  width growth via history rewrite, replayed batch ids skipped.
+
+The end state of append mode must equal what a ONE-SHOT ingest of the
+concatenated input would produce — the reference's semantics are the
+oracle for the streaming path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lagoon_spark.ingest.infer import ColumnType
+
+
+def _write(p, text: str) -> None:
+    p.write_text(text)
+
+
+class TestVersionsMode:
+    def test_each_file_becomes_a_version(self, lagoon, tmp_path):
+        inbox = tmp_path / "inbox"
+        inbox.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        _write(inbox / "a.csv", "id,val\n1,x\n2,y\n")
+
+        ing = lagoon.ingest_stream(
+            str(inbox), "flow", checkpoint_dir=ckpt, mode="versions"
+        )
+        ing.run_available()
+        assert lagoon.catalog.versions("flow") == [1]
+        v1 = lagoon.catalog.get_source("flow", 1)
+        assert v1.row_count == 2
+
+        # second file arrives; a fresh ingestor on the SAME checkpoint
+        # picks up only the new file
+        _write(inbox / "b.csv", "id,val\n3,z\n")
+        ing2 = lagoon.ingest_stream(
+            str(inbox), "flow", checkpoint_dir=ckpt, mode="versions"
+        )
+        ing2.run_available()
+        assert lagoon.catalog.versions("flow") == [1, 2]
+        assert lagoon.catalog.get_source("flow", 2).row_count == 1
+
+        # nothing new → no new versions
+        ing3 = lagoon.ingest_stream(
+            str(inbox), "flow", checkpoint_dir=ckpt, mode="versions"
+        )
+        ing3.run_available()
+        assert lagoon.catalog.versions("flow") == [1, 2]
+
+    def test_replayed_file_is_suid_idempotent(self, lagoon, tmp_path):
+        inbox = tmp_path / "inbox"
+        inbox.mkdir()
+        _write(inbox / "a.csv", "id\n1\n")
+        ing = lagoon.ingest_stream(
+            str(inbox), "flow2", checkpoint_dir=str(tmp_path / "c1"), mode="versions"
+        )
+        ing.run_available()
+        # a NEW checkpoint re-delivers the same file; the SUID tag
+        # resolves it to the existing version instead of duplicating
+        ing2 = lagoon.ingest_stream(
+            str(inbox), "flow2", checkpoint_dir=str(tmp_path / "c2"), mode="versions"
+        )
+        ing2.run_available()
+        assert lagoon.catalog.versions("flow2") == [1]
+
+
+class TestAppendMode:
+    def test_append_matches_oneshot_ingest(self, lagoon, tmp_path):
+        inbox = tmp_path / "inbox"
+        inbox.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        _write(inbox / "a.csv", "id,score\n1,10\n2,20\n")
+
+        ing = lagoon.ingest_stream(
+            str(inbox), "grow", checkpoint_dir=ckpt, mode="append"
+        )
+        ing.run_available()
+        info = lagoon.catalog.get_source("grow", 1)
+        assert info.row_count == 2
+        types = {h: t for _c, h, t in info.columns}
+        assert types["score"] == ColumnType.INT.value
+
+        # batch 2 widens score to REAL (lattice INT ⊔ REAL = REAL) and
+        # continues ix
+        _write(inbox / "b.csv", "id,score\n3,3.5\n")
+        lagoon.ingest_stream(
+            str(inbox), "grow", checkpoint_dir=ckpt, mode="append"
+        ).run_available()
+        info = lagoon.catalog.get_source("grow", 1)
+        assert info.row_count == 3
+        types = {h: t for _c, h, t in info.columns}
+        assert types["score"] == ColumnType.REAL.value
+
+        got = lagoon.sql("SELECT * FROM grow_v1_typed ORDER BY ix").collect()
+        assert [r["ix"] for r in got] == [1, 2, 3]
+        assert [r["score"] for r in got] == [10.0, 20.0, 3.5]
+
+        # the streaming end state must equal a one-shot ingest of the
+        # concatenated file (reference semantics as oracle)
+        concat = tmp_path / "all.csv"
+        _write(concat, "id,score\n1,10\n2,20\n3,3.5\n")
+        ref = lagoon.ingest(str(concat), "grow_ref")
+        ref_types = {h: t for _c, h, t in ref.columns}
+        assert ref_types == types
+        ref_rows = lagoon.sql("SELECT * FROM grow_ref_v1_typed ORDER BY ix").collect()
+        assert [tuple(r) for r in ref_rows] == [tuple(r) for r in got]
+
+    def test_width_growth_rewrites_history(self, lagoon, tmp_path):
+        inbox = tmp_path / "inbox"
+        inbox.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        _write(inbox / "a.csv", "x,y\n1,a\n")
+        lagoon.ingest_stream(
+            str(inbox), "wide", checkpoint_dir=ckpt, mode="append"
+        ).run_available()
+
+        # a wider file arrives: the streaming ALTER TABLE ADD COLUMN
+        _write(inbox / "b.csv", "x,y,z\n2,b,zz\n")
+        lagoon.ingest_stream(
+            str(inbox), "wide", checkpoint_dir=ckpt, mode="append"
+        ).run_available()
+        info = lagoon.catalog.get_source("wide", 1)
+        assert info.row_count == 2
+        rows = lagoon.sql("SELECT * FROM wide_v1_typed ORDER BY ix").collect()
+        # the old row reads NULL for the new column
+        assert [r["c3"] for r in rows] == [None, "zz"]
+        assert [r["x"] for r in rows] == [1, 2]
+
+    def test_replayed_batch_id_is_skipped(self, lagoon, tmp_path):
+        inbox = tmp_path / "inbox"
+        inbox.mkdir()
+        _write(inbox / "a.csv", "id\n1\n2\n")
+        ing = lagoon.ingest_stream(
+            str(inbox), "replay", checkpoint_dir=str(tmp_path / "c"), mode="append"
+        )
+        ing.run_available()
+        info = lagoon.catalog.get_source("replay", 1)
+        assert info.row_count == 2
+        # simulate foreachBatch re-delivery after recovery: same batch
+        # id arrives again — committed state wins, nothing appends
+        import datetime
+
+        ing._batch_append(
+            [(str(inbox / "a.csv"), datetime.datetime.now())], batch_id=0
+        )
+        assert lagoon.catalog.get_source("replay", 1).row_count == 2
+
+    def test_sql_queryable_after_stream(self, lagoon, tmp_path):
+        inbox = tmp_path / "inbox"
+        inbox.mkdir()
+        _write(inbox / "a.csv", "id,v\n1,5\n2,6\n")
+        lagoon.ingest_stream(
+            str(inbox), "live", checkpoint_dir=str(tmp_path / "c"), mode="append"
+        ).run_available()
+        out = lagoon.sql('SELECT SUM(v) AS s FROM live_v1_typed').collect()
+        assert out[0]["s"] == 11
+
+
+class TestSecurity:
+    def test_stream_requires_create_capability(self, spark, tmp_path):
+        from lagoon_spark import security as sec
+        from lagoon_spark.engine import Lagoon
+
+        lg = Lagoon(spark, str(tmp_path / "wh"), user="admin")
+        lg.init_db()
+        sec.set_capability(lg.catalog, "nobody", "create", False)
+        restricted = Lagoon(spark, str(tmp_path / "wh"), user="nobody")
+        with pytest.raises(sec.PermissionDenied):
+            restricted.ingest_stream(
+                str(tmp_path), "blocked", checkpoint_dir=str(tmp_path / "c")
+            )
