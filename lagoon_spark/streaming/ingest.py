@@ -86,6 +86,7 @@ class _AppendState:
     ranks: dict[str, int] = field(default_factory=dict)
     lens: dict[str, int] = field(default_factory=dict)
     header: list[str] = field(default_factory=list)
+    json_type: str | None = None  # rendered JsonType (JSON append mode)
 
     @classmethod
     def load(cls, path: str) -> "_AppendState":
@@ -233,9 +234,78 @@ class StreamIngestor:
             os.makedirs(os.path.dirname(self._state_path), exist_ok=True)
             st.save(self._state_path)
             return
+        paths = [_local(p) for p, _ in files]
+        if self.file_type == "json" or (
+            self.file_type is None and paths[0].endswith((".json", ".jsonl"))
+        ):
+            self._batch_append_json(paths, batch_id, st)
+        else:
+            self._batch_append_tabular(paths, batch_id, st)
+
+    def _batch_append_json(self, paths, batch_id: int, st: _AppendState) -> None:
+        """JSONL append: rows of raw values; the JsonType lattice is a
+        monoid too (`unify`, `Util/JSON/TypeInference.hs:104-134`) —
+        the batch's inferred type unifies with the running state, so
+        optional-key / nullable structure accumulates across batches
+        without ever re-scanning history. JSON sources never get a
+        typed table (`Ingest.hs:257-262`), so there is no widening
+        rewrite at all: append is always pure append."""
+        from lagoon_spark.engine import _infer_jsontype_distributed
+        from lagoon_spark.ingest import jsontype
+        from lagoon_spark.ingest.infer import ColumnType
+
         spark = self.engine.spark
         catalog = self.engine.catalog
-        paths = [_local(p) for p, _ in files]
+        for p in paths:
+            if self.engine._json_needs_splitting(p):
+                raise ValueError(
+                    "streaming JSON append requires JSONL shards (one value "
+                    "per line); multi-line documents need versions mode"
+                )
+        if st.ix is None:
+            ix, _version, table, _view = catalog.new_source(
+                self.name,
+                url=self.directory,
+                description=self.description,
+                added_by=self.engine.user,
+                created=None,
+                fmt="json",
+            )
+            st.ix = ix
+            for t in self.tags or []:
+                catalog.tag(ix, t)
+        else:
+            table = catalog.get_source_by_ix(st.ix).table_name
+
+        lines = spark.read.text(paths).filter(F.trim(F.col("value")) != "")
+        batch = with_ix(lines).select(
+            (F.col("ix") + F.lit(st.row_count)).alias("ix"),
+            F.col("value").alias("c1"),
+        )
+        data_path = self.engine._data_path(table)
+        batch.write.mode("append").parquet(data_path)
+        total = spark.read.parquet(data_path).count()
+        batch_frame = spark.read.parquet(data_path).filter(
+            F.col("ix") > st.row_count
+        )
+        batch_jt = _infer_jsontype_distributed(batch_frame, "c1")
+        merged = (
+            jsontype.unify(jsontype.parse(st.json_type), batch_jt)
+            if st.json_type
+            else batch_jt
+        )
+        st.json_type = jsontype.render(merged)
+        catalog.set_columns(st.ix, [("c1", "data", ColumnType.JSON.value)])
+        catalog.update_source(st.ix, row_count=total, json_type=st.json_type)
+        st.row_count = total
+        st.last_batch = batch_id
+        os.makedirs(os.path.dirname(self._state_path), exist_ok=True)
+        st.save(self._state_path)
+        self.engine.register_views(catalog.get_source_by_ix(st.ix))
+
+    def _batch_append_tabular(self, paths, batch_id: int, st: _AppendState) -> None:
+        spark = self.engine.spark
+        catalog = self.engine.catalog
 
         fmt = csvmod.guess_format(paths[0])
         fmt.has_headers = self.has_headers

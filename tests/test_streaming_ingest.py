@@ -165,6 +165,58 @@ class TestAppendMode:
         assert out[0]["s"] == 11
 
 
+class TestJsonAppendMode:
+    def test_jsontype_unifies_across_batches(self, lagoon, tmp_path):
+        inbox = tmp_path / "inbox"
+        inbox.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        _write(inbox / "a.jsonl", '{"id": 1, "name": "x"}\n{"id": 2, "name": "y"}\n')
+        lagoon.ingest_stream(
+            str(inbox), "jflow", checkpoint_dir=ckpt, mode="append", file_type="json"
+        ).run_available()
+        info = lagoon.catalog.get_source("jflow", 1)
+        assert info.row_count == 2
+        assert info.json_type == '{"id":number, "name":string}'
+
+        # batch 2 introduces an optional key and a null — the unified
+        # type marks 'name' optional and 'id' nullable, exactly as a
+        # one-shot ingest of all values would
+        _write(inbox / "b.jsonl", '{"id": null}\n')
+        lagoon.ingest_stream(
+            str(inbox), "jflow", checkpoint_dir=ckpt, mode="append", file_type="json"
+        ).run_available()
+        info = lagoon.catalog.get_source("jflow", 1)
+        assert info.row_count == 3
+
+        concat = tmp_path / "all.jsonl"
+        _write(
+            concat,
+            '{"id": 1, "name": "x"}\n{"id": 2, "name": "y"}\n{"id": null}\n',
+        )
+        ref = lagoon.ingest(str(concat), "jflow_ref", file_type="json")
+        assert info.json_type == ref.json_type
+        # content identical, ix contiguous
+        got = lagoon.sql("SELECT * FROM jflow_v1 ORDER BY ix").collect()
+        want = lagoon.sql("SELECT * FROM jflow_ref_v1 ORDER BY ix").collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    def test_multiline_json_refused_in_append(self, lagoon, tmp_path):
+        inbox = tmp_path / "inbox"
+        inbox.mkdir()
+        _write(inbox / "a.json", '{\n  "id": 1\n}\n')
+        ing = lagoon.ingest_stream(
+            str(inbox), "jbad", checkpoint_dir=str(tmp_path / "c"), mode="append",
+            file_type="json",
+        )
+        import pyspark.errors
+
+        with pytest.raises(
+            (ValueError, pyspark.errors.exceptions.captured.StreamingQueryException),
+            match="JSONL|multi-line",
+        ):
+            ing.run_available()
+
+
 class TestSecurity:
     def test_stream_requires_create_capability(self, spark, tmp_path):
         from lagoon_spark import security as sec
