@@ -46,6 +46,7 @@ holds a Postgres transaction for the same reason).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -262,7 +263,8 @@ class StreamIngestor:
                     "streaming JSON append requires JSONL shards (one value "
                     "per line); multi-line documents need versions mode"
                 )
-        if st.ix is None:
+        first_batch = st.ix is None
+        if first_batch:
             ix, _version, table, _view = catalog.new_source(
                 self.name,
                 url=self.directory,
@@ -277,30 +279,35 @@ class StreamIngestor:
         else:
             table = catalog.get_source_by_ix(st.ix).table_name
 
-        lines = spark.read.text(paths).filter(F.trim(F.col("value")) != "")
-        batch = with_ix(lines).select(
-            (F.col("ix") + F.lit(st.row_count)).alias("ix"),
-            F.col("value").alias("c1"),
-        )
         data_path = self.engine._data_path(table)
-        batch.write.mode("append").parquet(data_path)
-        total = spark.read.parquet(data_path).count()
-        batch_frame = spark.read.parquet(data_path).filter(
-            F.col("ix") > st.row_count
-        )
-        batch_jt = _infer_jsontype_distributed(batch_frame, "c1")
-        merged = (
-            jsontype.unify(jsontype.parse(st.json_type), batch_jt)
-            if st.json_type
-            else batch_jt
-        )
-        st.json_type = jsontype.render(merged)
-        catalog.set_columns(st.ix, [("c1", "data", ColumnType.JSON.value)])
-        catalog.update_source(st.ix, row_count=total, json_type=st.json_type)
-        st.row_count = total
-        st.last_batch = batch_id
-        os.makedirs(os.path.dirname(self._state_path), exist_ok=True)
-        st.save(self._state_path)
+        with self._batch_rollback(
+            st, first_batch, data_path, self.engine._data_path(f"typed{st.ix}")
+        ):
+            lines = spark.read.text(paths).filter(F.trim(F.col("value")) != "")
+            batch = with_ix(lines).select(
+                (F.col("ix") + F.lit(st.row_count)).alias("ix"),
+                F.col("value").alias("c1"),
+            )
+            batch.write.mode("append").parquet(data_path)
+            total = spark.read.parquet(data_path).count()
+            batch_frame = spark.read.parquet(data_path).filter(
+                F.col("ix") > st.row_count
+            )
+            # malformed values raise here (worker-side JsonSplitError) —
+            # the guard then removes this batch's parquet parts
+            batch_jt = _infer_jsontype_distributed(batch_frame, "c1")
+            merged = (
+                jsontype.unify(jsontype.parse(st.json_type), batch_jt)
+                if st.json_type
+                else batch_jt
+            )
+            st.json_type = jsontype.render(merged)
+            catalog.set_columns(st.ix, [("c1", "data", ColumnType.JSON.value)])
+            catalog.update_source(st.ix, row_count=total, json_type=st.json_type)
+            st.row_count = total
+            st.last_batch = batch_id
+            os.makedirs(os.path.dirname(self._state_path), exist_ok=True)
+            st.save(self._state_path)
         self.engine.register_views(catalog.get_source_by_ix(st.ix))
 
     def _batch_append_tabular(self, paths, batch_id: int, st: _AppendState) -> None:
@@ -336,99 +343,200 @@ class StreamIngestor:
         new_width = max(width, st.width)
         data_path = self.engine._data_path(table)
         typed_path = self.engine._data_path(f"typed{st.ix}")
+        needs_rewrite = bool(st.width) and new_width > st.width
 
-        if st.width and new_width > st.width:
-            # row-shape widened: one history rewrite via schema-merge
-            # (streaming ALTER TABLE ADD COLUMN), then footers agree
-            self._rewrite_padded(data_path, new_width)
+        with self._batch_rollback(
+            st, first_batch, data_path, typed_path, rename_backup=needs_rewrite
+        ):
+            if needs_rewrite:
+                # row-shape widened: one history rewrite via schema-merge
+                # (streaming ALTER TABLE ADD COLUMN), then footers
+                # agree. The guard renamed history to .__bak; rebuild
+                # the live dir padded from it, so a failure anywhere in
+                # this batch restores the backup wholesale.
+                self._rewrite_padded(data_path + ".__bak", data_path, new_width)
 
-        untyped = with_ix(csvmod.read_untyped(spark, paths, fmt, new_width))
-        untyped = untyped.select(
-            (F.col("ix") + F.lit(st.row_count)).alias("ix"),
-            *[f"c{i + 1}" for i in range(new_width)],
-        )
-        untyped.write.mode("append").parquet(data_path)
-        batch_rows = spark.read.parquet(data_path).count() - st.row_count
+            untyped = with_ix(csvmod.read_untyped(spark, paths, fmt, new_width))
+            untyped = untyped.select(
+                (F.col("ix") + F.lit(st.row_count)).alias("ix"),
+                *[f"c{i + 1}" for i in range(new_width)],
+            )
+            untyped.write.mode("append").parquet(data_path)
+            batch_rows = spark.read.parquet(data_path).count() - st.row_count
 
-        # incremental lattice fold: batch aggregate ⊔ running state
-        phys = [f"c{i + 1}" for i in range(new_width)]
-        batch_frame = spark.read.parquet(data_path).filter(
-            F.col("ix") > st.row_count
-        )
-        aggs = []
-        for c in phys:
-            aggs.append(F.max(rank_expr(c)).alias(f"__r_{c}"))
-            aggs.append(F.max(F.length(F.col(c))).alias(f"__l_{c}"))
-        row = batch_frame.agg(*aggs).collect()[0]
-        old_types = {
-            c: rank_to_type(st.ranks[c], st.lens[c]) for c in st.ranks
-        }
-        for c in phys:
-            br = row[f"__r_{c}"] if row[f"__r_{c}"] is not None else R_ABSENT
-            bl = row[f"__l_{c}"] or 0
-            st.ranks[c] = max(st.ranks.get(c, R_ABSENT), br)
-            st.lens[c] = max(st.lens.get(c, 0), bl)
-        inferred = [
-            InferredColumn(c, rank_to_type(st.ranks[c], st.lens[c]), st.lens[c])
-            for c in phys
-        ]
-        widened = any(
-            c in old_types and ic.type != old_types[c]
-            for c, ic in zip(phys, inferred)
-        )
+            # incremental lattice fold: batch aggregate ⊔ running state
+            phys = [f"c{i + 1}" for i in range(new_width)]
+            batch_frame = spark.read.parquet(data_path).filter(
+                F.col("ix") > st.row_count
+            )
+            aggs = []
+            for c in phys:
+                aggs.append(F.max(rank_expr(c)).alias(f"__r_{c}"))
+                aggs.append(F.max(F.length(F.col(c))).alias(f"__l_{c}"))
+            row = batch_frame.agg(*aggs).collect()[0]
+            old_types = {
+                c: rank_to_type(st.ranks[c], st.lens[c]) for c in st.ranks
+            }
+            new_ranks = dict(st.ranks)
+            new_lens = dict(st.lens)
+            for c in phys:
+                br = row[f"__r_{c}"] if row[f"__r_{c}"] is not None else R_ABSENT
+                bl = row[f"__l_{c}"] or 0
+                new_ranks[c] = max(new_ranks.get(c, R_ABSENT), br)
+                new_lens[c] = max(new_lens.get(c, 0), bl)
+            inferred = [
+                InferredColumn(c, rank_to_type(new_ranks[c], new_lens[c]), new_lens[c])
+                for c in phys
+            ]
+            widened = any(
+                c in old_types and ic.type != old_types[c]
+                for c, ic in zip(phys, inferred)
+            )
 
-        # typed table: full re-cast only on a widening event (or the
-        # width rewrite above); otherwise cast and append just the batch
-        full = spark.read.parquet(data_path)
-        casts = [cast_expr(ic.name, ic.type).alias(ic.name) for ic in inferred]
-        if first_batch or widened or (st.width and new_width > st.width):
-            self._overwrite(full.select("ix", *casts), typed_path)
-        else:
-            full.filter(F.col("ix") > st.row_count).select("ix", *casts).write.mode(
-                "append"
-            ).parquet(typed_path)
+            # typed table: full re-cast only on a widening event (or the
+            # width rewrite above); otherwise cast + append just the
+            # batch. The cast can legitimately fail (the lattice does
+            # not guarantee castability for word-booleans widened to
+            # INT — the reference's Postgres cast fails there too); the
+            # rollback guard then restores the pre-batch state.
+            full = spark.read.parquet(data_path)
+            casts = [cast_expr(ic.name, ic.type).alias(ic.name) for ic in inferred]
+            if first_batch or widened or needs_rewrite:
+                self._overwrite(full.select("ix", *casts), typed_path)
+            else:
+                full.filter(F.col("ix") > st.row_count).select(
+                    "ix", *casts
+                ).write.mode("append").parquet(typed_path)
 
-        preferred = (
-            list(st.header) + phys[len(st.header) :] if st.header else phys
-        )
-        friendly = no_dup_names(preferred)
-        catalog.set_columns(
-            st.ix,
-            [(p, h, ic.type.value) for (p, h), ic in zip(zip(phys, friendly), inferred)],
-        )
-        catalog.update_source(
-            st.ix,
-            row_count=st.row_count + batch_rows,
-            typed_table_name=f"typed{st.ix}",
-            typed_view_name=f"{view_name}_typed",
-        )
-        st.width = new_width
-        st.row_count += batch_rows
-        st.last_batch = batch_id
-        os.makedirs(os.path.dirname(self._state_path), exist_ok=True)
-        st.save(self._state_path)
+            preferred = (
+                list(st.header) + phys[len(st.header) :] if st.header else phys
+            )
+            friendly = no_dup_names(preferred)
+            catalog.set_columns(
+                st.ix,
+                [
+                    (p, h, ic.type.value)
+                    for (p, h), ic in zip(zip(phys, friendly), inferred)
+                ],
+            )
+            catalog.update_source(
+                st.ix,
+                row_count=st.row_count + batch_rows,
+                typed_table_name=f"typed{st.ix}",
+                typed_view_name=f"{view_name}_typed",
+            )
+            st.ranks = new_ranks
+            st.lens = new_lens
+            st.width = new_width
+            st.row_count += batch_rows
+            st.last_batch = batch_id
+            os.makedirs(os.path.dirname(self._state_path), exist_ok=True)
+            st.save(self._state_path)
         self.engine.register_views(catalog.get_source_by_ix(st.ix))
 
-    def _rewrite_padded(self, data_path: str, new_width: int) -> None:
-        """Schema-merge read → select full width → atomic swap."""
+    @contextlib.contextmanager
+    def _batch_rollback(
+        self,
+        st: _AppendState,
+        first_batch: bool,
+        data_path: str,
+        typed_path: str,
+        *,
+        rename_backup: bool = False,
+    ):
+        """Make one append batch atomic. The cast can legitimately fail
+        mid-batch (the lattice does not guarantee castability — a
+        word-boolean column widened to INT fails exactly as the
+        reference's Postgres ``'true'::INTEGER`` would), so every
+        failure path must restore the last committed state; a retry or
+        a foreachBatch replay then starts clean instead of
+        double-appending.
+
+        * first batch → the engine's ingest rollback drops the catalog
+          row and all data (delete-restores-state discipline);
+        * width-rewrite batches → history was renamed to ``.__bak``
+          up-front; restore = drop the rebuilt dir, rename back;
+        * ordinary batches → diff the directory listings and delete
+          only the parquet parts this batch appended.
+        """
+        before = {
+            d: (set(os.listdir(d)) if os.path.isdir(d) else None)
+            for d in (data_path, typed_path)
+        }
+        bak = data_path + ".__bak"
+        if rename_backup:
+            os.rename(data_path, bak)
+        try:
+            yield
+        except BaseException:
+            if first_batch and st.ix is not None:
+                table = self.engine.catalog.get_source_by_ix(st.ix).table_name
+                self.engine._rollback_ingest(st.ix, table, f"typed{st.ix}")
+                st.ix = None
+            else:
+                if rename_backup:
+                    if os.path.isdir(data_path):
+                        shutil.rmtree(data_path)
+                    os.rename(bak, data_path)
+                else:
+                    self._remove_new_parts(data_path, before[data_path])
+                # typed dir: if _overwrite completed its swap the
+                # replaced content sits in .__prev — restore it;
+                # otherwise only batch-appended parts need removal
+                prev = typed_path + ".__prev"
+                if os.path.isdir(prev):
+                    if os.path.isdir(typed_path):
+                        shutil.rmtree(typed_path)
+                    os.rename(prev, typed_path)
+                else:
+                    self._remove_new_parts(typed_path, before[typed_path])
+            raise
+        else:
+            for leftover in (data_path + ".__bak", typed_path + ".__prev"):
+                if os.path.isdir(leftover):
+                    shutil.rmtree(leftover)
+
+    @staticmethod
+    def _remove_new_parts(d: str, before: set | None) -> None:
+        if before is None:
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+            return
+        if not os.path.isdir(d):
+            return
+        for f in set(os.listdir(d)) - before:
+            fp = os.path.join(d, f)
+            if os.path.isdir(fp):
+                shutil.rmtree(fp)
+            else:
+                os.remove(fp)
+
+    def _rewrite_padded(self, src: str, dst: str, new_width: int) -> None:
+        """Schema-merge read of ``src`` → full-width pad → write ``dst``."""
         spark = self.engine.spark
-        merged = spark.read.option("mergeSchema", "true").parquet(data_path)
+        merged = spark.read.option("mergeSchema", "true").parquet(src)
         cols = [F.col("ix")] + [
-            (F.col(f"c{i + 1}") if f"c{i + 1}" in merged.columns else F.lit(None).cast("string")).alias(
-                f"c{i + 1}"
-            )
+            (
+                F.col(f"c{i + 1}")
+                if f"c{i + 1}" in merged.columns
+                else F.lit(None).cast("string")
+            ).alias(f"c{i + 1}")
             for i in range(new_width)
         ]
-        self._overwrite(merged.select(*cols), data_path)
+        merged.select(*cols).write.mode("overwrite").parquet(dst)
 
     def _overwrite(self, df, path: str) -> None:
         """Overwrite a parquet dir that the plan may currently read:
         write beside, then swap (Spark refuses in-place overwrite of an
-        input path)."""
+        input path). The replaced content parks at ``.__prev`` until
+        the enclosing batch commits, so the rollback guard can restore
+        it if a later step in the same batch fails."""
         tmp = path + ".__rewrite"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        prev = path + ".__prev"
+        for stale in (tmp, prev):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
         df.write.mode("overwrite").parquet(tmp)
         if os.path.exists(path):
-            shutil.rmtree(path)
+            os.rename(path, prev)
         os.replace(tmp, path)
