@@ -746,6 +746,46 @@ class Lagoon:
         else:
             raise ValueError(f"unknown export format {fmt!r}")
 
+    def export_query_dataset(
+        self,
+        query: str,
+        path: str,
+        *,
+        user: str | None = None,
+        partition_by: list[str] | None = None,
+        sort_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
+    ) -> None:
+        """Security-checked query → a parquet dataset on disk.
+
+        The distributed sink the reference cannot offer (its `/sql`
+        responses stream through one Postgres COPY): result partitions
+        write in parallel, never passing through the driver. The layout
+        knobs are the ones that matter downstream at 100 TB —
+        ``partition_by`` gives hive-partition directory pruning to every
+        later reader, ``sort_by`` sorts within files so parquet rowgroup
+        min/max statistics prune secondary keys, and
+        ``max_records_per_file`` bounds file sizes for training-shard
+        consumers. With ``partition_by`` the writer repartitions on the
+        partition columns first so each directory is written by the
+        tasks that own its rows (the small-files guard,
+        `operators/layout.py` discipline).
+        """
+        df = self.sql(query, user=user)
+        if partition_by:
+            missing = [c for c in partition_by if c not in df.columns]
+            if missing:
+                raise ValueError(f"partition_by columns not in result: {missing}")
+            df = df.repartition(*[F.col(c) for c in partition_by])
+        if sort_by:
+            df = df.sortWithinPartitions(*sort_by)
+        writer = df.write.mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+
     # -- catalog dump (`lagoon dump-db-info`; golden-test oracle) -----------
 
     def dump_db_info(self) -> str:

@@ -25,6 +25,48 @@ def test_export_query_json_lines_and_array(lagoon, tmp_path):
     assert json.loads(arr) == [{"k": "x"}, {"k": "y"}]
 
 
+def test_export_query_dataset_partitioned(lagoon, tmp_path):
+    import os
+
+    p = tmp_path / "t.csv"
+    p.write_text("grp,val\na,1\nb,2\na,3\nb,4\n")
+    lagoon.ingest(str(p), "expd")
+    out = tmp_path / "out"
+    lagoon.export_query_dataset(
+        "SELECT grp, val FROM expd_v1_typed",
+        str(out),
+        partition_by=["grp"],
+        sort_by=["val"],
+        max_records_per_file=100,
+    )
+    # hive layout: one directory per partition value
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("grp="))
+    assert dirs == ["grp=a", "grp=b"]
+    back = lagoon.spark.read.parquet(str(out))
+    got = sorted((r["grp"], r["val"]) for r in back.collect())
+    assert got == [("a", 1), ("a", 3), ("b", 2), ("b", 4)]
+    # a predicate on the partition column reaches the scan as a
+    # PartitionFilter — directory pruning, the point of the layout
+    from lagoon_spark.operators.layout import scan_partition_filters
+
+    pf = scan_partition_filters(back.filter(back.grp == "a"))
+    assert "grp" in pf
+
+    # security still applies
+    import pytest
+
+    from lagoon_spark.security import QueryDenied
+
+    with pytest.raises(QueryDenied):
+        lagoon.export_query_dataset("DROP TABLE expd_v1", str(tmp_path / "x"))
+
+    # bad partition column is a clean error
+    with pytest.raises(ValueError, match="partition_by"):
+        lagoon.export_query_dataset(
+            "SELECT grp FROM expd_v1", str(tmp_path / "y"), partition_by=["nope"]
+        )
+
+
 def test_export_rejects_writes(lagoon, tmp_path):
     import pytest
 

@@ -165,6 +165,46 @@ class TestAppendMode:
         assert out[0]["s"] == 11
 
 
+class TestStreamCompactLifecycle:
+    def test_stream_versions_then_incremental_compact(self, lagoon, tmp_path):
+        """The 100 TB lifecycle: a continuous feed lands versions via
+        the stream, compaction folds them, MORE files arrive, and the
+        incremental compactor merges only the new versions against the
+        existing compact table. Every per-version view must reconstruct
+        its exact original content throughout."""
+        inbox = tmp_path / "inbox"
+        inbox.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        _write(inbox / "a.csv", "id,v\n1,x\n2,y\n")
+        _write(inbox / "b.csv", "id,v\n2,y\n3,z\n")
+        lagoon.ingest_stream(
+            str(inbox), "feed", checkpoint_dir=ckpt, mode="versions"
+        ).run_available()
+        assert lagoon.catalog.versions("feed") == [1, 2]
+
+        lagoon.compact("feed")
+        v1 = lagoon.sql("SELECT * FROM feed_v1 ORDER BY ix").collect()
+        assert [(r["id"], r["v"]) for r in v1] == [("1", "x"), ("2", "y")]
+
+        # the feed continues; a new file becomes v3 and the SECOND
+        # compact merges incrementally against the compact table
+        _write(inbox / "c.csv", "id,v\n2,y\n4,w\n")
+        lagoon.ingest_stream(
+            str(inbox), "feed", checkpoint_dir=ckpt, mode="versions"
+        ).run_available()
+        assert lagoon.catalog.versions("feed") == [1, 2, 3]
+        lagoon.compact("feed")
+        for version, expect in [
+            (1, [("1", "x"), ("2", "y")]),
+            (2, [("2", "y"), ("3", "z")]),
+            (3, [("2", "y"), ("4", "w")]),
+        ]:
+            got = lagoon.sql(
+                f"SELECT * FROM feed_v{version} ORDER BY ix"
+            ).collect()
+            assert [(r["id"], r["v"]) for r in got] == expect
+
+
 class TestJsonAppendMode:
     def test_jsontype_unifies_across_batches(self, lagoon, tmp_path):
         inbox = tmp_path / "inbox"
