@@ -615,6 +615,42 @@ class Lagoon:
                 self.spark.catalog.dropTempView(v)
         self.catalog.delete_source(info.ix)
 
+    def vacuum(self, *, dry_run: bool = False) -> list[str]:
+        """Remove orphaned data directories the catalog no longer
+        references — crash debris (an ingest killed between write and
+        rollback, an interrupted compaction/streaming-batch swap).
+
+        The rollback discipline (`_rollback_ingest`, streaming's
+        ``_batch_rollback``) keeps the warehouse clean on every
+        *handled* failure path; vacuum is the backstop for the unclean
+        ones (process kill, machine loss mid-batch). Admin-only.
+        Returns the orphan directory names (removes them unless
+        ``dry_run``). Temp suffixes from in-flight swap protocols are
+        always fair game; a live table is never touched because the
+        reference set comes from the catalog itself.
+        """
+        from lagoon_spark import security as _sec
+
+        if not _sec.is_admin(self.user):
+            raise _sec.PermissionDenied(f"{self.user!r} may not vacuum")
+        sources = self.catalog.load("sources")
+        live = set(sources["table_name"].dropna()) | set(
+            sources["typed_table_name"].dropna()
+        )
+        data_dir = os.path.join(self.warehouse, "data")
+        orphans = []
+        if os.path.isdir(data_dir):
+            # catalog rows reference plain table names, so swap-protocol
+            # temp dirs (.__rewrite/.__prev/.__bak) are never in `live`
+            # and fall out as orphans even when their base table is
+            orphans = [d for d in sorted(os.listdir(data_dir)) if d not in live]
+        if not dry_run:
+            import shutil
+
+            for d in orphans:
+                shutil.rmtree(os.path.join(data_dir, d))
+        return orphans
+
     # -- SQL passthrough (A21/A22) ------------------------------------------
 
     def register_metadata_views(self) -> None:

@@ -619,3 +619,31 @@ def test_catalog_search(lagoon, tmp_path):
     # column-name search (weight B)
     infos, total = lagoon.catalog.search(ts_query="column:a")
     assert total >= 1
+
+
+def test_vacuum_removes_only_orphans(lagoon, tmp_path):
+    import os
+
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,x\n")
+    info = lagoon.ingest(str(p), "vac")
+    data_dir = os.path.join(lagoon.warehouse, "data")
+    # crash debris: an unreferenced table dir and a stale swap temp
+    os.makedirs(os.path.join(data_dir, "t9999"))
+    os.makedirs(os.path.join(data_dir, f"typed{info.ix}.__prev"))
+
+    lagoon.user = "tester"
+    import pytest
+
+    from lagoon_spark.security import PermissionDenied
+
+    with pytest.raises(PermissionDenied):
+        lagoon.vacuum()
+
+    lagoon.user = "admin"
+    assert sorted(lagoon.vacuum(dry_run=True)) == sorted([f"typed{info.ix}.__prev", "t9999"])
+    removed = lagoon.vacuum()
+    assert sorted(removed) == sorted([f"typed{info.ix}.__prev", "t9999"])
+    # live tables untouched, source still queryable
+    assert os.path.isdir(os.path.join(data_dir, info.table_name))
+    assert lagoon.sql("SELECT COUNT(*) AS n FROM vac_v1").collect()[0]["n"] == 1
