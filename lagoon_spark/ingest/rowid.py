@@ -56,6 +56,13 @@ def with_ix(df: DataFrame, ix_col: str = "ix") -> DataFrame:
     for row in sorted(groups, key=lambda r: (r["__file"], r["__pid"])):
         offsets.append((row["__file"], row["__pid"], row["__min"], acc))
         acc += row["__n"]
+    if not offsets:  # zero rows (e.g. a header-only streaming batch):
+        # an empty create_map() is map<void,void> and indexing it with a
+        # string key fails analysis — found by the streaming append
+        # property test (hypothesis)
+        return tagged.withColumn(ix_col, F.lit(0).cast("long")).drop(
+            "__mid", "__pid", "__file"
+        )
     key = F.concat_ws("#", F.col("__file"), F.col("__pid").cast("string"))
     base_map = F.create_map(
         *[F.lit(x) for f, p, _m, off in offsets for x in (f"{f}#{p}", off)]

@@ -65,3 +65,15 @@ def test_sharded_jsonl(lagoon, tmp_path):
 def test_sharded_json_path_rejected(lagoon, shard_dir):
     with pytest.raises(ValueError):
         lagoon.ingest(shard_dir, "bad", json_path="[_]")
+
+
+def test_with_ix_on_zero_row_frame(spark):
+    # a header-only streaming batch produces a zero-row frame; the
+    # offset map must not become an unindexable empty map<void,void>
+    # (hypothesis-found via test_streaming_ingest_property)
+    from lagoon_spark.ingest.rowid import with_ix
+
+    df = spark.createDataFrame([], "a string, b string")
+    out = with_ix(df)
+    assert out.columns == ["a", "b", "ix"]
+    assert out.count() == 0
