@@ -275,7 +275,15 @@ def cms_token_estimates(
         .groupBy("token", "fp")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
     )
-    exact = per_fp.select("fp", F.col("c").alias("exact_count"))
+    # the exact side is the FULL vocabulary aggregate — data-sized (a
+    # 100 TB corpus has a billion-fp vocabulary; broadcasting it is a
+    # driver OOM). The probe fps are compile-time constants, so filter
+    # the vocabulary down to the probe set first: the IN-list pushes
+    # into the aggregate scan and the broadcast is ≤ len(probes) rows.
+    probe_fps = [fp for _t, fp in probe_rows]
+    exact = per_fp.filter(F.col("fp").isin(probe_fps)).select(
+        "fp", F.col("c").alias("exact_count")
+    )
     return (
         est.join(F.broadcast(exact), "fp", "left")
         .select(
