@@ -1121,7 +1121,12 @@ class Lagoon:
             raw.select(F.col("ix").alias("row_ix"), F.explode(pairs).alias("kv"))
             .select("row_ix", F.col("kv.__key").alias("__key"), F.col("kv.value").alias("value"))
         )
-        joined = melted.join(F.broadcast(mapping), "__key").select(
+        # no broadcast hint: mapping is one row per PARENT dataset row —
+        # data-sized, not dimension-sized. Under the session's
+        # autoBroadcastJoinThreshold the optimizer still broadcasts the
+        # common small-parent case; a 100 TB parent shuffle-joins on the
+        # key instead of OOMing the driver.
+        joined = melted.join(mapping, "__key").select(
             "row_ix", "foreign_ix", F.col("__key").alias(metadata_field), "value"
         )
 

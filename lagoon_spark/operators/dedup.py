@@ -583,3 +583,62 @@ def ngram_jaccard_pairs(
     scored = scored.persist()
     scored.count()
     return scored.filter(F.col("jaccard") >= min_jaccard)
+
+
+def crossdoc_dup_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Per-document fraction of word ``n``-gram positions whose gram
+    also appears in at least one OTHER document — the cross-corpus
+    duplicated-text signal (the cross-document complement of the
+    within-document repetition score): boilerplate, mirrored pages and
+    templated spam score high and get filtered or down-weighted.
+
+    Returns (id, n_grams, n_shared_grams, dup_fraction); documents
+    shorter than ``n`` tokens come out with 0 grams and fraction 0.
+
+    Scale shape: one explode + one map-side-combinable groupBy on the
+    gram (uniform high-cardinality key) for the document frequency, one
+    shuffle join back on the same key, one per-doc aggregate. Nothing
+    is broadcast (the gram dictionary is data-sized); nothing is
+    quadratic.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n})))"
+    )
+    exploded = (
+        df.withColumn("__toks", toks)
+        .select(F.col(id_col), F.explode(grams).alias("__gram"))
+    )
+    gram_df = exploded.groupBy("__gram").agg(
+        F.count_distinct(F.col(id_col)).alias("__df")
+    )
+    per_doc = (
+        exploded.join(gram_df, "__gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0)).alias(
+                "n_shared_grams"
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            F.round(
+                F.coalesce("n_shared_grams", F.lit(0))
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )

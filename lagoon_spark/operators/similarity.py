@@ -357,3 +357,159 @@ def kmeans_oracle_sql(
         )
     body = ",\n".join(ctes)
     return f"WITH {body}\nSELECT vid AS {id_col}, CAST(cell AS BIGINT) AS cell FROM a{iters}"
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication and IVF probe search
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    dim: int,
+    threshold: float,
+) -> DataFrame:
+    """Semantic near-duplicate removal over an embedding column
+    (Abbas et al., "SemDeDup", 2023 — public method): cluster with the
+    deterministic k-means, then inside each cluster drop every vector
+    whose cosine to a lower-id cluster member is ≥ ``threshold``.
+    Returns (id, cell, kept).
+
+    Scale shape: the O(n²) pair space is bounded to within-cluster
+    pairs — the whole point of clustering first. The pair join keys on
+    the cell id, so parallelism equals k; production corpora use
+    k ≈ √n clusters (the paper's regime), which keeps both cluster
+    sizes and join parallelism healthy at 100 TB. One-pass drop rule
+    (any ≥-threshold lower-id neighbour, kept or not) keeps the result
+    engine-deterministic; cosines round to 9 decimals before the
+    threshold compare so float formatting can't flip a boundary pair.
+    """
+    assigned, _ = kmeans_fit_predict(
+        df, id_col, vec_col, k=k, iters=iters, dim=dim
+    )
+    base = df.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
+    a = base.select(
+        F.col(id_col).alias("__ida"), F.col("cell"), F.col(vec_col).alias("__va")
+    )
+    b = base.select(
+        F.col(id_col).alias("__idb"), F.col("cell"), F.col(vec_col).alias("__vb")
+    )
+    cos = F.round(cosine_to("__va", "__vb"), 9)
+    dropped = (
+        a.join(b, ["cell"])
+        .filter(F.col("__idb") < F.col("__ida"))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+    )
+    return base.join(
+        dropped.withColumn("__dropped", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "cell",
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+    )
+
+
+def semantic_dedup_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    dim: int,
+    threshold: float,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup` (same k-means recipe,
+    same one-pass drop rule, same 9-decimal rounding)."""
+    km = kmeans_oracle_sql(table, id_col, vec_col, k=k, iters=iters, dim=dim)
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(list_zip(a.v, b.v), "
+        "t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+    nrm = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform({side}.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        "(x, y) -> x + y))"
+    )
+    cos = f"round({dot} / ({nrm.format(side='a')} * {nrm.format(side='b')}), 9)"
+    return f"""
+WITH km AS ({km}),
+e AS (
+  SELECT km.{id_col} AS vid, km.cell, t.{vec_col} AS v
+  FROM km JOIN {table} t ON t.{id_col} = km.{id_col}
+),
+dropped AS (
+  SELECT DISTINCT a.vid
+  FROM e a JOIN e b ON a.cell = b.cell AND b.vid < a.vid
+  WHERE {cos} >= {threshold!r}
+)
+SELECT e.vid AS {id_col}, e.cell, (d.vid IS NULL) AS kept
+FROM e LEFT JOIN dropped d ON d.vid = e.vid
+"""
+
+
+def ivf_probe_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    query_df: DataFrame,
+    *,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF probe search: assign the corpus to centroid cells, find the
+    query's ``nprobe`` nearest cells, exact-cosine re-rank only those
+    cells' members — the classic inverted-file ANN search path.
+
+    Scale shape: the corpus side is the one big frame and is touched
+    by exactly one row-local assignment map plus one semi-join-like
+    filter against a ≤ nprobe-row broadcast; the re-rank is a
+    TakeOrderedAndProject over ~n/k_cells · nprobe candidates. No
+    all-pairs anything; the probe-cell table is metadata-sized.
+    """
+    assigned = ivf_assign(df, vec_col, centroids)
+    q = query_df.select(F.col(vec_col).alias("__qvec"))
+    # distance of the (single-row) query to every centroid: a k-row
+    # metadata frame, ordered, truncated to nprobe, broadcast
+    cents_df = None
+    spark = df.sparkSession
+    cents_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        f"__ci int, __cv array<double>",
+    )
+    qdist = (
+        q.crossJoin(F.broadcast(cents_df))
+        .select(
+            "__ci",
+            "__qvec",
+            F.expr(
+                "aggregate(zip_with(__qvec, __cv, (x, y) -> "
+                "(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+                "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            ).alias("__d"),
+        )
+        .orderBy("__d", "__ci")
+        .limit(nprobe)
+        .select("__ci", "__qvec")
+    )
+    cands = assigned.join(
+        F.broadcast(qdist), assigned["ivf_cell"] == qdist["__ci"]
+    )
+    return (
+        cands.select(
+            F.col(id_col),
+            F.col("ivf_cell").cast("int").alias("ivf_cell"),
+            F.round(cosine_to(vec_col, "__qvec"), 9).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1212,3 +1212,178 @@ def d19(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_df = docs.filter(b >= _D19_EVAL_BUCKET)
     train_df = docs.filter(b < _D19_EVAL_BUCKET)
     return corpus.shared_gram_counts(train_df, eval_df, "doc_id", "text", n=_D19_N)
+
+
+# ---------------------------------------------------------------------------
+# d20 — semantic dedup (SemDeDup: cluster, then cosine-drop within cells)
+# ---------------------------------------------------------------------------
+
+_D20_TAU = 0.30  # within-cell cosine at sf0.01: p99≈0.33, max≈0.51 —
+# 0.30 exercises both drop and keep paths on the synthetic embeddings
+
+
+def _d20_oracle() -> str:
+    from lagoon_spark.operators.similarity import semantic_dedup_oracle_sql
+
+    return semantic_dedup_oracle_sql(
+        "embeddings", "vec_id", "embedding", k=8, iters=2, dim=64,
+        threshold=_D20_TAU,
+    )
+
+
+@df_query(
+    "d20_semantic_dedup",
+    "SemDeDup: deterministic k-means cells, then drop vectors with cosine ≥ "
+    "0.30 to a lower-id cell member — cluster blocking bounds the pair join "
+    "(k ≈ √n cells in production keeps cluster size and parallelism healthy).",
+    _d20_oracle(),
+)
+def d20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return similarity.semantic_dedup(
+        spark.table("embeddings").select("vec_id", "embedding"),
+        "vec_id",
+        "embedding",
+        k=8,
+        iters=2,
+        dim=64,
+        threshold=_D20_TAU,
+    )
+
+
+# ---------------------------------------------------------------------------
+# d21 — cross-document duplicated n-gram fraction (corpus-level dup signal)
+# ---------------------------------------------------------------------------
+
+_D21_N = 5
+
+_D21_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(toks) - {_D21_N - 1}, 0) + 1),
+           i -> array_to_string(toks[i : i + {_D21_N - 1}], ' ')
+         )) AS gram
+  FROM t
+),
+gdf AS (
+  SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram
+),
+per_doc AS (
+  SELECT g.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_grams
+  FROM g JOIN gdf USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.n_shared_grams, 0) AS n_shared_grams,
+       round(COALESCE(p.n_shared_grams, 0)
+             / greatest(COALESCE(p.n_grams, 0), 1), 6) AS dup_fraction
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@df_query(
+    "d21_crossdoc_dup_fraction",
+    "Cross-document duplicated 5-gram fraction per document (boilerplate / "
+    "mirror / template signal): one gram-keyed doc-frequency aggregate + one "
+    "shuffle join back — nothing broadcast, nothing quadratic.",
+    _D21_ORACLE,
+)
+def d21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return dedup.crossdoc_dup_fraction(
+        spark.table("documents").select("doc_id", "text"), "doc_id", "text",
+        n=_D21_N,
+    )
+
+
+# ---------------------------------------------------------------------------
+# s09 — IVF probe search (assign → nprobe nearest cells → exact re-rank)
+# ---------------------------------------------------------------------------
+
+_S09_K = 5
+_S09_NPROBE = 2
+
+
+def _s09_oracle(dim: int = 64, cells: int = 4, seed: int = 7) -> str:
+    cents = _ivf_centroids(dim, cells, seed)
+
+    def dist(arr: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(v, (x, i) -> "
+            f"(CAST(x AS DOUBLE) - ({arr})[i]) * (CAST(x AS DOUBLE) - ({arr})[i]))), "
+            f"(a, b) -> a + b)"
+        )
+
+    lits = [
+        "[" + ", ".join(f"CAST({w:.17g} AS DOUBLE)" for w in c) + "]"
+        for c in cents
+    ]
+    qdists = " UNION ALL ".join(
+        f"SELECT {ci} AS ci, {dist(arr)} AS d FROM q" for ci, arr in enumerate(lits)
+    )
+    # corpus cell assignment — same strict-< fold as the s05 oracle
+    best_c, best_d = "-1", "CAST('inf' AS DOUBLE)"
+    for ci, arr in enumerate(lits):
+        d = dist(arr).replace("(v,", "(embedding,")
+        best_c = f"CASE WHEN ({d}) < {best_d} THEN {ci} ELSE {best_c} END"
+        best_d = f"CASE WHEN ({d}) < {best_d} THEN ({d}) ELSE {best_d} END"
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(list_zip(e.embedding, q.v), "
+        "t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+    nrm_e = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        "(x, y) -> x + y))"
+    )
+    nrm_q = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(q.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        "(x, y) -> x + y))"
+    )
+    return f"""
+WITH q AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+qd AS ({qdists}),
+probe AS (SELECT ci FROM qd ORDER BY d, ci LIMIT {_S09_NPROBE}),
+cells AS (
+  SELECT vec_id, embedding, CAST({best_c} AS INTEGER) AS ivf_cell
+  FROM embeddings
+)
+SELECT e.vec_id, e.ivf_cell,
+       round({dot} / ({nrm_e} * {nrm_q}), 9) AS cosine
+FROM cells e JOIN probe p ON e.ivf_cell = p.ci CROSS JOIN q
+ORDER BY cosine DESC, e.vec_id
+LIMIT {_S09_K}
+"""
+
+
+@df_query(
+    "s09_ivf_probe_topk",
+    "IVF probe ANN search: corpus→cell assignment (row-local), query's 2 "
+    "nearest cells broadcast, exact cosine re-rank of only those cells' "
+    "members (TakeOrderedAndProject).",
+    _s09_oracle(),
+)
+def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    return similarity.ivf_probe_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        _ivf_centroids(),
+        emb.filter(F.col("vec_id") == 0),
+        k=_S09_K,
+        nprobe=_S09_NPROBE,
+    )
