@@ -33,6 +33,22 @@ def minhash_seeds(num_hashes: int) -> list[tuple[int, int]]:
     return [(2 * i + 1, 7919 * i + 13) for i in range(num_hashes)]
 
 
+def _ngrams_expr(toks_col: str, n: int):
+    """Word n-grams of a token-array column, safe for short documents.
+
+    ``sequence(1, 0)`` in Spark counts DOWN ([1, 0]) rather than
+    producing an empty array, so the textbook
+    ``sequence(1, greatest(size - n + 1, 0))`` bound makes
+    ``slice(toks, 0, n)`` throw on any document shorter than ``n``
+    tokens; the CASE keeps the sequence bounds ≥ 1."""
+    return F.expr(
+        f"CASE WHEN size({toks_col}) >= {n} THEN "
+        f"transform(sequence(1, size({toks_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks_col}, i, {n}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
 def exact_dedup(df: DataFrame, cols: list[str], keep: str = "min", id_col: str | None = None) -> DataFrame:
     """Keep one row per distinct (cols) combination.
 
@@ -541,12 +557,7 @@ def ngram_jaccard_pairs(
     # split once into a column first: referencing split() inside the
     # transform lambda would re-tokenize the document per gram
     # (measured 3.6s → 0.3s for the gram stage at sf0.1)
-    grams = F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 0)), "
-            f"i -> concat_ws(' ', slice(__toks, i, {n})))"
-        )
-    )
+    grams = F.array_distinct(_ngrams_expr("__toks", n))
     # gram sets are computed once per row and persisted; the pair join
     # only does set intersection (see lsh_candidate_pairs for the scale
     # rationale)
@@ -607,13 +618,9 @@ def crossdoc_dup_fraction(
     quadratic.
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    grams = F.expr(
-        f"transform(sequence(1, greatest(size(__toks) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(__toks, i, {n})))"
-    )
     exploded = (
         df.withColumn("__toks", toks)
-        .select(F.col(id_col), F.explode(grams).alias("__gram"))
+        .select(F.col(id_col), F.explode(_ngrams_expr("__toks", n)).alias("__gram"))
     )
     gram_df = exploded.groupBy("__gram").agg(
         F.count_distinct(F.col(id_col)).alias("__df")

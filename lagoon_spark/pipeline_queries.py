@@ -1145,11 +1145,13 @@ FROM g
 def d18(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     n = _D18_N
-    grams = F.expr(
-        f"transform(sequence(1, greatest(size(filter(split(text, ' '), w -> w <> '')) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(filter(split(text, ' '), w -> w <> ''), i, {n})))"
+    # dedup._ngrams_expr: sequence(1, 0) counts DOWN in Spark, so the
+    # greatest(..., 0) bound would crash on a sub-n-token document
+    docs = (
+        spark.table("documents")
+        .withColumn("__toks", F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+        .select("doc_id", dedup._ngrams_expr("__toks", n).alias("__g"))
     )
-    docs = spark.table("documents").select("doc_id", grams.alias("__g"))
     return docs.select(
         "doc_id",
         F.size("__g").cast("long").alias("n_grams"),

@@ -1,0 +1,129 @@
+"""Semantic dedup, cross-document dup fraction, IVF probe search:
+operator-level properties beyond the registry's DuckDB oracle gate."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from lagoon_spark.operators.dedup import crossdoc_dup_fraction
+from lagoon_spark.operators.similarity import (
+    cosine_topk,
+    ivf_probe_topk,
+    semantic_dedup,
+)
+
+
+def _vec_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    # identical vectors land in the same k-means cell and have cosine
+    # 1.0, so every copy except the lowest id must drop at any
+    # threshold; the orthogonal vector survives
+    base = [1.0, 0.0, 0.0, 0.0]
+    other = [0.0, 1.0, 0.0, 0.0]
+    df = _vec_df(spark, [base, base, base, other])
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", k=2, iters=1, dim=4, threshold=0.9
+        ).collect()
+    }
+    assert out[0] is True  # lowest id of the duplicate clique survives
+    assert out[1] is False and out[2] is False
+    assert out[3] is True  # orthogonal: cosine 0 < 0.9
+
+
+def test_semantic_dedup_keeps_everything_above_max_cosine(spark):
+    df = _vec_df(spark, [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0]])
+    out = semantic_dedup(
+        df, "vec_id", "embedding", k=2, iters=1, dim=2, threshold=1.1
+    )
+    assert all(r["kept"] for r in out.collect())
+
+
+def test_crossdoc_dup_fraction_planted_mirror(spark):
+    shared = "alpha beta gamma delta epsilon"  # one 5-gram, mirrored
+    df = spark.createDataFrame(
+        [
+            (1, shared + " zeta"),  # grams: [a..e], [b..zeta]
+            (2, shared),  # exactly the shared gram
+            (3, "one two three four five six"),  # unique grams
+            (4, "shorty"),  # < n tokens: zero grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in crossdoc_dup_fraction(df, "doc_id", "text", n=5).collect()
+    }
+    assert got[1]["n_grams"] == 2 and got[1]["n_shared_grams"] == 1
+    assert math.isclose(got[1]["dup_fraction"], 0.5)
+    assert got[2]["n_grams"] == 1 and got[2]["n_shared_grams"] == 1
+    assert got[3]["n_shared_grams"] == 0
+    assert got[4]["n_grams"] == 0 and got[4]["dup_fraction"] == 0.0
+
+
+def test_ivf_probe_full_nprobe_equals_brute_force(spark, sf_small):
+    # probing EVERY cell must reproduce exact brute-force top-k
+    from lagoon_spark.pipeline_queries import _ivf_centroids
+
+    emb = (
+        spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    cents = _ivf_centroids()
+    q = emb.filter(F.col("vec_id") == 0)
+    probe = ivf_probe_topk(
+        emb, "vec_id", "embedding", cents, q, k=5, nprobe=len(cents)
+    ).collect()
+    brute = cosine_topk(emb, "vec_id", "embedding", q, k=5).collect()
+    assert [r["vec_id"] for r in probe] == [r["vec_id"] for r in brute]
+    for p, b in zip(probe, brute):
+        assert math.isclose(p["cosine"], b["cosine"], rel_tol=0, abs_tol=1e-9)
+
+
+def test_ivf_probe_candidates_come_only_from_probed_cells(spark, sf_small):
+    from lagoon_spark.operators.similarity import ivf_assign
+    from lagoon_spark.pipeline_queries import _ivf_centroids
+
+    emb = (
+        spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    cents = _ivf_centroids()
+    q = emb.filter(F.col("vec_id") == 0)
+    got = ivf_probe_topk(
+        emb, "vec_id", "embedding", cents, q, k=50, nprobe=1
+    ).collect()
+    # the query's own cell
+    qcell = (
+        ivf_assign(q, "embedding", cents).select("ivf_cell").collect()[0][0]
+    )
+    assert got and all(r["ivf_cell"] == qcell for r in got)
+
+
+def test_ngram_jaccard_pairs_short_docs_dont_crash(spark):
+    # regression: sequence(1, 0) counts down in Spark, so a sub-n-token
+    # document used to make the gram transform slice at index 0 (error)
+    from lagoon_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),
+            (3, "tiny"),  # < n tokens
+            (4, ""),  # empty text
+        ],
+        "doc_id long, text string",
+    )
+    got = ngram_jaccard_pairs(
+        df, "doc_id", "text", n=3, allow_unblocked=True, min_jaccard=0.5
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in got] == [(1, 2, 1.0)]
