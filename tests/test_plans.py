@@ -132,3 +132,31 @@ def test_dense_order_ix_no_single_partition_exchange(spark):
         assert [r["ix"] for r in rows] == list(range(1, 10001))
     finally:
         pinned.unpersist()
+
+
+def test_ivf_probe_rerank_is_heap_and_broadcast(spark, sf_small):
+    """The corpus side of the IVF probe search must meet only a
+    broadcast (the ≤ nprobe probe-cell rows) and finish in a top-k
+    heap — no shuffle of the vectors, no global sort."""
+    plan = _plan(get_query("s09_ivf_probe_topk").spark_fn(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_crossdoc_dup_gram_dictionary_is_not_broadcast(spark, sf_small):
+    """The gram doc-frequency table is data-sized (the corpus
+    vocabulary); the join back to gram occurrences must be a shuffle
+    join on the gram key, never a broadcast build of the dictionary."""
+    plan = _plan(
+        get_query("d21_crossdoc_dup_fraction").spark_fn(spark, sf_small)
+    )
+    assert "hashpartitioning(__gram" in plan
+
+
+def test_semantic_dedup_pair_join_is_cell_blocked(spark, sf_small):
+    """The SemDeDup pair join must key on the cluster cell (bounding
+    the pair space) — no cross join anywhere in the plan."""
+    plan = _plan(get_query("d20_semantic_dedup").spark_fn(spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
