@@ -649,3 +649,62 @@ def crossdoc_dup_fraction(
             ).alias("dup_fraction"),
         )
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans per document.
+
+    The span-level complement of document-level dedup (the
+    "deduplicating training data" passage-removal pass, public method:
+    Lee et al. 2022): a position participates if its word ``n``-gram
+    occurs in at least one OTHER document; consecutive participating
+    positions merge into maximal spans; spans shorter than
+    ``min_tokens`` tokens are noise and dropped. Returns
+    (id, span_start, span_end, span_tokens) with 1-based inclusive
+    token indexes.
+
+    Scale shape: one explode + one map-side-combinable doc-frequency
+    aggregate on the gram key + one shuffle join back (nothing
+    broadcast — the gram dictionary is data-sized), then one per-doc
+    window (keyed on the doc id — uniform) whose ``pos - row_number``
+    difference labels each run, and one (doc, run) aggregate. No
+    suffix array needed: grams of width n detect any duplicated
+    substring of ≥ n tokens, and run-merging reconstructs its extent.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    exploded = (
+        df.withColumn("__toks", toks)
+        .select(
+            F.col(id_col),
+            F.posexplode(_ngrams_expr("__toks", n)).alias("__pos0", "__gram"),
+        )
+        .select(id_col, (F.col("__pos0") + 1).alias("__pos"), "__gram")
+    )
+    shared_grams = (
+        exploded.groupBy("__gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("__gram")
+    )
+    marked = exploded.join(shared_grams, "__gram").select(id_col, "__pos")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    runs = marked.withColumn("__run", F.col("__pos") - F.row_number().over(w))
+    spans = (
+        runs.groupBy(id_col, "__run")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") + F.lit(n - 1)).alias("span_end"),
+        )
+        .drop("__run")
+        .withColumn(
+            "span_tokens", F.col("span_end") - F.col("span_start") + 1
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+    )
+    return spans.select(id_col, "span_start", "span_end", "span_tokens")

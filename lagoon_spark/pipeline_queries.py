@@ -1389,3 +1389,60 @@ def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_S09_K,
         nprobe=_S09_NPROBE,
     )
+
+
+# ---------------------------------------------------------------------------
+# d22 — duplicate span detection (passage-level dedup, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+_D22_N = 5
+_D22_MIN_TOKENS = 8
+
+_D22_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[i : i + {_D22_N - 1}], ' ') AS gram
+  FROM t, unnest(range(1, greatest(len(toks) - {_D22_N - 1}, 0) + 1)) u(i)
+),
+shared AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+marked AS (
+  SELECT g.doc_id, g.pos FROM g JOIN shared USING (gram)
+),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+  FROM marked
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_D22_N - 1} AS BIGINT) AS span_end,
+       CAST(MAX(pos) + {_D22_N - 1} - MIN(pos) + 1 AS BIGINT) AS span_tokens
+FROM runs
+GROUP BY doc_id, run
+HAVING MAX(pos) + {_D22_N - 1} - MIN(pos) + 1 >= {_D22_MIN_TOKENS}
+"""
+
+
+@df_query(
+    "d22_duplicate_spans",
+    "Passage-level dedup: maximal cross-document duplicated token spans "
+    "(gram doc-frequency -> consecutive-position run merge). One gram-keyed "
+    "aggregate + shuffle join + one per-doc window — no suffix array, "
+    "nothing broadcast, nothing quadratic.",
+    _D22_ORACLE,
+)
+def d22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return dedup.duplicate_spans(
+        spark.table("documents").select("doc_id", "text"),
+        "doc_id",
+        "text",
+        n=_D22_N,
+        min_tokens=_D22_MIN_TOKENS,
+    )

@@ -127,3 +127,38 @@ def test_ngram_jaccard_pairs_short_docs_dont_crash(spark):
         df, "doc_id", "text", n=3, allow_unblocked=True, min_jaccard=0.5
     ).collect()
     assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in got] == [(1, 2, 1.0)]
+
+
+def test_duplicate_spans_planted_passage(spark):
+    from lagoon_spark.operators.dedup import duplicate_spans
+
+    passage = " ".join(f"w{i}" for i in range(10))  # 10 shared tokens
+    df = spark.createDataFrame(
+        [
+            (1, "intro unique-a " + passage + " tail-one ends here now"),
+            (2, "other unique-b " + passage + " differing closing text"),
+            (3, "completely different content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in duplicate_spans(df, "doc_id", "text", n=5, min_tokens=8).collect()
+    )
+    # passage occupies tokens 3..12 in both docs; grams fully inside it
+    # are shared, so the merged span must cover exactly those positions
+    assert got == [(1, 3, 12, 10), (2, 3, 12, 10)]
+
+
+def test_duplicate_spans_ignores_within_doc_repeats(spark):
+    from lagoon_spark.operators.dedup import duplicate_spans
+
+    rep = " ".join(f"x{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            (1, rep + " middle " + rep),  # repeats only within itself
+            (2, "entirely unrelated words that never repeat anywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    assert duplicate_spans(df, "doc_id", "text", n=5, min_tokens=8).count() == 0
