@@ -513,3 +513,66 @@ def ivf_probe_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    k: int = 3,
+    bits: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate k-nearest-neighbour graph: for every vector, its
+    top-``k`` highest-cosine neighbours among same-LSH-bucket vectors.
+    Returns (id, neighbor_id, cosine, rank) — the retrieval-graph /
+    dedup-graph construction pass.
+
+    Scale shape: the directed pair space is bounded to within-bucket
+    pairs (sign-random-projection buckets, row-local keys); norms are
+    computed once per row before the self-join; the per-source top-k is
+    a rank window keyed on the (uniform) vector id. Recall is tuned by
+    ``bits`` (fewer bits → bigger buckets → higher recall, more work)
+    or multi-probe on hamming-adjacent buckets. Nothing is broadcast;
+    nothing is all-pairs.
+    """
+    from pyspark.sql import Window
+
+    base = (
+        rp_lsh_buckets(df, vec_col, dim=dim, bits=bits, seed=seed)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            F.col("lsh_bucket").alias("__b"),
+        )
+        .persist()
+    )
+    base.count()  # eager: both join sides read a warm cache
+    a = base.select(
+        F.col("__id").alias(id_col),
+        F.col("__v").alias("__va"),
+        "__b",
+    )
+    b = base.select(
+        F.col("__id").alias("neighbor_id"),
+        F.col("__v").alias("__vb"),
+        F.col("__b").alias("__bb"),
+    )
+    scored = (
+        a.join(b, (F.col("__b") == F.col("__bb")) & (F.col(id_col) != F.col("neighbor_id")))
+        .select(
+            id_col,
+            "neighbor_id",
+            F.round(cosine_to("__va", "__vb"), 9).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "neighbor_id", "cosine", "rank")
+    )

@@ -1446,3 +1446,74 @@ def d22(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=_D22_N,
         min_tokens=_D22_MIN_TOKENS,
     )
+
+
+# ---------------------------------------------------------------------------
+# s10 — approximate kNN graph (bucket-blocked top-k neighbours per vector)
+# ---------------------------------------------------------------------------
+
+_S10_K = 3
+_S10_BITS = 4
+
+
+def _s10_oracle(dim: int = 64, bits: int = _S10_BITS, seed: int = 42) -> str:
+    planes = similarity._pseudo_hyperplanes(dim, bits, seed)
+
+    def bucket(col: str) -> str:
+        terms = []
+        for kbit, plane in enumerate(planes):
+            arr = "[" + ", ".join(f"CAST({w:.17g} AS DOUBLE)" for w in plane) + "]"
+            dot = (
+                f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+                f"list_transform({col}, (x, i) -> CAST(x AS DOUBLE) * ({arr})[i])), "
+                f"(acc, v) -> acc + v)"
+            )
+            terms.append(f"CASE WHEN {dot} > 0 THEN {1 << kbit} ELSE 0 END")
+        return " + ".join(terms)
+
+    dot_ab = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(list_zip(a.v, b.v), "
+        "t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+    nrm = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform({s}.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        "(x, y) -> x + y))"
+    )
+    cos = f"round({dot_ab} / ({nrm.format(s='a')} * {nrm.format(s='b')}), 9)"
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding AS v, CAST({bucket('embedding')} AS BIGINT) AS b
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id, {cos} AS cosine
+  FROM e a JOIN e b ON a.b = b.b AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT vec_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {_S10_K}
+"""
+
+
+@df_query(
+    "s10_knn_graph",
+    "Approximate kNN graph: per-vector top-3 cosine neighbours within "
+    "sign-random-projection LSH buckets (bucket-blocked self-join, per-id "
+    "rank window) — the retrieval/dedup graph construction pass.",
+    _s10_oracle(),
+)
+def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return similarity.knn_graph(
+        spark.table("embeddings").select("vec_id", "embedding"),
+        "vec_id",
+        "embedding",
+        dim=64,
+        k=_S10_K,
+        bits=_S10_BITS,
+    )

@@ -162,3 +162,18 @@ def test_duplicate_spans_ignores_within_doc_repeats(spark):
         "doc_id long, text string",
     )
     assert duplicate_spans(df, "doc_id", "text", n=5, min_tokens=8).count() == 0
+
+
+def test_knn_graph_exact_when_single_bucket(spark):
+    # bits=0 puts everything in one bucket: the graph must be the exact
+    # kNN graph
+    from lagoon_spark.operators.similarity import knn_graph
+
+    df = _vec_df(spark, [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]])
+    got = {
+        r["vec_id"]: r["neighbor_id"]
+        for r in knn_graph(
+            df, "vec_id", "embedding", dim=2, k=1, bits=0
+        ).collect()
+    }
+    assert got == {0: 1, 1: 0, 2: 1}
