@@ -702,8 +702,10 @@ class Lagoon:
         from lagoon_spark.security import verify_user_query
 
         from lagoon_spark.functions.json_ops import register_sql_functions
+        from lagoon_spark.functions.text_sql import register_text_sql_functions
 
         register_sql_functions(self.spark)
+        register_text_sql_functions(self.spark)
         # the marker lives on the SESSION, not the engine: temp views
         # are session-global, so an engine for a different warehouse
         # registering its views must force this one to re-register (an
