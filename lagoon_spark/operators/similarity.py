@@ -576,3 +576,32 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .select(id_col, "neighbor_id", "cosine", "rank")
     )
+
+
+def multiprobe_buckets(
+    df: DataFrame,
+    bucket_col: str = "lsh_bucket",
+    bits: int = 8,
+    out_col: str = "probe_bucket",
+) -> DataFrame:
+    """Multi-probe expansion of a sign-random-projection bucket key:
+    one row per (row, probe) where the probes are the row's own bucket
+    plus every hamming-distance-1 bucket (single-bit flips).
+
+    The recall knob for bucketed ANN (public technique: Lv et al.,
+    "Multi-Probe LSH", VLDB'07): a near neighbour that fell one
+    hyperplane to the other side lands in an adjacent bucket, so
+    probing the 1-neighbourhood recovers it without shrinking ``bits``
+    (which would grow every bucket). Row-local explode — the output is
+    (bits+1)× the input rows, each carrying only the id/bucket columns
+    the caller selected; at scale the expansion happens on the QUERY
+    side of a bucket join, not the corpus side.
+    """
+    probes = F.array(
+        F.col(bucket_col).cast("long"),
+        *[
+            F.col(bucket_col).cast("long").bitwiseXOR(F.lit(1 << k))
+            for k in range(bits)
+        ],
+    )
+    return df.withColumn(out_col, F.explode(probes))

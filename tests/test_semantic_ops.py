@@ -177,3 +177,48 @@ def test_knn_graph_exact_when_single_bucket(spark):
         ).collect()
     }
     assert got == {0: 1, 1: 0, 2: 1}
+
+
+def test_multiprobe_covers_exactly_the_hamming1_neighborhood(spark):
+    from lagoon_spark.operators.similarity import multiprobe_buckets
+
+    df = spark.createDataFrame(
+        [(1, 0b10100101), (2, 0)], "vec_id long, lsh_bucket long"
+    )
+    got = {}
+    for r in multiprobe_buckets(df, bits=8).collect():
+        got.setdefault(r["vec_id"], set()).add(r["probe_bucket"])
+    for vid, b in ((1, 0b10100101), (2, 0)):
+        assert got[vid] == {b} | {b ^ (1 << k) for k in range(8)}
+
+
+def test_multiprobe_recovers_adjacent_bucket_neighbor(spark):
+    # rows whose buckets differ by exactly one bit: a single-probe
+    # bucket join misses the pair, the multi-probe join finds it
+    from pyspark.sql import functions as F
+
+    from lagoon_spark.operators.similarity import multiprobe_buckets
+
+    b = spark.createDataFrame(
+        [(0, 0b0110), (1, 0b0111), (2, 0b1000)],
+        "vec_id long, lsh_bucket long",
+    )
+    single = (
+        b.alias("x")
+        .join(b.alias("y"), F.col("x.lsh_bucket") == F.col("y.lsh_bucket"))
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+    )
+    assert single.count() == 0
+
+    probes = multiprobe_buckets(b, bits=4)
+    a = probes.select(F.col("vec_id").alias("id_a"), "probe_bucket")
+    c = b.select(F.col("vec_id").alias("id_b"), F.col("lsh_bucket"))
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(c, a.probe_bucket == c.lsh_bucket)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .collect()
+    }
+    assert pairs == {(0, 1)}
