@@ -1517,3 +1517,79 @@ def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_S10_K,
         bits=_S10_BITS,
     )
+
+
+# ---------------------------------------------------------------------------
+# s11 — multi-probe LSH ANN (query's bucket + hamming-1 buckets, re-rank)
+# ---------------------------------------------------------------------------
+
+_S11_BITS = 8
+_S11_K = 5
+
+
+def _s11_oracle(dim: int = 64, bits: int = _S11_BITS, seed: int = 42, k: int = _S11_K) -> str:
+    bucket_sql = _s03_oracle(dim, bits, seed)
+    bucket_expr = bucket_sql.split("SELECT vec_id, ")[1].split(" AS lsh_bucket")[0]
+    cos = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(d.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))), "
+        "(a, b) -> a + b) "
+        "/ (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(d.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        "(a, b) -> a + b)) "
+        "* sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        "(a, b) -> a + b)))"
+    )
+    flips = ", ".join(f"xor(qb, {1 << i})" for i in range(bits))
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket_expr} AS lsh_bucket FROM embeddings),
+q AS (SELECT lsh_bucket AS qb, embedding AS qv FROM b WHERE vec_id = 0),
+probes AS (SELECT unnest([qb, {flips}]) AS pb FROM q),
+d AS (
+  SELECT DISTINCT b.vec_id, b.embedding
+  FROM b JOIN probes ON b.lsh_bucket = probes.pb
+  WHERE b.vec_id <> 0
+)
+SELECT vec_id, round({cos}, 9) AS cosine
+FROM d, q
+ORDER BY cosine DESC, vec_id
+LIMIT {k}
+"""
+
+
+@df_query(
+    "s11_multiprobe_ann_topk",
+    "Multi-probe LSH ANN top-5: the query probes its own bucket plus every "
+    "hamming-1 bucket (Lv et al. VLDB'07 recall knob), exact cosine re-rank "
+    "of the candidate union — probe expansion on the query side only.",
+    _s11_oracle(),
+)
+def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    buckets = similarity.rp_lsh_buckets(
+        emb, "embedding", dim=64, bits=_S11_BITS, seed=42
+    )
+    q = similarity.multiprobe_buckets(
+        buckets.filter(F.col("vec_id") == 0).select(
+            F.col("lsh_bucket"), F.col("embedding").alias("__qvec")
+        ),
+        bits=_S11_BITS,
+    ).select("probe_bucket", "__qvec")
+    # no distinct: a corpus vector has ONE bucket and the 9 probe
+    # values are distinct, so each candidate matches at most one probe
+    # — a dedup here would shuffle the embedding vectors for nothing
+    cands = (
+        buckets.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("lsh_bucket") == F.col("probe_bucket"))
+        .select("vec_id", "embedding", "__qvec")
+    )
+    return (
+        cands.select(
+            "vec_id",
+            F.round(similarity.cosine_to("embedding", "__qvec"), 9).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(_S11_K)
+    )
