@@ -540,11 +540,16 @@ def knn_graph(
     """
     from pyspark.sql import Window
 
+    # norms are computed once per ROW before the self-join (the
+    # per-pair work is then a single dot fold) — computing them per
+    # pair folds each vector O(bucket) times (measured 20s -> ~3s at
+    # sf0.1 for the registry query)
     base = (
         rp_lsh_buckets(df, vec_col, dim=dim, bits=bits, seed=seed)
         .select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__v"),
+            F.expr(_norm_expr(vec_col)).alias("__n"),
             F.col("lsh_bucket").alias("__b"),
         )
         .persist()
@@ -553,11 +558,13 @@ def knn_graph(
     a = base.select(
         F.col("__id").alias(id_col),
         F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
         "__b",
     )
     b = base.select(
         F.col("__id").alias("neighbor_id"),
         F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
         F.col("__b").alias("__bb"),
     )
     scored = (
@@ -565,7 +572,10 @@ def knn_graph(
         .select(
             id_col,
             "neighbor_id",
-            F.round(cosine_to("__va", "__vb"), 9).alias("cosine"),
+            F.round(
+                F.expr(_dot_expr("__va", "__vb")) / (F.col("__na") * F.col("__nb")),
+                9,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(id_col).orderBy(

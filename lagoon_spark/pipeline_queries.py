@@ -1453,7 +1453,7 @@ def d22(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _S10_K = 3
-_S10_BITS = 4
+_S10_BITS = 6  # 64 buckets: ~8/bucket at sf0.01, ~78/bucket at sf0.1
 
 
 def _s10_oracle(dim: int = 64, bits: int = _S10_BITS, seed: int = 42) -> str:
