@@ -613,7 +613,33 @@ def register_sql_functions(spark) -> None:
 
     spark.udf.register("jsonb_contains", _two_arg(contains, "boolean"))
     spark.udf.register("jsonb_contained", _two_arg(contained, "boolean"))
-    spark.udf.register("jsonb_exists", _two_arg(exists, "boolean"))
+    # jsonb_exists is the one family member whose FULL Postgres shape
+    # rules are JVM-expressible with a dynamic key, so its SQL name is
+    # an expression-bodied SQL UDF (inlines into the plan, stays in
+    # codegen) rather than a pandas UDF: object → key present; array →
+    # some *string* element equals the key; string scalar → equality;
+    # other scalars → false; invalid/NULL → NULL. Stringiness tests
+    # ride to_json (a JSON string keeps its quote); equality compares
+    # the DECODED string so escapes can't diverge.
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION jsonb_exists(
+            doc STRING, k STRING) RETURNS BOOLEAN RETURN
+        CASE
+          WHEN doc IS NULL OR k IS NULL THEN CAST(NULL AS BOOLEAN)
+          WHEN json_object_keys(doc) IS NOT NULL
+            THEN array_contains(json_object_keys(doc), k)
+          WHEN from_json(doc, 'array<variant>') IS NOT NULL
+            THEN exists(from_json(doc, 'array<variant>'),
+                        e -> to_json(e) LIKE '"%'
+                             AND try_variant_get(e, '$', 'string') = k)
+          WHEN try_parse_json(doc) IS NOT NULL
+            THEN to_json(try_parse_json(doc)) LIKE '"%'
+                 AND try_variant_get(try_parse_json(doc), '$', 'string') = k
+          ELSE CAST(NULL AS BOOLEAN)
+        END
+        """
+    )
     spark.udf.register("jsonb_exists_any", _two_arg(exists_any, "boolean"))
     spark.udf.register("jsonb_exists_all", _two_arg(exists_all, "boolean"))
     spark.udf.register("jsonb_delete_key", _two_arg(delete_key, "string"))

@@ -262,3 +262,38 @@ def test_delete_object_with_integer_raises(spark):
     df = spark.createDataFrame([('{"a": 1}',)], "js string")
     with pytest.raises(Exception, match="integer index"):
         df.select(j.jsonb_delete_key("js", 1).alias("d")).collect()
+
+
+def test_sql_jsonb_exists_matches_column_and_stays_jvm(spark):
+    # the SQL-surface jsonb_exists is an expression-bodied SQL UDF
+    # (inlines, no Python worker); it must agree with the Column
+    # implementation on every Postgres shape rule
+    from lagoon_spark.functions.json_ops import (
+        jsonb_exists,
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark)
+    cases = [
+        '{"k":1,"x":2}', '{"a":1}',     # object: key present / absent
+        '["k","z"]', '["a",7]',         # array: string element match / none
+        '"k"', '"z"',                   # string scalar: equality
+        '7', 'true', 'null',            # non-string scalars: false
+        'not json', None,               # invalid / NULL: NULL
+        '{"esc\\"k":1}',                # escapes must not confuse quoting
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "doc string")
+    sql_side = [
+        r["e"] for r in df.selectExpr("jsonb_exists(doc, 'k') AS e").collect()
+    ]
+    col_side = [
+        r["e"] for r in df.select(jsonb_exists("doc", "k").alias("e")).collect()
+    ]
+    assert sql_side == col_side
+    plan = (
+        df.selectExpr("jsonb_exists(doc, 'k') AS e")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
