@@ -395,3 +395,44 @@ def running_user_value_totals(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def windowed_type_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str | None = "2 hours"
+) -> DataFrame:
+    """Counts per (tumbling window, event_type) — the STREAMABLE half
+    of a windowed top-k ("trending types"). Rank-within-window is not
+    a time-windowed aggregation, so Structured Streaming cannot emit
+    it incrementally; the standard pattern splits the op: this
+    watermarked aggregation runs on the stream, and
+    :func:`finalize_topk` ranks closed windows on the sink side
+    (foreachBatch / the downstream batch hop)."""
+    if events.isStreaming:
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+        if watermark:
+            events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("bucket_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def finalize_topk(counts: DataFrame, k: int = 2) -> DataFrame:
+    """Rank the windowed counts and keep the top ``k`` per window —
+    the batch/sink half of the windowed top-k. Deterministic: ties
+    break on the type name."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("bucket_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("bucket_start", "event_type", "n_events", "rank")
+    )

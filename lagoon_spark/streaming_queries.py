@@ -222,3 +222,33 @@ GROUP BY user_id
 def st07(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return ops.running_user_value_totals(spark.table("events"))
+
+
+_ST08_ORACLE = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket_start, event_type, n_events, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT c.*, row_number() OVER (
+           PARTITION BY bucket_start
+           ORDER BY n_events DESC, event_type) AS rank
+  FROM c
+) WHERE rank <= 2
+"""
+
+
+@df_query(
+    "st08_windowed_topk_types",
+    "Windowed top-k ('trending types'): streamable watermarked counts per "
+    "(1h window, type), rank finalized per closed window on the sink side "
+    "(the split every streaming top-k uses — rank is not incremental).",
+    _ST08_ORACLE,
+)
+def st08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return ops.finalize_topk(
+        ops.windowed_type_counts(spark.table("events")), k=2
+    )

@@ -197,3 +197,16 @@ def test_checkpoint_processes_each_file_exactly_once(spark, tmp_path):
     run_once()
     got = sorted(r.event_id for r in spark.read.parquet(sink).collect())
     assert got == [1, 2, 3, 4, 5]
+
+
+def test_windowed_topk_stream_matches_batch(spark, sf_small):
+    register_views(spark, sf_small)
+    batch = ops.finalize_topk(
+        ops.windowed_type_counts(spark.table("events")), k=2
+    )
+    stream = ops.windowed_type_counts(ops.read_events_stream(spark, sf_small))
+    _run_stream(stream, "topk_counts", "complete")
+    got = ops.finalize_topk(spark.table("topk_counts"), k=2)
+    cols = ["bucket_start", "event_type", "n_events", "rank"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert len(got.collect()) > 0
