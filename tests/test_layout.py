@@ -65,3 +65,60 @@ def test_sort_within_tightens_rowgroups(spark, sf_small, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "user_id" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_zorder_clusters_both_dimensions(spark, sf_small, tmp_path):
+    # z-ordered files must be selective for point predicates on BOTH
+    # columns; a single-column sort is selective only for its own
+    import glob
+
+    from lagoon_spark.operators.layout import write_zordered
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet").select(
+        "user_id", "value"
+    )
+    out = str(tmp_path / "zordered")
+    write_zordered(ev, out, ["user_id", "value"], bits=8, num_files=16)
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) >= 8
+
+    def overlap_fraction(col):
+        import pyarrow.parquet as pq
+
+        spans = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append((min(mins), max(maxs)))
+        lo = min(s[0] for s in spans)
+        hi = max(s[1] for s in spans)
+        probe = lo + (hi - lo) * 0.5
+        hit = sum(1 for s in spans if s[0] <= probe <= s[1])
+        return hit / len(spans)
+
+    # a mid-range point predicate on either dimension must overlap only
+    # a minority of files (unclustered: every file overlaps)
+    assert overlap_fraction("user_id") <= 0.5
+    assert overlap_fraction("value") <= 0.5
+
+
+def test_zorder_key_is_deterministic_and_total(spark, sf_small):
+    from lagoon_spark.operators.layout import zorder_key
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet").select(
+        "user_id", "event_type", "value"
+    )
+    a = zorder_key(ev, ["user_id", "event_type"], bits=6)
+    b = zorder_key(ev, ["user_id", "event_type"], bits=6)
+    assert a.count() == ev.count()
+    assert a.filter("zorder IS NULL").count() == 0
+    assert (
+        a.agg({"zorder": "sum"}).collect()[0][0]
+        == b.agg({"zorder": "sum"}).collect()[0][0]
+    )
