@@ -524,6 +524,66 @@ class Lagoon:
         self.register_views(out)
         return out
 
+    def optimize_layout(
+        self,
+        info: SourceInfo,
+        cols: list[str],
+        *,
+        typed: bool = True,
+        bits: int = 8,
+        num_files: int | None = None,
+    ) -> SourceInfo:
+        """Rewrite one source's storage Z-order-clustered on ``cols``
+        (friendly or physical names) — the engine-surface analog of the
+        reference's per-column index creation (`DB/Indices.hs:48-86`):
+        after the rewrite, point/range predicates on ANY clustered
+        column skip most files via parquet min/max, the way a b-tree
+        skips heap pages. A pure row reorder: results, `ix` identity,
+        and compacted `ixs` provenance are untouched.
+
+        The rewrite goes to a sibling temp dir, is row-count-verified,
+        and only then swaps in — a failed write leaves the original
+        data intact.
+        """
+        import shutil
+
+        from lagoon_spark.operators.layout import zorder_key
+
+        table = (
+            info.typed_table_name
+            if (typed and info.typed_table_name)
+            else info.table_name
+        )
+        path = self._data_path(table)
+        df = self.spark.read.parquet(path)
+        to_phys = {h: p for p, h, _t in info.columns}
+        cols_p = [to_phys.get(c, c) for c in cols]
+        missing = [c for c in cols_p if c not in df.columns]
+        if missing:
+            raise ValueError(f"optimize_layout: unknown column(s) {missing}")
+        keyed = zorder_key(df, cols_p, bits=bits)
+        part = (
+            keyed.repartitionByRange(num_files, "zorder")
+            if num_files
+            else keyed.repartitionByRange("zorder")
+        )
+        tmp = path + ".__optimizing"
+        part.sortWithinPartitions("zorder").drop("zorder").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        n_old = df.count()
+        n_new = self.spark.read.parquet(tmp).count()
+        if n_old != n_new:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"optimize_layout: rewrite row count {n_new} != {n_old}; "
+                "original data left untouched"
+            )
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        self.register_views(info)
+        return info
+
     def make_typed(self, info: SourceInfo) -> SourceInfo:
         """Build the typed table for an already-ingested untyped source.
 
