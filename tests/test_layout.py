@@ -161,3 +161,29 @@ def test_engine_optimize_layout_rejects_unknown_column(lagoon, tmp_path):
     info = lagoon.ingest(str(p), "m2")
     with pytest.raises(ValueError):
         lagoon.optimize_layout(info, ["nope"])
+
+
+def test_optimize_layout_on_compacted_source_keeps_versions(lagoon, tmp_path):
+    # a compacted source's table is SHARED across versions and carries
+    # the ixs membership array; the z-order rewrite is a pure row
+    # reorder, so every version's view must reconstruct identically
+    p1 = tmp_path / "v1.csv"
+    p2 = tmp_path / "v2.csv"
+    p1.write_text("k,v\n" + "\n".join(f"{i},{i*3}" for i in range(300)) + "\n")
+    p2.write_text(
+        "k,v\n" + "\n".join(f"{i},{i*3}" for i in range(100, 500)) + "\n"
+    )
+    lagoon.ingest(str(p1), "zc")
+    lagoon.ingest(str(p2), "zc")
+    lagoon.compact("zc")
+    i1 = lagoon.catalog.get_source("zc", 1)
+    i2 = lagoon.catalog.get_source("zc", 2)
+    before1 = [tuple(r) for r in lagoon.dataframe(i1).orderBy("ix").collect()]
+    before2 = [tuple(r) for r in lagoon.dataframe(i2).orderBy("ix").collect()]
+
+    lagoon.optimize_layout(i2, ["k"], typed=True, num_files=4)
+
+    after1 = [tuple(r) for r in lagoon.dataframe(i1).orderBy("ix").collect()]
+    after2 = [tuple(r) for r in lagoon.dataframe(i2).orderBy("ix").collect()]
+    assert after1 == before1
+    assert after2 == before2
