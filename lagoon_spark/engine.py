@@ -886,6 +886,45 @@ class Lagoon:
 
     # -- catalog dump (`lagoon dump-db-info`; golden-test oracle) -----------
 
+    def stats(self, info: SourceInfo, typed: bool = True) -> dict:
+        """Per-column statistics of one source version in ONE aggregate
+        pass: null count, HLL distinct estimate (map-side combinable),
+        min/max for orderable columns. O(columns) result bytes
+        regardless of row count — the scan-planning/data-profiling
+        companion to the catalog (beyond the reference, which keeps no
+        column statistics; Postgres ANALYZE is its nearest analog).
+
+        Keys are friendly column names; values are dicts with
+        ``nulls``, ``distinct_est``, and (where orderable) ``min`` /
+        ``max``."""
+        from pyspark.sql.types import AtomicType
+
+        df = self._source_frame(info, typed=typed)
+        phys = [c[0] for c in info.columns]
+        friendly = {c[0]: c[1] for c in info.columns}
+        types = {f.name: f.dataType for f in df.schema.fields}
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for p in phys:
+            aggs.append(
+                F.sum(F.when(F.col(p).isNull(), 1).otherwise(0)).alias(f"__null_{p}")
+            )
+            aggs.append(F.approx_count_distinct(p).alias(f"__dist_{p}"))
+            if isinstance(types[p], AtomicType):
+                aggs.append(F.min(p).alias(f"__min_{p}"))
+                aggs.append(F.max(p).alias(f"__max_{p}"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        out: dict = {"__rows": row["__n"]}
+        for p in phys:
+            st = {
+                "nulls": row[f"__null_{p}"],
+                "distinct_est": row[f"__dist_{p}"],
+            }
+            if f"__min_{p}" in row:
+                st["min"] = row[f"__min_{p}"]
+                st["max"] = row[f"__max_{p}"]
+            out[friendly[p]] = st
+        return out
+
     def dump_db_info(self) -> str:
         """Canonical text dump of the whole catalog, one block per
         source version in (name, version) order — the same golden-diff

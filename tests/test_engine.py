@@ -647,3 +647,15 @@ def test_vacuum_removes_only_orphans(lagoon, tmp_path):
     # live tables untouched, source still queryable
     assert os.path.isdir(os.path.join(data_dir, info.table_name))
     assert lagoon.sql("SELECT COUNT(*) AS n FROM vac_v1").collect()[0]["n"] == 1
+
+
+def test_source_stats_single_pass(lagoon, tmp_path):
+    p = tmp_path / "stats.csv"
+    p.write_text("a,b,c\n1,x,\n2,y,1.5\n2,y,2.5\n,z,\n")
+    info = lagoon.ingest(str(p), "statsrc")
+    st = lagoon.stats(info)
+    assert st["__rows"] == 4
+    assert st["a"] == {"nulls": 1, "distinct_est": 2, "min": 1, "max": 2}
+    assert st["b"]["nulls"] == 0 and st["b"]["distinct_est"] == 3
+    assert st["b"]["min"] == "x" and st["b"]["max"] == "z"
+    assert st["c"]["nulls"] == 2 and st["c"]["min"] == 1.5 and st["c"]["max"] == 2.5
