@@ -187,3 +187,26 @@ def normalize_text(col: str | Column) -> Column:
     """Canonical text form: lowercase, whitespace runs collapsed, trimmed."""
     c = F.col(col) if isinstance(col, str) else col
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def char_entropy(col: str | Column) -> Column:
+    """Shannon entropy (bits/char) of the character distribution — the
+    classic cheap quality signal: degenerate generations and binary
+    junk sit at the extremes. Row-local; the fold runs over the SORTED
+    distinct characters so accumulation order (and with it the float
+    sum) is engine-deterministic; rounded to 6 decimals to absorb any
+    ulp difference between libm log2 implementations.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.split(c, "")
+    ds = F.array_sort(F.array_distinct(chars))
+    n = F.size(chars).cast("double")
+    term = lambda ch: (  # noqa: E731
+        F.size(F.filter(chars, lambda x: x == ch)).cast("double") / n
+    )
+    ent = -F.aggregate(
+        ds,
+        F.lit(0.0),
+        lambda acc, ch: acc + term(ch) * F.log2(term(ch)),
+    )
+    return F.when(F.length(c) <= 0, F.lit(0.0)).otherwise(F.round(ent, 6))

@@ -1593,3 +1593,44 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(_S11_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# d23 — character entropy (quality signal: degenerate / junk detection)
+# ---------------------------------------------------------------------------
+
+_D23_ORACLE = """
+WITH c AS (
+  SELECT doc_id, string_split(text, '') AS chars FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(chars) = 0 THEN 0.0 ELSE
+         round(-list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(list_sort(list_distinct(chars)),
+             ch -> (CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE)
+                    / len(chars))
+                   * log2(CAST(len(list_filter(chars, x -> x = ch)) AS DOUBLE)
+                          / len(chars)))),
+           (a, b) -> a + b), 6)
+       END AS entropy_bits,
+       CAST(len(list_distinct(chars)) AS INTEGER) AS n_distinct_chars
+FROM c
+"""
+
+
+@df_query(
+    "d23_char_entropy",
+    "Per-document character entropy (bits/char): degenerate generations and "
+    "binary junk sit at the extremes — row-local, fold over sorted distinct "
+    "chars so the float sum is engine-deterministic.",
+    _D23_ORACLE,
+)
+def d23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id",
+        text.char_entropy("text").alias("entropy_bits"),
+        F.size(F.array_distinct(F.split(F.col("text"), ""))).alias(
+            "n_distinct_chars"
+        ),
+    )

@@ -147,3 +147,19 @@ def test_kmeans_deterministic_and_improving(spark, sf_small):
     # every vector assigned to a valid cell
     cells = {r["cell"] for r in a2.select("cell").distinct().collect()}
     assert cells <= set(range(8))
+
+
+def test_char_entropy_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, ""), (5, "aab")],
+        "id long, t string",
+    )
+    got = {
+        r["id"]: r["e"]
+        for r in df.select("id", text.char_entropy("t").alias("e")).collect()
+    }
+    assert got[1] == 0.0  # single symbol: no information
+    assert got[2] == 1.0  # two equiprobable symbols: 1 bit
+    assert got[3] == 2.0  # four equiprobable symbols: 2 bits
+    assert got[4] == 0.0  # empty: defined as 0
+    assert got[5] == 0.918296  # -(2/3 log2 2/3 + 1/3 log2 1/3)
