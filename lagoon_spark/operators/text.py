@@ -210,3 +210,35 @@ def char_entropy(col: str | Column) -> Column:
         lambda acc, ch: acc + term(ch) * F.log2(term(ch)),
     )
     return F.when(F.length(c) <= 0, F.lit(0.0)).otherwise(F.round(ent, 6))
+
+
+URL_PATTERN = r"(?i)https?://[^\s]+"
+
+
+def extract_urls(col: str | Column) -> Column:
+    """All http(s) URLs in the text (order preserved). The pattern is
+    deliberately RE2/Java-common so the DuckDB oracle runs the same
+    automaton."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(URL_PATTERN), 0)
+
+
+def canonicalize_url(col: str | Column) -> Column:
+    """Canonical URL form: fragment stripped, scheme+host lowercased
+    (path/query case preserved — paths are case-sensitive), default
+    ports removed (:80 for http, :443 for https), trailing path
+    slashes dropped. Pure string expressions with no regex backrefs —
+    replacement syntax is the one regex feature Java and RE2 disagree
+    on, so the oracle can mirror every step verbatim."""
+    c = F.col(col) if isinstance(col, str) else col
+    u1 = F.substring_index(c, "#", 1)  # strip fragment
+    scheme_host = F.regexp_extract(u1, r"(?i)^https?://[^/?]+", 0)
+    rest = F.substring(u1, F.length(scheme_host) + 1, F.length(u1))
+    sh = F.lower(scheme_host)
+    sh = (
+        F.when(sh.rlike("^http://.*:80$"), F.substring(sh, 1, F.length(sh) - 3))
+        .when(sh.rlike("^https://.*:443$"), F.substring(sh, 1, F.length(sh) - 4))
+        .otherwise(sh)
+    )
+    rest = F.regexp_replace(rest, r"/+$", "")
+    return F.concat(sh, rest)

@@ -1634,3 +1634,82 @@ def d23(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_chars"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# d24 — URL extraction + canonicalization (link graph / URL dedup pass)
+# ---------------------------------------------------------------------------
+#
+# The corpus carries no URLs, so (like the PII query) each document
+# plants deterministic ones — messy case, default ports, fragments,
+# trailing slashes — with the same expression in both engines; the
+# operator chain must normalize them to identical canonical forms.
+
+_D24_PLANT_SPARK = (
+    "concat(text, ' see HTTPS://Host', CAST(doc_id % 5 AS STRING),"
+    "'.Example.COM:443/P/', CAST(doc_id % 3 AS STRING),"
+    "'/#frag also http://ex.org:80/', CAST(doc_id % 2 AS STRING))"
+)
+_D24_PLANT_DUCK = (
+    "text || ' see HTTPS://Host' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '.Example.COM:443/P/' || CAST(doc_id % 3 AS VARCHAR)"
+    " || '/#frag also http://ex.org:80/' || CAST(doc_id % 2 AS VARCHAR)"
+)
+
+_D24_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id, {_D24_PLANT_DUCK} AS body FROM documents
+),
+urls AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(body, '(?i)https?://[^\\s]+')) AS u
+  FROM planted
+),
+canon AS (
+  SELECT doc_id,
+         sh2 || regexp_replace(rest, '/+$', '') AS url
+  FROM (
+    SELECT doc_id, rest,
+           CASE WHEN sh LIKE 'http://%' AND sh LIKE '%:80'
+                  THEN left(sh, length(sh) - 3)
+                WHEN sh LIKE 'https://%' AND sh LIKE '%:443'
+                  THEN left(sh, length(sh) - 4)
+                ELSE sh END AS sh2
+    FROM (
+      SELECT doc_id,
+             lower(regexp_extract(u1, '(?i)^https?://[^/?]+')) AS sh,
+             substr(u1, length(regexp_extract(u1, '(?i)^https?://[^/?]+')) + 1)
+               AS rest
+      FROM (SELECT doc_id, split_part(u, '#', 1) AS u1 FROM urls)
+    )
+  )
+)
+SELECT url, COUNT(*) AS n_refs, COUNT(DISTINCT doc_id) AS n_docs
+FROM canon GROUP BY url
+"""
+
+
+@df_query(
+    "d24_url_canonicalize",
+    "URL extraction + canonicalization (fragment strip, scheme/host "
+    "lowercase, default-port and trailing-slash removal) aggregated into a "
+    "link-frequency table — row-local string expressions, one uniform-key "
+    "groupBy; the backref-free steps run verbatim in both regex engines.",
+    _D24_ORACLE,
+)
+def d24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    planted = spark.table("documents").select(
+        "doc_id", F.expr(_D24_PLANT_SPARK).alias("body")
+    )
+    urls = planted.select(
+        "doc_id", F.explode(text.extract_urls("body")).alias("u")
+    )
+    return (
+        urls.select("doc_id", text.canonicalize_url("u").alias("url"))
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_refs"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+    )

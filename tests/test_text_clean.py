@@ -163,3 +163,30 @@ def test_char_entropy_known_values(spark):
     assert got[3] == 2.0  # four equiprobable symbols: 2 bits
     assert got[4] == 0.0  # empty: defined as 0
     assert got[5] == 0.918296  # -(2/3 log2 2/3 + 1/3 log2 1/3)
+
+
+def test_canonicalize_url_cases(spark):
+    cases = {
+        "HTTPS://Host.Example.COM:443/Path/Sub/?q=1#frag":
+            "https://host.example.com/Path/Sub/?q=1",
+        "http://EX.com:80/": "http://ex.com",
+        "http://ex.com:8080/a": "http://ex.com:8080/a",  # non-default port kept
+        "https://ex.com": "https://ex.com",
+        "https://ex.com/A/B//": "https://ex.com/A/B",  # path case preserved
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    got = [
+        r["c"]
+        for r in df.select(text.canonicalize_url("u").alias("c")).collect()
+    ]
+    assert got == list(cases.values())
+
+
+def test_extract_urls_order_and_case(spark):
+    df = spark.createDataFrame(
+        [("see http://a.com/x and HTTPS://B.org/#z end",)], "t string"
+    )
+    assert df.select(text.extract_urls("t").alias("u")).collect()[0]["u"] == [
+        "http://a.com/x",
+        "HTTPS://B.org/#z",
+    ]
