@@ -1713,3 +1713,58 @@ def d24(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("doc_id").alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# d25 — containment pairs (asymmetric near-dup: quote/subset detection)
+# ---------------------------------------------------------------------------
+
+_D25_TAU = 0.5
+
+_D25_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, lang, source,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+           i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS grams
+  FROM documents
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.grams, b.grams)) AS inter,
+         len(a.grams) AS na, len(b.grams) AS nb
+  FROM g a JOIN g b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(inter / greatest(na + nb - inter, 1), 6) AS jaccard,
+       round(inter / greatest(na, 1), 6) AS containment_a,
+       round(inter / greatest(nb, 1), 6) AS containment_b
+FROM p
+WHERE round(inter / greatest(na, 1), 6) >= {_D25_TAU}
+   OR round(inter / greatest(nb, 1), 6) >= {_D25_TAU}
+"""
+
+
+@df_query(
+    "d25_containment_pairs",
+    "Asymmetric near-dup verifier: n-gram containment per side over blocked "
+    "pairs — a short document quoted whole inside a long one has near-1 "
+    "containment but low Jaccard, so symmetric thresholds miss it.",
+    _D25_ORACLE,
+)
+def d25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text", "lang", "source")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs,
+        "doc_id",
+        "text",
+        n=3,
+        block_cols=["lang", "source"],
+        include_containment=True,
+    )
+    return pairs.filter(
+        (F.col("containment_a") >= _D25_TAU)
+        | (F.col("containment_b") >= _D25_TAU)
+    )

@@ -222,3 +222,29 @@ def test_multiprobe_recovers_adjacent_bucket_neighbor(spark):
         .collect()
     }
     assert pairs == {(0, 1)}
+
+
+def test_containment_catches_quoted_subset(spark):
+    # doc 2 is a verbatim quote of part of doc 1: containment_b ≈ 1,
+    # jaccard low — the asymmetric score catches what the symmetric
+    # threshold misses
+    from lagoon_spark.operators.dedup import ngram_jaccard_pairs
+
+    long_doc = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(20, 30))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, quote)], "doc_id long, text string"
+    )
+    got = ngram_jaccard_pairs(
+        df,
+        "doc_id",
+        "text",
+        n=3,
+        allow_unblocked=True,
+        include_containment=True,
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["containment_b"] == 1.0  # every gram of the quote is in doc 1
+    assert r["containment_a"] < 0.2
+    assert r["jaccard"] < 0.2
