@@ -152,3 +152,52 @@ def m04(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     return mm.decode_images(imgs, "doc_id", "content")
+
+
+# ---------------------------------------------------------------------------
+# m05 — perceptual (difference) hash: visual-dedup blocking key
+# ---------------------------------------------------------------------------
+
+_HEXD = "0123456789ABCDEF"
+
+# byte j of the payload, from its hex dump (0 past the end)
+_M05_BYTE = (
+    f"CASE WHEN length(hx) >= 2 * {{j}} + 2 THEN "
+    f"(strpos('{_HEXD}', substr(hx, 2 * {{j}} + 1, 1)) - 1) * 16 "
+    f"+ strpos('{_HEXD}', substr(hx, 2 * {{j}} + 2, 1)) - 1 ELSE 0 END"
+)
+
+_M05_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+)
+SELECT doc_id AS id,
+       CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 48 + 1 AS INTEGER) AS height,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(range(0, 63), j ->
+           CASE WHEN ({_M05_BYTE.format(j='j')}) > ({_M05_BYTE.format(j='(j + 1)')})
+                THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+         (a, x) -> a + x) AS phash
+FROM h
+"""
+
+
+@df_query(
+    "m05_perceptual_hash",
+    "63-bit difference hash per decoded image (Arrow-batched decode seam) — "
+    "the visual-dedup blocking key: near-identical images collide, exact "
+    "groupBy on the hash clusters them; map-only.",
+    _M05_ORACLE,
+)
+def m05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    imgs = spark.table("documents").select(
+        "doc_id",
+        mm.fake_image_col(
+            F.col("doc_id") % 64 + 1,
+            F.col("doc_id") % 48 + 1,
+            F.encode("text", "UTF-8"),
+        ).alias("content"),
+    )
+    return mm.perceptual_hash_images(imgs, "doc_id", "content")

@@ -325,3 +325,49 @@ def byte_histogram_features(
             yield pd.DataFrame(cols)
 
     return df.select(id_col, content_col).mapInPandas(featurize, out_schema)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def perceptual_hash_images(
+    df: DataFrame, id_col: str, content_col: str, media_type: str = "image/fakeimg"
+) -> DataFrame:
+    """63-bit difference hash (dHash) per decoded image: bit j is 1 iff
+    pixel byte j > byte j+1 of the decoded payload (zero-padded past
+    the end) — near-identical images collide, so an exact groupBy on
+    the hash is the visual-dedup blocking key (public technique; a
+    real pipeline swaps the codec seam for PIL and resamples to the
+    canonical 9x8 grid first, same plumbing).
+
+    Arrow-batched ``mapInPandas`` over the codec seam — map-only, the
+    same 100 TB shape as :func:`decode_images`.
+    """
+    codec = _load_codec(media_type)
+
+    def phash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, hv = [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                w, h, payload = codec(bytes(blob))
+                p = payload[:64] + b"\x00" * max(0, 64 - len(payload))
+                acc = 0  # 63 bits: bit 63 would overflow signed int64
+                for j in range(63):
+                    if p[j] > p[j + 1]:
+                        acc |= 1 << j
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                hv.append(acc)
+            yield pd.DataFrame(
+                {"id": ids, "width": ws, "height": hs, "phash": hv}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(phash, PHASH_SCHEMA)

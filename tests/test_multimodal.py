@@ -127,3 +127,27 @@ def test_missing_codec_still_raises():
 
     with pytest.raises(NotImplementedError, match="no codec"):
         mm._load_codec("video/mp4")
+
+
+def test_perceptual_hash_identical_payloads_collide(spark):
+    from lagoon_spark.operators.multimodal import (
+        encode_fake_image,
+        perceptual_hash_images,
+    )
+
+    same = b"abcdefgh" * 10
+    other = bytes(range(64, 0, -1))
+    rows = [
+        (1, encode_fake_image(4, 4, same)),
+        (2, encode_fake_image(9, 9, same)),  # same pixels, other dims
+        (3, encode_fake_image(4, 4, other)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {
+        r["id"]: r["phash"]
+        for r in perceptual_hash_images(df, "doc_id", "content").collect()
+    }
+    assert got[1] == got[2]  # identical payload -> identical hash
+    assert got[1] != got[3]
+    # strictly descending bytes: every comparison is >, all 63 bits set
+    assert got[3] == (1 << 63) - 1
