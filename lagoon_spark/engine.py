@@ -675,7 +675,15 @@ class Lagoon:
                 self.spark.catalog.dropTempView(v)
         self.catalog.delete_source(info.ix)
 
-    def vacuum(self, *, dry_run: bool = False) -> list[str]:
+    #: swap-protocol temp suffixes used by streaming append / compaction /
+    #: optimize_layout; during an in-flight batch these can hold the ONLY
+    #: copy of a table's history, so vacuum only touches them past a grace
+    #: period (they are crash debris only once nothing could still own them)
+    _TEMP_SUFFIXES = (".__bak", ".__prev", ".__rewrite", ".__optimizing")
+
+    def vacuum(
+        self, *, dry_run: bool = False, temp_grace_sec: float = 3600.0
+    ) -> list[str]:
         """Remove orphaned data directories the catalog no longer
         references — crash debris (an ingest killed between write and
         rollback, an interrupted compaction/streaming-batch swap).
@@ -685,25 +693,46 @@ class Lagoon:
         *handled* failure path; vacuum is the backstop for the unclean
         ones (process kill, machine loss mid-batch). Admin-only.
         Returns the orphan directory names (removes them unless
-        ``dry_run``). Temp suffixes from in-flight swap protocols are
-        always fair game; a live table is never touched because the
-        reference set comes from the catalog itself.
+        ``dry_run``). A live table is never touched because the
+        reference set comes from the catalog itself — re-read from disk
+        first, so sources ingested by ANOTHER writer since this
+        engine's cache was populated are never misclassified as
+        orphans. Swap-protocol temp dirs (``.__bak``/``.__prev``/
+        ``.__rewrite``/``.__optimizing``) may be the only copy of a
+        table mid-swap, so they are skipped until their mtime is older
+        than ``temp_grace_sec`` (default 1 h; pass 0 to force).
         """
+        import time
+
         from lagoon_spark import security as _sec
 
         if not _sec.is_admin(self.user):
             raise _sec.PermissionDenied(f"{self.user!r} may not vacuum")
+        # multi-writer warehouse: another engine may have ingested since
+        # our in-process cache was read — the live set must be current
+        self.catalog.refresh()
         sources = self.catalog.load("sources")
         live = set(sources["table_name"].dropna()) | set(
             sources["typed_table_name"].dropna()
         )
         data_dir = os.path.join(self.warehouse, "data")
+        now = time.time()
         orphans = []
         if os.path.isdir(data_dir):
-            # catalog rows reference plain table names, so swap-protocol
-            # temp dirs (.__rewrite/.__prev/.__bak) are never in `live`
-            # and fall out as orphans even when their base table is
-            orphans = [d for d in sorted(os.listdir(data_dir)) if d not in live]
+            for d in sorted(os.listdir(data_dir)):
+                if d in live:
+                    continue
+                if d.endswith(self._TEMP_SUFFIXES):
+                    # possibly an in-flight swap (streaming width-rewrite
+                    # keeps history ONLY in .__bak; optimize_layout's
+                    # .__optimizing is the only copy in its swap window)
+                    try:
+                        age = now - os.path.getmtime(os.path.join(data_dir, d))
+                    except OSError:
+                        continue  # vanished mid-listing: owner is active
+                    if age < temp_grace_sec:
+                        continue
+                orphans.append(d)
         if not dry_run:
             import shutil
 

@@ -94,7 +94,14 @@ def zorder_key(
     buckets = []
     for c in cols:
         if isinstance(schema[c], NumericType):
-            mn, mx = float(stats[f"__mn_{c}"]), float(stats[f"__mx_{c}"])
+            raw_mn, raw_mx = stats[f"__mn_{c}"], stats[f"__mx_{c}"]
+            if raw_mn is None or raw_mx is None:
+                # empty table / all-NULL column: every row lands in
+                # bucket 0 (a constant dimension), instead of a
+                # TypeError three frames away from the real cause
+                buckets.append(F.lit(0).cast("long"))
+                continue
+            mn, mx = float(raw_mn), float(raw_mx)
             span = (mx - mn) or 1.0
             b = F.least(
                 F.lit(levels),

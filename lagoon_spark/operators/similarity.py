@@ -465,30 +465,59 @@ def ivf_probe_topk(
     *,
     k: int = 5,
     nprobe: int = 2,
+    query_id_col: str | None = None,
 ) -> DataFrame:
-    """IVF probe search: assign the corpus to centroid cells, find the
+    """IVF probe search: assign the corpus to centroid cells, find each
     query's ``nprobe`` nearest cells, exact-cosine re-rank only those
     cells' members — the classic inverted-file ANN search path.
 
+    Without ``query_id_col`` the query frame must hold EXACTLY one row
+    (asserted — an earlier version silently mixed candidates across a
+    multi-row query frame through global limits) and returns
+    (id, ivf_cell, cosine). With ``query_id_col`` any number of query
+    rows batch through one pass, probe selection and the final top-k
+    both windowed per query id; returns (query_id, id, ivf_cell,
+    cosine, rank).
+
     Scale shape: the corpus side is the one big frame and is touched
-    by exactly one row-local assignment map plus one semi-join-like
-    filter against a ≤ nprobe-row broadcast; the re-rank is a
-    TakeOrderedAndProject over ~n/k_cells · nprobe candidates. No
-    all-pairs anything; the probe-cell table is metadata-sized.
+    by exactly one row-local assignment map plus one join against a
+    ≤ nqueries·nprobe-row broadcast; the re-rank is a
+    TakeOrderedAndProject (single query) or a per-query rank window.
+    No all-pairs anything; the probe-cell table is metadata-sized.
     """
-    assigned = ivf_assign(df, vec_col, centroids)
-    q = query_df.select(F.col(vec_col).alias("__qvec"))
-    # distance of the (single-row) query to every centroid: a k-row
-    # metadata frame, ordered, truncated to nprobe, broadcast
-    cents_df = None
+    from pyspark.sql import Window
+
     spark = df.sparkSession
+    if query_id_col is None:
+        nq = query_df.count()
+        if nq != 1:
+            raise ValueError(
+                f"ivf_probe_topk got {nq} query rows; pass query_id_col= "
+                "to batch multiple queries (a global top-k over several "
+                "queries would silently mix their candidates)"
+            )
+    assigned = ivf_assign(df, vec_col, centroids)
+    qid = query_id_col or "__qid"
+    q = (
+        query_df.select(
+            F.col(query_id_col).alias("__q"), F.col(vec_col).alias("__qvec")
+        )
+        if query_id_col
+        else query_df.select(
+            F.lit(0).alias("__q"), F.col(vec_col).alias("__qvec")
+        )
+    )
+    # distance of each query to every centroid: a (nq·k_cells)-row
+    # metadata frame, windowed to nprobe per query, broadcast
     cents_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)],
-        f"__ci int, __cv array<double>",
+        "__ci int, __cv array<double>",
     )
+    wprobe = Window.partitionBy("__q").orderBy("__d", "__ci")
     qdist = (
         q.crossJoin(F.broadcast(cents_df))
         .select(
+            "__q",
             "__ci",
             "__qvec",
             F.expr(
@@ -497,21 +526,29 @@ def ivf_probe_topk(
                 "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
             ).alias("__d"),
         )
-        .orderBy("__d", "__ci")
-        .limit(nprobe)
-        .select("__ci", "__qvec")
+        .withColumn("__pr", F.row_number().over(wprobe))
+        .filter(F.col("__pr") <= nprobe)
+        .select("__q", "__ci", "__qvec")
     )
     cands = assigned.join(
         F.broadcast(qdist), assigned["ivf_cell"] == qdist["__ci"]
+    ).select(
+        F.col("__q"),
+        F.col(id_col),
+        F.col("ivf_cell").cast("int").alias("ivf_cell"),
+        F.round(cosine_to(vec_col, "__qvec"), 9).alias("cosine"),
     )
-    return (
-        cands.select(
-            F.col(id_col),
-            F.col("ivf_cell").cast("int").alias("ivf_cell"),
-            F.round(cosine_to(vec_col, "__qvec"), 9).alias("cosine"),
+    if query_id_col is None:
+        return (
+            cands.select(id_col, "ivf_cell", "cosine")
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k)
         )
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
+    wk = Window.partitionBy("__q").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        cands.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__q").alias(qid), id_col, "ivf_cell", "cosine", "rank")
     )
 
 

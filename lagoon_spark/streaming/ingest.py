@@ -88,6 +88,12 @@ class _AppendState:
     lens: dict[str, int] = field(default_factory=dict)
     header: list[str] = field(default_factory=list)
     json_type: str | None = None  # rendered JsonType (JSON append mode)
+    # pinned on the first batch: a source is ONE format with ONE dialect
+    # forever — a watched directory later receiving a different file
+    # type must fail loudly, not flip the same ix between c1/JSON and
+    # cN/typed layouts across batches
+    fmt: str | None = None  # "json" | "tabular"
+    pinned_delimiter: str | None = None
 
     @classmethod
     def load(cls, path: str) -> "_AppendState":
@@ -236,12 +242,56 @@ class StreamIngestor:
             st.save(self._state_path)
             return
         paths = [_local(p) for p, _ in files]
-        if self.file_type == "json" or (
-            self.file_type is None and paths[0].endswith((".json", ".jsonl"))
-        ):
+        fmt = self._resolve_format(paths, st)
+        if fmt == "json":
             self._batch_append_json(paths, batch_id, st)
         else:
             self._batch_append_tabular(paths, batch_id, st)
+
+    def _classify(self, path: str) -> str:
+        if self.file_type is not None:
+            return "json" if self.file_type == "json" else "tabular"
+        return "json" if path.endswith((".json", ".jsonl")) else "tabular"
+
+    def _resolve_format(self, paths: list[str], st: _AppendState) -> str:
+        """Pin the source's format (and CSV dialect) on the first batch;
+        every later file must agree. Without this, a watched directory
+        receiving mixed file types would flip the same source ix between
+        the JSON (c1) and tabular (cN/typed) layouts across batches,
+        silently corrupting the catalog columns and row shapes."""
+        kinds = {self._classify(p) for p in paths}
+        if len(kinds) > 1:
+            raise ValueError(
+                f"streaming append batch mixes file formats {sorted(kinds)}: "
+                f"{paths[:3]}...; an append source is one format"
+            )
+        fmt = kinds.pop()
+        if st.fmt is None:
+            st.fmt = fmt
+        elif st.fmt != fmt:
+            raise ValueError(
+                f"streaming append source {self.name!r} was pinned to "
+                f"{st.fmt!r} on its first batch but this batch delivers "
+                f"{fmt!r} files: {paths[:3]}"
+            )
+        if fmt == "tabular" and self.delimiter is None:
+            delims = {csvmod.guess_format(p).delimiter for p in paths}
+            if len(delims) > 1:
+                raise ValueError(
+                    f"streaming append batch mixes CSV dialects "
+                    f"(delimiters {sorted(map(repr, delims))}); pass "
+                    f"delimiter= explicitly to override"
+                )
+            d = delims.pop()
+            if st.pinned_delimiter is None:
+                st.pinned_delimiter = d
+            elif st.pinned_delimiter != d:
+                raise ValueError(
+                    f"streaming append source {self.name!r} was pinned to "
+                    f"delimiter {st.pinned_delimiter!r} but this batch's "
+                    f"files use {d!r}"
+                )
+        return fmt
 
     def _batch_append_json(self, paths, batch_id: int, st: _AppendState) -> None:
         """JSONL append: rows of raw values; the JsonType lattice is a
@@ -251,18 +301,46 @@ class StreamIngestor:
         without ever re-scanning history. JSON sources never get a
         typed table (`Ingest.hs:257-262`), so there is no widening
         rewrite at all: append is always pure append."""
+        # multi-line JSON files (pretty-printed / whitespace-separated
+        # top-level values) go through the same constant-memory driver
+        # splitter the one-shot ingest uses (`engine._ingest_json`).
+        # Row numbering is filename-major (`with_ix`), so when ANY file
+        # needs spooling the whole batch is staged in a temp dir under
+        # index-prefixed names — spooled JSONL for multi-line files,
+        # symlinks for passthrough shards — preserving the batch's file
+        # order. The pure-JSONL batch (the steady state) skips staging
+        # and streams the original paths.
+        if not any(self.engine._json_needs_splitting(p) for p in paths):
+            self._batch_append_json_rows(paths, batch_id, st)
+            return
+        import tempfile
+
+        from lagoon_spark.ingest import jsonsplit
+
+        with tempfile.TemporaryDirectory(suffix=".jsonbatch") as stage:
+            read_paths = []
+            for i, p in enumerate(paths):
+                staged = os.path.join(stage, f"{i:06d}.jsonl")
+                if self.engine._json_needs_splitting(p):
+                    with open(p, encoding="utf-8") as f, open(
+                        staged, "w", encoding="utf-8"
+                    ) as out:
+                        for raw in jsonsplit.split_values(f, jsonsplit.HERE):
+                            out.write(raw.replace("\n", " ") + "\n")
+                else:
+                    os.symlink(os.path.abspath(p), staged)
+                read_paths.append(staged)
+            self._batch_append_json_rows(read_paths, batch_id, st)
+
+    def _batch_append_json_rows(
+        self, paths, batch_id: int, st: _AppendState
+    ) -> None:
         from lagoon_spark.engine import _infer_jsontype_distributed
         from lagoon_spark.ingest import jsontype
         from lagoon_spark.ingest.infer import ColumnType
 
         spark = self.engine.spark
         catalog = self.engine.catalog
-        for p in paths:
-            if self.engine._json_needs_splitting(p):
-                raise ValueError(
-                    "streaming JSON append requires JSONL shards (one value "
-                    "per line); multi-line documents need versions mode"
-                )
         first_batch = st.ix is None
         if first_batch:
             ix, _version, table, _view = catalog.new_source(
@@ -314,10 +392,14 @@ class StreamIngestor:
         spark = self.engine.spark
         catalog = self.engine.catalog
 
+        # the dialect was pinned by _resolve_format on the first batch —
+        # never re-guessed, so every batch parses identically
         fmt = csvmod.guess_format(paths[0])
         fmt.has_headers = self.has_headers
         if self.delimiter is not None:
             fmt.delimiter = self.delimiter
+        elif st.pinned_delimiter is not None:
+            fmt.delimiter = st.pinned_delimiter
         fmt.quote = self.quote
 
         width, header, _bad = csvmod.scan_width(spark, paths, fmt)

@@ -641,8 +641,14 @@ def test_vacuum_removes_only_orphans(lagoon, tmp_path):
         lagoon.vacuum()
 
     lagoon.user = "admin"
-    assert sorted(lagoon.vacuum(dry_run=True)) == sorted([f"typed{info.ix}.__prev", "t9999"])
-    removed = lagoon.vacuum()
+    # a FRESH swap-protocol temp dir may be the only copy of an
+    # in-flight batch's history — protected by the grace period
+    assert lagoon.vacuum(dry_run=True) == ["t9999"]
+    # past the grace period it is crash debris and fair game
+    assert sorted(lagoon.vacuum(dry_run=True, temp_grace_sec=0)) == sorted(
+        [f"typed{info.ix}.__prev", "t9999"]
+    )
+    removed = lagoon.vacuum(temp_grace_sec=0)
     assert sorted(removed) == sorted([f"typed{info.ix}.__prev", "t9999"])
     # live tables untouched, source still queryable
     assert os.path.isdir(os.path.join(data_dir, info.table_name))

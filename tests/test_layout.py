@@ -187,3 +187,19 @@ def test_optimize_layout_on_compacted_source_keeps_versions(lagoon, tmp_path):
     after2 = [tuple(r) for r in lagoon.dataframe(i2).orderBy("ix").collect()]
     assert after1 == before1
     assert after2 == before2
+
+
+def test_zorder_key_all_null_and_empty_are_clean_noops(spark):
+    # round-4 driver advice: None min/max (empty table or all-NULL
+    # numeric column) raised TypeError far from the cause; now the
+    # column is a constant bucket and the key still computes
+    from lagoon_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b")], "num double, s string"
+    )
+    got = zorder_key(df, ["num", "s"], bits=4).collect()
+    assert len(got) == 2 and all(r["zorder"] is not None for r in got)
+
+    empty = spark.createDataFrame([], "num double, s string")
+    assert zorder_key(empty, ["num", "s"], bits=4).count() == 0

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from lagoon_spark.operators.dedup import crossdoc_dup_fraction
@@ -248,3 +250,46 @@ def test_containment_catches_quoted_subset(spark):
     assert r["containment_b"] == 1.0  # every gram of the quote is in doc 1
     assert r["containment_a"] < 0.2
     assert r["jaccard"] < 0.2
+
+
+def test_ivf_probe_multirow_requires_query_id(spark, sf_small):
+    # a global top-k over several queries would silently mix their
+    # candidates (round-4 driver advice) — refuse without an id column
+    from lagoon_spark.pipeline_queries import _ivf_centroids
+
+    emb = (
+        spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    q2 = emb.filter(F.col("vec_id").isin(0, 1))
+    with pytest.raises(ValueError, match="query_id_col"):
+        ivf_probe_topk(emb, "vec_id", "embedding", _ivf_centroids(), q2, k=5)
+
+
+def test_ivf_probe_batched_queries_match_per_query_runs(spark, sf_small):
+    # batching N queries through one pass (query_id_col=) must return
+    # exactly what N independent single-query runs return
+    from lagoon_spark.pipeline_queries import _ivf_centroids
+
+    emb = (
+        spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    cents = _ivf_centroids()
+    qids = [0, 1, 7]
+    batched = ivf_probe_topk(
+        emb, "vec_id", "embedding", cents,
+        emb.filter(F.col("vec_id").isin(qids)).withColumnRenamed(
+            "vec_id", "qid"
+        ).select("qid", F.col("embedding")),
+        k=4, nprobe=2, query_id_col="qid",
+    ).collect()
+    by_q = {}
+    for r in batched:
+        by_q.setdefault(r["qid"], []).append((r["vec_id"], r["cosine"]))
+    for qid in qids:
+        single = ivf_probe_topk(
+            emb, "vec_id", "embedding", cents,
+            emb.filter(F.col("vec_id") == qid), k=4, nprobe=2,
+        ).collect()
+        assert by_q[qid] == [(r["vec_id"], r["cosine"]) for r in single]

@@ -240,21 +240,92 @@ class TestJsonAppendMode:
         want = lagoon.sql("SELECT * FROM jflow_ref_v1 ORDER BY ix").collect()
         assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
-    def test_multiline_json_refused_in_append(self, lagoon, tmp_path):
+    def test_multiline_json_append_equals_one_shot(self, lagoon, tmp_path):
+        """Multi-line JSON ([...]-array files, pretty-printed values)
+        appends through the same constant-memory splitter the one-shot
+        ingest uses — batch-by-batch arrival must equal ingesting the
+        concatenated values at once (round-4 verdict ask #5)."""
         inbox = tmp_path / "inbox"
         inbox.mkdir()
-        _write(inbox / "a.json", '{\n  "id": 1\n}\n')
-        ing = lagoon.ingest_stream(
-            str(inbox), "jbad", checkpoint_dir=str(tmp_path / "c"), mode="append",
-            file_type="json",
+        ckpt = str(tmp_path / "ckpt")
+        # two pretty-printed top-level values in one file — the splitter
+        # regroups them exactly as the one-shot ingest's A4 path does
+        _write(
+            inbox / "a.json",
+            '{\n  "id": 1,\n  "name": "x"\n}\n{\n  "id": 2\n}\n',
         )
+        lagoon.ingest_stream(
+            str(inbox), "jml", checkpoint_dir=ckpt, mode="append",
+            file_type="json",
+        ).run_available()
+        # second batch: a pretty-printed single value plus a JSONL shard
+        _write(inbox / "b.json", '{\n  "id": 3,\n  "name": "z"\n}\n')
+        _write(inbox / "c.jsonl", '{"id": 4}\n')
+        lagoon.ingest_stream(
+            str(inbox), "jml", checkpoint_dir=ckpt, mode="append",
+            file_type="json",
+        ).run_available()
+        info = lagoon.catalog.get_source("jml", 1)
+        assert info.row_count == 4
+
+        concat = tmp_path / "all.jsonl"
+        _write(
+            concat,
+            '{"id": 1, "name": "x"}\n{"id": 2}\n'
+            '{"id": 3, "name": "z"}\n{"id": 4}\n',
+        )
+        ref = lagoon.ingest(str(concat), "jml_ref", file_type="json")
+        assert info.json_type == ref.json_type
+        got = lagoon.sql("SELECT * FROM jml_v1 ORDER BY ix").collect()
+        want = lagoon.sql("SELECT * FROM jml_ref_v1 ORDER BY ix").collect()
+        assert [(r["ix"],) for r in got] == [(r["ix"],) for r in want]
+        import json as _json
+
+        assert [_json.loads(r["data"]) for r in got] == [
+            _json.loads(r["data"]) for r in want
+        ]
+
+    def test_append_format_flip_raises(self, lagoon, tmp_path):
+        """A watched directory delivering a DIFFERENT file type after the
+        source's format was pinned must fail loudly instead of flipping
+        the same ix between JSON (c1) and tabular (cN) layouts (round-4
+        driver advice)."""
         import pyspark.errors
 
+        inbox = tmp_path / "inbox"
+        inbox.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        _write(inbox / "a.jsonl", '{"id": 1}\n')
+        lagoon.ingest_stream(
+            str(inbox), "jflip", checkpoint_dir=ckpt, mode="append"
+        ).run_available()
+        _write(inbox / "b.csv", "id,v\n2,y\n")
         with pytest.raises(
             (ValueError, pyspark.errors.exceptions.captured.StreamingQueryException),
-            match="JSONL|multi-line",
+            match="pinned|mixes",
         ):
-            ing.run_available()
+            lagoon.ingest_stream(
+                str(inbox), "jflip", checkpoint_dir=ckpt, mode="append"
+            ).run_available()
+        # the pinned source is intact: no tabular rows leaked in
+        info = lagoon.catalog.get_source("jflip", 1)
+        assert info.row_count == 1
+
+    def test_append_mixed_dialect_batch_raises(self, lagoon, tmp_path):
+        import pyspark.errors
+
+        inbox = tmp_path / "inbox"
+        inbox.mkdir()
+        _write(inbox / "a.csv", "id,v\n1,x\n")
+        _write(inbox / "b.tsv", "id\tv\n2\ty\n")
+        with pytest.raises(
+            (ValueError, pyspark.errors.exceptions.captured.StreamingQueryException),
+            match="dialects|mixes",
+        ):
+            lagoon.ingest_stream(
+                str(inbox), "dflip", checkpoint_dir=str(tmp_path / "c"),
+                mode="append",
+            ).run_available()
 
 
 class TestSecurity:
