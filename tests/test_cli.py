@@ -1,0 +1,255 @@
+"""CLI parity tests — the reference's primary UX and test harness.
+
+The reference drives EVERYTHING through the ``lagoon`` executable
+(`clients/cmdline/test-cases/runtests.sh:96-118`): ingest the fixture
+corpus via CLI flags, ``dump-db-info``, diff a golden file. Same here:
+the F1-F15 golden corpus flows through ``python -m lagoon_spark``
+argument parsing (an adapter maps the corpus's engine kwargs onto CLI
+flags, proving the flag surface can express every fixture), and the
+resulting dump must byte-match the same ``dbinfo.expected`` the engine
+API produces. One true-subprocess test proves the executable works
+standalone; everything else drives ``cli.main()`` in-process so the
+suite shares the session Spark JVM.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import subprocess
+import sys
+from contextlib import redirect_stdout
+
+import pytest
+
+from lagoon_spark import cli
+from tests.test_golden_dump import GOLDEN, PIN, _ingest_corpus
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(wh, *argv, user="tester", check=True):
+    """Drive cli.main() in-process; returns (exit_code, stdout)."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        code = cli.main(["--warehouse", str(wh), "-u", user, *argv])
+    if check and code != 0:
+        raise AssertionError(f"CLI failed ({code}): {argv}\n{buf.getvalue()}")
+    return code, buf.getvalue()
+
+
+class _CliLagoon:
+    """Adapter exposing the engine's ingest() signature over CLI argv —
+    lets the golden corpus (`test_golden_dump._ingest_corpus`) run
+    unmodified through the command-line surface."""
+
+    def __init__(self, wh):
+        self.wh = wh
+
+    def ingest(
+        self,
+        path,
+        name,
+        *,
+        created=None,
+        tags=None,
+        has_headers=True,
+        quote='"',
+        json_path=None,
+        **kw,
+    ):
+        argv = ["ingest", "-n", name, path]
+        if created:
+            argv += ["--created", created]
+        for t in tags or []:
+            argv += ["--tag", t]
+        if not has_headers:
+            argv += ["--no-headers"]
+        if quote is None:
+            argv += ["--no-quoting"]
+        if json_path:
+            argv += ["--json-path", json_path]
+        for k, v in kw.items():
+            raise NotImplementedError(f"corpus kwarg {k!r} not mapped to a CLI flag")
+        _run(self.wh, *argv)
+
+
+def test_cli_golden_dump(spark, tmp_path):
+    """The whole F1-F15 corpus through CLI flags == the golden dump the
+    engine API produces (the reference's runtests.sh oracle)."""
+    wh = tmp_path / "warehouse"
+    _run(wh, "init-db")
+    _ingest_corpus(_CliLagoon(wh), tmp_path)
+    _, dump = _run(wh, "dump-db-info")
+    assert dump == open(GOLDEN).read()
+
+
+def test_cli_delete_restores_dump(spark, tmp_path):
+    """runtests.sh:120-157: ingest a fresh name 3×, delete-source one
+    version at a time, the dump returns to its prior state."""
+    wh = tmp_path / "warehouse"
+    _run(wh, "init-db")
+    p = tmp_path / "x.csv"
+    p.write_text("x\n1\n")
+    _run(wh, "ingest", "-n", "keepme", "--created", PIN, str(p))
+    _, before = _run(wh, "dump-db-info")
+
+    for _ in range(3):
+        _run(wh, "ingest", "-n", "to_be_deleted", "--created", PIN, str(p))
+    _, during = _run(wh, "dump-db-info")
+    assert during != before
+    # delete one specific version, then the remaining ones wholesale
+    _run(wh, "delete-source", "to_be_deleted", "-v", "2")
+    _run(wh, "delete-source", "to_be_deleted")
+    _, after = _run(wh, "dump-db-info")
+    assert after == before
+
+
+def test_cli_suid_idempotent_reingest(spark, tmp_path):
+    """runtests.sh:70-80: the same --source-identifier twice must not
+    create a second version."""
+    wh = tmp_path / "warehouse"
+    _run(wh, "init-db")
+    p = tmp_path / "s.csv"
+    p.write_text("a\n1\n")
+    for _ in range(2):
+        _run(
+            wh, "ingest", "-n", "suid_src", "--created", PIN,
+            "--source-identifier", "deadbeef", str(p),
+        )
+    _, out = _run(wh, "list-sources", "--count")
+    assert out.strip() == "1"
+
+
+def test_cli_sql_download_roundtrip(spark, tmp_path):
+    wh = tmp_path / "warehouse"
+    _run(wh, "init-db")
+    p = tmp_path / "r.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    _run(wh, "ingest", "-n", "rt", str(p))
+    _, csv_out = _run(wh, "download", "rt")
+    assert csv_out == "a,b\r\n1,x\r\n2,y\r\n"
+    _, sql_out = _run(
+        wh, "sql", "SELECT b FROM rt_v1_typed WHERE a = 2", "--format", "json"
+    )
+    assert sql_out.strip() == '{"b":"y"}'
+    # metadata views are exposed to /sql like the reference's
+    _, meta = _run(wh, "sql", "SELECT name FROM lagoon_sources", "--format", "json")
+    assert '"name":"rt"' in meta
+
+
+def test_cli_make_typed_and_set_type(spark, tmp_path):
+    wh = tmp_path / "warehouse"
+    _run(wh, "init-db")
+    p = tmp_path / "n.csv"
+    p.write_text("n\n1\n2\n")
+    _run(wh, "ingest", "-n", "nt", "--no-type-inference", str(p))
+    _, shown = _run(wh, "show-source", "nt")
+    assert "typed" not in shown
+    _run(wh, "make-typed", "nt")
+    _, shown = _run(wh, "show-source", "nt")
+    assert "INTEGER" in shown and "typed" in shown
+    _run(wh, "set-type", "nt", "-c", "n", "TEXT")
+    _, shown = _run(wh, "show-source", "nt")
+    assert "TEXT" in shown
+
+
+def test_cli_acl_and_group_management(spark, tmp_path):
+    """The manage/create-group/manage-group/manage-user surface, and
+    the fail-closed paths: a plain user cannot manage-user, and a
+    revoked user cannot create datasets."""
+    wh = tmp_path / "warehouse"
+    _run(wh, "init-db", user="admin")
+    p = tmp_path / "a.csv"
+    p.write_text("a\n1\n")
+    _run(wh, "ingest", "-n", "secret", str(p), user="alice")
+
+    # bob can't read it...
+    code, _ = _run(wh, "download", "secret", user="bob", check=False)
+    assert code == 1
+    # ...until alice grants read via the CLI
+    _run(wh, "manage", "secret", "--set-user-access", "bob", "read", user="alice")
+    code, out = _run(wh, "download", "secret", user="bob")
+    assert out.startswith("a\r\n")
+    # revoke via LEVEL=none
+    _run(wh, "manage", "secret", "--set-user-access", "bob", "none", user="alice")
+    code, _ = _run(wh, "download", "secret", user="bob", check=False)
+    assert code == 1
+
+    # group path
+    _run(wh, "create-group", "team", user="admin")
+    _run(wh, "manage-group", "team", "--add-user", "carol", user="admin")
+    _run(wh, "manage", "secret", "--set-group-access", "team", "read", user="alice")
+    _, out = _run(wh, "download", "secret", user="carol")
+    assert out.startswith("a\r\n")
+
+    # public / private / deprecated
+    _run(wh, "manage", "secret", "--public", user="alice")
+    _, out = _run(wh, "download", "secret", user="dave")
+    assert out.startswith("a\r\n")
+    _run(wh, "manage", "secret", "--private", user="alice")
+    _run(wh, "manage", "secret", "--deprecated", user="alice")
+    _, shown = _run(wh, "show-source", "secret", user="alice")
+    assert "deprecated  True" in shown
+
+    # manage-user is admin-only and gates dataset creation
+    code, _ = _run(wh, "manage-user", "--revoke-create", "eve", user="mallory", check=False)
+    assert code == 1
+    _run(wh, "manage-user", "--revoke-create", "eve", user="admin")
+    code, _ = _run(wh, "ingest", "-n", "evil", str(p), user="eve", check=False)
+    assert code == 1
+    # tag requires update rights
+    code, _ = _run(wh, "tag", "secret", "stolen", user="mallory", check=False)
+    assert code == 1
+
+
+def test_cli_compact_and_vacuum(spark, tmp_path):
+    wh = tmp_path / "warehouse"
+    _run(wh, "init-db", user="admin")
+    p = tmp_path / "c.csv"
+    p.write_text("a\n1\n")
+    _run(wh, "ingest", "-n", "cc", str(p), user="admin")
+    _run(wh, "ingest", "-n", "cc", str(p), user="admin")
+    _, out = _run(wh, "compact", "cc", user="admin")
+    assert "Compacted sources" in out
+    os.makedirs(os.path.join(str(wh), "data", "t9999"))
+    _, out = _run(wh, "vacuum", "--dry-run", user="admin")
+    assert "t9999" in out
+    code, _ = _run(wh, "vacuum", user="nobody", check=False)
+    assert code == 1
+
+
+def test_cli_infer_json_type_and_stdin_ingest(spark, tmp_path, monkeypatch):
+    wh = tmp_path / "warehouse"
+    _run(wh, "init-db")
+    j = tmp_path / "v.json"
+    j.write_text('{"a": 1}\n{"a": null, "b": "s"}\n')
+    _, out = _run(wh, "infer-json-type", str(j))
+    assert out.strip() == '{"a":nullable number, "b":optional string}'
+
+    monkeypatch.setattr("sys.stdin", io.StringIO("x,y\n1,2\n"))
+    _run(wh, "ingest", "-n", "fromstdin", "--file-type", "csv", "-")
+    _, shown = _run(wh, "show-source", "fromstdin")
+    assert "row count   1" in shown
+
+
+def test_cli_subprocess_executable(tmp_path):
+    """`python -m lagoon_spark` works as a real standalone process for
+    metadata commands (no Spark JVM needed — must return fast)."""
+    wh = str(tmp_path / "warehouse")
+    env = {**os.environ, "PYTHONPATH": REPO}
+
+    def run(*argv):
+        return subprocess.run(
+            [sys.executable, "-m", "lagoon_spark", "--warehouse", wh, "-u", "admin", *argv],
+            capture_output=True, text=True, env=env, timeout=120,
+        )
+
+    r = run("init-db")
+    assert r.returncode == 0 and r.stdout.strip() == "ok"
+    r = run("list-sources", "--count")
+    assert r.returncode == 0 and r.stdout.strip() == "0"
+    r = run("dump-db-info")
+    assert r.returncode == 0
+    r = run("show-source", "nope")
+    assert r.returncode == 1 and "error:" in r.stderr
