@@ -790,9 +790,18 @@ class Lagoon:
         simply persist in Postgres)."""
         from lagoon_spark.security import verify_user_query
 
-        from lagoon_spark.functions.json_ops import register_sql_functions
+        from lagoon_spark.functions.json_ops import (
+            register_sql_functions,
+            rewrite_jsonb_sql,
+        )
         from lagoon_spark.functions.text_sql import register_text_sql_functions
 
+        # JVM tier for the SQL surface: flat-constant jsonb_contains
+        # calls rewrite to codegen'd variant expressions before the
+        # text is verified and executed (dynamic/nested needles stay on
+        # the Arrow UDF); the rewrite only introduces built-ins, so the
+        # security walk sees exactly what runs
+        query = rewrite_jsonb_sql(query)
         register_sql_functions(self.spark)
         register_text_sql_functions(self.spark)
         # the marker lives on the SESSION, not the engine: temp views

@@ -493,6 +493,187 @@ def _parse_pg_path(p: str) -> list:
     return out
 
 
+# -- the /sql JVM rewrite tier ------------------------------------------------
+#
+# The SQL-registered jsonb functions are pandas UDFs for every input:
+# a SQL function cannot inspect its needle argument at registration, so
+# a `/sql` user never reached the codegen tier the DataFrame user gets
+# from `jsonb_contains(col, '<flat literal>')`. The engine closes that
+# gap at the TEXT level: before verification, `rewrite_jsonb_sql`
+# rewrites each `jsonb_contains(<expr>, '<flat object literal>')` call
+# into the same JVM variant expression `_jvm_flat_contains` builds —
+# semantics preserved exactly (both tiers are oracle-tested against
+# each other), dynamic/nested shapes left on the pandas UDF.
+
+
+def _sql_str(s: str) -> str:
+    """SQL single-quoted literal with '' escaping."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+def flat_contains_sql(operand_sql: str, needle: dict) -> str:
+    """SQL text equivalent of :func:`_jvm_flat_contains` for a flat
+    object needle over an arbitrary operand expression."""
+    op = f"({operand_sql})"
+    v = f"try_parse_json({op})"
+    if not needle:
+        ok = f"startswith(schema_of_variant({v}), 'OBJECT')"
+    else:
+        terms = []
+        for k, val in needle.items():
+            kj = f"to_json(try_variant_get({v}, '$.{k}', 'variant'))"
+            if val is None:
+                t = f"{kj} = 'null'"
+            elif isinstance(val, bool):
+                t = f"{kj} = '{'true' if val else 'false'}'"
+            elif isinstance(val, (int, float)):
+                t = (
+                    f"({kj} IS NOT NULL AND NOT startswith({kj}, '\"') "
+                    f"AND {kj} NOT IN ('true', 'false', 'null') "
+                    f"AND try_variant_get({v}, '$.{k}', 'double') = "
+                    f"CAST({float(val)!r} AS DOUBLE))"
+                )
+            else:  # str
+                t = (
+                    f"(startswith({kj}, '\"') AND "
+                    f"try_variant_get({v}, '$.{k}', 'string') = {_sql_str(val)})"
+                )
+            terms.append(f"coalesce({t}, false)")
+        ok = " AND ".join(terms)
+    return (
+        f"CASE WHEN {op} IS NULL OR {v} IS NULL "
+        f"THEN CAST(NULL AS BOOLEAN) ELSE ({ok}) END"
+    )
+
+
+def _scan_call(sql: str, start: int) -> tuple[list[str], int] | None:
+    """From the '(' at ``start``, return (top-level args, index past the
+    closing paren) — quote- and nesting-aware; None if unbalanced."""
+    assert sql[start] == "("
+    depth = 0
+    args: list[str] = []
+    buf: list[str] = []
+    i, n = start, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"', "`"):
+            # SQL string/identifier: '' doubling and \' escapes inside
+            q = ch
+            j = i + 1
+            while j < n:
+                if q == "'" and sql[j] == "\\" and j + 1 < n:
+                    j += 2
+                    continue
+                if sql[j] == q:
+                    if q == "'" and j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            buf.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+            if depth > 1:
+                buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                args.append("".join(buf).strip())
+                return args, i + 1
+            buf.append(ch)
+        elif ch == "," and depth == 1:
+            args.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    return None
+
+
+def _string_literal(arg: str) -> str | None:
+    """'...'-literal → decoded content (handling '' escapes), else None."""
+    arg = arg.strip()
+    if len(arg) < 2 or arg[0] != "'" or arg[-1] != "'":
+        return None
+    inner = arg[1:-1]
+    if "\\" in inner:
+        # backslash escapes depend on parser config — leave such
+        # needles on the pandas tier rather than risk mis-decoding
+        return None
+    # reject literals whose quotes aren't balanced as '' pairs
+    stripped = inner.replace("''", "")
+    if "'" in stripped:
+        return None
+    return inner.replace("''", "'")
+
+
+def rewrite_jsonb_sql(sql: str) -> str:
+    """Rewrite ``jsonb_contains(<expr>, '<flat object literal>')`` calls
+    to pure JVM variant expressions; everything else passes through
+    verbatim. Operates on SQL text (the passthrough surface), so the
+    call name is matched case-insensitively at word boundaries and the
+    argument scan is quote/nesting-aware."""
+    import re
+
+    # positions inside '...' string literals (with '' doubling) or
+    # "..."/`...` quoted identifiers — matches there are data, not calls
+    in_str = [False] * len(sql)
+    j, n = 0, len(sql)
+    while j < n:
+        ch = sql[j]
+        if ch in ("'", '"', "`"):
+            k = j + 1
+            while k < n:
+                if ch == "'" and sql[k] == "\\" and k + 1 < n:
+                    k += 2
+                    continue
+                if sql[k] == ch:
+                    if ch == "'" and k + 1 < n and sql[k + 1] == "'":
+                        k += 2
+                        continue
+                    break
+                k += 1
+            for p in range(j, min(k + 1, n)):
+                in_str[p] = True
+            j = k + 1
+        else:
+            j += 1
+
+    out: list[str] = []
+    i = 0
+    pat = re.compile(r"jsonb_contains\s*\(", re.IGNORECASE)
+    while i < n:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        # skip matches inside strings or glued to a longer identifier
+        if in_str[m.start()] or (
+            m.start() > 0 and (sql[m.start() - 1].isalnum() or sql[m.start() - 1] == "_")
+        ):
+            out.append(sql[i : m.start() + 1])
+            i = m.start() + 1
+            continue
+        lparen = m.end() - 1
+        scanned = _scan_call(sql, lparen)
+        if scanned is None:
+            out.append(sql[i:])
+            break
+        args, after = scanned
+        lit = _string_literal(args[1]) if len(args) == 2 else None
+        flat = _flat_needle(lit) if lit is not None else None
+        if flat is None:
+            out.append(sql[i : m.start() + 1])
+            i = m.start() + 1
+            continue
+        out.append(sql[i : m.start()])
+        out.append("(" + flat_contains_sql(args[0], flat) + ")")
+        i = after
+    return "".join(out)
+
+
 def register_sql_functions(spark) -> None:
     """Expose the jsonb operator family to `/sql` as two-argument SQL
     functions — the reference's users reach these operators through

@@ -297,3 +297,103 @@ def test_sql_jsonb_exists_matches_column_and_stays_jvm(spark):
         .toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# -- the /sql JVM rewrite tier (round-4 verdict ask #2) -----------------------
+
+
+DOCS = [
+    (1, '{"k": 7, "s": "x"}'),
+    (2, '{"k": 7.0}'),
+    (3, '{"k": "7"}'),
+    (4, '{"k": 8, "s": "x"}'),
+    (5, '{"s": "x"}'),
+    (6, '{"k": null}'),
+    (7, '{"k": true}'),
+    (8, '[7]'),
+    (9, 'not json'),
+    (10, None),
+    (11, '{}'),
+    (12, '{"s": "it''s"}'),
+]
+
+
+def _pandas_oracle(needle_json):
+    import json as _json
+
+    needle = _json.loads(needle_json)
+    out = {}
+    for i, doc in DOCS:
+        if doc is None:
+            out[i] = None
+            continue
+        try:
+            out[i] = j._pg_contains(_json.loads(doc), needle)
+        except ValueError:
+            out[i] = None
+    return out
+
+
+@pytest.mark.parametrize(
+    "needle",
+    [
+        '{"k": 7}',          # number (7 must contain 7.0, not "7")
+        '{"k": "7"}',        # string
+        '{"k": null}',
+        '{"k": true}',
+        '{"k": 7, "s": "x"}',  # conjunction
+        "{}",                # empty object: true iff doc is an object
+    ],
+)
+def test_sql_rewrite_matches_pandas_semantics(spark, needle):
+    """The rewritten JVM expression and the recursive Postgres rules
+    (the pandas tier's _pg_contains) must agree on every shape."""
+    df = spark.createDataFrame(DOCS, "id long, js string")
+    df.createOrReplaceTempView("rw_docs")
+    lit = needle.replace("'", "''")
+    sql = f"SELECT id, jsonb_contains(js, '{lit}') AS c FROM rw_docs"
+    rewritten = j.rewrite_jsonb_sql(sql)
+    assert "jsonb_contains" not in rewritten.lower()
+    got = {r["id"]: r["c"] for r in spark.sql(rewritten).collect()}
+    assert got == _pandas_oracle(needle)
+
+
+def test_sql_rewrite_plan_has_no_python_worker(lagoon, tmp_path):
+    """A flat-needle jsonb_contains through the /sql surface plans with
+    no ArrowEvalPython/BatchEvalPython stage."""
+    p = tmp_path / "docs.json"
+    p.write_text('{"k": 7}\n{"k": 8}\n')
+    lagoon.ingest(str(p), "rwsrc", file_type="json")
+    df = lagoon.sql(
+        "SELECT ix FROM rwsrc_v1 WHERE jsonb_contains(data, '{\"k\": 7}')"
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "extended"
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert [r["ix"] for r in df.collect()] == [1]
+    # dynamic / nested needles still work (pandas tier)
+    nested = lagoon.sql(
+        "SELECT ix FROM rwsrc_v1 WHERE jsonb_contains(data, '{\"k\": [7]}')"
+    )
+    assert nested.collect() == []
+
+
+def test_rewrite_text_level_edge_cases():
+    # untouched: literal containing the call name, glued identifiers,
+    # dynamic second arg, nested needle
+    for sql in (
+        "SELECT 'jsonb_contains(x, ''{}'')' AS s",
+        "SELECT my_jsonb_contains(js, '{}') FROM t",
+        "SELECT jsonb_contains(js, other_col) FROM t",
+        'SELECT jsonb_contains(js, \'{"k": {"n": 1}}\') FROM t',
+    ):
+        assert j.rewrite_jsonb_sql(sql) == sql
+    # rewritten: case-insensitive, nested parens in the operand,
+    # multiple calls, '' escapes in the needle
+    out = j.rewrite_jsonb_sql(
+        "SELECT JSONB_CONTAINS(get_json_object(js, '$.a'), '{\"k\": 1}'), "
+        "jsonb_contains(js, '{\"s\": \"it''s\"}') FROM t"
+    )
+    assert "JSONB_CONTAINS" not in out and "jsonb_contains" not in out
+    assert "try_variant_get" in out and "it\\'s" in out.replace("''", "\\'")
