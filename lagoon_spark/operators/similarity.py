@@ -169,40 +169,91 @@ def rp_lsh_buckets(
     return df.withColumn(out_col, bucket)
 
 
+#: above this k the centroid set stops being an expression and becomes
+#: DATA: literal-expression text (and Catalyst analysis over it) grows
+#: with k·dim, so larger sets ride a broadcast single-row array instead
+IVF_LITERAL_MAX_K = 256
+
+
+def _cents_one_row(spark, centroids) -> DataFrame:
+    """The full centroid set as ONE broadcastable row holding
+    ``array<array<double>>`` — centroid values flow through the plan as
+    broadcast data (bytes), not as expression text (Catalyst analysis
+    cost). From a list or a (__ci, __cv) DataFrame; the DataFrame path
+    never touches the driver with more than the packed row itself."""
+    if isinstance(centroids, DataFrame):
+        return centroids.groupBy().agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__ci", "__cv"))),
+                lambda s: s["__cv"],
+            ).alias("__cents")
+        )
+    return spark.createDataFrame([(centroids,)], "__cents array<array<double>>")
+
+
 def ivf_assign(
     df: DataFrame,
     vec_col: str,
-    centroids: list[list[float]],
+    centroids: "list[list[float]] | DataFrame",
     out_col: str = "ivf_cell",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (IVF coarse quantizer).
 
-    Centroids are a small broadcast list evaluated row-locally; at scale
-    they come from k-means (``kmeans_fit_predict``). One expression for
-    all k distances — an earlier version chained per-centroid
-    ``when(d < best, …)`` columns, which *duplicates* every distance
-    sub-expression into all later branches; Catalyst analysis blew up
-    super-linearly in k (measured 13.7s → 1.1s for the 2-round k-means
-    at sf0.1). ``array_position`` of the min takes the FIRST match, so
-    ties break toward the lowest cell id, same as before.
+    Two JVM tiers, both row-local over the corpus (a pure map at
+    100 TB), selected by k:
+
+    * **literal** (k ≤ 256): one expression for all k distances — an
+      earlier version chained per-centroid ``when(d < best, …)``
+      columns, which *duplicates* every distance sub-expression into
+      all later branches; Catalyst analysis blew up super-linearly in
+      k (measured 13.7s → 1.1s for the 2-round k-means at sf0.1).
+    * **broadcast** (larger k, or a centroid DataFrame): the centroid
+      set crosses the plan as ONE broadcast row of
+      ``array<array<double>>`` joined to every corpus row; the same
+      higher-order-function expression then reads centroids from the
+      COLUMN, so expression text and analysis cost stay O(1) in k —
+      SemDeDup's k ≈ √n regime (hundreds of thousands of cells) no
+      longer hits the literal-expression planning ceiling (round-4
+      verdict ask #1). The packed row is k·dim doubles; past ~10⁷
+      entries chunk the centroid table and take a per-chunk argmin.
+
+    ``array_position`` of the min takes the FIRST match in both tiers,
+    so ties break toward the lowest cell id.
     """
-    cents = (
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"CAST({w:.17g} AS DOUBLE)" for w in c) + ")"
-            for c in centroids
+    is_list = not isinstance(centroids, DataFrame)
+    if is_list and len(centroids) <= IVF_LITERAL_MAX_K:
+        cents = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"CAST({w:.17g} AS DOUBLE)" for w in c) + ")"
+                for c in centroids
+            )
+            + ")"
         )
-        + ")"
-    )
+        dists = (
+            f"transform({cents}, c -> aggregate(zip_with({vec_col}, c, (x, y) -> "
+            f"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+        )
+        cell = F.expr(
+            f"CAST(array_position({dists}, array_min({dists})) AS INT) - 1"
+        )
+        return df.withColumn(out_col, cell)
+
+    one = _cents_one_row(df.sparkSession, centroids)
     dists = (
-        f"transform({cents}, c -> aggregate(zip_with({vec_col}, c, (x, y) -> "
+        f"transform(__cents, c -> aggregate(zip_with({vec_col}, c, (x, y) -> "
         f"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
         f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
     )
     cell = F.expr(
         f"CAST(array_position({dists}, array_min({dists})) AS INT) - 1"
     )
-    return df.withColumn(out_col, cell)
+    return (
+        df.crossJoin(F.broadcast(one))
+        .withColumn(out_col, cell)
+        .drop("__cents")
+    )
 
 
 def quantize_embeddings(
@@ -243,6 +294,26 @@ def quantize_embeddings(
 KMEANS_FP = 1 << 20  # fixed-point scale for order-free mean accumulation
 
 
+def _kmeans_sums(assigned: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """One Lloyd iteration's statistics: per-(cell, dim) fixed-point
+    integer sums + counts — map-side-combinable, order-free."""
+    return (
+        assigned.select(
+            F.col(out_col).alias("__cell"),
+            F.posexplode(F.col(vec_col)).alias("__pos", "__x"),
+        )
+        .groupBy("__cell", "__pos")
+        .agg(
+            F.sum(
+                F.floor(F.col("__x").cast("double") * KMEANS_FP + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("__s"),
+            F.count(F.lit(1)).alias("__c"),
+        )
+    )
+
+
 def kmeans_fit_predict(
     df: DataFrame,
     id_col: str,
@@ -252,7 +323,8 @@ def kmeans_fit_predict(
     iters: int = 2,
     dim: int,
     out_col: str = "cell",
-) -> tuple[DataFrame, list[list[float]]]:
+    centroids_as: str = "list",
+) -> tuple[DataFrame, "list[list[float]] | DataFrame"]:
     """Lloyd's k-means, engine-deterministic: (assignments, centroids).
 
     Every source of nondeterminism in textbook distributed k-means is
@@ -267,31 +339,64 @@ def kmeans_fit_predict(
       update).
 
     Scale shape: each iteration is ONE map-side-combinable groupBy on
-    (cell, dim); the k×dim centroid table is collected (a few KB — the
-    canonical "small model state" driver round-trip) and re-broadcast
-    as literals in the next assignment expression, which is row-local.
+    (cell, dim); assignment is row-local in both of ``ivf_assign``'s
+    tiers. Centroid state has two carriers selected by
+    ``centroids_as``:
+
+    * ``"list"`` — the k×dim table is collected per iteration (a few
+      KB at small k — the canonical "small model state" driver
+      round-trip) and handed back to ``ivf_assign``;
+    * ``"table"`` — the state NEVER touches the driver: sums fold into
+      a (__ci, __cv) centroid DataFrame (empty cells keep their
+      previous row via a left join), which broadcasts into the next
+      assignment. This is the SemDeDup k ≈ √n regime (round-4 verdict
+      ask #1): at hundreds of thousands of cells a per-iteration
+      ``collect()`` is a driver ceiling, a k-row DataFrame is not.
+
     100 TB of vectors never shuffles on anything but the k·dim cells.
     """
     from pyspark.sql import functions as F
 
-    centroids = [[0.0] * dim for _ in range(k)]
+    if centroids_as not in ("list", "table"):
+        raise ValueError(f"unknown centroids_as {centroids_as!r}")
     assigned = df.withColumn(out_col, F.pmod(F.col(id_col), F.lit(k)))
-    for _ in range(iters):
-        sums = (
-            assigned.select(
-                F.col(out_col).alias("__cell"),
-                F.posexplode(F.col(vec_col)).alias("__pos", "__x"),
-            )
-            .groupBy("__cell", "__pos")
-            .agg(
-                F.sum(
-                    F.floor(F.col("__x").cast("double") * KMEANS_FP + F.lit(0.5)).cast(
-                        "long"
-                    )
-                ).alias("__s"),
-                F.count(F.lit(1)).alias("__c"),
-            )
+
+    if centroids_as == "table":
+        spark = df.sparkSession
+        cents = spark.range(k).select(
+            F.col("id").cast("int").alias("__ci"),
+            F.array_repeat(F.lit(0.0).cast("double"), dim).alias("__cv"),
         )
+        for _ in range(iters):
+            new = (
+                _kmeans_sums(assigned, vec_col, out_col)
+                .withColumn(
+                    "__m", F.col("__s") / (F.col("__c") * F.lit(float(KMEANS_FP)))
+                )
+                .groupBy(F.col("__cell").cast("int").alias("__ci"))
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("__pos", "__m"))),
+                        lambda s: s["__m"],
+                    ).alias("__cv_new")
+                )
+            )
+            cents = (
+                cents.join(new, "__ci", "left")
+                .select(
+                    "__ci",
+                    F.coalesce(F.col("__cv_new"), F.col("__cv")).alias("__cv"),
+                )
+                # pin each iteration's state: without it, every later
+                # assignment re-derives the whole iteration chain
+                .localCheckpoint(eager=False)
+            )
+            assigned = ivf_assign(df, vec_col, cents, out_col=out_col)
+        return assigned.select(id_col, out_col), cents
+
+    centroids = [[0.0] * dim for _ in range(k)]
+    for _ in range(iters):
+        sums = _kmeans_sums(assigned, vec_col, out_col)
         for row in sums.collect():
             centroids[row["__cell"]][row["__pos"]] = row["__s"] / (
                 row["__c"] * float(KMEANS_FP)
@@ -390,7 +495,10 @@ def semantic_dedup(
     threshold compare so float formatting can't flip a boundary pair.
     """
     assigned, _ = kmeans_fit_predict(
-        df, id_col, vec_col, k=k, iters=iters, dim=dim
+        df, id_col, vec_col, k=k, iters=iters, dim=dim,
+        # past the literal-expression ceiling the centroid state flows
+        # through a broadcast table and never collects to the driver
+        centroids_as="table" if k > IVF_LITERAL_MAX_K else "list",
     )
     base = df.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
     a = base.select(
@@ -508,10 +616,16 @@ def ivf_probe_topk(
         )
     )
     # distance of each query to every centroid: a (nq·k_cells)-row
-    # metadata frame, windowed to nprobe per query, broadcast
-    cents_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)],
-        "__ci int, __cv array<double>",
+    # metadata frame, windowed to nprobe per query, broadcast. A
+    # centroid DataFrame (the large-k kmeans state) is used as-is —
+    # nothing collects to the driver at any k.
+    cents_df = (
+        centroids.select("__ci", "__cv")
+        if isinstance(centroids, DataFrame)
+        else spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "__ci int, __cv array<double>",
+        )
     )
     wprobe = Window.partitionBy("__q").orderBy("__d", "__ci")
     qdist = (

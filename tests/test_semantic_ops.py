@@ -293,3 +293,118 @@ def test_ivf_probe_batched_queries_match_per_query_runs(spark, sf_small):
             emb.filter(F.col("vec_id") == qid), k=4, nprobe=2,
         ).collect()
         assert by_q[qid] == [(r["vec_id"], r["cosine"]) for r in single]
+
+
+# -- large-k centroid tiers (round-4 verdict ask #1) --------------------------
+
+
+def _emb(spark, sf_small):
+    return (
+        spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+
+
+def test_ivf_assign_broadcast_tier_matches_literal_tier(spark, sf_small):
+    from lagoon_spark.operators.similarity import ivf_assign
+    from lagoon_spark.pipeline_queries import _ivf_centroids
+
+    emb = _emb(spark, sf_small)
+    cents = _ivf_centroids()
+    lit = {r["vec_id"]: r["ivf_cell"] for r in ivf_assign(emb, "embedding", cents).collect()}
+    cents_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "__ci int, __cv array<double>"
+    )
+    bc = {r["vec_id"]: r["ivf_cell"] for r in ivf_assign(emb, "embedding", cents_df).collect()}
+    assert bc == lit and len(lit) > 0
+
+
+def test_kmeans_table_state_matches_list_state(spark, sf_small):
+    from lagoon_spark.operators.similarity import kmeans_fit_predict
+
+    emb = _emb(spark, sf_small).limit(500)
+    dim = len(emb.first()["embedding"])
+    a_list, cents = kmeans_fit_predict(
+        emb, "vec_id", "embedding", k=8, iters=2, dim=dim
+    )
+    a_tab, cents_df = kmeans_fit_predict(
+        emb, "vec_id", "embedding", k=8, iters=2, dim=dim, centroids_as="table"
+    )
+    got = {r["vec_id"]: r["cell"] for r in a_tab.collect()}
+    want = {r["vec_id"]: r["cell"] for r in a_list.collect()}
+    assert got == want
+    # the centroid table holds the same vectors the driver list does
+    tab = {r["__ci"]: r["__cv"] for r in cents_df.collect()}
+    for i, c in enumerate(cents):
+        assert tab[i] == pytest.approx(c, abs=1e-12)
+
+
+def test_semantic_dedup_above_literal_ceiling_matches_list_path(spark, sf_small, monkeypatch):
+    """k past IVF_LITERAL_MAX_K routes through the table tier; forcing
+    the list path at the same k must give the identical kept set."""
+    from lagoon_spark.operators import similarity
+
+    emb = _emb(spark, sf_small).limit(300)
+    dim = len(emb.first()["embedding"])
+
+    def run():
+        return {
+            (r["vec_id"], r["cell"], r["kept"])
+            for r in similarity.semantic_dedup(
+                emb, "vec_id", "embedding", k=300, iters=1, dim=dim, threshold=0.95
+            ).collect()
+        }
+
+    via_table = run()
+    monkeypatch.setattr(similarity, "IVF_LITERAL_MAX_K", 10_000)
+    via_list = run()
+    assert via_table == via_list and len(via_table) == 300
+
+
+def test_ivf_assign_k10000_smoke(spark):
+    """The broadcast tier plans and executes at k = 10,000 — the
+    literal tier cannot (expression text and Catalyst analysis grow
+    with k·dim; measured minutes of planning at this size). Correctness
+    is pinned against a NumPy argmin oracle."""
+    import time
+
+    import numpy as np
+
+    from lagoon_spark.operators.similarity import ivf_assign
+
+    rng = np.random.RandomState(7)
+    dim, k, n = 16, 10_000, 200
+    cents = rng.rand(k, dim).round(6).tolist()
+    vecs = rng.rand(n, dim).round(6).tolist()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vid int, embedding array<double>"
+    )
+    cents_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "__ci int, __cv array<double>"
+    )
+    t0 = time.time()
+    got = {
+        r["vid"]: r["ivf_cell"]
+        for r in ivf_assign(df, "embedding", cents_df).collect()
+    }
+    elapsed = time.time() - t0
+    ca = np.asarray(cents)
+    va = np.asarray(vecs)
+    d2 = ((va[:, None, :] - ca[None, :, :]) ** 2).sum(axis=2)
+    want = d2.argmin(axis=1)
+    assert got == {i: int(want[i]) for i in range(n)}
+    assert elapsed < 120, f"k=10k assignment took {elapsed:.1f}s"
+
+
+def test_ivf_probe_accepts_centroid_table(spark, sf_small):
+    from lagoon_spark.pipeline_queries import _ivf_centroids
+
+    emb = _emb(spark, sf_small)
+    cents = _ivf_centroids()
+    cents_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "__ci int, __cv array<double>"
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    a = ivf_probe_topk(emb, "vec_id", "embedding", cents, q, k=5, nprobe=2).collect()
+    b = ivf_probe_topk(emb, "vec_id", "embedding", cents_df, q, k=5, nprobe=2).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
