@@ -204,6 +204,69 @@ class Catalog:
         # bumped on every write through THIS instance; state_token()
         # is the cross-instance (warehouse-state) change signal
         self.mutation_count = 0
+        self._lock_depth = 0
+
+    def writer_lock(self, timeout: float = 600.0):
+        """Exclusive warehouse writer lock (flock on
+        ``catalog/.writer.lock``) held for the span of one mutating
+        operation — an ingest, compaction, delete, or streaming batch.
+
+        The catalog is parquet + an in-process pandas cache; without
+        the lock, two engines mutating one warehouse interleave their
+        read-modify-write cycles (both compute the same next source
+        ix, one's sources.parquet write silently erases the other's
+        row). The reference gets this for free from Postgres
+        transactions (`Ingest.hs` runs each ingest in one); flock is
+        the library-world equivalent. On acquisition the in-memory
+        cache is dropped so this writer builds on the other writer's
+        committed state. Reentrant within one Catalog instance (an
+        ingest inside a streaming batch re-enters); a second PROCESS
+        blocks up to ``timeout`` seconds, then fails cleanly with
+        TimeoutError — never corrupting the catalog either way.
+        """
+        import contextlib
+
+        @contextlib.contextmanager
+        def _guard():
+            if self._lock_depth:
+                self._lock_depth += 1
+                try:
+                    yield
+                finally:
+                    self._lock_depth -= 1
+                return
+            try:
+                import fcntl
+            except ImportError:  # non-POSIX: single-writer only
+                yield
+                return
+            import time
+
+            os.makedirs(self.dir, exist_ok=True)
+            f = open(os.path.join(self.dir, ".writer.lock"), "a+")
+            t0 = time.monotonic()
+            while True:
+                try:
+                    fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.monotonic() - t0 > timeout:
+                        f.close()
+                        raise TimeoutError(
+                            "another writer holds the warehouse lock "
+                            f"{self.dir}/.writer.lock"
+                        )
+                    time.sleep(0.05)
+            self._lock_depth = 1
+            self.refresh()  # build on the other writer's committed state
+            try:
+                yield
+            finally:
+                self._lock_depth = 0
+                fcntl.flock(f, fcntl.LOCK_UN)
+                f.close()
+
+        return _guard()
 
     # -- storage ------------------------------------------------------------
 

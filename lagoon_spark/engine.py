@@ -82,7 +82,16 @@ class Lagoon:
 
     # -- ingest (POST /sources; `Ingest.hs:82-132`) --------------------------
 
-    def ingest(
+    def ingest(self, path: str, name: str, **kwargs) -> SourceInfo:
+        """Ingest one datasource (see :meth:`_ingest_locked` for the
+        full flag surface). Runs under the warehouse writer lock: two
+        engines ingesting into one warehouse serialize instead of
+        interleaving catalog read-modify-write cycles (the reference
+        holds a Postgres transaction per ingest for the same reason)."""
+        with self.catalog.writer_lock():
+            return self._ingest_locked(path, name, **kwargs)
+
+    def _ingest_locked(
         self,
         path: str,
         name: str,
@@ -501,7 +510,12 @@ class Lagoon:
 
     # -- typed re-cast (A10 + setColumnType, `DB/ColumnSpec.hs:182-189`) ----
 
-    def set_column_type(self, info: SourceInfo, column: str, new_type: str) -> SourceInfo:
+    def set_column_type(self, info: SourceInfo, column: str, new_type: str):
+        """Locked wrapper over :meth:`_set_column_type_locked` — see there."""
+        with self.catalog.writer_lock():
+            return self._set_column_type_locked(info, column, new_type)
+
+    def _set_column_type_locked(self, info: SourceInfo, column: str, new_type: str) -> SourceInfo:
         """Override one column's type and re-materialize the typed table."""
         cols = [
             (p, h, new_type if p == column or h == column else t)
@@ -524,7 +538,12 @@ class Lagoon:
         self.register_views(out)
         return out
 
-    def optimize_layout(
+    def optimize_layout(self, *args, **kwargs):
+        """Locked wrapper over :meth:`_optimize_layout_locked` — see there."""
+        with self.catalog.writer_lock():
+            return self._optimize_layout_locked(*args, **kwargs)
+
+    def _optimize_layout_locked(
         self,
         info: SourceInfo,
         cols: list[str],
@@ -584,7 +603,12 @@ class Lagoon:
         self.register_views(info)
         return info
 
-    def make_typed(self, info: SourceInfo) -> SourceInfo:
+    def make_typed(self, info: SourceInfo):
+        """Locked wrapper over :meth:`_make_typed_locked` — see there."""
+        with self.catalog.writer_lock():
+            return self._make_typed_locked(info)
+
+    def _make_typed_locked(self, info: SourceInfo) -> SourceInfo:
         """Build the typed table for an already-ingested untyped source.
 
         Parity with the reference's standalone MakeTyped command
@@ -642,7 +666,12 @@ class Lagoon:
 
     # -- delete (A27) --------------------------------------------------------
 
-    def delete_source(self, info: SourceInfo) -> None:
+    def delete_source(self, info: SourceInfo):
+        """Locked wrapper over :meth:`_delete_source_locked` — see there."""
+        with self.catalog.writer_lock():
+            return self._delete_source_locked(info)
+
+    def _delete_source_locked(self, info: SourceInfo) -> None:
         import shutil
 
         from lagoon_spark import security as _sec
@@ -1003,7 +1032,12 @@ class Lagoon:
 
     # -- compaction (A24) ----------------------------------------------------
 
-    def compact(self, name: str) -> SourceInfo:
+    def compact(self, name: str):
+        """Locked wrapper over :meth:`_compact_locked` — see there."""
+        with self.catalog.writer_lock():
+            return self._compact_locked(name)
+
+    def _compact_locked(self, name: str) -> SourceInfo:
         """Merge all versions of a dataset into one table with an
         ``ixs array<int>`` provenance column (`Ingest.hs:342-428`).
 
@@ -1210,7 +1244,12 @@ class Lagoon:
 
     # -- multi-part / foreign ingest (A25) -----------------------------------
 
-    def ingest_extra_data(
+    def ingest_extra_data(self, path: str, name: str, **kwargs):
+        """Locked wrapper over :meth:`_ingest_extra_data_locked` — see there."""
+        with self.catalog.writer_lock():
+            return self._ingest_extra_data_locked(path, name, **kwargs)
+
+    def _ingest_extra_data_locked(
         self,
         path: str,
         name: str,

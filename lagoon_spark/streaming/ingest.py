@@ -191,10 +191,14 @@ class StreamIngestor:
             (r["path"], r["modificationTime"])
             for r in batch_df.select("path", "modificationTime").collect()
         )
-        if self.mode == "versions":
-            self._batch_versions(files)
-        else:
-            self._batch_append(files, batch_id)
+        # each micro-batch is one warehouse write transaction: a second
+        # writer (another stream, a concurrent one-shot ingest) blocks
+        # on the lock instead of interleaving catalog writes
+        with self.engine.catalog.writer_lock():
+            if self.mode == "versions":
+                self._batch_versions(files)
+            else:
+                self._batch_append(files, batch_id)
 
     def start(self, *, processing_time: str | None = None, available_now: bool = False):
         writer = self._discovery_stream().writeStream.foreachBatch(

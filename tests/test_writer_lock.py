@@ -1,0 +1,122 @@
+"""Multi-writer warehouse safety (round-4 verdict ask #6).
+
+The catalog is parquet plus an in-process pandas cache; two engines on
+one warehouse used to interleave read-modify-write cycles (both pick
+the same next source ix, the second sources.parquet write erases the
+first's row). Every mutating engine operation now runs under an
+exclusive flock-based writer lock that drops the acquirer's cache on
+entry, so concurrent writers serialize — or, past the timeout, fail
+cleanly — and the catalog is never corrupted.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+
+
+def test_concurrent_ingests_from_two_engines_serialize(spark, tmp_path):
+    """Two engines, one warehouse, racing ingests from two threads:
+    every source must land with a distinct ix and survive in the
+    catalog (no lost updates)."""
+    from lagoon_spark.engine import Lagoon
+
+    wh = str(tmp_path / "wh")
+    a = Lagoon(spark, wh, user="admin")
+    a.init_db()
+    b = Lagoon(spark, wh, user="admin")
+
+    files = []
+    for i in range(6):
+        p = tmp_path / f"f{i}.csv"
+        p.write_text(f"c\n{i}\n")
+        files.append(str(p))
+
+    errors = []
+
+    def work(engine, names):
+        try:
+            for name, f in names:
+                engine.ingest(f, name)
+        except Exception as e:  # surface in the main thread
+            errors.append(e)
+
+    t1 = threading.Thread(
+        target=work, args=(a, [(f"src_a{i}", files[i]) for i in range(3)])
+    )
+    t2 = threading.Thread(
+        target=work, args=(b, [(f"src_b{i}", files[3 + i]) for i in range(3)])
+    )
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+
+    # a fresh reader sees all six sources, each with a unique ix and
+    # an intact data directory
+    c = Lagoon(spark, wh, user="admin")
+    rows = c.catalog.load("sources")
+    assert len(rows) == 6
+    assert rows["ix"].nunique() == 6
+    for _, r in rows.iterrows():
+        assert os.path.isdir(os.path.join(wh, "data", r["table_name"]))
+    for i in range(3):
+        assert c.sql(f"SELECT COUNT(*) AS n FROM src_a{i}_v1").collect()[0]["n"] == 1
+        assert c.sql(f"SELECT COUNT(*) AS n FROM src_b{i}_v1").collect()[0]["n"] == 1
+
+
+def test_second_process_times_out_cleanly(tmp_path):
+    """A writer that cannot get the lock fails with TimeoutError — it
+    never proceeds into a half-locked mutation."""
+    import fcntl
+
+    from lagoon_spark.catalog import Catalog
+
+    wh = str(tmp_path / "wh")
+    cat = Catalog(wh)
+    os.makedirs(cat.dir, exist_ok=True)
+    # simulate another PROCESS holding the lock: flock on a separate fd
+    # (flock serializes between distinct fds even in one process)
+    holder = open(os.path.join(cat.dir, ".writer.lock"), "a+")
+    fcntl.flock(holder, fcntl.LOCK_EX)
+    try:
+        with pytest.raises(TimeoutError, match="warehouse lock"):
+            with cat.writer_lock(timeout=0.3):
+                pass
+    finally:
+        fcntl.flock(holder, fcntl.LOCK_UN)
+        holder.close()
+    # and once released, acquisition succeeds
+    with cat.writer_lock(timeout=1.0):
+        pass
+
+
+def test_lock_is_reentrant(tmp_path):
+    from lagoon_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    with cat.writer_lock():
+        with cat.writer_lock():  # ingest inside a streaming batch
+            pass
+        # still held after the inner exit
+        assert cat._lock_depth == 1
+    assert cat._lock_depth == 0
+
+
+def test_lock_refreshes_cache_on_acquisition(tmp_path):
+    """Acquiring the lock must drop the in-memory cache so the writer
+    builds on the other writer's committed state, not its own stale
+    snapshot (the lost-update vector)."""
+    from lagoon_spark.catalog import Catalog
+
+    wh = str(tmp_path / "wh")
+    a, b = Catalog(wh), Catalog(wh)
+    a.init_db()
+    b.load("sources")  # warm b's cache while the table is empty
+    a.new_source("from_a", url=None, description=None, added_by="x", created=None, fmt="tabular")
+    with b.writer_lock():
+        ix, *_ = b.new_source(
+            "from_b", url=None, description=None, added_by="x", created=None, fmt="tabular"
+        )
+    assert ix == 2  # saw a's row; without the refresh both would be 1
+    assert sorted(Catalog(wh).load("sourcenames")["name"]) == ["from_a", "from_b"]
