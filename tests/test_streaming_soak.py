@@ -1,0 +1,118 @@
+"""Streaming soak — a real continuous query (processingTime trigger)
+with files arriving WHILE it runs, a mid-stream stop, and a restart
+from the same checkpoint (round-4 verdict ask #8).
+
+The invariants across the stop/restart boundary:
+
+* versions mode: every delivered file becomes exactly ONE version —
+  the checkpoint's processed-file log plus the SUID tag guarantee no
+  duplicates even when the same directory is re-scanned after restart;
+* append mode: every delivered row lands exactly once — the committed
+  batch-id watermark skips foreachBatch replays, so the restarted
+  query never double-appends.
+"""
+
+from __future__ import annotations
+
+import time
+
+
+def _wait(cond, timeout=90.0, interval=0.25) -> bool:
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        try:
+            if cond():
+                return True
+        except Exception:
+            pass  # catalog mid-write on the stream thread; retry
+        time.sleep(interval)
+    return False
+
+
+def _write(p, text) -> None:
+    p.write_text(text)
+
+
+def test_versions_soak_restart_no_duplicate_versions(lagoon, tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def versions():
+        lagoon.catalog.refresh()
+        return lagoon.catalog.versions("soak")
+
+    ing = lagoon.ingest_stream(str(inbox), "soak", checkpoint_dir=ckpt, mode="versions")
+    q = ing.start(processing_time="500 milliseconds")
+    try:
+        _write(inbox / "a.csv", "id,v\n1,x\n")
+        assert _wait(lambda: versions() == [1]), "v1 never appeared"
+        # second file lands while the query is LIVE — a later batch
+        _write(inbox / "b.csv", "id,v\n2,y\n")
+        assert _wait(lambda: versions() == [1, 2]), "v2 never appeared"
+    finally:
+        q.stop()
+
+    # a file arrives during the outage; the restarted query (same
+    # checkpoint) picks up ONLY the new file
+    _write(inbox / "c.csv", "id,v\n3,z\n")
+    q2 = lagoon.ingest_stream(
+        str(inbox), "soak", checkpoint_dir=ckpt, mode="versions"
+    ).start(processing_time="500 milliseconds")
+    try:
+        assert _wait(lambda: versions() == [1, 2, 3]), "v3 never appeared"
+        # soak a few more trigger intervals: an idle continuous query
+        # must not re-ingest anything it has already seen
+        time.sleep(2.5)
+        assert versions() == [1, 2, 3]
+    finally:
+        q2.stop()
+
+    # one more cold re-scan over the same directory — still no dupes
+    lagoon.ingest_stream(
+        str(inbox), "soak", checkpoint_dir=ckpt, mode="versions"
+    ).run_available()
+    assert versions() == [1, 2, 3]
+    got = lagoon.sql(
+        "SELECT v FROM soak_v1 UNION ALL SELECT v FROM soak_v2 "
+        "UNION ALL SELECT v FROM soak_v3 ORDER BY v"
+    ).collect()
+    assert [r["v"] for r in got] == ["x", "y", "z"]
+
+
+def test_append_soak_restart_no_double_append(lagoon, tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def rows():
+        lagoon.catalog.refresh()
+        return lagoon.catalog.get_source("flow", 1).row_count
+
+    ing = lagoon.ingest_stream(str(inbox), "flow", checkpoint_dir=ckpt, mode="append")
+    q = ing.start(processing_time="500 milliseconds")
+    try:
+        _write(inbox / "a.csv", "id,v\n1,x\n2,y\n")
+        assert _wait(lambda: rows() == 2), "batch 1 never appended"
+        _write(inbox / "b.csv", "id,v\n3,z\n")
+        assert _wait(lambda: rows() == 3), "batch 2 never appended"
+    finally:
+        q.stop()  # mid-stream kill
+
+    _write(inbox / "c.csv", "id,v\n4,w\n5,q\n")
+    q2 = lagoon.ingest_stream(
+        str(inbox), "flow", checkpoint_dir=ckpt, mode="append"
+    ).start(processing_time="500 milliseconds")
+    try:
+        assert _wait(lambda: rows() == 5), "post-restart batch never appended"
+        time.sleep(2.5)  # idle triggers must not double-append
+        assert rows() == 5
+    finally:
+        q2.stop()
+
+    # exactly-once content: equals the one-shot ingest of everything,
+    # with ix contiguous across batches and the restart
+    got = lagoon.sql("SELECT ix, id, v FROM flow_v1_typed ORDER BY ix").collect()
+    assert [(r["ix"], r["id"], r["v"]) for r in got] == [
+        (1, 1, "x"), (2, 2, "y"), (3, 3, "z"), (4, 4, "w"), (5, 5, "q"),
+    ]
