@@ -609,12 +609,30 @@ def _string_literal(arg: str) -> str | None:
     return inner.replace("''", "'")
 
 
+def _exists_chain_sql(operand_sql: str, keys: list, op: str) -> str | None:
+    """``?&``/``?|`` with a constant key list → an AND/OR chain over the
+    expression-bodied (codegen'd) jsonb_exists SQL UDF. PG: empty key
+    list is vacuously true for ?& and false for ?|."""
+    if not isinstance(keys, list) or not all(isinstance(k, str) for k in keys):
+        return None
+    if not keys:
+        return "true" if op == "AND" else "false"
+    return f" {op} ".join(
+        f"jsonb_exists(({operand_sql}), {_sql_str(k)})" for k in keys
+    )
+
+
 def rewrite_jsonb_sql(sql: str) -> str:
-    """Rewrite ``jsonb_contains(<expr>, '<flat object literal>')`` calls
-    to pure JVM variant expressions; everything else passes through
-    verbatim. Operates on SQL text (the passthrough surface), so the
-    call name is matched case-insensitively at word boundaries and the
-    argument scan is quote/nesting-aware."""
+    """Rewrite the jsonb calls whose JVM form exists onto it:
+
+    * ``jsonb_contains(<expr>, '<flat object literal>')`` → the variant
+      containment expression (`flat_contains_sql`);
+    * ``jsonb_exists_all/any(<expr>, '<string array literal>')`` → an
+      AND/OR chain over the codegen'd ``jsonb_exists`` SQL UDF.
+
+    Everything else passes through verbatim. Operates on SQL text (the
+    passthrough surface), so call names are matched case-insensitively
+    at word boundaries and the argument scan is quote/nesting-aware."""
     import re
 
     # positions inside '...' string literals (with '' doubling) or
@@ -643,7 +661,9 @@ def rewrite_jsonb_sql(sql: str) -> str:
 
     out: list[str] = []
     i = 0
-    pat = re.compile(r"jsonb_contains\s*\(", re.IGNORECASE)
+    pat = re.compile(
+        r"(jsonb_contains|jsonb_exists_all|jsonb_exists_any)\s*\(", re.IGNORECASE
+    )
     while i < n:
         m = pat.search(sql, i)
         if not m:
@@ -663,13 +683,28 @@ def rewrite_jsonb_sql(sql: str) -> str:
             break
         args, after = scanned
         lit = _string_literal(args[1]) if len(args) == 2 else None
-        flat = _flat_needle(lit) if lit is not None else None
-        if flat is None:
+        fname = m.group(1).lower()
+        replacement = None
+        if lit is not None:
+            if fname == "jsonb_contains":
+                flat = _flat_needle(lit)
+                if flat is not None:
+                    replacement = flat_contains_sql(args[0], flat)
+            else:
+                try:
+                    keys = json.loads(lit)
+                except ValueError:
+                    keys = None
+                if keys is not None:
+                    replacement = _exists_chain_sql(
+                        args[0], keys, "AND" if fname == "jsonb_exists_all" else "OR"
+                    )
+        if replacement is None:
             out.append(sql[i : m.start() + 1])
             i = m.start() + 1
             continue
         out.append(sql[i : m.start()])
-        out.append("(" + flat_contains_sql(args[0], flat) + ")")
+        out.append("(" + replacement + ")")
         i = after
     return "".join(out)
 

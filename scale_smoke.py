@@ -1,0 +1,215 @@
+"""Dedup/ANN scale smoke — execution above sf0.1 (round-4 verdict #7).
+
+The operators' 100 TB claims are plan-asserted in tests/test_plans.py;
+this harness EXECUTES the two heaviest pipelines on a synthetic ~1M-doc
+corpus (generated JVM-side, no driver loop) and records the evidence:
+
+* wall-time near-linearity: each phase runs at n/4 and n — a healthy
+  pipeline scales ~4×, a quadratic one ~16×;
+* per-stage shuffle-write bytes from the Spark status REST API — the
+  "no stage shuffles O(n²) bytes" check, pinned against the corpus's
+  raw input bytes.
+
+Writes SCALE_SMOKE_r5.json (one JSON document). Usage:
+
+    python scale_smoke.py [--docs 1000000] [--vectors 100000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import time
+import urllib.request
+
+from pyspark.sql import functions as F
+
+
+def make_docs(spark, n: int):
+    """n synthetic documents, ~30 tokens each, with a 10% near-dup rate
+    (every 10th doc repeats its predecessor's text plus a small tail) —
+    the shape MinHash/LSH is built for. Pure JVM generation."""
+    base = F.when(
+        (F.col("id") % 10 == 0) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda i: F.concat(
+            F.lit("t"), F.pmod(F.xxhash64(base, i), F.lit(30000)).cast("string")
+        ),
+    )
+    text = F.concat_ws(" ", toks)
+    text = F.when(
+        (F.col("id") % 10 == 0) & (F.col("id") > 0),
+        F.concat(text, F.lit(" zz"), (F.col("id") % 7).cast("string")),
+    ).otherwise(text)
+    return spark.range(n).select(F.col("id"), text.alias("text"))
+
+
+def make_vectors(spark, m: int, dim: int):
+    """m synthetic embeddings with a 10% exact-duplicate rate (every
+    10th vector repeats its predecessor) so the dedup drop rule fires."""
+    base = F.when(
+        (F.col("id") % 10 == 0) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (F.pmod(F.xxhash64(base, i), F.lit(1000)) / 1000.0),
+    )
+    return spark.range(m).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+
+
+class StageMeter:
+    """Per-phase shuffle accounting via the UI REST API (the same
+    numbers the Spark UI's stage table shows)."""
+
+    def __init__(self, spark):
+        self.base = None
+        ui = spark.sparkContext.uiWebUrl
+        if ui:
+            app = spark.sparkContext.applicationId
+            self.base = f"{ui}/api/v1/applications/{app}/stages"
+        self.seen: set[int] = set(s["stageId"] for s in self._stages())
+
+    def _stages(self) -> list[dict]:
+        if not self.base:
+            return []
+        try:
+            with urllib.request.urlopen(self.base + "?status=complete", timeout=10) as r:
+                return json.loads(r.read())
+        except Exception:
+            return []
+
+    def take(self) -> dict:
+        """Stats over stages completed since the last take()."""
+        fresh = [s for s in self._stages() if s["stageId"] not in self.seen]
+        self.seen |= {s["stageId"] for s in fresh}
+        top = sorted(fresh, key=lambda s: -s.get("shuffleWriteBytes", 0))[:5]
+        return {
+            "stages": len(fresh),
+            "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in fresh),
+            "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in fresh),
+            "max_stage_shuffle_write_bytes": max(
+                (s.get("shuffleWriteBytes", 0) for s in fresh), default=0
+            ),
+            "top_stages": [
+                {
+                    "stageId": s["stageId"],
+                    "name": s.get("name", "")[:80],
+                    "shuffleWriteBytes": s.get("shuffleWriteBytes", 0),
+                }
+                for s in top
+            ],
+        }
+
+
+def run_minhash_cc(spark, n: int) -> dict:
+    from lagoon_spark.operators.dedup import neardup_clusters
+
+    docs = make_docs(spark, n)
+    t0 = time.time()
+    out = neardup_clusters(docs, "id", "text", method="fast")
+    agg = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("cluster").alias("clusters"),
+    ).collect()[0]
+    wall = time.time() - t0
+    return {"n": n, "wall_sec": round(wall, 2), "rows": agg["rows"], "clusters": agg["clusters"]}
+
+
+def run_semantic(spark, m: int, dim: int) -> dict:
+    from lagoon_spark.operators.similarity import semantic_dedup
+
+    vecs = make_vectors(spark, m, dim)
+    k = int(math.sqrt(m))  # SemDeDup's k ≈ √n regime: the table tier
+    t0 = time.time()
+    out = semantic_dedup(
+        vecs, "vec_id", "embedding", k=k, iters=1, dim=dim, threshold=0.999
+    )
+    agg = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("kept").cast("long")).alias("kept"),
+    ).collect()[0]
+    wall = time.time() - t0
+    return {"m": m, "k": k, "wall_sec": round(wall, 2), "rows": agg["rows"], "kept": agg["kept"]}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--vectors", type=int, default=100_000)
+    ap.add_argument("--dim", type=int, default=16)
+    ap.add_argument("--out", default="SCALE_SMOKE_r5.json")
+    args = ap.parse_args()
+
+    import os
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("lagoon_scale_smoke")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "true")  # the stage meter reads it
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    meter = StageMeter(spark)
+
+    input_bytes = (
+        make_docs(spark, args.docs).agg(F.sum(F.length("text"))).collect()[0][0]
+    )
+    meter.take()  # don't charge corpus accounting to a phase
+
+    report: dict = {
+        "docs": args.docs,
+        "vectors": args.vectors,
+        "dim": args.dim,
+        "input_text_bytes": int(input_bytes),
+        "phases": {},
+    }
+
+    for name, fn, full, quarter in (
+        ("minhash_lsh_cc", run_minhash_cc, args.docs, args.docs // 4),
+        ("semantic_dedup", run_semantic, args.vectors, args.vectors // 4),
+    ):
+        if name == "semantic_dedup":
+            q = fn(spark, quarter, args.dim)
+            meter.take()
+            f = fn(spark, full, args.dim)
+        else:
+            q = fn(spark, quarter)
+            meter.take()
+            f = fn(spark, full)
+        shuffles = meter.take()
+        ratio = round(f["wall_sec"] / max(q["wall_sec"], 1e-9), 2)
+        report["phases"][name] = {
+            "quarter": q,
+            "full": f,
+            "wall_ratio_full_over_quarter": ratio,
+            "near_linear": ratio < 8.0,  # linear = 4; generous headroom
+            **shuffles,
+        }
+
+    # the O(n²)-shuffle tripwire: no single stage of either pipeline
+    # may shuffle more than a few passes over the raw corpus
+    worst = max(
+        p["max_stage_shuffle_write_bytes"] for p in report["phases"].values()
+    )
+    report["max_stage_shuffle_vs_input"] = round(worst / max(input_bytes, 1), 3)
+    report["no_quadratic_shuffle"] = worst < 3 * input_bytes
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

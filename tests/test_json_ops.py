@@ -397,3 +397,49 @@ def test_rewrite_text_level_edge_cases():
     )
     assert "JSONB_CONTAINS" not in out and "jsonb_contains" not in out
     assert "try_variant_get" in out and "it\\'s" in out.replace("''", "\\'")
+
+
+def test_sql_rewrite_exists_all_any(spark):
+    """?&/?| with constant key lists expand to AND/OR chains over the
+    codegen'd jsonb_exists SQL UDF — parity with the pandas tier's
+    shape rules on every document shape, and no Python worker."""
+    rows = [
+        (1, '{"a": 1, "b": 2}'),
+        (2, '{"a": 1}'),
+        (3, '["a", "x"]'),
+        (4, '"a"'),
+        (5, "7"),
+        (6, None),
+        (7, "not json"),
+    ]
+    spark.createDataFrame(rows, "id long, js string").createOrReplaceTempView(
+        "ex_docs"
+    )
+    j.register_sql_functions(spark)
+    sql = (
+        "SELECT id, jsonb_exists_all(js, '[\"a\", \"b\"]') AS ea, "
+        "jsonb_exists_any(js, '[\"b\", \"x\"]') AS eo, "
+        "jsonb_exists_all(js, '[]') AS vac_t, "
+        "jsonb_exists_any(js, '[]') AS vac_f FROM ex_docs"
+    )
+    rewritten = j.rewrite_jsonb_sql(sql)
+    assert "jsonb_exists_all" not in rewritten and "jsonb_exists_any" not in rewritten
+    df = spark.sql(rewritten)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "extended"
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    got = {r["id"]: (r["ea"], r["eo"]) for r in df.collect()}
+    assert got[1] == (True, True)
+    assert got[2] == (False, False)  # 'b' absent → ?& false; ?| none hit
+    assert got[3] == (False, True)   # array: string elements; has "x"
+    assert got[4] == (False, False)  # string scalar: equality only
+    assert got[5] == (False, False)
+    assert got[6] == (None, None)
+    assert got[7] == (None, None)
+    vac = {r["id"]: (r["vac_t"], r["vac_f"]) for r in df.collect()}
+    assert vac[1] == (True, False)  # PG: ?& [] vacuously true, ?| [] false
+    # dynamic key lists stay on the pandas tier
+    assert j.rewrite_jsonb_sql("SELECT jsonb_exists_all(js, other) FROM t") == (
+        "SELECT jsonb_exists_all(js, other) FROM t"
+    )
