@@ -597,12 +597,15 @@ def ivf_probe_topk(
 
     spark = df.sparkSession
     if query_id_col is None:
-        nq = query_df.count()
+        # take(2), not count(): the check needs "exactly one?", and a
+        # limit-2 scan stops at the first partition with rows
+        nq = len(query_df.take(2))
         if nq != 1:
             raise ValueError(
-                f"ivf_probe_topk got {nq} query rows; pass query_id_col= "
-                "to batch multiple queries (a global top-k over several "
-                "queries would silently mix their candidates)"
+                f"ivf_probe_topk got {'0' if nq == 0 else '>1'} query rows; "
+                "pass query_id_col= to batch multiple queries (a global "
+                "top-k over several queries would silently mix their "
+                "candidates)"
             )
     assigned = ivf_assign(df, vec_col, centroids)
     qid = query_id_col or "__qid"

@@ -1392,6 +1392,112 @@ def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# s12 — batched IVF probe search (many queries through one corpus pass)
+# ---------------------------------------------------------------------------
+
+_S12_QIDS = (0, 1, 2)
+
+
+def _s12_oracle(dim: int = 64, cells: int = 4, seed: int = 7) -> str:
+    """DuckDB twin of the batched probe: per-query probe-cell window +
+    per-query rank window — the production read path, where a batch of
+    queries shares ONE corpus assignment pass."""
+    cents = _ivf_centroids(dim, cells, seed)
+
+    def dist(arr: str) -> str:
+        return (
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(v, (x, i) -> "
+            f"(CAST(x AS DOUBLE) - ({arr})[i]) * (CAST(x AS DOUBLE) - ({arr})[i]))), "
+            f"(a, b) -> a + b)"
+        )
+
+    lits = [
+        "[" + ", ".join(f"CAST({w:.17g} AS DOUBLE)" for w in c) + "]"
+        for c in cents
+    ]
+    qdists = " UNION ALL ".join(
+        f"SELECT qid, {ci} AS ci, {dist(arr)} AS d FROM q"
+        for ci, arr in enumerate(lits)
+    )
+    best_c, best_d = "-1", "CAST('inf' AS DOUBLE)"
+    for ci, arr in enumerate(lits):
+        d = dist(arr).replace("(v,", "(embedding,")
+        best_c = f"CASE WHEN ({d}) < {best_d} THEN {ci} ELSE {best_c} END"
+        best_d = f"CASE WHEN ({d}) < {best_d} THEN ({d}) ELSE {best_d} END"
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(list_zip(e.embedding, q.v), "
+        "t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))), (x, y) -> x + y)"
+    )
+    nrm_e = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        "(x, y) -> x + y))"
+    )
+    nrm_q = (
+        "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(q.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+        "(x, y) -> x + y))"
+    )
+    qids = ", ".join(str(q) for q in _S12_QIDS)
+    return f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS v FROM embeddings
+  WHERE vec_id IN ({qids})
+),
+qd AS ({qdists}),
+probe AS (
+  SELECT qid, ci FROM (
+    SELECT qid, ci,
+           row_number() OVER (PARTITION BY qid ORDER BY d, ci) AS pr
+    FROM qd
+  ) WHERE pr <= {_S09_NPROBE}
+),
+cells AS (
+  SELECT vec_id, embedding, CAST({best_c} AS INTEGER) AS ivf_cell
+  FROM embeddings
+),
+scored AS (
+  SELECT q.qid, e.vec_id, e.ivf_cell,
+         round({dot} / ({nrm_e} * {nrm_q}), 9) AS cosine
+  FROM cells e JOIN probe p ON e.ivf_cell = p.ci JOIN q ON q.qid = p.qid
+)
+SELECT qid, vec_id, ivf_cell, cosine, CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {_S09_K}
+"""
+
+
+@df_query(
+    "s12_ivf_probe_batched",
+    "Batched IVF probe search: N query vectors through ONE corpus "
+    "assignment pass — probe-cell selection and the final top-k both "
+    "windowed per query id (round-5: the single-query path used global "
+    "limits that silently mixed candidates across queries).",
+    _s12_oracle(),
+)
+def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id").isin(*_S12_QIDS)).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return similarity.ivf_probe_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        _ivf_centroids(),
+        queries,
+        k=_S09_K,
+        nprobe=_S09_NPROBE,
+        query_id_col="qid",
+    )
+
+
+# ---------------------------------------------------------------------------
 # d22 — duplicate span detection (passage-level dedup, Lee et al. 2022)
 # ---------------------------------------------------------------------------
 
