@@ -177,6 +177,39 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("dump-db-info", help="Dump database info (golden-test oracle)")
 
+    # engine-surface extensions beyond the reference's command set
+    p = sub.add_parser("stats", help="One-pass per-column statistics (ANALYZE analog)")
+    _source_version(p)
+
+    p = sub.add_parser(
+        "export-dataset",
+        help="Run a query and write hive-partitioned parquet (training-shard sink)",
+    )
+    p.add_argument("query", metavar="QUERY")
+    p.add_argument("output", metavar="DIR")
+    p.add_argument("--partition-by", action="append", default=[], metavar="COL")
+    p.add_argument("--sort-by", action="append", default=[], metavar="COL")
+    p.add_argument("--max-records-per-file", type=int, default=None)
+
+    p = sub.add_parser(
+        "optimize-layout", help="Z-order rewrite of a live source's typed table"
+    )
+    _source_version(p)
+    p.add_argument("-c", "--cluster-by", action="append", required=True, metavar="COL")
+
+    p = sub.add_parser(
+        "stream-ingest",
+        help="Watch a directory and ingest continuously (availableNow batch)",
+    )
+    p.add_argument("-n", "--name", required=True)
+    p.add_argument("directory", metavar="DIR")
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--mode", choices=["versions", "append"], default="versions")
+    p.add_argument("--file-pattern", default=None)
+    p.add_argument("--file-type", choices=["csv", "json"], default=None)
+    p.add_argument("--no-headers", action="store_true")
+    p.add_argument("--delimiter", default=None)
+
     p = sub.add_parser("vacuum", help="Remove orphaned data directories")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--temp-grace-sec", type=float, default=3600.0)
@@ -489,6 +522,44 @@ class _Cli:
 
     def cmd_dump_db_info(self):
         sys.stdout.write(self.engine.dump_db_info())
+
+    def cmd_stats(self):
+        import json as _json
+
+        info = self._info()
+        print(_json.dumps(self.engine.stats(info), indent=1, default=str))
+
+    def cmd_export_dataset(self):
+        a = self.args
+        self.engine.register_metadata_views()
+        self.engine.export_query_dataset(
+            a.query,
+            a.output,
+            partition_by=a.partition_by or None,
+            sort_by=a.sort_by or None,
+            max_records_per_file=a.max_records_per_file,
+        )
+        print(f"wrote {a.output}")
+
+    def cmd_optimize_layout(self):
+        info = self.engine.optimize_layout(self._info(), self.args.cluster_by)
+        print("Optimized layout. Updated info:")
+        print(_pretty(info if info is not None else self._info()))
+
+    def cmd_stream_ingest(self):
+        a = self.args
+        self.engine.ingest_stream(
+            a.directory,
+            a.name,
+            checkpoint_dir=a.checkpoint_dir,
+            mode=a.mode,
+            file_pattern=a.file_pattern,
+            file_type={"csv": "tabular"}.get(a.file_type, a.file_type),
+            has_headers=not a.no_headers,
+            delimiter=a.delimiter,
+        ).run_available()
+        info = self.engine.catalog.get_source(a.name)
+        print(_pretty(info))
 
     def cmd_vacuum(self):
         removed = self.engine.vacuum(

@@ -253,3 +253,41 @@ def test_cli_subprocess_executable(tmp_path):
     assert r.returncode == 0
     r = run("show-source", "nope")
     assert r.returncode == 1 and "error:" in r.stderr
+
+
+def test_cli_extension_commands(spark, tmp_path):
+    """The engine-surface extensions exposed to the shell: stats,
+    export-dataset, optimize-layout, stream-ingest."""
+    import json as _json
+
+    wh = tmp_path / "warehouse"
+    _run(wh, "init-db")
+    p = tmp_path / "e.csv"
+    p.write_text("a,b\n1,x\n2,y\n2,z\n")
+    _run(wh, "ingest", "-n", "ext", str(p))
+
+    _, out = _run(wh, "stats", "ext")
+    st = _json.loads(out)
+    assert st["__rows"] == 3 and st["a"]["min"] == 1 and st["a"]["max"] == 2
+
+    dest = str(tmp_path / "shards")
+    _run(
+        wh, "export-dataset", "SELECT a, b FROM ext_v1_typed", dest,
+        "--partition-by", "a",
+    )
+    assert os.path.isdir(os.path.join(dest, "a=1"))
+    assert os.path.isdir(os.path.join(dest, "a=2"))
+
+    _, out = _run(wh, "optimize-layout", "ext", "-c", "a")
+    assert "Optimized layout" in out
+    _, got = _run(wh, "sql", "SELECT COUNT(*) AS n FROM ext_v1_typed")
+    assert got.strip().splitlines()[-1] == "3"
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    (inbox / "s1.csv").write_text("id\n1\n")
+    _, out = _run(
+        wh, "stream-ingest", "-n", "flowed", str(inbox),
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+    )
+    assert "flowed (version 1)" in out
