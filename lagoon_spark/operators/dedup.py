@@ -465,6 +465,60 @@ def _star_components(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
     )
 
 
+def keep_canonical(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    quality_col: str | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    min_matches: int = 8,
+    method: str = "portable",
+) -> DataFrame:
+    """Survivor selection over near-dup clusters: cluster with
+    MinHash-LSH (:func:`neardup_clusters`), then keep exactly ONE
+    canonical document per cluster — the highest ``quality``, ties
+    toward the lowest id. Returns (id, cluster, quality, is_canonical):
+    filter ``is_canonical`` for the deduplicated corpus, keep the rest
+    for provenance. This is the standard "which copy survives" policy
+    of a web-scale dedup pass (drop boilerplate mirrors, keep the
+    best-quality instance), composed from the clustering and quality
+    planes.
+
+    ``quality_col`` names an existing numeric column; the default is
+    the whitespace token count (longer copy wins — the usual heuristic
+    when a trained scorer isn't wired in). Scale shape: the clustering
+    is the signature-collapsed LSH+CC pass (never all-pairs), the
+    survivor pick is one rank window keyed on the cluster id.
+    """
+    from pyspark.sql import Window
+
+    from lagoon_spark.operators import text as _text
+
+    clusters = neardup_clusters(
+        df, id_col, text_col,
+        num_hashes=num_hashes, bands=bands,
+        rows_per_band=rows_per_band, min_matches=min_matches,
+        method=method,
+    )
+    quality = (
+        F.col(quality_col).cast("double")
+        if quality_col
+        else _text.token_count(text_col).cast("double")
+    )
+    q = df.select(F.col(id_col), quality.alias("quality"))
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("quality").desc(), F.col(id_col)
+    )
+    return (
+        clusters.join(q, id_col)
+        .withColumn("is_canonical", F.row_number().over(w) == F.lit(1))
+        .select(id_col, "cluster", "quality", "is_canonical")
+    )
+
+
 def simhash(df: DataFrame, text_col: str, bits: int = 16, out_col: str = "simhash") -> DataFrame:
     """Append a ``bits``-wide SimHash of the token multiset (portable hash).
 

@@ -139,6 +139,36 @@ def word_fingerprints(col: str, mod: int = MOD, mult: int = MULT) -> Column:
     return F.expr(expr)
 
 
+def hashed_linear_score(col: str, mod: int = MOD, mult: int = MULT) -> Column:
+    """Fasttext-style hashed linear text scorer with a FIXED,
+    deterministic weight table: each token's portable rolling-hash
+    fingerprint indexes a pseudo-weight ``((fp % 2001) - 1000)/1000``
+    in [-1, 1]; the document score is ``sigmoid(mean weight)`` rounded
+    to 9 decimals (0.5 = neutral, no tokens → exactly 0.5).
+
+    The point is the serving-side PLAN shape of a linear quality
+    classifier (the fastText/CCNet quality-filter architecture, public
+    method): feature hashing + weight lookup + mean + sigmoid as one
+    row-local whole-stage-codegen expression — no shuffle, no Python,
+    a pure map over 100 TB. Swapping the pseudo-weight arithmetic for
+    a broadcast ``element_at(weights, fp % F)`` serves real trained
+    weights with the identical plan. The float fold is order-pinned
+    (array order, same in the DuckDB twin), so scores hash-match
+    across engines.
+    """
+    fps = word_fingerprints(col, mod, mult)
+    sum_w = F.expr(
+        f"aggregate(transform(filter(split({col}, ' '), w -> w <> ''), "
+        f"w -> aggregate(transform(sequence(1, length(w)), "
+        f"i -> ascii(substr(w, i, 1))), CAST(0 AS BIGINT), "
+        f"(a, b) -> (a * {mult} + b) % {mod})), CAST(0.0 AS DOUBLE), "
+        f"(acc, f) -> acc + (CAST(f % 2001 AS DOUBLE) - 1000.0) / 1000.0)"
+    )
+    n = F.size(fps)
+    mean = F.when(n > 0, sum_w / n).otherwise(F.lit(0.0))
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 9)
+
+
 def word_hashes_fast(col: str, seed: int = 42) -> Column:
     """Production path: xxhash64 per distinct token (JVM intrinsic)."""
     return F.expr(

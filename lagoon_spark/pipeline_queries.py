@@ -252,6 +252,16 @@ def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _d11_oracle(num_hashes: int = 16, bands: int = 4, rows: int = 4, min_matches: int = 8) -> str:
+    return (
+        _d11_ctes(num_hashes, bands, rows, min_matches)
+        + "\nSELECT node AS doc_id, MIN(reach) AS cluster FROM walk GROUP BY node\n"
+    )
+
+
+def _d11_ctes(num_hashes: int = 16, bands: int = 4, rows: int = 4, min_matches: int = 8) -> str:
+    """The MinHash→LSH→CC chain as a reusable CTE prefix (ends after
+    the recursive ``walk`` CTE; callers append their own final
+    select)."""
     seeds = dedup.minhash_seeds(num_hashes)
     sig_items = ", ".join(
         f"list_min(list_transform(f, x -> (x % {MOD} * {a} + {b}) % {MOD}))"
@@ -292,9 +302,7 @@ walk(node, reach) AS (
   SELECT doc_id, doc_id FROM documents
   UNION
   SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
-)
-SELECT node AS doc_id, MIN(reach) AS cluster FROM walk GROUP BY node
-"""
+)"""
 
 
 @df_query(
@@ -1873,4 +1881,88 @@ def d25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(
         (F.col("containment_a") >= _D25_TAU)
         | (F.col("containment_b") >= _D25_TAU)
+    )
+
+
+# ---------------------------------------------------------------------------
+# d26 — survivor selection: one canonical doc per near-dup cluster
+# ---------------------------------------------------------------------------
+
+
+def _d26_oracle() -> str:
+    return _d11_ctes() + """,
+clusters AS (
+  SELECT node AS doc_id, MIN(reach) AS cluster FROM walk GROUP BY node
+),
+q AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> '')) AS DOUBLE)
+           AS quality
+  FROM documents
+)
+SELECT c.doc_id, c.cluster, q.quality,
+       (row_number() OVER (PARTITION BY c.cluster
+                           ORDER BY q.quality DESC, c.doc_id) = 1)
+         AS is_canonical
+FROM clusters c JOIN q ON q.doc_id = c.doc_id
+"""
+
+
+@df_query(
+    "d26_keep_canonical",
+    "Survivor selection: MinHash-LSH near-dup clusters, then exactly one "
+    "canonical document per cluster (highest quality, ties toward the "
+    "lowest id) — the which-copy-survives policy of a web-scale dedup pass.",
+    _d26_oracle(),
+)
+def d26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    return dedup.keep_canonical(
+        docs, "doc_id", "text",
+        num_hashes=16, bands=4, rows_per_band=4, min_matches=8,
+    )
+
+
+# ---------------------------------------------------------------------------
+# d27 — hashed linear quality scorer (fasttext-style serving plan)
+# ---------------------------------------------------------------------------
+
+_D27_FPS = (
+    "list_transform(list_filter(string_split(text, ' '), w -> w <> ''), "
+    "w -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length(w) + 1), "
+    "i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))), "
+    f"(a, b) -> (a * {text.MULT} + b) % {MOD}))"
+)
+
+_D27_ORACLE = f"""
+WITH f AS (SELECT doc_id, {_D27_FPS} AS fps FROM documents),
+s AS (
+  SELECT doc_id, len(fps) AS n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(fps,
+             x -> (CAST(x % 2001 AS DOUBLE) - 1000.0) / 1000.0)),
+           (a, b) -> a + b) AS sw
+  FROM f
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(CASE WHEN n > 0 THEN sw / n ELSE 0.0 END))), 9)
+         AS quality_score
+FROM s
+"""
+
+
+@df_query(
+    "d27_hashed_linear_score",
+    "Hashed linear text classifier scoring (the fastText/CCNet "
+    "quality-filter serving shape): token feature-hash -> fixed weight "
+    "table -> mean -> sigmoid, one row-local codegen expression.",
+    _D27_ORACLE,
+)
+def d27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id",
+        text.hashed_linear_score("text").alias("quality_score"),
     )

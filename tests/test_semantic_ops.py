@@ -426,3 +426,57 @@ def test_knn_graph_auto_bits(spark):
         for r in knn_graph(df, "vec_id", "embedding", dim=2, k=1).collect()
     }
     assert got == {0: 1, 1: 0, 2: 1}
+
+
+def test_keep_canonical_survivor_policy(spark):
+    """One canonical per near-dup cluster: highest quality (token
+    count) wins, ties break toward the lowest id; singletons are their
+    own canonical."""
+    from lagoon_spark.operators.dedup import keep_canonical
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (1, base + "short"),
+        (2, base + "short"),          # near-dup of 1, same length → tie
+        (3, base + "longer tail with extra tokens"),  # near-dup, longest
+        (4, "completely different text about something else entirely ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["cluster"], r["is_canonical"])
+        for r in keep_canonical(df, "doc_id", "text", min_matches=6).collect()
+    }
+    # 1,2,3 cluster together; 3 has the most tokens → canonical
+    assert got[1][0] == got[2][0] == got[3][0] == 1
+    assert got[3][1] is True and got[1][1] is False and got[2][1] is False
+    assert got[4] == (4, True)
+    # quality override: an explicit column flips the survivor
+    df2 = df.withColumn("prio", F.when(F.col("doc_id") == 2, 9.0).otherwise(1.0))
+    got2 = {
+        r["doc_id"]: r["is_canonical"]
+        for r in keep_canonical(
+            df2, "doc_id", "text", quality_col="prio", min_matches=6
+        ).collect()
+    }
+    assert got2[2] is True and got2[3] is False
+
+
+def test_hashed_linear_score_shape(spark):
+    from lagoon_spark.operators.text import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(1, "some sample tokens here"), (2, ""), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", hashed_linear_score("text").alias("s")).collect()
+    }
+    assert 0.0 < got[1] < 1.0
+    assert got[2] == 0.5 and got[3] == 0.5  # no tokens → neutral
+    # deterministic across runs
+    again = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", hashed_linear_score("text").alias("s")).collect()
+    }
+    assert again == got
