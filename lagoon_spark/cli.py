@@ -210,6 +210,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-headers", action="store_true")
     p.add_argument("--delimiter", default=None)
 
+    p = sub.add_parser(
+        "serve", help="Run the REST facade (the reference server's routes)"
+    )
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=1866)
+
     p = sub.add_parser("vacuum", help="Remove orphaned data directories")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("--temp-grace-sec", type=float, default=3600.0)
@@ -560,6 +566,16 @@ class _Cli:
         ).run_available()
         info = self.engine.catalog.get_source(a.name)
         print(_pretty(info))
+
+    def cmd_serve(self):
+        from lagoon_spark.server import LagoonServer
+
+        srv = LagoonServer(self.engine, host=self.args.host, port=self.args.port)
+        print(f"lagoon REST facade on http://{self.args.host}:{srv.port}")
+        try:
+            srv.httpd.serve_forever()
+        except KeyboardInterrupt:
+            srv.stop()
 
     def cmd_vacuum(self):
         removed = self.engine.vacuum(
