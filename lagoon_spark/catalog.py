@@ -205,6 +205,13 @@ class Catalog:
         # is the cross-instance (warehouse-state) change signal
         self.mutation_count = 0
         self._lock_depth = 0
+        self._lock_owner: int | None = None  # threading.get_ident() of holder
+        import threading
+
+        # same-process cross-thread writer serialization (server handler
+        # threads, streaming foreachBatch vs main thread); the flock in
+        # writer_lock only arbitrates between processes
+        self._tlock = threading.RLock()
 
     def writer_lock(self, timeout: float = 600.0):
         """Exclusive warehouse writer lock (flock on
@@ -219,52 +226,75 @@ class Catalog:
         transactions (`Ingest.hs` runs each ingest in one); flock is
         the library-world equivalent. On acquisition the in-memory
         cache is dropped so this writer builds on the other writer's
-        committed state. Reentrant within one Catalog instance (an
-        ingest inside a streaming batch re-enters); a second PROCESS
-        blocks up to ``timeout`` seconds, then fails cleanly with
-        TimeoutError — never corrupting the catalog either way.
+        committed state. Reentrant within one Catalog instance FROM THE
+        SAME THREAD only (an ingest inside a streaming batch
+        re-enters); a second THREAD in this process serializes on an
+        in-process RLock (flock alone can't arbitrate threads sharing
+        one instance — a cross-thread writer seeing ``_lock_depth=1``
+        must wait, not stroll through the reentrant branch), and a
+        second PROCESS blocks on the flock. Either blocks up to
+        ``timeout`` seconds, then fails cleanly with TimeoutError —
+        never corrupting the catalog either way.
         """
         import contextlib
+        import threading
 
         @contextlib.contextmanager
         def _guard():
-            if self._lock_depth:
+            ident = threading.get_ident()
+            if self._lock_depth and self._lock_owner == ident:
                 self._lock_depth += 1
                 try:
                     yield
                 finally:
                     self._lock_depth -= 1
                 return
+            # cross-thread writers in this process serialize here; the
+            # flock below arbitrates only between processes (a second
+            # flock on the same file in one process would also block,
+            # but with a spin-wait and no fairness)
+            if not self._tlock.acquire(timeout=timeout):
+                raise TimeoutError(
+                    "another thread holds the warehouse writer lock for "
+                    f"{self.dir}"
+                )
             try:
-                import fcntl
-            except ImportError:  # non-POSIX: single-writer only
-                yield
-                return
-            import time
-
-            os.makedirs(self.dir, exist_ok=True)
-            f = open(os.path.join(self.dir, ".writer.lock"), "a+")
-            t0 = time.monotonic()
-            while True:
                 try:
-                    fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                    break
-                except OSError:
-                    if time.monotonic() - t0 > timeout:
+                    import fcntl
+                except ImportError:  # non-POSIX: single-process only
+                    fcntl = None
+                f = None
+                if fcntl is not None:
+                    import time
+
+                    os.makedirs(self.dir, exist_ok=True)
+                    f = open(os.path.join(self.dir, ".writer.lock"), "a+")
+                    t0 = time.monotonic()
+                    while True:
+                        try:
+                            fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                            break
+                        except OSError:
+                            if time.monotonic() - t0 > timeout:
+                                f.close()
+                                raise TimeoutError(
+                                    "another writer holds the warehouse lock "
+                                    f"{self.dir}/.writer.lock"
+                                )
+                            time.sleep(0.05)
+                self._lock_depth = 1
+                self._lock_owner = ident
+                self.refresh()  # build on the other writer's committed state
+                try:
+                    yield
+                finally:
+                    self._lock_depth = 0
+                    self._lock_owner = None
+                    if f is not None:
+                        fcntl.flock(f, fcntl.LOCK_UN)
                         f.close()
-                        raise TimeoutError(
-                            "another writer holds the warehouse lock "
-                            f"{self.dir}/.writer.lock"
-                        )
-                    time.sleep(0.05)
-            self._lock_depth = 1
-            self.refresh()  # build on the other writer's committed state
-            try:
-                yield
             finally:
-                self._lock_depth = 0
-                fcntl.flock(f, fcntl.LOCK_UN)
-                f.close()
+                self._tlock.release()
 
         return _guard()
 

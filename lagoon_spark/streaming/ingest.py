@@ -94,6 +94,10 @@ class _AppendState:
     # cN/typed layouts across batches
     fmt: str | None = None  # "json" | "tabular"
     pinned_delimiter: str | None = None
+    # the FULL guessed CsvFormat from the first tabular batch (field
+    # dict) — later batches rebuild from this verbatim instead of
+    # re-guessing, so no dialect field can drift with file extensions
+    pinned_dialect: dict | None = None
 
     @classmethod
     def load(cls, path: str) -> "_AppendState":
@@ -278,23 +282,30 @@ class StreamIngestor:
                 f"{st.fmt!r} on its first batch but this batch delivers "
                 f"{fmt!r} files: {paths[:3]}"
             )
-        if fmt == "tabular" and self.delimiter is None:
-            delims = {csvmod.guess_format(p).delimiter for p in paths}
-            if len(delims) > 1:
-                raise ValueError(
-                    f"streaming append batch mixes CSV dialects "
-                    f"(delimiters {sorted(map(repr, delims))}); pass "
-                    f"delimiter= explicitly to override"
-                )
-            d = delims.pop()
-            if st.pinned_delimiter is None:
-                st.pinned_delimiter = d
-            elif st.pinned_delimiter != d:
-                raise ValueError(
-                    f"streaming append source {self.name!r} was pinned to "
-                    f"delimiter {st.pinned_delimiter!r} but this batch's "
-                    f"files use {d!r}"
-                )
+        if fmt == "tabular":
+            if self.delimiter is None:
+                delims = {csvmod.guess_format(p).delimiter for p in paths}
+                if len(delims) > 1:
+                    raise ValueError(
+                        f"streaming append batch mixes CSV dialects "
+                        f"(delimiters {sorted(map(repr, delims))}); pass "
+                        f"delimiter= explicitly to override"
+                    )
+                d = delims.pop()
+                if st.pinned_delimiter is None:
+                    st.pinned_delimiter = d
+                elif st.pinned_delimiter != d:
+                    raise ValueError(
+                        f"streaming append source {self.name!r} was pinned "
+                        f"to delimiter {st.pinned_delimiter!r} but this "
+                        f"batch's files use {d!r}"
+                    )
+            if st.pinned_dialect is None:
+                # pin the ENTIRE guessed format object, not just the
+                # delimiter — later batches reuse it verbatim, so no
+                # guessed field (encoding, quote, ...) can drift when a
+                # later batch arrives with a different file extension
+                st.pinned_dialect = dict(csvmod.guess_format(paths[0]).__dict__)
         return fmt
 
     def _batch_append_json(self, paths, batch_id: int, st: _AppendState) -> None:
@@ -396,9 +407,14 @@ class StreamIngestor:
         spark = self.engine.spark
         catalog = self.engine.catalog
 
-        # the dialect was pinned by _resolve_format on the first batch —
-        # never re-guessed, so every batch parses identically
-        fmt = csvmod.guess_format(paths[0])
+        # the full dialect was pinned by _resolve_format on the first
+        # batch — rebuilt verbatim here, never re-guessed, so every
+        # batch parses identically; explicit constructor overrides
+        # (delimiter/quote/has_headers) still win
+        if st.pinned_dialect is not None:
+            fmt = csvmod.CsvFormat(**st.pinned_dialect)
+        else:  # state file from before dialect pinning existed
+            fmt = csvmod.guess_format(paths[0])
         fmt.has_headers = self.has_headers
         if self.delimiter is not None:
             fmt.delimiter = self.delimiter

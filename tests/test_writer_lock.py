@@ -103,6 +103,75 @@ def test_lock_is_reentrant(tmp_path):
     assert cat._lock_depth == 0
 
 
+def test_cross_thread_writers_on_one_instance_serialize(tmp_path):
+    """ONE Catalog instance shared across threads (the server's
+    handler threads, a foreachBatch thread next to the main thread):
+    thread B must WAIT for thread A's lock, not stroll through the
+    same-instance reentrant branch (round-5 ADVICE, high)."""
+    import time
+
+    from lagoon_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.init_db()
+    order: list[str] = []
+    a_inside = threading.Event()
+    a_release = threading.Event()
+
+    def writer_a():
+        with cat.writer_lock(timeout=10):
+            order.append("a-in")
+            a_inside.set()
+            a_release.wait(10)
+            order.append("a-out")
+
+    def writer_b():
+        a_inside.wait(10)
+        with cat.writer_lock(timeout=10):
+            order.append("b-in")
+
+    ta = threading.Thread(target=writer_a)
+    tb = threading.Thread(target=writer_b)
+    ta.start(); tb.start()
+    assert a_inside.wait(10)
+    time.sleep(0.3)  # window in which a buggy B would slip inside
+    assert "b-in" not in order, "thread B entered while A held the lock"
+    a_release.set()
+    ta.join(10); tb.join(10)
+    assert order == ["a-in", "a-out", "b-in"]
+
+
+def test_cross_thread_contender_times_out_cleanly(tmp_path):
+    from lagoon_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.init_db()
+    a_inside = threading.Event()
+    a_release = threading.Event()
+    failures: list[BaseException] = []
+
+    def holder():
+        with cat.writer_lock(timeout=10):
+            a_inside.set()
+            a_release.wait(10)
+
+    def contender():
+        try:
+            with pytest.raises(TimeoutError):
+                with cat.writer_lock(timeout=0.2):
+                    pass
+        except BaseException as e:
+            failures.append(e)
+
+    th = threading.Thread(target=holder)
+    tc = threading.Thread(target=contender)
+    th.start()
+    assert a_inside.wait(10)
+    tc.start(); tc.join(10)
+    a_release.set(); th.join(10)
+    assert not failures, failures
+
+
 def test_lock_refreshes_cache_on_acquisition(tmp_path):
     """Acquiring the lock must drop the in-memory cache so the writer
     builds on the other writer's committed state, not its own stale
