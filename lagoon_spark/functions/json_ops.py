@@ -616,9 +616,155 @@ def _exists_chain_sql(operand_sql: str, keys: list, op: str) -> str | None:
     if not isinstance(keys, list) or not all(isinstance(k, str) for k in keys):
         return None
     if not keys:
-        return "true" if op == "AND" else "false"
+        # vacuous truth is still operand-aware: the pandas tier (and PG)
+        # returns NULL for a NULL / invalid document, not the constant
+        return (
+            f"CASE WHEN try_parse_json(({operand_sql})) IS NULL "
+            f"THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE {'true' if op == 'AND' else 'false'} END"
+        )
     return f" {op} ".join(
         f"jsonb_exists(({operand_sql}), {_sql_str(k)})" for k in keys
+    )
+
+
+# SQL snippets shared by the modifier rewrites: entries sorted by key
+# (variants are unorderable, so struct sort won't do) then one to_json
+# over the rebuilt map — the text twin of `_entries_to_json`.
+_KEY_CMP_SQL = (
+    "(a, b) -> CASE WHEN a.key < b.key THEN -1 "
+    "WHEN a.key > b.key THEN 1 ELSE 0 END"
+)
+
+
+def _sorted_obj_sql(entries_sql: str) -> str:
+    return (
+        f"to_json(map_from_entries(array_sort({entries_sql}, {_KEY_CMP_SQL})))"
+    )
+
+
+def _flat_hay(hay_json: str):
+    """Parse a ``<@`` right side; return the dict when the JVM tier
+    applies (flat object, scalar values, doubles-safe numbers), else
+    None. Unlike `_flat_needle`, keys need not be path-safe: they embed
+    as string literals compared against map keys, never as paths."""
+    try:
+        hay = json.loads(hay_json)
+    except ValueError:
+        return None
+    if not isinstance(hay, dict):
+        return None
+    for k, v in hay.items():
+        if not isinstance(k, str) or isinstance(v, (dict, list)):
+            return None
+        if isinstance(v, int) and not isinstance(v, bool) and abs(v) > 2**53:
+            return None
+    return hay
+
+
+def contained_flat_sql(operand_sql: str, hay: dict) -> str:
+    """SQL text for ``<expr> <@ '<flat object hay>'``, pure JVM: the
+    document must be an object whose every entry matches some hay pair
+    (key equal, value equal under the PG typed-comparison rules the
+    ``@>`` fast tier uses — JSON-text shape probes + a typed variant
+    extraction per scalar kind). NULL / invalid documents → NULL;
+    non-object documents → false (a flat object can never contain
+    them); the empty document is vacuously contained."""
+    op = f"({operand_sql})"
+    m = f"from_json({op}, 'map<string,variant>')"
+    if hay:
+        pair_terms = []
+        for k, v in hay.items():
+            tj = "to_json(e.value)"
+            if v is None:
+                cond = f"{tj} = 'null'"
+            elif isinstance(v, bool):
+                cond = f"{tj} = '{'true' if v else 'false'}'"
+            elif isinstance(v, (int, float)):
+                cond = (
+                    f"({tj} IS NOT NULL AND NOT startswith({tj}, '\"') "
+                    f"AND {tj} NOT IN ('true', 'false', 'null') "
+                    f"AND try_variant_get(e.value, '$', 'double') = "
+                    f"CAST({float(v)!r} AS DOUBLE))"
+                )
+            else:  # str
+                cond = (
+                    f"(startswith({tj}, '\"') AND "
+                    f"try_variant_get(e.value, '$', 'string') = {_sql_str(v)})"
+                )
+            pair_terms.append(
+                f"(e.key = {_sql_str(k)} AND coalesce({cond}, false))"
+            )
+        match = " OR ".join(pair_terms)
+    else:
+        match = "false"  # forall over zero entries: only {} <@ {}
+    return (
+        f"CASE WHEN try_parse_json({op}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+        f"WHEN {m} IS NULL THEN false "
+        f"ELSE forall(map_entries({m}), e -> {match}) END"
+    )
+
+
+def delete_key_sql(operand_sql: str, key: str) -> str:
+    """SQL text for ``<expr> - '<key>'`` with the FULL Postgres shape
+    semantics, pure JVM: object → drop the key, re-serialize sorted-
+    canonical; array → drop string elements equal to the key; scalar →
+    canonical re-serialize unchanged; NULL / invalid → NULL."""
+    op = f"({operand_sql})"
+    m = f"from_json({op}, 'map<string,variant>')"
+    entries = f"filter(map_entries({m}), e -> e.key <> {_sql_str(key)})"
+    arr = f"from_json({op}, 'array<variant>')"
+    quoted = _sql_str(json.dumps(key))
+    return (
+        f"CASE WHEN try_parse_json({op}) IS NULL THEN CAST(NULL AS STRING) "
+        f"WHEN json_object_keys({op}) IS NOT NULL THEN {_sorted_obj_sql(entries)} "
+        f"WHEN {arr} IS NOT NULL "
+        f"THEN to_json(filter({arr}, e -> to_json(e) <> {quoted})) "
+        f"ELSE to_json(try_parse_json({op})) END"
+    )
+
+
+def _stable_const(v) -> bool:
+    """True when a constant right-side value renders identically through
+    Python json and Spark's variant writer. Integral floats are the
+    known divergence (variant trims `1.0` to `1`); such constants stay
+    on the pandas tier so a literal the user wrote as `1.0` round-trips
+    byte-identically."""
+    if isinstance(v, float):
+        return not v.is_integer()
+    if isinstance(v, dict):
+        return all(_stable_const(x) for x in v.values())
+    if isinstance(v, list):
+        return all(_stable_const(x) for x in v)
+    return True
+
+
+def concat_obj_sql(operand_sql: str, other: dict) -> str:
+    """SQL text for ``<expr> || '<object literal>'`` with the FULL
+    Postgres shape semantics, pure JVM: object → shallow merge (right
+    wins), sorted-canonical; array → append the object as one element;
+    scalar → two-element array promotion; NULL / invalid → NULL."""
+    op = f"({operand_sql})"
+    m = f"from_json({op}, 'map<string,variant>')"
+    if other:
+        keys_in = ", ".join(_sql_str(k) for k in other)
+        keep = f"filter(map_entries({m}), e -> e.key NOT IN ({keys_in}))"
+        consts = ", ".join(
+            f"named_struct('key', {_sql_str(k)}, "
+            f"'value', parse_json({_sql_str(_dump(v))}))"
+            for k, v in other.items()
+        )
+        entries = f"concat({keep}, array({consts}))"
+    else:
+        entries = f"map_entries({m})"
+    arr = f"from_json({op}, 'array<variant>')"
+    other_lit = f"parse_json({_sql_str(_dump(other))})"
+    return (
+        f"CASE WHEN try_parse_json({op}) IS NULL THEN CAST(NULL AS STRING) "
+        f"WHEN json_object_keys({op}) IS NOT NULL THEN {_sorted_obj_sql(entries)} "
+        f"WHEN {arr} IS NOT NULL "
+        f"THEN to_json(concat({arr}, array({other_lit}))) "
+        f"ELSE to_json(array(try_parse_json({op}), {other_lit})) END"
     )
 
 
@@ -627,12 +773,33 @@ def rewrite_jsonb_sql(sql: str) -> str:
 
     * ``jsonb_contains(<expr>, '<flat object literal>')`` → the variant
       containment expression (`flat_contains_sql`);
+    * ``jsonb_contained(<expr>, '<flat object literal>')`` → the
+      mirrored forall-entries containment (`contained_flat_sql`);
     * ``jsonb_exists_all/any(<expr>, '<string array literal>')`` → an
-      AND/OR chain over the codegen'd ``jsonb_exists`` SQL UDF.
+      AND/OR chain over the codegen'd ``jsonb_exists`` SQL UDF;
+    * ``jsonb_delete_key(<expr>, '<key>')`` → the full-shape map/array
+      variant expression (`delete_key_sql`);
+    * ``jsonb_concat(<expr>, '<object literal>')`` → the full-shape
+      merge/append expression (`concat_obj_sql`).
 
-    Everything else passes through verbatim. Operates on SQL text (the
-    passthrough surface), so call names are matched case-insensitively
-    at word boundaries and the argument scan is quote/nesting-aware."""
+    Operand expressions are rewritten recursively, so a modifier CHAIN
+    (``jsonb_concat(jsonb_delete_key(doc, 'k'), '{...}')``) compiles
+    end-to-end with no Python worker stage. Everything else passes
+    through verbatim — dynamic needles, array/scalar right sides, and
+    constants whose rendering differs between Python json and the
+    variant writer stay on the pandas tier.
+
+    Rendering caveat (same as the DataFrame ``object_only`` tier): the
+    JVM modifiers re-serialize through Spark's variant writer — sorted
+    keys, raw UTF-8, scale-trimmed decimals (a document value ``1.0``
+    renders as ``1``) — while the pandas tier uses Python json
+    (``\\u`` escapes, ``1.0`` kept). Both are canonicalizations, like
+    Postgres's own jsonb re-serialization; queries must compare via
+    extraction, never raw modifier bytes.
+
+    Operates on SQL text (the passthrough surface), so call names are
+    matched case-insensitively at word boundaries and the argument scan
+    is quote/nesting-aware."""
     import re
 
     # positions inside '...' string literals (with '' doubling) or
@@ -662,7 +829,9 @@ def rewrite_jsonb_sql(sql: str) -> str:
     out: list[str] = []
     i = 0
     pat = re.compile(
-        r"(jsonb_contains|jsonb_exists_all|jsonb_exists_any)\s*\(", re.IGNORECASE
+        r"(jsonb_contains|jsonb_contained|jsonb_exists_all|jsonb_exists_any"
+        r"|jsonb_delete_key|jsonb_concat)\s*\(",
+        re.IGNORECASE,
     )
     while i < n:
         m = pat.search(sql, i)
@@ -686,10 +855,27 @@ def rewrite_jsonb_sql(sql: str) -> str:
         fname = m.group(1).lower()
         replacement = None
         if lit is not None:
+            # chains: the operand may itself be a rewritable jsonb call
+            operand = rewrite_jsonb_sql(args[0])
             if fname == "jsonb_contains":
                 flat = _flat_needle(lit)
                 if flat is not None:
-                    replacement = flat_contains_sql(args[0], flat)
+                    replacement = flat_contains_sql(operand, flat)
+            elif fname == "jsonb_contained":
+                hay = _flat_hay(lit)
+                if hay is not None:
+                    replacement = contained_flat_sql(operand, hay)
+            elif fname == "jsonb_delete_key":
+                # the literal IS the key (not JSON); integer-index
+                # deletes arrive as numeric literals and stay pandas
+                replacement = delete_key_sql(operand, lit)
+            elif fname == "jsonb_concat":
+                try:
+                    other = json.loads(lit)
+                except ValueError:
+                    other = None
+                if isinstance(other, dict) and _stable_const(other):
+                    replacement = concat_obj_sql(operand, other)
             else:
                 try:
                     keys = json.loads(lit)
@@ -697,7 +883,7 @@ def rewrite_jsonb_sql(sql: str) -> str:
                     keys = None
                 if keys is not None:
                     replacement = _exists_chain_sql(
-                        args[0], keys, "AND" if fname == "jsonb_exists_all" else "OR"
+                        operand, keys, "AND" if fname == "jsonb_exists_all" else "OR"
                     )
         if replacement is None:
             out.append(sql[i : m.start() + 1])

@@ -443,3 +443,167 @@ def test_sql_rewrite_exists_all_any(spark):
     assert j.rewrite_jsonb_sql("SELECT jsonb_exists_all(js, other) FROM t") == (
         "SELECT jsonb_exists_all(js, other) FROM t"
     )
+
+
+# -- round-6: the remaining /sql shapes compile to JVM ------------------------
+#
+# contained (flat hay), delete_key (full shape semantics), concat
+# (object constant) — parity is asserted against the pandas tier
+# itself on documents whose canonical rendering agrees between Python
+# json and the variant writer (ASCII, no integral floats; the
+# documented tier caveat).
+
+MOD_DOCS = [
+    (1, '{"b": 2, "a": 1, "k": 7}'),
+    (2, '{"k": 7, "n": {"z": 1, "y": [1, {"q": 2}]}}'),
+    (3, '["a", "k", 7, {"b": 1}]'),
+    (4, '"k"'),
+    (5, "7"),
+    (6, "true"),
+    (7, "null"),
+    (8, "{}"),
+    (9, "[]"),
+    (10, "not json"),
+    (11, None),
+    (12, '{"s": "it''s", "k": "x"}'),
+]
+
+
+def _mod_parity(spark, raw_sql, rewritten_names):
+    spark.createDataFrame(MOD_DOCS, "id long, js string").createOrReplaceTempView(
+        "md_docs"
+    )
+    j.register_sql_functions(spark)
+    rewritten = j.rewrite_jsonb_sql(raw_sql)
+    for name in rewritten_names:
+        assert name not in rewritten.lower(), rewritten
+    df = spark.sql(rewritten)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "extended"
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    jvm = {r["id"]: r["v"] for r in df.collect()}
+    pandas_tier = {r["id"]: r["v"] for r in spark.sql(raw_sql).collect()}
+    assert jvm == pandas_tier
+    return jvm
+
+
+def test_sql_rewrite_delete_key_full_shape_parity(spark):
+    """`doc - 'k'` through the text rewriter matches the pandas tier on
+    every document shape: object (sorted canonical re-serialize), array
+    (string-element removal), scalar (canonical pass-through),
+    NULL/invalid (NULL)."""
+    got = _mod_parity(
+        spark,
+        "SELECT id, jsonb_delete_key(js, 'k') AS v FROM md_docs",
+        ["jsonb_delete_key"],
+    )
+    assert got[1] == '{"a":1,"b":2}'
+    assert got[2] == '{"n":{"y":[1,{"q":2}],"z":1}}'
+    assert got[3] == '["a",7,{"b":1}]'  # string element removed, 7 kept
+    assert got[4] == '"k"'  # scalar string: equality delete is ARRAY-only
+    assert got[5] == "7" and got[6] == "true" and got[7] == "null"
+    assert got[8] == "{}" and got[9] == "[]"
+    assert got[10] is None and got[11] is None
+
+
+def test_sql_rewrite_concat_full_shape_parity(spark):
+    """`doc || '<object>'` through the text rewriter: shallow merge
+    right-wins on objects, element append on arrays, two-element
+    promotion on scalars — matching the pandas tier exactly."""
+    got = _mod_parity(
+        spark,
+        'SELECT id, jsonb_concat(js, \'{"z": "w", "k": 9}\') AS v FROM md_docs',
+        ["jsonb_concat"],
+    )
+    assert got[1] == '{"a":1,"b":2,"k":9,"z":"w"}'
+    assert got[3] == '["a","k",7,{"b":1},{"k":9,"z":"w"}]'
+    assert got[5] == '[7,{"k":9,"z":"w"}]'
+    assert got[7] == '[null,{"k":9,"z":"w"}]'
+    assert got[8] == '{"k":9,"z":"w"}'
+    assert got[10] is None and got[11] is None
+
+
+def test_sql_rewrite_concat_gates(spark):
+    # array / scalar constants stay on the pandas tier (PG `||` array
+    # semantics aren't object-shaped), as do integral-float constants
+    # (variant renders 1.0 as 1 — the documented rendering divergence)
+    for sql in (
+        "SELECT jsonb_concat(js, '[1]') FROM t",
+        "SELECT jsonb_concat(js, '7') FROM t",
+        'SELECT jsonb_concat(js, \'{"a": 1.0}\') FROM t',
+        "SELECT jsonb_concat(js, other_col) FROM t",
+    ):
+        assert j.rewrite_jsonb_sql(sql) == sql
+    # non-integral floats are rendering-stable and DO rewrite
+    assert "jsonb_concat" not in j.rewrite_jsonb_sql(
+        'SELECT jsonb_concat(js, \'{"a": 1.5}\') FROM t'
+    )
+
+
+def test_sql_rewrite_contained_flat_hay_parity(spark):
+    """`doc <@ '<flat object>'` through the text rewriter matches the
+    pandas tier's recursive containment on every shape."""
+    spark.createDataFrame(MOD_DOCS, "id long, js string").createOrReplaceTempView(
+        "md_docs"
+    )
+    j.register_sql_functions(spark)
+    for hay in (
+        '{"a": 1, "b": 2, "k": 7, "extra": "x"}',
+        '{"k": "x", "s": "it''s"}',
+        "{}",
+        '{"k": null}',
+        '{"k": true}',
+    ):
+        lit = hay.replace("'", "''")
+        raw = f"SELECT id, jsonb_contained(js, '{lit}') AS v FROM md_docs"
+        rewritten = j.rewrite_jsonb_sql(raw)
+        assert "jsonb_contained" not in rewritten.lower()
+        jvm = {r["id"]: r["v"] for r in spark.sql(rewritten).collect()}
+        pandas_tier = {r["id"]: r["v"] for r in spark.sql(raw).collect()}
+        assert jvm == pandas_tier, hay
+    # nested / array hays stay on the pandas tier
+    for sql in (
+        'SELECT jsonb_contained(js, \'{"k": {"n": 1}}\') FROM t',
+        "SELECT jsonb_contained(js, '[1, 2]') FROM t",
+        "SELECT jsonb_contained(js, other_col) FROM t",
+    ):
+        assert j.rewrite_jsonb_sql(sql) == sql
+
+
+def test_sql_rewrite_exists_empty_list_is_operand_aware(spark):
+    """PG's vacuous `?& []` / `?| []` must still be NULL for NULL or
+    invalid documents after the rewrite (round-5 ADVICE, low)."""
+    spark.createDataFrame(
+        [(1, '{"a": 1}'), (2, None), (3, "not json")], "id long, js string"
+    ).createOrReplaceTempView("vac_docs")
+    j.register_sql_functions(spark)
+    rewritten = j.rewrite_jsonb_sql(
+        "SELECT id, jsonb_exists_all(js, '[]') AS t, "
+        "jsonb_exists_any(js, '[]') AS f FROM vac_docs"
+    )
+    got = {r["id"]: (r["t"], r["f"]) for r in spark.sql(rewritten).collect()}
+    assert got[1] == (True, False)
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)
+
+
+def test_sql_rewrite_modifier_chain_end_to_end(lagoon, tmp_path):
+    """A modifier CHAIN through the real /sql surface (engine hook +
+    security walker) compiles end-to-end with no Python worker and
+    produces the composed result."""
+    p = tmp_path / "moddocs.json"
+    p.write_text('{"k": 7, "a": 1}\n{"a": 2}\n')
+    lagoon.ingest(str(p), "rwmod", file_type="json")
+    df = lagoon.sql(
+        "SELECT jsonb_concat(jsonb_delete_key(data, 'k'), '{\"z\": \"w\"}') AS s "
+        "FROM rwmod_v1 ORDER BY ix"
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "extended"
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert [r["s"] for r in df.collect()] == [
+        '{"a":1,"z":"w"}',
+        '{"a":2,"z":"w"}',
+    ]
