@@ -34,14 +34,42 @@ Routes (paths as in API.hs):
     POST   /group/<name>                 create group
     POST   /group/<name>/addUser/<user>  (removeUser/addAdmin/removeAdmin)
     GET    /users                        user names seen by the catalog
+    POST   /user/login?persistent        body: {"user": .., "pass": ..}
+                                         → {"ok": {"username": ..}} +
+                                         Set-Cookie: sessionId=<token>
+                                         (`Interface/API.hs:335-339`,
+                                         `Server/API/User.hs:43-52`;
+                                         cookie name
+                                         `Servant/Session.hs:223-224`)
+    POST   /user/logout                  clears the session cookie
+    POST   /user/token                   → auth token (the resumable
+                                         session id; 401 when unauth)
+    POST   /user/resume                  body: "<token>" → LoginResult
+                                         + fresh cookie
+    POST   /user/<name>/create           body: true|false — grant/revoke
+                                         the CREATE capability (admin)
+    POST   /user/<name>/creategroup      body: same for CREATEGROUP
 
-Deliberate divergences, documented here once: authentication is the
-``X-Lagoon-User`` header (the reference's trust-auth mode — no
-login/session endpoints, so /user/* is omitted); permission paths key
-on the SOURCE ix (the engine anchors grants on the owning dataset
-itself, so any version's ix addresses the dataset). Failures map to
-403 (PermissionDenied / QueryDenied), 404 (unknown source), 400
-(anything else), each with a one-line JSON error body.
+Authentication: when the server is constructed with an ``auth``
+verifier, ``/user/login`` issues opaque session tokens carried in the
+``sessionId`` cookie (the reference's session machinery,
+`Server/Servant/Session.hs`), and the trust header is ignored; with
+``auth=None`` (default) the server runs the reference's trust-auth
+mode — ``X-Lagoon-User`` names the actor. Requests with neither
+resolve to the anonymous actor ``"unknown"``, whose rights are
+whatever the ACL tables grant — the reference likewise serves
+unauthenticated sessions with public-only visibility.
+
+Deliberate divergences, documented here once: the credential verifier
+is an injected callable/dict (the reference's pluggable AuthProvider
+seam, `Server/Auth/VerifyCreds.hs:46-51`, minus the LDAP/HTTP
+backends); a failed login answers 403 with the reference's
+``{"failed": "Invalid credentials"}`` wire body (the reference returns
+it with 200); permission paths key on the SOURCE ix (the engine
+anchors grants on the owning dataset itself, so any version's ix
+addresses the dataset). Failures map to 403 (PermissionDenied /
+QueryDenied / bad login), 404 (unknown source), 401 (token without
+session), 400 (anything else), each with a one-line JSON error body.
 """
 
 from __future__ import annotations
@@ -66,8 +94,27 @@ class LagoonServer:
     ``start()`` runs it on a daemon thread and returns the bound port
     (pass ``port=0`` to pick a free one — the test mode)."""
 
-    def __init__(self, engine, host: str = "127.0.0.1", port: int = 1866):
+    def __init__(
+        self,
+        engine,
+        host: str = "127.0.0.1",
+        port: int = 1866,
+        *,
+        auth=None,
+        trust_header: bool | None = None,
+    ):
+        """``auth`` is the credential verifier — a ``{user: password}``
+        dict or a ``(user, password) -> bool`` callable (the injected
+        analog of the reference's AuthProvider). ``trust_header``
+        controls whether ``X-Lagoon-User`` names the actor; it defaults
+        to True exactly when no verifier is configured (the reference's
+        trust-auth deployment mode)."""
         self.engine = engine
+        self.auth = auth
+        self.trust_header = (auth is None) if trust_header is None else trust_header
+        self._sessions: dict[str, str] = {}  # cookie token -> username
+        self._resumable: set[str] = set()  # tokens persisted via /user/token
+        self._sess_lock = threading.Lock()
         handler = _make_handler(self)
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.port = self.httpd.server_address[1]
@@ -84,6 +131,34 @@ class LagoonServer:
         self.httpd.shutdown()
         self.httpd.server_close()
 
+    # -- sessions --------------------------------------------------------------
+
+    def verify_credentials(self, user: str, password: str) -> bool:
+        if self.auth is None:
+            return False
+        if callable(self.auth):
+            return bool(self.auth(user, password))
+        return self.auth.get(user) == password
+
+    def open_session(self, user: str) -> str:
+        import secrets
+
+        token = secrets.token_urlsafe(32)
+        with self._sess_lock:
+            self._sessions[token] = user
+        return token
+
+    def close_session(self, token: str) -> None:
+        with self._sess_lock:
+            self._sessions.pop(token, None)
+            self._resumable.discard(token)
+
+    def session_user(self, token: str | None) -> str | None:
+        if not token:
+            return None
+        with self._sess_lock:
+            return self._sessions.get(token)
+
     # -- request-scoped engine view ------------------------------------------
 
     def _as_user(self, user: str):
@@ -93,13 +168,24 @@ class LagoonServer:
         (and therefore the writer lock and cache)."""
         from lagoon_spark.engine import Lagoon
 
-        eng = Lagoon(self.engine.spark, self.engine.warehouse, user=user)
+        eng = Lagoon(
+            self.engine.spark,
+            self.engine.warehouse,
+            user=user,
+            default_public=self.engine.default_public,
+        )
         eng.catalog = self.engine.catalog  # share cache + lock state
         return eng
 
 
 def _make_handler(srv: LagoonServer):
     class Handler(BaseHTTPRequestHandler):
+        # chunked Transfer-Encoding (the download/sql streams) is an
+        # HTTP/1.1 construct; BaseHTTPRequestHandler defaults to 1.0
+        # status lines, under which strict clients reject or mis-frame
+        # chunked bodies
+        protocol_version = "HTTP/1.1"
+
         # route table: (method, compiled path) → handler name
         ROUTES = [
             ("GET", r"^/sources$", "sources_get"),
@@ -136,6 +222,15 @@ def _make_handler(srv: LagoonServer):
                 "group_manage",
             ),
             ("GET", r"^/users$", "users_get"),
+            ("POST", r"^/user/login$", "user_login"),
+            ("POST", r"^/user/logout$", "user_logout"),
+            ("POST", r"^/user/token$", "user_token"),
+            ("POST", r"^/user/resume$", "user_resume"),
+            (
+                "POST",
+                r"^/user/(?P<uname>[^/]+)/(?P<cap>create|creategroup)$",
+                "user_set_capability",
+            ),
         ]
         _COMPILED = [(m, re.compile(p), h) for m, p, h in ROUTES]
 
@@ -144,10 +239,29 @@ def _make_handler(srv: LagoonServer):
 
         # -- plumbing ---------------------------------------------------------
 
+        def _cookie_token(self) -> str | None:
+            from http.cookies import SimpleCookie
+
+            c = SimpleCookie()
+            try:
+                c.load(self.headers.get("Cookie", ""))
+            except Exception:
+                return None
+            morsel = c.get("sessionId")
+            return morsel.value if morsel else None
+
         def _dispatch(self, method: str) -> None:
             u = urlparse(self.path)
-            self.query = {k: v[-1] for k, v in parse_qs(u.query).items()}
-            self.user = self.headers.get("X-Lagoon-User", "unknown")
+            qs = parse_qs(u.query, keep_blank_values=True)
+            self.query = {k: v[-1] for k, v in qs.items()}
+            self.query_all = qs  # repeatable params (tag, column, user)
+            # identity: a live session cookie wins; the trust header
+            # only counts in trust-auth mode; else anonymous
+            self.user = srv.session_user(self._cookie_token()) or (
+                self.headers.get("X-Lagoon-User", "unknown")
+                if srv.trust_header
+                else "unknown"
+            )
             self.eng = srv._as_user(self.user)
             for m, pat, hname in self._COMPILED:
                 if m != method:
@@ -178,9 +292,16 @@ def _make_handler(srv: LagoonServer):
 
         def _json(self, obj, code: int = 200, headers: dict | None = None):
             data = json.dumps(obj).encode()
+            if code >= 400:
+                # an errored handler may not have drained the request
+                # body; under HTTP/1.1 keep-alive those bytes would be
+                # parsed as the next request — drop the connection
+                self.close_connection = True
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(data)))
+            if code >= 400:
+                self.send_header("Connection", "close")
             for k, v in (headers or {}).items():
                 self.send_header(k, str(v))
             self.end_headers()
@@ -226,21 +347,72 @@ def _make_handler(srv: LagoonServer):
 
         # -- /sources ----------------------------------------------------------
 
+        # reference SourcesColumn wire names (`Interface/Schema.hs:44-58`)
+        # → catalog.search order keys
+        _ORDER_COLS = {
+            "ix": "ix",
+            "sourcename": "name",
+            "url": "url",
+            "version": "version",
+            "created": "created",
+            "addedby": "added_by",
+            "tablename": "table_name",
+            "viewname": "view_name",
+            "description": "description",
+        }
+
         def sources_get(self):
-            q = self.query
+            """The FULL ExpandSourcesSpec parameter list
+            (`Interface/API.hs:484-498`): offset/limit/search/ix,
+            repeatable tag/user/column, description/name,
+            createdAfter/createdBefore, orderAsc/orderDesc (value = a
+            SourcesColumn name; the legacy orderBy + orderAsc=true|false
+            spelling still works), and the includeDeprecated flag
+            (absent → deprecated sources hidden, the REST default —
+            QueryFlag semantics)."""
+            import re as _re
+
+            q, qa = self.query, self.query_all
+            order_by, ascending = q.get("orderBy"), True
+            if q.get("orderAsc") in ("true", "false"):  # legacy flag form
+                ascending = q["orderAsc"] == "true"
+            elif "orderAsc" in q:
+                order_by, ascending = self._order_col(q["orderAsc"]), True
+            if "orderDesc" in q:
+                order_by, ascending = self._order_col(q["orderDesc"]), False
+            if order_by is None:
+                # reference default sort (`Server/Serialization.hs:56-57`)
+                order_by = "created"
+            users = qa.get("user", [])
             infos, total = self.eng.catalog.search(
+                ix=int(q["ix"]) if "ix" in q else None,
                 name_contains=q.get("q") or q.get("name"),
                 description_contains=q.get("description"),
-                tags_all=[q["tag"]] if "tag" in q else None,
+                created_after=q.get("createdAfter"),
+                created_before=q.get("createdBefore"),
+                tags_all=qa.get("tag") or None,
+                columns_all=qa.get("column") or None,
+                # several ?user= params are any-of (a source has ONE
+                # uploader); str.contains is regex, so alternate
+                added_by_contains="|".join(_re.escape(u) for u in users)
+                if users
+                else None,
+                include_deprecated="includeDeprecated" in qa,
                 ts_query=q.get("search"),
                 offset=int(q.get("offset", 0)),
                 limit=int(q["limit"]) if "limit" in q else None,
-                order_by=q.get("orderBy"),
-                ascending=q.get("orderAsc", "true") != "false",
+                order_by=order_by,
+                ascending=ascending,
             )
             self._json(
                 [_wire(i) for i in infos], headers={"X-Total-Count": total}
             )
+
+        def _order_col(self, name: str) -> str:
+            try:
+                return self._ORDER_COLS[name]
+            except KeyError:
+                raise ValueError(f"invalid SourcesColumn {name!r}") from None
 
         def sources_post(self):
             q = self.query
@@ -256,7 +428,14 @@ def _make_handler(srv: LagoonServer):
                     spool,
                     name,
                     description=q.get("description"),
-                    tags=q["tag"].split(",") if "tag" in q else None,
+                    # ?tag= repeats (ExpandIngestOptions QueryParams);
+                    # comma-splitting kept for the legacy spelling
+                    tags=[
+                        t
+                        for v in self.query_all.get("tag", [])
+                        for t in v.split(",")
+                    ]
+                    or None,
                     created=q.get("created"),
                     has_headers=q.get("noHeaders") is None,
                     json_path=q.get("jsonPath"),
@@ -434,5 +613,78 @@ def _make_handler(srv: LagoonServer):
         def users_get(self):
             s = self.eng.catalog.load("sources")
             self._json(sorted(set(s["added_by"].dropna())))
+
+        # -- /user: sessions (`Interface/API.hs:328-366`) -----------------------
+
+        def _set_cookie(self, token: str | None) -> dict:
+            if token is None:  # logout: expire it
+                return {"Set-Cookie": "sessionId=; Path=/; Max-Age=0; HttpOnly"}
+            return {"Set-Cookie": f"sessionId={token}; Path=/; HttpOnly"}
+
+        def user_login(self):
+            if srv.auth is None:
+                raise ValueError(
+                    "no credential verifier configured; this server runs "
+                    "in trust-auth mode (X-Lagoon-User)"
+                )
+            creds = json.loads(self._body() or b"{}")
+            user, password = creds.get("user"), creds.get("pass")
+            if not user or password is None or not srv.verify_credentials(
+                user, password
+            ):
+                # the reference's LoginFailed wire body (`Auth.hs:96-99`),
+                # carried on 403 so clients need no body inspection
+                self._json({"failed": "Invalid credentials"}, 403)
+                return
+            token = srv.open_session(user)
+            self._json(
+                {"ok": {"username": user}}, headers=self._set_cookie(token)
+            )
+
+        def user_logout(self):
+            token = self._cookie_token()
+            if token:
+                srv.close_session(token)
+            self._json(None, headers=self._set_cookie(None))
+
+        def user_token(self):
+            """Persist the session for later /user/resume and return its
+            opaque token (`Server/API/User.hs:62-67`)."""
+            token = self._cookie_token()
+            if not token or srv.session_user(token) is None:
+                self._json({"error": "Not logged in"}, 401)
+                return
+            with srv._sess_lock:
+                srv._resumable.add(token)
+            self._json(token)
+
+        def user_resume(self):
+            token = json.loads(self._body() or b'""')
+            with srv._sess_lock:
+                live = (
+                    token in srv._resumable and token in srv._sessions
+                )
+                user = srv._sessions.get(token)
+            if not live:
+                self._json({"failed": "Invalid credentials"}, 403)
+                return
+            self._json(
+                {"ok": {"username": user}}, headers=self._set_cookie(token)
+            )
+
+        def user_set_capability(self, uname, cap):
+            """Grant/revoke the CREATE / CREATEGROUP capability
+            (`Server/API/User.hs:82-103`; admin-gated like the
+            reference's getSessionAdmin)."""
+            from lagoon_spark import security as _sec
+
+            if not _sec.is_admin(self.user):
+                raise _sec.PermissionDenied(
+                    f"only {_sec.ADMIN} may change capabilities"
+                )
+            allowed = bool(json.loads(self._body()))
+            with self.eng.catalog.writer_lock():
+                _sec.set_capability(self.eng.catalog, uname, cap, allowed)
+            self._json(None)
 
     return Handler

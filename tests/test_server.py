@@ -157,3 +157,212 @@ def test_pylagoon_source_wrapper_reads_wire_json(served):
     _, _, info = _req(served, "POST", "/sources?name=pyl", body=b"n\n1\n")
     s = Source(info)
     assert s.view_name == "pyl_v1" and "n" in s.columns
+
+
+# -- round-6: session auth, full SourcesSpec, concurrency ---------------------
+
+
+@pytest.fixture()
+def served_auth(lagoon):
+    """Server with a credential verifier: cookie sessions are the only
+    identity; X-Lagoon-User is ignored."""
+    from lagoon_spark.server import LagoonServer
+
+    lagoon.user = "admin"
+    srv = LagoonServer(
+        lagoon, port=0, auth={"alice": "pw1", "admin": "root"}
+    )
+    port = srv.start()
+    yield f"http://127.0.0.1:{port}"
+    srv.stop()
+
+
+def _cookie(headers) -> str:
+    sc = headers.get("Set-Cookie", "")
+    return sc.split(";", 1)[0]
+
+
+def test_login_session_logout_flow(served_auth):
+    # wrong password → 403 with the reference's LoginFailed body
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(served_auth, "POST", "/user/login",
+             body={"user": "alice", "pass": "nope"})
+    assert e.value.code == 403
+    assert json.loads(e.value.read()) == {"failed": "Invalid credentials"}
+
+    # the trust header is IGNORED when a verifier is configured: an
+    # unauthenticated ingest lands as the anonymous actor
+    _, _, anon = _req(served_auth, "POST", "/sources?name=anon",
+                      body=b"a\n1\n", user="alice")
+    assert anon["addedBy"] == "unknown"
+
+    # login → cookie session; work is attributed to the session user
+    st, hdr, ok = _req(served_auth, "POST", "/user/login",
+                       body={"user": "alice", "pass": "pw1"})
+    assert st == 200 and ok == {"ok": {"username": "alice"}}
+    cookie = _cookie(hdr)
+    assert cookie.startswith("sessionId=")
+    _, _, info = _req(
+        served_auth, "POST", "/sources?name=mine&private=1",
+        body=b"a\n1\n2\n", headers={"Cookie": cookie},
+    )
+    assert info["addedBy"] == "alice"
+    st, _, got = _req(served_auth, "GET", f"/source/{info['ix']}/download",
+                      headers={"Cookie": cookie})
+    assert st == 200 and got.startswith("a")
+    st, _, rows = _req(served_auth, "POST", "/sql?format=json",
+                       body=b"SELECT COUNT(*) AS n FROM mine_v1_typed",
+                       headers={"Cookie": cookie})
+    assert rows == {"n": 2}
+
+    # token → logout → the cookie no longer grants access (private src)
+    st, _, token = _req(served_auth, "POST", "/user/token",
+                        headers={"Cookie": cookie})
+    assert st == 200 and isinstance(token, str) and token
+    _req(served_auth, "POST", "/user/logout", headers={"Cookie": cookie})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(served_auth, "GET", f"/source/{info['ix']}/download",
+             headers={"Cookie": cookie})
+    assert e.value.code == 403
+
+    # a dead token does not resume; neither does a made-up one
+    for bad in (token, "forged"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(served_auth, "POST", "/user/resume", body=bad)
+        assert e.value.code == 403
+
+
+def test_auth_token_resume(served_auth):
+    _, hdr, _ = _req(served_auth, "POST", "/user/login",
+                     body={"user": "alice", "pass": "pw1"})
+    cookie = _cookie(hdr)
+    _, _, token = _req(served_auth, "POST", "/user/token",
+                       headers={"Cookie": cookie})
+    # resume from the persisted token alone (a NEW client, no cookie)
+    st, hdr2, ok = _req(served_auth, "POST", "/user/resume", body=token)
+    assert st == 200 and ok == {"ok": {"username": "alice"}}
+    assert _cookie(hdr2).startswith("sessionId=")
+    # /user/token without a session → 401
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(served_auth, "POST", "/user/token")
+    assert e.value.code == 401
+
+
+def test_capability_routes_admin_gated(served_auth):
+    _, hdr, _ = _req(served_auth, "POST", "/user/login",
+                     body={"user": "admin", "pass": "root"})
+    admin_cookie = _cookie(hdr)
+    _, hdr, _ = _req(served_auth, "POST", "/user/login",
+                     body={"user": "alice", "pass": "pw1"})
+    alice_cookie = _cookie(hdr)
+    # non-admin may not change capabilities
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(served_auth, "POST", "/user/bob/create", body=False,
+             headers={"Cookie": alice_cookie})
+    assert e.value.code == 403
+    # admin revokes alice's CREATE → her new-dataset ingest is denied
+    _req(served_auth, "POST", "/user/alice/create", body=False,
+         headers={"Cookie": admin_cookie})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(served_auth, "POST", "/sources?name=blocked", body=b"a\n1\n",
+             headers={"Cookie": alice_cookie})
+    assert e.value.code == 403
+    # and grants it back
+    _req(served_auth, "POST", "/user/alice/create", body=True,
+         headers={"Cookie": admin_cookie})
+    st, _, info = _req(served_auth, "POST", "/sources?name=allowed",
+                       body=b"a\n1\n", headers={"Cookie": alice_cookie})
+    assert st == 200 and info["addedBy"] == "alice"
+
+
+def test_sources_spec_full_param_surface(served):
+    """GET /sources carries the reference's ExpandSourcesSpec params
+    (`Interface/API.hs:484-498`): repeatable tag/user/column,
+    createdAfter/Before, orderAsc/orderDesc columns, includeDeprecated
+    flag."""
+    _req(served, "POST", "/sources?name=s_one&tag=red&tag=old",
+         body=b"alpha,beta\n1,2\n", user="alice")
+    _req(served, "POST", "/sources?name=s_two&tag=red",
+         body=b"alpha,gamma\n3,4\n", user="bob")
+    _req(served, "POST", "/sources?name=s_three&description=about+carrots",
+         body=b"delta\n5\n", user="carol")
+
+    def ls(qs):
+        st, hdr, lst = _req(served, "GET", f"/sources?{qs}")
+        assert st == 200
+        return [s["name"] for s in lst], hdr["X-Total-Count"]
+
+    names, total = ls("")
+    assert names == ["s_one", "s_two", "s_three"] and total == "3"  # created asc
+    assert ls("orderDesc=ix")[0] == ["s_three", "s_two", "s_one"]
+    assert ls("orderAsc=sourcename")[0] == ["s_one", "s_three", "s_two"]
+    # repeatable params: tags AND; users any-of; columns AND
+    assert ls("tag=red&tag=old")[0] == ["s_one"]
+    assert ls("user=alice&user=carol")[0] == ["s_one", "s_three"]
+    assert ls("column=alpha")[0] == ["s_one", "s_two"]
+    assert ls("column=alpha&column=gamma")[0] == ["s_two"]
+    assert ls("description=carrot")[0] == ["s_three"]
+    # created-bounds round trip off a listed timestamp
+    _, _, lst = _req(served, "GET", "/sources?name=s_two")
+    created = lst[0]["created"]
+    got, _ = ls(f"createdAfter={urllib.parse.quote(created)}")
+    assert "s_two" in got
+    # deprecated sources are hidden unless the flag is present
+    ix_one = lst and _req(served, "GET", "/source/name/s_one")[2]
+    v1 = _req(served, "GET", f"/source/version/{ix_one}")[2]
+    _req(served, "POST", f"/source/{v1}/deprecated", body=True)
+    assert ls("")[0] == ["s_two", "s_three"]
+    assert ls("includeDeprecated")[0] == ["s_one", "s_two", "s_three"]
+    # bad order column → 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(served, "GET", "/sources?orderAsc=nonsense")
+    assert e.value.code == 400
+
+
+def test_concurrent_requests_one_engine(served):
+    """Concurrent ingest + sql + download over the ThreadingHTTPServer:
+    every ingest lands with a distinct ix, reads see consistent data,
+    and no request 500s (round-5 verdict ask #7)."""
+    import threading
+
+    _, _, seed = _req(served, "POST", "/sources?name=conc_seed",
+                      body=b"v\n0\n")
+    errors: list = []
+    ixs: list = []
+    lock = threading.Lock()
+
+    def ingest(i):
+        try:
+            _, _, info = _req(served, "POST", f"/sources?name=conc_{i}",
+                              body=f"v\n{i}\n".encode())
+            with lock:
+                ixs.append(info["ix"])
+        except Exception as exc:
+            errors.append(exc)
+
+    def read(_i):
+        try:
+            st, _, body = _req(served, "GET",
+                               f"/source/{seed['ix']}/download")
+            assert body == "v\r\n0\r\n"
+            st, _, rows = _req(served, "POST", "/sql?format=json",
+                               body=b"SELECT COUNT(*) AS n FROM conc_seed_v1")
+            assert rows == {"n": 1}
+        except Exception as exc:
+            errors.append(exc)
+
+    threads = [threading.Thread(target=ingest, args=(i,)) for i in range(4)]
+    threads += [threading.Thread(target=read, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert not errors, errors
+    assert len(set(ixs)) == 4
+    # catalog intact: every source listed once, all data readable
+    st, hdr, lst = _req(served, "GET", "/sources?name=conc_")
+    assert hdr["X-Total-Count"] == "5"
+    for i in range(4):
+        _, _, rows = _req(served, "POST", "/sql?format=json",
+                          body=f"SELECT v FROM conc_{i}_v1_typed".encode())
+        assert rows == {"v": i}
