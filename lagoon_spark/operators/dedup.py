@@ -476,6 +476,7 @@ def keep_canonical(
     rows_per_band: int = 4,
     min_matches: int = 8,
     method: str = "portable",
+    clusters_df: DataFrame | None = None,
 ) -> DataFrame:
     """Survivor selection over near-dup clusters: cluster with
     MinHash-LSH (:func:`neardup_clusters`), then keep exactly ONE
@@ -492,17 +493,33 @@ def keep_canonical(
     when a trained scorer isn't wired in). Scale shape: the clustering
     is the signature-collapsed LSH+CC pass (never all-pairs), the
     survivor pick is one rank window keyed on the cluster id.
+
+    ``clusters_df`` short-circuits the clustering: a pipeline that
+    already ran :func:`neardup_clusters` passes its (id, cluster) frame
+    here and pays only the rank window, instead of a second LSH+CC pass
+    over the corpus (the clustering is ~60% of this operator's cost).
+    The frame must cover every id in ``df`` with the same id column
+    name; the LSH tuning arguments are ignored when it is given.
     """
     from pyspark.sql import Window
 
     from lagoon_spark.operators import text as _text
 
-    clusters = neardup_clusters(
-        df, id_col, text_col,
-        num_hashes=num_hashes, bands=bands,
-        rows_per_band=rows_per_band, min_matches=min_matches,
-        method=method,
-    )
+    if clusters_df is not None:
+        missing = {id_col, "cluster"} - set(clusters_df.columns)
+        if missing:
+            raise ValueError(
+                f"clusters_df must carry columns ({id_col!r}, 'cluster'); "
+                f"missing {sorted(missing)}"
+            )
+        clusters = clusters_df.select(id_col, "cluster")
+    else:
+        clusters = neardup_clusters(
+            df, id_col, text_col,
+            num_hashes=num_hashes, bands=bands,
+            rows_per_band=rows_per_band, min_matches=min_matches,
+            method=method,
+        )
     quality = (
         F.col(quality_col).cast("double")
         if quality_col

@@ -139,30 +139,45 @@ def word_fingerprints(col: str, mod: int = MOD, mult: int = MULT) -> Column:
     return F.expr(expr)
 
 
-def hashed_linear_score(col: str, mod: int = MOD, mult: int = MULT) -> Column:
-    """Fasttext-style hashed linear text scorer with a FIXED,
-    deterministic weight table: each token's portable rolling-hash
-    fingerprint indexes a pseudo-weight ``((fp % 2001) - 1000)/1000``
-    in [-1, 1]; the document score is ``sigmoid(mean weight)`` rounded
-    to 9 decimals (0.5 = neutral, no tokens → exactly 0.5).
+def hashed_linear_score(
+    col: str,
+    mod: int = MOD,
+    mult: int = MULT,
+    weights: "list[float] | None" = None,
+) -> Column:
+    """Fasttext-style hashed linear text scorer: each token's portable
+    rolling-hash fingerprint indexes a weight; the document score is
+    ``sigmoid(mean weight)`` rounded to 9 decimals (0.5 = neutral, no
+    tokens → exactly 0.5).
 
-    The point is the serving-side PLAN shape of a linear quality
-    classifier (the fastText/CCNet quality-filter architecture, public
-    method): feature hashing + weight lookup + mean + sigmoid as one
-    row-local whole-stage-codegen expression — no shuffle, no Python,
-    a pure map over 100 TB. Swapping the pseudo-weight arithmetic for
-    a broadcast ``element_at(weights, fp % F)`` serves real trained
-    weights with the identical plan. The float fold is order-pinned
+    ``weights`` serves REAL trained coefficients: a length-F table
+    looked up as ``element_at(weights, fp % F + 1)`` — the feature-
+    hashing trick, so any vocabulary serves through a fixed-size
+    table. With ``weights=None`` the deterministic pseudo-weight
+    ``((fp % 2001) - 1000)/1000`` in [-1, 1] stands in (the
+    weight-free demo shape). Either way the PLAN is identical — the
+    point of the fastText/CCNet quality-filter serving architecture
+    (public method): feature hashing + weight lookup + mean + sigmoid
+    as one row-local whole-stage-codegen expression — no shuffle, no
+    Python, a pure map over 100 TB. The weight table embeds in the
+    plan as an array literal (fine through ~100k coefficients; beyond
+    that, store the table as a 1-row DataFrame and crossJoin-broadcast
+    it — same per-row expression). The float fold is order-pinned
     (array order, same in the DuckDB twin), so scores hash-match
     across engines.
     """
     fps = word_fingerprints(col, mod, mult)
+    if weights is None:
+        lookup = "(CAST(f % 2001 AS DOUBLE) - 1000.0) / 1000.0"
+    else:
+        arr = ", ".join(f"CAST({float(w)!r} AS DOUBLE)" for w in weights)
+        lookup = f"element_at(array({arr}), CAST(f % {len(weights)} AS INT) + 1)"
     sum_w = F.expr(
         f"aggregate(transform(filter(split({col}, ' '), w -> w <> ''), "
         f"w -> aggregate(transform(sequence(1, length(w)), "
         f"i -> ascii(substr(w, i, 1))), CAST(0 AS BIGINT), "
         f"(a, b) -> (a * {mult} + b) % {mod})), CAST(0.0 AS DOUBLE), "
-        f"(acc, f) -> acc + (CAST(f % 2001 AS DOUBLE) - 1000.0) / 1000.0)"
+        f"(acc, f) -> acc + {lookup})"
     )
     n = F.size(fps)
     mean = F.when(n > 0, sum_w / n).otherwise(F.lit(0.0))

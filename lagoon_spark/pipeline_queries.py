@@ -1966,3 +1966,53 @@ def d27(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         text.hashed_linear_score("text").alias("quality_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d28 — hashed linear scorer serving TRAINED weights (round-5 verdict #6)
+# ---------------------------------------------------------------------------
+#
+# d27's pseudo-weight arithmetic stands in for a weight table; this
+# entry serves an actual coefficient vector through the same plan:
+# element_at(<weight array>, fp % F + 1) — the feature-hashing trick,
+# so any vocabulary serves through a fixed-size broadcast table. The
+# coefficients are multiples of 1/64 (binary-exact), so the DuckDB
+# twin's literal list converts to DOUBLE losslessly and the float fold
+# hash-matches.
+
+_D28_F = 64
+_D28_WEIGHTS = [((i * 37 + 11) % 129 - 64) / 64 for i in range(_D28_F)]
+
+_D28_ORACLE = f"""
+WITH f AS (SELECT doc_id, {_D27_FPS} AS fps FROM documents),
+s AS (
+  SELECT doc_id, len(fps) AS n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(fps,
+             x -> CAST(list_extract([{", ".join(repr(w) for w in _D28_WEIGHTS)}],
+                       CAST(x % {_D28_F} AS INT) + 1) AS DOUBLE))),
+           (a, b) -> a + b) AS sw
+  FROM f
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(CASE WHEN n > 0 THEN sw / n ELSE 0.0 END))), 9)
+         AS quality_score
+FROM s
+"""
+
+
+@df_query(
+    "d28_trained_quality_score",
+    "Hashed linear classifier serving a trained coefficient table: "
+    "element_at(weights, fp % F + 1) lookup, mean, sigmoid — identical "
+    "map-only codegen plan as d27, real weights instead of arithmetic.",
+    _D28_ORACLE,
+)
+def d28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.table("documents").select(
+        "doc_id",
+        text.hashed_linear_score("text", weights=_D28_WEIGHTS).alias(
+            "quality_score"
+        ),
+    )

@@ -480,3 +480,67 @@ def test_hashed_linear_score_shape(spark):
         for r in df.select("doc_id", hashed_linear_score("text").alias("s")).collect()
     }
     assert again == got
+
+
+def test_keep_canonical_accepts_precomputed_clusters(spark):
+    """A pipeline that already ran neardup_clusters passes its frame in
+    and skips the second LSH+CC pass; the result must equal the
+    recomputed one, and a frame missing the id/cluster columns is
+    refused (round-5 verdict ask #5)."""
+    import pytest as _pytest
+
+    from lagoon_spark.operators.dedup import keep_canonical, neardup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (1, base + "short"),
+        (2, base + "short"),
+        (3, base + "longer tail with extra tokens"),
+        (4, "completely different text about something else entirely ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    clusters = neardup_clusters(df, "doc_id", "text", min_matches=6)
+    via_precomputed = sorted(
+        map(tuple, keep_canonical(
+            df, "doc_id", "text", min_matches=6, clusters_df=clusters
+        ).collect())
+    )
+    recomputed = sorted(
+        map(tuple, keep_canonical(df, "doc_id", "text", min_matches=6).collect())
+    )
+    assert via_precomputed == recomputed
+    with _pytest.raises(ValueError, match="cluster"):
+        keep_canonical(
+            df, "doc_id", "text",
+            clusters_df=clusters.withColumnRenamed("cluster", "oops"),
+        )
+
+
+def test_hashed_linear_score_trained_weights(spark):
+    """weights= serves a real coefficient table through the identical
+    map-only plan: scores move with the table, the plan stays
+    Python-free and shuffle-free (round-5 verdict ask #6)."""
+    from lagoon_spark.operators.text import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(1, "some sample tokens here"), (2, "")],
+        "doc_id long, text string",
+    )
+    up = [0.75] * 16     # every feature positive → score > 0.5
+    down = [-0.75] * 16  # every feature negative → score < 0.5
+    sel_up = df.select("doc_id", hashed_linear_score("text", weights=up).alias("s"))
+    got_up = {r["doc_id"]: r["s"] for r in sel_up.collect()}
+    got_down = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", hashed_linear_score("text", weights=down).alias("s")
+        ).collect()
+    }
+    import math
+
+    expected = round(1.0 / (1.0 + math.exp(-0.75)), 9)
+    assert got_up[1] == expected and got_down[1] == round(1.0 - expected, 9)
+    assert got_up[2] == 0.5 and got_down[2] == 0.5  # no tokens → neutral
+    plan = sel_up._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # pure row-local map
