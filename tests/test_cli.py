@@ -291,3 +291,41 @@ def test_cli_extension_commands(spark, tmp_path):
         "--checkpoint-dir", str(tmp_path / "ckpt"),
     )
     assert "flowed (version 1)" in out
+
+
+COMPACT_GOLDEN = os.path.join(
+    os.path.dirname(__file__), "golden", "dbinfo-compact.expected"
+)
+
+
+def _compaction_corpus(wh, tmp_path):
+    """The runcompactiontests.sh shape: one dataset, two versions, the
+    second a superset of the first, pinned clock, user edsko."""
+    rows = "".join(f"{i},name{i},{i * 7 % 97}\n" for i in range(200))
+    extra = "".join(f"{i},name{i},{i * 7 % 97}\n" for i in range(200, 260))
+    p1 = tmp_path / "many-rows.csv"
+    p1.write_text("id,name,val\n" + rows)
+    p2 = tmp_path / "many-rows-extra.csv"
+    p2.write_text("id,name,val\n" + rows + extra)
+    _run(wh, "init-db", user="edsko")
+    for p in (p1, p2):
+        _run(wh, "ingest", "-n", "many-rows.csv", "--created", PIN, str(p),
+             user="edsko")
+
+
+def test_cli_compaction_golden_dump(spark, tmp_path):
+    """Mirror of `runcompactiontests.sh:49-62` + dbinfo-compact.expected:
+    per-version downloads are byte-identical before and after
+    compaction, and the post-compaction dump-db-info matches the
+    committed golden."""
+    wh = tmp_path / "warehouse"
+    _compaction_corpus(wh, tmp_path)
+    _, v1 = _run(wh, "download", "many-rows.csv", "-v", "1", user="edsko")
+    _, v2 = _run(wh, "download", "many-rows.csv", "-v", "2", user="edsko")
+    _run(wh, "compact", "many-rows.csv", user="edsko")
+    _, v1c = _run(wh, "download", "many-rows.csv", "-v", "1", user="edsko")
+    _, v2c = _run(wh, "download", "many-rows.csv", "-v", "2", user="edsko")
+    assert v1c == v1 and v2c == v2
+    _, dump = _run(wh, "dump-db-info", user="edsko")
+    with open(COMPACT_GOLDEN) as f:
+        assert dump == f.read()
