@@ -1,18 +1,25 @@
-"""Dedup/ANN scale smoke — execution above sf0.1 (round-4 verdict #7).
+"""Scale smoke — execution above sf0.1 (round-4 verdict #7, round-5 #3).
 
 The operators' 100 TB claims are plan-asserted in tests/test_plans.py;
-this harness EXECUTES the two heaviest pipelines on a synthetic ~1M-doc
-corpus (generated JVM-side, no driver loop) and records the evidence:
+this harness EXECUTES the heaviest pipelines at two sizes and records
+the evidence:
 
-* wall-time near-linearity: each phase runs at n/4 and n — a healthy
-  pipeline scales ~4×, a quadratic one ~16×;
+* dedup/ANN: MinHash-LSH + CC over ~1M synthetic docs and semantic
+  dedup over 100k vectors (generated JVM-side, no driver loop), at n/4
+  and n — a healthy pipeline scales ~4×, a quadratic one ~16×;
+* relational plane: the slowest registry queries run at sf0.1 and at a
+  synthesized sf1 equivalent (FACTOR× replication of sf0.1 with
+  consistently remapped join keys — the TPC-H scaling shape: facts and
+  dims grow, region/nation stay fixed), asserting near-linear wall
+  ratios and unchanged join strategies between the two scales;
 * per-stage shuffle-write bytes from the Spark status REST API — the
   "no stage shuffles O(n²) bytes" check, pinned against the corpus's
   raw input bytes.
 
-Writes SCALE_SMOKE_r5.json (one JSON document). Usage:
+Writes SCALE_SMOKE_r6.json (one JSON document). Usage:
 
     python scale_smoke.py [--docs 1000000] [--vectors 100000]
+                          [--sf-dir /root/testdata/sf0.1] [--factor 10]
 """
 
 from __future__ import annotations
@@ -137,12 +144,178 @@ def run_semantic(spark, m: int, dim: int) -> dict:
     return {"m": m, "k": k, "wall_sec": round(wall, 2), "rows": agg["rows"], "kept": agg["kept"]}
 
 
+# -- relational plane ---------------------------------------------------------
+
+# the slowest relational-plane registry queries (bench ordering), minus
+# q08: its inequality-only nested loop is SEMANTICALLY quadratic (work
+# grows 100× when both sides grow 10×), so a linearity assertion would
+# be asserting the wrong thing
+RELATIONAL_QUERIES = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_left_join_customer_orders",
+    "q05_full_outer_join",
+    "q09_window_topk_per_group",
+    "q13_sort_limit_offset",
+    "q37_json_containment",
+    "q40_rank_family",
+    "q44_percentiles",
+    "q46_window_range_frame",
+]
+
+# per-table key remaps: each replica r shifts every key by r*(max+1) of
+# its domain, so FK joins stay consistent within a replica and replicas
+# never cross-match — row counts scale exactly by FACTOR
+_REPLICA_KEYS = {
+    "customer": {"c_custkey": "customer"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "part": {"p_partkey": "part"},
+    "supplier": {"s_suppkey": "supplier"},
+    "events": {"event_id": "events", "user_id": "events_user"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+}
+
+_DOMAIN_KEY = {
+    "customer": ("customer", "c_custkey"),
+    "orders": ("orders", "o_orderkey"),
+    "part": ("part", "p_partkey"),
+    "supplier": ("supplier", "s_suppkey"),
+    "events": ("events", "event_id"),
+    "events_user": ("events", "user_id"),
+    "documents": ("documents", "doc_id"),
+    "embeddings": ("embeddings", "vec_id"),
+}
+
+
+def build_replica(spark, src_dir: str, out_dir: str, factor: int) -> float:
+    """Write a factor× key-remapped copy of the sf directory. The
+    multiplication is a broadcast cross join against range(factor) —
+    JVM-side, no shuffle, no driver loop. Returns build wall seconds."""
+    import os
+
+    from lagoon_spark.session import TABLES, register_views
+
+    t0 = time.time()
+    register_views(spark, src_dir)
+    offsets = {
+        dom: spark.table(t).agg(F.max(k)).collect()[0][0] + 1
+        for dom, (t, k) in _DOMAIN_KEY.items()
+    }
+    reps = F.broadcast(spark.range(factor).withColumnRenamed("id", "__rep"))
+    for t in TABLES:
+        df = spark.table(t)
+        if t in _REPLICA_KEYS:
+            df = df.crossJoin(reps)
+            for col, dom in _REPLICA_KEYS[t].items():
+                df = df.withColumn(
+                    col, F.col(col) + F.col("__rep") * F.lit(offsets[dom])
+                )
+            df = df.drop("__rep")
+        # region/nation: fixed across scale factors, copied verbatim
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+    return time.time() - t0
+
+
+_PLAN_OPS = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "TakeOrderedAndProject",
+    "Exchange",
+    "HashAggregate",
+    "Window",
+)
+
+# strategy-bearing operators: these must NOT change between sf0.1 and
+# sf1 (Exchange/HashAggregate counts may legitimately differ under AQE)
+_STRATEGY_OPS = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "CartesianProduct",
+    "BroadcastNestedLoopJoin",
+    "ArrowEvalPython",
+    "BatchEvalPython",
+)
+
+
+def run_relational(spark, sf_dir: str, names: list[str]) -> dict:
+    """Execute each registry query against sf_dir through the noop sink
+    (everything computes, nothing lands on the driver)."""
+    from lagoon_spark.queries import get_query
+
+    out = {}
+    for name in names:
+        df = get_query(name).spark_fn(spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        wall = time.time() - t0
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = {
+            "wall_sec": round(wall, 3),
+            "ops": {op: plan.count(op) for op in _PLAN_OPS if op in plan},
+        }
+    return out
+
+
+def relational_phase(spark, meter, sf_dir: str, factor: int) -> dict:
+    import tempfile
+
+    rep_dir = tempfile.mkdtemp(prefix=f"lagoon_sf_x{factor}_")
+    build_sec = build_replica(spark, sf_dir, rep_dir, factor)
+    meter.take()  # replica construction is not query accounting
+    small = run_relational(spark, sf_dir, RELATIONAL_QUERIES)
+    meter.take()
+    big = run_relational(spark, rep_dir, RELATIONAL_QUERIES)
+    shuffles = meter.take()
+    queries = {}
+    for name in RELATIONAL_QUERIES:
+        ratio = round(
+            big[name]["wall_sec"] / max(small[name]["wall_sec"], 1e-9), 2
+        )
+        strat_small = {
+            op: small[name]["ops"].get(op, 0) for op in _STRATEGY_OPS
+        }
+        strat_big = {op: big[name]["ops"].get(op, 0) for op in _STRATEGY_OPS}
+        queries[name] = {
+            "sf_small": small[name],
+            "sf_big": big[name],
+            "wall_ratio": ratio,
+            # linear = factor; 2.5× headroom absorbs fixed per-query
+            # overhead and n log n sorts
+            "near_linear": ratio < 2.5 * factor,
+            "plan_strategy_equal": strat_small == strat_big,
+        }
+    return {
+        "factor": factor,
+        "replica_build_sec": round(build_sec, 1),
+        "replica_dir": rep_dir,
+        "queries": queries,
+        "all_near_linear": all(q["near_linear"] for q in queries.values()),
+        "all_plans_stable": all(
+            q["plan_strategy_equal"] for q in queries.values()
+        ),
+        **shuffles,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--vectors", type=int, default=100_000)
     ap.add_argument("--dim", type=int, default=16)
-    ap.add_argument("--out", default="SCALE_SMOKE_r5.json")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--skip-relational", action="store_true")
+    ap.add_argument("--out", default="SCALE_SMOKE_r6.json")
     args = ap.parse_args()
 
     import os
@@ -204,6 +377,11 @@ def main() -> None:
     )
     report["max_stage_shuffle_vs_input"] = round(worst / max(input_bytes, 1), 3)
     report["no_quadratic_shuffle"] = worst < 3 * input_bytes
+
+    if not args.skip_relational:
+        report["relational"] = relational_phase(
+            spark, meter, args.sf_dir, args.factor
+        )
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)

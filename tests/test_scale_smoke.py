@@ -78,3 +78,42 @@ def test_compaction_at_scale(lagoon, tmp_path):
         "MAX(ix) AS mx", "COUNT(DISTINCT ix) AS d", "COUNT(*) AS n"
     ).collect()[0]
     assert stats.mx == stats.d == stats.n == n + 2
+
+
+def test_relational_replica_scales_and_joins_consistently(spark, sf_small, tmp_path):
+    """The scale harness's sf replica (scale_smoke.build_replica) must
+    scale every fact/dim table by exactly FACTOR with join keys
+    remapped consistently: per-replica joins line up, replicas never
+    cross-match, and a star query's per-group aggregates scale by
+    FACTOR (round-5 verdict ask #3)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from scale_smoke import build_replica
+
+    from lagoon_spark.queries import get_query
+
+    out = str(tmp_path / "sfx2")
+    build_replica(spark, sf_small, out, 2)
+
+    li_src = spark.read.parquet(os.path.join(sf_small, "lineitem.parquet"))
+    li_rep = spark.read.parquet(os.path.join(out, "lineitem.parquet"))
+    assert li_rep.count() == 2 * li_src.count()
+    ord_rep = spark.read.parquet(os.path.join(out, "orders.parquet"))
+    # FK joins stay airtight: every replicated lineitem still finds its
+    # order exactly once (no cross-replica matches, no orphans)
+    joined = li_rep.join(ord_rep, li_rep.l_orderkey == ord_rep.o_orderkey)
+    ord_src = spark.read.parquet(os.path.join(sf_small, "orders.parquet"))
+    src_joined = li_src.join(ord_src, li_src.l_orderkey == ord_src.o_orderkey)
+    assert joined.count() == 2 * src_joined.count()
+
+    # a 4-dim star aggregate doubles revenue per group, same group set
+    def rows(d):
+        spark._lagoon_views_dir = None  # force view re-registration
+        q = get_query("q02_revenue_by_nation").spark_fn(spark, d)
+        return {r["n_name"]: r["revenue"] for r in q.collect()}
+
+    small, big = rows(sf_small), rows(out)
+    assert set(small) == set(big)
+    for nation, rev in small.items():
+        assert abs(big[nation] - 2 * rev) < 1e-6 * max(abs(rev), 1.0)
