@@ -215,6 +215,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=1866)
+    p.add_argument(
+        "--auth-file",
+        default=None,
+        help="user:password per line; enables /user/login cookie "
+        "sessions and disables the X-Lagoon-User trust header",
+    )
 
     p = sub.add_parser("vacuum", help="Remove orphaned data directories")
     p.add_argument("--dry-run", action="store_true")
@@ -570,8 +576,20 @@ class _Cli:
     def cmd_serve(self):
         from lagoon_spark.server import LagoonServer
 
-        srv = LagoonServer(self.engine, host=self.args.host, port=self.args.port)
-        print(f"lagoon REST facade on http://{self.args.host}:{srv.port}")
+        auth = None
+        if self.args.auth_file:
+            auth = {}
+            with open(self.args.auth_file) as f:
+                for line in f:
+                    line = line.strip()
+                    if line and not line.startswith("#"):
+                        user, _, pw = line.partition(":")
+                        auth[user] = pw
+        srv = LagoonServer(
+            self.engine, host=self.args.host, port=self.args.port, auth=auth
+        )
+        mode = "session auth" if auth else "trust-auth (X-Lagoon-User)"
+        print(f"lagoon REST facade on http://{self.args.host}:{srv.port} [{mode}]")
         try:
             srv.httpd.serve_forever()
         except KeyboardInterrupt:

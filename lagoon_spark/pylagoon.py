@@ -325,3 +325,164 @@ def build_sql_query(query) -> str:
         compile_kwargs={"literal_binds": True}
     )
     return str(compiled)
+
+
+# -- HTTP-backed client (the reference's CONNECTED deployment shape) ---------
+
+
+class LagoonHTTP:
+    """The reference client's connected mode — the same user surface as
+    :class:`Lagoon` (sources / my_sources / users / ingest /
+    download_source / download_query) spoken over HTTP to a running
+    :class:`lagoon_spark.server.LagoonServer`, wire-for-wire with
+    `clients/PyLagoon/PyLagoon/lagoon.py:26-155`: cookie-session login
+    at construction when a password is given (`lagoon.py:38-47`),
+    query-param filters, streamed downloads. Built on stdlib urllib so
+    the client adds no dependencies; without a password it runs in the
+    trust-header mode (`X-Lagoon-User`)."""
+
+    def __init__(
+        self,
+        host: str = "127.0.0.1",
+        port: int = 1866,
+        user: str | None = None,
+        password: str | None = None,
+    ):
+        self._base = f"http://{host}:{port}"
+        self._user = user or "unknown"
+        self._cookie: str | None = None
+        if password is not None:
+            self.login(self._user, password)
+
+    # -- wire -----------------------------------------------------------------
+
+    def _req(self, method: str, path: str, params=None, body: bytes | None = None):
+        import urllib.parse
+        import urllib.request
+
+        pairs = []
+        for k, v in (params or {}).items():
+            if v is None:
+                continue
+            for item in v if isinstance(v, (list, tuple)) else [v]:
+                pairs.append((k, str(item)))
+        url = self._base + path + (
+            "?" + urllib.parse.urlencode(pairs) if pairs else ""
+        )
+        headers = (
+            {"Cookie": self._cookie}
+            if self._cookie
+            else {"X-Lagoon-User": self._user}
+        )
+        req = urllib.request.Request(
+            url, data=body, method=method, headers=headers
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return r.read(), r.headers.get("Set-Cookie")
+
+    def login(self, user: str, password: str) -> None:
+        """`lagoon.py:38-47`: POST /user/login, keep the session cookie."""
+        import json as _json
+        import urllib.error
+
+        try:
+            _payload, set_cookie = self._req(
+                "POST",
+                "/user/login",
+                body=_json.dumps({"user": user, "pass": password}).encode(),
+            )
+        except urllib.error.HTTPError as e:
+            raise Exception("Authentication failed") from e
+        self._cookie = set_cookie.split(";", 1)[0]
+        self._user = user
+
+    def logout(self) -> None:
+        self._req("POST", "/user/logout")
+        self._cookie = None
+
+    @property
+    def is_authenticated(self) -> bool:
+        return self._cookie is not None
+
+    # -- catalog --------------------------------------------------------------
+
+    def sources(self, ontoClass=None, tags=None, columns=None, **kwargs):
+        import json as _json
+
+        params = dict(kwargs)
+        want_tags = list(tags) if tags else []
+        if ontoClass:
+            want_tags.append(ontoClass)
+        if want_tags:
+            params["tag"] = want_tags
+        if columns:
+            params["column"] = list(columns)
+        payload, _ = self._req("GET", "/sources", params=params)
+        return [Source(j) for j in _json.loads(payload)]
+
+    def my_sources(self, **kwargs):
+        return self.sources(user=self._user, **kwargs)
+
+    def users(self):
+        import json as _json
+
+        payload, _ = self._req("GET", "/users")
+        return _json.loads(payload)
+
+    # -- data movement --------------------------------------------------------
+
+    def ingest(self, file_path, name, ontoClass=None, tags=None, **kwargs):
+        import json as _json
+
+        params = dict(kwargs)
+        params["name"] = name
+        want_tags = list(tags) if tags else []
+        if ontoClass:
+            want_tags.append(ontoClass)
+        if want_tags:
+            params["tag"] = want_tags
+        if "fileType" not in params and str(file_path).endswith(
+            (".json", ".jsonl")
+        ):
+            params["fileType"] = "json"
+        with open(file_path, "rb") as f:
+            payload, _ = self._req(
+                "POST", "/sources", params=params, body=f.read()
+            )
+        return Source(_json.loads(payload))
+
+    def download_source(self, source: Source) -> pd.DataFrame:
+        import io
+        import json as _json
+
+        is_json = any(
+            isinstance(c["type"], list) and c["type"][0] == "JSON"
+            for c in source.columns.values()
+        )
+        if is_json:
+            payload, _ = self._req(
+                "GET",
+                f"/source/{source.ix}/download",
+                params={"format": "json"},
+            )
+            rows = [
+                _json.loads(line)
+                for line in payload.decode("utf-8").splitlines()
+                if line.strip()
+            ]
+            return pd.DataFrame(rows)
+        payload, _ = self._req("GET", f"/source/{source.ix}/download")
+        return pd.read_csv(io.StringIO(payload.decode("utf-8")))
+
+    def download_query(self, query, sources=None) -> pd.DataFrame:
+        import json as _json
+
+        if not isinstance(query, str):
+            query = build_sql_query(query)
+        payload, _ = self._req(
+            "POST",
+            "/sql",
+            params={"format": "json_array"},
+            body=query.encode("utf-8"),
+        )
+        return pd.DataFrame(_json.loads(payload))

@@ -366,3 +366,53 @@ def test_concurrent_requests_one_engine(served):
         _, _, rows = _req(served, "POST", "/sql?format=json",
                           body=f"SELECT v FROM conc_{i}_v1_typed".encode())
         assert rows == {"v": i}
+
+
+def test_http_pylagoon_client_roundtrip(served, tmp_path):
+    """The HTTP-backed PyLagoon twin drives the real facade end-to-end:
+    ingest, filtered listing, CSV + JSON downloads, SQL query, users —
+    the reference client's connected-mode surface over the wire."""
+    from lagoon_spark.pylagoon import LagoonHTTP
+
+    port = int(served.rsplit(":", 1)[1])
+    cli = LagoonHTTP(port=port, user="alice")
+    assert not cli.is_authenticated  # trust-header mode
+
+    p = tmp_path / "hc.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    src = cli.ingest(str(p), "hc", tags=["t1"])
+    assert src.view_name == "hc_v1"
+
+    [listed] = cli.sources(tags=["t1"])
+    assert listed.ix == src.ix
+    assert [s.ix for s in cli.my_sources()] == [src.ix]
+    assert cli.users() == ["alice"]
+
+    df = cli.download_source(src)
+    assert list(df["a"]) == [1, 2] and list(df["b"]) == ["x", "y"]
+
+    q = cli.download_query("SELECT COUNT(*) AS n FROM hc_v1_typed")
+    assert list(q["n"]) == [2]
+
+    j = tmp_path / "hj.json"
+    j.write_text('{"k": 1}\n{"k": 2}\n')
+    jsrc = cli.ingest(str(j), "hj")
+    # JSON sources download as the original documents, one per line
+    jdf = cli.download_source(jsrc)
+    assert sorted(jdf["k"]) == [1, 2]
+
+
+def test_http_pylagoon_client_login_mode(served_auth, tmp_path):
+    from lagoon_spark.pylagoon import LagoonHTTP
+
+    port = int(served_auth.rsplit(":", 1)[1])
+    with pytest.raises(Exception, match="Authentication failed"):
+        LagoonHTTP(port=port, user="alice", password="wrong")
+    cli = LagoonHTTP(port=port, user="alice", password="pw1")
+    assert cli.is_authenticated
+    p = tmp_path / "auth.csv"
+    p.write_text("v\n7\n")
+    src = cli.ingest(str(p), "authed")
+    assert src._json["addedBy"] == "alice"
+    cli.logout()
+    assert not cli.is_authenticated
