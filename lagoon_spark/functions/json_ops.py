@@ -768,6 +768,85 @@ def concat_obj_sql(operand_sql: str, other: dict) -> str:
     )
 
 
+def delete_path_sql(operand_sql: str, path: list) -> str:
+    """SQL text for ``<expr> #- '<path>'`` with the FULL Postgres shape
+    semantics, pure JVM, for a constant path: traverse object keys /
+    array indexes (negative ok), delete at the last segment, absent or
+    type-mismatched segments leave the document unchanged (PG
+    behavior), everything re-serializes canonically. The rebuild
+    recurses per path segment — constant depth, so the expression stays
+    linear in the path length. Lambda variables are depth-suffixed so
+    nested rebuilds never capture each other's bindings."""
+
+    def canonical(sub: str) -> str:
+        m = f"from_json(({sub}), 'map<string,variant>')"
+        arr = f"from_json(({sub}), 'array<variant>')"
+        return (
+            f"CASE WHEN json_object_keys(({sub})) IS NOT NULL "
+            f"THEN {_sorted_obj_sql(f'map_entries({m})')} "
+            f"WHEN {arr} IS NOT NULL THEN to_json({arr}) "
+            f"ELSE to_json(try_parse_json(({sub}))) END"
+        )
+
+    def rec(sub: str, segs: list, d: int) -> str:
+        m = f"from_json(({sub}), 'map<string,variant>')"
+        arr = f"from_json(({sub}), 'array<variant>')"
+        obj_guard = f"json_object_keys(({sub})) IS NOT NULL"
+        seg = segs[0]
+        e, i = f"e{d}", f"i{d}"
+        if len(segs) == 1:
+            if isinstance(seg, str):
+                entries = (
+                    f"filter(map_entries({m}), {e} -> {e}.key <> {_sql_str(seg)})"
+                )
+                return (
+                    f"CASE WHEN {obj_guard} THEN {_sorted_obj_sql(entries)} "
+                    f"WHEN {arr} IS NOT NULL THEN to_json({arr}) "
+                    f"ELSE to_json(try_parse_json(({sub}))) END"
+                )
+            idx = f"(CASE WHEN {seg} >= 0 THEN {seg} ELSE size({arr}) + {seg} END)"
+            kept = f"filter({arr}, ({e}, {i}) -> {i} <> {idx})"
+            in_range = f"({idx} >= 0 AND {idx} < size({arr}))"
+            return (
+                f"CASE WHEN {obj_guard} THEN "
+                f"{_sorted_obj_sql(f'map_entries({m})')} "
+                f"WHEN {arr} IS NOT NULL THEN "
+                f"to_json(CASE WHEN {in_range} THEN {kept} ELSE {arr} END) "
+                f"ELSE to_json(try_parse_json(({sub}))) END"
+            )
+        if isinstance(seg, str):
+            inner = rec(f"to_json({e}.value)", segs[1:], d + 1)
+            rebuilt = (
+                f"transform(map_entries({m}), {e} -> "
+                f"CASE WHEN {e}.key = {_sql_str(seg)} "
+                f"THEN named_struct('key', {e}.key, 'value', parse_json({inner})) "
+                f"ELSE {e} END)"
+            )
+            return (
+                f"CASE WHEN {obj_guard} THEN {_sorted_obj_sql(rebuilt)} "
+                f"WHEN {arr} IS NOT NULL THEN to_json({arr}) "
+                f"ELSE to_json(try_parse_json(({sub}))) END"
+            )
+        idx = f"(CASE WHEN {seg} >= 0 THEN {seg} ELSE size({arr}) + {seg} END)"
+        inner = rec(f"to_json({e})", segs[1:], d + 1)
+        rebuilt = (
+            f"transform({arr}, ({e}, {i}) -> "
+            f"CASE WHEN {i} = {idx} THEN parse_json({inner}) ELSE {e} END)"
+        )
+        return (
+            f"CASE WHEN {obj_guard} THEN {_sorted_obj_sql(f'map_entries({m})')} "
+            f"WHEN {arr} IS NOT NULL THEN to_json({rebuilt}) "
+            f"ELSE to_json(try_parse_json(({sub}))) END"
+        )
+
+    op = f"({operand_sql})"
+    body = canonical(op) if not path else rec(op, path, 0)
+    return (
+        f"CASE WHEN try_parse_json({op}) IS NULL THEN CAST(NULL AS STRING) "
+        f"ELSE {body} END"
+    )
+
+
 def rewrite_jsonb_sql(sql: str) -> str:
     """Rewrite the jsonb calls whose JVM form exists onto it:
 
@@ -779,6 +858,8 @@ def rewrite_jsonb_sql(sql: str) -> str:
       AND/OR chain over the codegen'd ``jsonb_exists`` SQL UDF;
     * ``jsonb_delete_key(<expr>, '<key>')`` → the full-shape map/array
       variant expression (`delete_key_sql`);
+    * ``jsonb_delete_path(<expr>, '<path literal>')`` → the recursive
+      in-place rebuild (`delete_path_sql`);
     * ``jsonb_concat(<expr>, '<object literal>')`` → the full-shape
       merge/append expression (`concat_obj_sql`).
 
@@ -830,7 +911,7 @@ def rewrite_jsonb_sql(sql: str) -> str:
     i = 0
     pat = re.compile(
         r"(jsonb_contains|jsonb_contained|jsonb_exists_all|jsonb_exists_any"
-        r"|jsonb_delete_key|jsonb_concat)\s*\(",
+        r"|jsonb_delete_key|jsonb_delete_path|jsonb_concat)\s*\(",
         re.IGNORECASE,
     )
     while i < n:
@@ -869,6 +950,17 @@ def rewrite_jsonb_sql(sql: str) -> str:
                 # the literal IS the key (not JSON); integer-index
                 # deletes arrive as numeric literals and stay pandas
                 replacement = delete_key_sql(operand, lit)
+            elif fname == "jsonb_delete_path":
+                try:
+                    segs = _parse_pg_path(lit)
+                except ValueError:
+                    segs = None
+                if segs is not None and all(
+                    isinstance(s, str)
+                    or (isinstance(s, int) and not isinstance(s, bool))
+                    for s in segs
+                ):
+                    replacement = delete_path_sql(operand, segs)
             elif fname == "jsonb_concat":
                 try:
                     other = json.loads(lit)

@@ -72,6 +72,7 @@ _DRIVER_PREFIX = {
     "s09_ivf_probe_topk": "q103", "d22_duplicate_spans": "q104", "s10_knn_graph": "q105", "s11_multiprobe_ann_topk": "q106", "st08_windowed_topk_types": "q107", "d23_char_entropy": "q108", "d24_url_canonicalize": "q109", "d25_containment_pairs": "q110", "m05_perceptual_hash": "q111",
     "s12_ivf_probe_batched": "q112",
     "d26_keep_canonical": "q113", "d27_hashed_linear_score": "q114",
+    "d28_trained_quality_score": "q115",
     "m01_asset_metadata": "q78", "m02_byte_features": "q79",
     "m03_frame_sample": "q80", "m04_image_decode": "q81",
     "s01_cosine_topk": "q82", "s02_cosine_pairs_blocked": "q83",

@@ -607,3 +607,61 @@ def test_sql_rewrite_modifier_chain_end_to_end(lagoon, tmp_path):
         '{"a":1,"z":"w"}',
         '{"a":2,"z":"w"}',
     ]
+
+
+PATH_DOCS = [
+    (1, '{"a": {"b": 1, "c": 2}, "k": 7}'),
+    (2, '{"a": [10, 20, 30]}'),
+    (3, '{"a": {"b": {"c": 3, "d": 4}}}'),
+    (4, '[{"k": 1}, {"k": 2}, 7]'),
+    (5, '{"a": 5}'),
+    (6, '["x", "y", "z"]'),
+    (7, '7'),
+    (8, "not json"),
+    (9, None),
+    (10, "{}"),
+]
+
+
+@pytest.mark.parametrize(
+    "path",
+    [
+        "{a}",            # single object key
+        "{a,b}",          # nested object
+        "{a,b,c}",        # three deep
+        "{a,1}",          # object then array index
+        "{a,-1}",         # negative index
+        "{1,k}",          # array index then object key
+        "{2}",            # top-level array index
+        "{-1}",
+        "{a,9}",          # out-of-range → unchanged
+        "{missing,b}",    # absent intermediate → unchanged
+        "{}",             # empty path → canonical pass-through
+    ],
+)
+def test_sql_rewrite_delete_path_full_shape_parity(spark, path):
+    """`doc #- '<path>'` through the text rewriter matches the pandas
+    tier on every document shape and path form (object keys, positive/
+    negative array indexes, absent segments, empty path)."""
+    spark.createDataFrame(PATH_DOCS, "id long, js string").createOrReplaceTempView(
+        "pd_docs"
+    )
+    j.register_sql_functions(spark)
+    raw = f"SELECT id, jsonb_delete_path(js, '{path}') AS v FROM pd_docs"
+    rewritten = j.rewrite_jsonb_sql(raw)
+    assert "jsonb_delete_path" not in rewritten.lower()
+    df = spark.sql(rewritten)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "extended"
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    jvm = {r["id"]: r["v"] for r in df.collect()}
+    pandas_tier = {r["id"]: r["v"] for r in spark.sql(raw).collect()}
+    assert jvm == pandas_tier, path
+
+
+def test_sql_rewrite_delete_path_gates():
+    # dynamic paths stay on the pandas tier
+    assert j.rewrite_jsonb_sql(
+        "SELECT jsonb_delete_path(js, other_col) FROM t"
+    ) == "SELECT jsonb_delete_path(js, other_col) FROM t"
