@@ -665,3 +665,116 @@ def test_sql_rewrite_delete_path_gates():
     assert j.rewrite_jsonb_sql(
         "SELECT jsonb_delete_path(js, other_col) FROM t"
     ) == "SELECT jsonb_delete_path(js, other_col) FROM t"
+
+
+# -- seeded fuzz: the rewrite tier against the pandas tier --------------------
+
+
+def _rand_json(rng, depth=0, ascii_only=True):
+    kinds = ["int", "str", "bool", "null", "float"]
+    if depth < 2:
+        kinds += ["obj", "arr", "obj", "arr"]
+    k = rng.choice(kinds)
+    if k == "int":
+        return rng.randint(-(2**40), 2**40)
+    if k == "float":
+        return rng.randint(-999, 999) + 0.5  # never integral, binary-exact
+    if k == "str":
+        chars = "abc XYZ_09,'{}:"
+        if not ascii_only:
+            chars += "é中"
+        return "".join(rng.choice(chars) for _ in range(rng.randint(0, 8)))
+    if k == "bool":
+        return rng.random() < 0.5
+    if k == "null":
+        return None
+    if k == "obj":
+        return {
+            "".join(rng.choice("abcxyz_") for _ in range(rng.randint(1, 5))): _rand_json(
+                rng, depth + 1, ascii_only
+            )
+            for _ in range(rng.randint(0, 3))
+        }
+    return [_rand_json(rng, depth + 1, ascii_only) for _ in range(rng.randint(0, 3))]
+
+
+def _sql_lit(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def test_sql_rewrite_fuzz_parity_with_pandas_tier(spark):
+    """300 seeded random documents (nested, quotes, commas, unicode for
+    the boolean ops) × randomized keys/paths/needles for every
+    rewritten function: the JVM rewrite and the pandas tier must agree
+    cell-for-cell. Documents for the text-returning modifiers are
+    ASCII/no-integral-float (the documented rendering caveat); the
+    boolean operators fuzz unicode too."""
+    import json as _json
+    import random
+
+    rng = random.Random(20260814)
+    ascii_docs = [
+        (i, _json.dumps(_rand_json(rng), ensure_ascii=True)) for i in range(150)
+    ] + [(900, None), (901, "not json"), (902, ""), (903, "[[[")]
+    uni_docs = [
+        (i, _json.dumps(_rand_json(rng, ascii_only=False), ensure_ascii=False))
+        for i in range(150)
+    ] + [(900, None), (901, "not json")]
+    spark.createDataFrame(ascii_docs, "id long, js string").createOrReplaceTempView(
+        "fz_ascii"
+    )
+    spark.createDataFrame(uni_docs, "id long, js string").createOrReplaceTempView(
+        "fz_uni"
+    )
+    j.register_sql_functions(spark)
+
+    cases = []
+    keypool = ["a", "ab", "abc", "xyz_", "x", "zz", "missing"]
+    for _ in range(6):
+        cases.append(
+            ("fz_ascii", f"jsonb_delete_key(js, '{rng.choice(keypool)}')")
+        )
+    for _ in range(6):
+        path = "{" + ",".join(
+            rng.choice(keypool + ["0", "1", "-1", "2"])
+            for _ in range(rng.randint(0, 3))
+        ) + "}"
+        cases.append(("fz_ascii", f"jsonb_delete_path(js, '{path}')"))
+    for _ in range(6):
+        other = {
+            rng.choice(keypool): _rand_json(rng, depth=1)
+            for _ in range(rng.randint(0, 3))
+        }
+        lit = _sql_lit(_json.dumps(other, ensure_ascii=True))
+        cases.append(("fz_ascii", f"jsonb_concat(js, '{lit}')"))
+    for _ in range(6):
+        hay = {
+            rng.choice(keypool): rng.choice(
+                [rng.randint(-99, 99), "ab", True, None, 1.5]
+            )
+            for _ in range(rng.randint(0, 3))
+        }
+        lit = _sql_lit(_json.dumps(hay, ensure_ascii=False))
+        cases.append(("fz_uni", f"jsonb_contained(js, '{lit}')"))
+    for _ in range(6):
+        needle = {
+            rng.choice(["a", "ab", "abc", "x"]): rng.choice(
+                [rng.randint(-99, 99), "ab", False, None, 2.5]
+            )
+            for _ in range(rng.randint(0, 2))
+        }
+        lit = _sql_lit(_json.dumps(needle, ensure_ascii=False))
+        cases.append(("fz_uni", f"jsonb_contains(js, '{lit}')"))
+
+    for view, call in cases:
+        raw = f"SELECT id, {call} AS v FROM {view}"
+        rewritten = j.rewrite_jsonb_sql(raw)
+        assert rewritten != raw, call  # every case must hit the JVM tier
+        jvm = {r["id"]: r["v"] for r in spark.sql(rewritten).collect()}
+        pandas_tier = {r["id"]: r["v"] for r in spark.sql(raw).collect()}
+        diffs = {
+            i: (jvm[i], pandas_tier[i])
+            for i in jvm
+            if jvm[i] != pandas_tier[i]
+        }
+        assert not diffs, (call, dict(list(diffs.items())[:3]))
