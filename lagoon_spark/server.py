@@ -19,6 +19,10 @@ Routes (paths as in API.hs):
     POST   /source/<ix>/tags             body: ["tag", ...]
     DELETE /source/<ix>/tag/<name>
     GET    /source/<ix>/download         streamed CSV / JSON lines
+    GET    /source/<ix>/column/<name>    → column identifier
+    POST   /column/<ix>/<name>/type      body: "TEXT" etc. (ColumnSetType;
+                                         addressed by source ix + column —
+                                         no global ColumnIx here)
     POST   /source/<ix>/makeTyped
     POST   /source/<ix>/deprecated       body: true | false
     POST   /source/<ix>/public           body: true | false
@@ -32,8 +36,18 @@ Routes (paths as in API.hs):
     POST   /sql?format=csv|json|json_array   body: SQL text
     GET    /groups                       group names
     POST   /group/<name>                 create group
-    POST   /group/<name>/addUser/<user>  (removeUser/addAdmin/removeAdmin)
-    GET    /users                        user names seen by the catalog
+    POST   /group/<name>/members         body: "<user>"  (add member)
+    DELETE /group/<name>/member/<user>
+    POST   /group/<name>/admins          body: "<user>"  (add manager)
+    DELETE /group/<name>/admin/<user>
+    POST   /group/<name>/addUser/<user>  (legacy spellings of the same)
+    GET    /users                        known principals (uploaders,
+                                         group members, created users)
+    POST   /users                        body: "<name>" — create a user
+                                         (admin; recorded as a CREATE
+                                         capability row)
+    GET    /debug/dumpDbInfo             every source's wire JSON (admin)
+    POST   /debug/rebuildCanReadCache    drop the in-process catalog cache
     POST   /user/login?persistent        body: {"user": .., "pass": ..}
                                          → {"ok": {"username": ..}} +
                                          Set-Cookie: sessionId=<token>
@@ -200,7 +214,13 @@ def _make_handler(srv: LagoonServer):
             ("POST", r"^/source/(?P<ix>\d+)/tags$", "tags_post"),
             ("DELETE", r"^/source/(?P<ix>\d+)/tag/(?P<tag>[^/]+)$", "tag_delete"),
             ("GET", r"^/source/(?P<ix>\d+)/download$", "download"),
+            (
+                "GET",
+                r"^/source/(?P<ix>\d+)/column/(?P<col>[^/]+)$",
+                "source_get_column",
+            ),
             ("POST", r"^/source/(?P<ix>\d+)/makeTyped$", "make_typed"),
+            ("POST", r"^/column/(?P<ix>\d+)/(?P<col>[^/]+)/type$", "column_set_type"),
             ("POST", r"^/source/(?P<ix>\d+)/deprecated$", "set_deprecated"),
             ("POST", r"^/source/(?P<ix>\d+)/public$", "set_public"),
             (
@@ -215,6 +235,20 @@ def _make_handler(srv: LagoonServer):
             ),
             ("POST", r"^/sql$", "sql"),
             ("GET", r"^/groups$", "groups_get"),
+            # the reference's wire spellings (`API.hs:388-420`): member
+            # add by body, removal by path capture
+            ("POST", r"^/group/(?P<g>[^/]+)/members$", "group_add_member"),
+            (
+                "DELETE",
+                r"^/group/(?P<g>[^/]+)/member/(?P<u>[^/]+)$",
+                "group_remove_member",
+            ),
+            ("POST", r"^/group/(?P<g>[^/]+)/admins$", "group_add_admin"),
+            (
+                "DELETE",
+                r"^/group/(?P<g>[^/]+)/admin/(?P<u>[^/]+)$",
+                "group_remove_admin",
+            ),
             ("POST", r"^/group/(?P<g>[^/]+)$", "group_create"),
             (
                 "POST",
@@ -222,6 +256,9 @@ def _make_handler(srv: LagoonServer):
                 "group_manage",
             ),
             ("GET", r"^/users$", "users_get"),
+            ("POST", r"^/users$", "users_create"),
+            ("GET", r"^/debug/dumpDbInfo$", "debug_dump"),
+            ("POST", r"^/debug/rebuildCanReadCache$", "debug_rebuild_cache"),
             ("POST", r"^/user/login$", "user_login"),
             ("POST", r"^/user/logout$", "user_logout"),
             ("POST", r"^/user/token$", "user_token"),
@@ -485,6 +522,23 @@ def _make_handler(srv: LagoonServer):
         def make_typed(self, ix):
             self._json(_wire(self.eng.make_typed(self._info(ix))))
 
+        def source_get_column(self, ix, col):
+            """`API.hs:189-194` SourceGetColumn → ColumnIx. Columns here
+            are keyed (source, name) rather than globally indexed, so
+            the returned identifier is the physical column name — the
+            value `/column/<ix>/<name>/type` addresses."""
+            phys, _header, _t = self.eng.catalog.get_column(int(ix), col)
+            self._json(phys)
+
+        def column_set_type(self, ix, col):
+            """`API.hs:303-312` ColumnSetType (`POST /column/../type`,
+            body = the new type). Addressed by source ix + column name
+            (this engine has no global ColumnIx; divergence documented
+            on the GET route above)."""
+            new_type = json.loads(self._body())
+            info = self.eng.set_column_type(self._info(ix), col, new_type)
+            self._json(_wire(info))
+
         def set_deprecated(self, ix):
             info = self._info(ix)
             self.eng.catalog.update_source(
@@ -611,8 +665,71 @@ def _make_handler(srv: LagoonServer):
             self._json(None)
 
         def users_get(self):
-            s = self.eng.catalog.load("sources")
-            self._json(sorted(set(s["added_by"].dropna())))
+            from lagoon_spark import security as _sec
+
+            cat = self.eng.catalog
+            out = set(cat.load("sources")["added_by"].dropna())
+            # explicitly created users (capability rows) and group
+            # principals are known users too, like PyLagoon.users()
+            out.update(_sec._sec_load(cat, "user_caps")["user"].tolist())
+            out.update(_sec._sec_load(cat, "group_members")["user"].tolist())
+            out.update(_sec._sec_load(cat, "group_managers")["user"].tolist())
+            self._json(sorted(out))
+
+        def users_create(self):
+            """`API.hs:374-379` UsersCreate (admin). The reference adds
+            a DB users row; the analog here is an explicit CREATE
+            capability row, which registers the principal (it appears
+            in /users) with the same default rights."""
+            from lagoon_spark import security as _sec
+
+            if not _sec.is_admin(self.user):
+                raise _sec.PermissionDenied(
+                    f"only {_sec.ADMIN} may create users"
+                )
+            name = json.loads(self._body())
+            if not isinstance(name, str) or not name:
+                raise ValueError("user name must be a non-empty string")
+            with self.eng.catalog.writer_lock():
+                _sec.set_capability(self.eng.catalog, name, "create", True)
+            self._json(None)
+
+        # -- /debug (`API.hs:434-444`) -----------------------------------------
+
+        def debug_dump(self):
+            """DebugDumpDbInfo → every source's wire JSON (admin)."""
+            from lagoon_spark import security as _sec
+
+            if not _sec.is_admin(self.user):
+                raise _sec.PermissionDenied("debug routes are admin-only")
+            infos, _total = self.eng.catalog.search(include_deprecated=True)
+            self._json([_wire(i) for i in infos])
+
+        def debug_rebuild_cache(self):
+            """DebugRebuildCanReadCache analog: drop the in-process
+            catalog cache so the next read rebuilds from disk (this
+            engine derives read permissions directly from the ACL
+            parquet — the cache IS the only derived state)."""
+            from lagoon_spark import security as _sec
+
+            if not _sec.is_admin(self.user):
+                raise _sec.PermissionDenied("debug routes are admin-only")
+            self.eng.catalog.refresh()
+            self._json(None)
+
+        # reference spellings for group membership (`API.hs:388-420`)
+
+        def group_add_member(self, g):
+            self.group_manage(g, "addUser", json.loads(self._body()))
+
+        def group_remove_member(self, g, u):
+            self.group_manage(g, "removeUser", u)
+
+        def group_add_admin(self, g):
+            self.group_manage(g, "addAdmin", json.loads(self._body()))
+
+        def group_remove_admin(self, g, u):
+            self.group_manage(g, "removeAdmin", u)
 
         # -- /user: sessions (`Interface/API.hs:328-366`) -----------------------
 

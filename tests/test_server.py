@@ -416,3 +416,79 @@ def test_http_pylagoon_client_login_mode(served_auth, tmp_path):
     assert src._json["addedBy"] == "alice"
     cli.logout()
     assert not cli.is_authenticated
+
+
+def test_column_routes_and_reference_group_spellings(served):
+    """Round-6 parity fill: SourceGetColumn (`API.hs:189-194`),
+    ColumnSetType (`API.hs:303-312`), and the reference's exact group
+    membership spellings (`API.hs:388-420`)."""
+    _, _, info = _req(served, "POST", "/sources?name=colsrc",
+                      body=b"num,txt\n1,x\n")
+    ix = info["ix"]
+    st, _, phys = _req(served, "GET", f"/source/{ix}/column/num")
+    assert st == 200 and phys == "c1"
+    # resolvable by physical name too; unknown → 404
+    assert _req(served, "GET", f"/source/{ix}/column/c2")[2] == "c2"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(served, "GET", f"/source/{ix}/column/nope")
+    assert e.value.code == 404
+
+    st, _, updated = _req(served, "POST", f"/column/{ix}/num/type",
+                          body="TEXT")
+    assert st == 200
+    assert any(
+        c["header"] == "num" and c["type"] == "TEXT"
+        for c in updated["columns"]
+    )
+    _, _, rows = _req(served, "POST", "/sql?format=json",
+                      body=b"SELECT num FROM colsrc_v1_typed")
+    assert rows == {"num": "1"}  # re-materialized as text
+
+    # reference group-membership wire spellings, asserted behaviorally:
+    # membership is what grants access through a group ACL
+    _, _, priv = _req(served, "POST", "/sources?name=grpsec&private=1",
+                      body=b"a\n1\n", user="alice")
+    _req(served, "POST", "/group/refg", user="admin")
+    _req(served, "POST", "/group/refg/members", body="walter", user="admin")
+    _req(served, "POST", "/group/refg/admins", body="wendy", user="admin")
+    _req(served, "POST", f"/source/{priv['ix']}/groupAccessLevel/refg",
+         body="read", user="alice")
+    st, _, got = _req(served, "GET", f"/source/{priv['ix']}/download",
+                      user="walter")
+    assert st == 200 and got.startswith("a")
+    # wendy is a manager: she can add members (manager capability)
+    _req(served, "POST", "/group/refg/members", body="vic", user="wendy")
+    # removal through the reference spelling revokes the access
+    _req(served, "DELETE", "/group/refg/member/walter", user="admin")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(served, "GET", f"/source/{priv['ix']}/download", user="walter")
+    assert e.value.code == 403
+    _req(served, "DELETE", "/group/refg/admin/wendy", user="admin")
+
+
+def test_users_create_and_debug_routes(served):
+    """UsersCreate (`API.hs:374-379`) and the /debug group
+    (`API.hs:434-444`): created principals appear in /users, debug dump
+    lists every source wire-shaped, cache rebuild round-trips — all
+    admin-gated."""
+    _req(served, "POST", "/users", body="newbie", user="admin")
+    assert "newbie" in _req(served, "GET", "/users")[2]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(served, "POST", "/users", body="x", user="mallory")
+    assert e.value.code == 403
+
+    _req(served, "POST", "/sources?name=dbg1", body=b"a\n1\n")
+    _req(served, "POST", "/sources?name=dbg1", body=b"a\n1\n2\n")  # v2
+    st, _, dump = _req(served, "GET", "/debug/dumpDbInfo", user="admin")
+    assert st == 200
+    names = [(s["name"], s["version"]) for s in dump]
+    assert ("dbg1", 1) in names and ("dbg1", 2) in names  # incl. deprecated v1
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(served, "GET", "/debug/dumpDbInfo", user="mallory")
+    assert e.value.code == 403
+
+    st, _, out = _req(served, "POST", "/debug/rebuildCanReadCache",
+                      user="admin")
+    assert st == 200 and out is None
+    # catalog still serves correctly after the cache drop
+    assert _req(served, "GET", "/users")[2]
