@@ -311,3 +311,178 @@ def remove_boilerplate_lines(
     return df.select(id_col).join(agg, id_col, "left").select(
         id_col, F.coalesce(out_col, F.lit("")).alias(out_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al., "Data Selection for Language
+# Models via Importance Resampling", NeurIPS 2023 — public method).
+#
+# Select raw documents whose hashed n-gram distribution looks like a
+# TARGET corpus: fit bag-of-hashed-grams importance weights
+# log(p_target(bucket) / p_raw(bucket)), score each raw document by the
+# sum of its grams' log-ratios, resample top-k under deterministic
+# Gumbel noise. Everything is feature-hashed into a fixed bucket table,
+# so the importance model is metadata-sized at any corpus scale.
+# ---------------------------------------------------------------------------
+
+
+def dsir_grams(
+    df: DataFrame, id_col: str, text_col: str, buckets: int = 8192
+) -> DataFrame:
+    """The DSIR feature stream: one row per hashed unigram/bigram —
+    (``id_col`` if given, ``pos``, ``bucket``) — over the portable
+    rolling-hash token fingerprints. Bigrams combine adjacent
+    fingerprints with the same (mult, mod) fold so the oracle
+    reproduces them exactly; ``pos`` interleaves (unigram_i at 2i,
+    bigram_i at 2i+1), pinning the per-document fold order. A
+    document with no tokens keeps one NULL-bucket row, so scoring
+    never drops it.
+
+    Shape notes: the fingerprint array is referenced exactly once (by
+    the posexplode generator), so it is computed once per document —
+    an array-lambda formulation read the array from a dozen optimized
+    plan sites and re-ran the whole rolling-hash fold at each (a
+    measured 20× slowdown). Bigram adjacency is one ``lead`` window
+    keyed on the doc id over token-scale rows; the same partitioning
+    feeds the downstream per-doc score aggregate, so the pipeline pays
+    that single shuffle once."""
+    from lagoon_spark.operators.text import MOD, MULT, word_fingerprints
+
+    tok = df.withColumn("__fps", word_fingerprints(text_col)).select(
+        F.col(id_col), F.posexplode_outer("__fps").alias("tpos", "fp")
+    )
+    both = tok.select(
+        id_col,
+        "tpos",
+        "fp",
+        F.lead("fp")
+        .over(Window.partitionBy(id_col).orderBy("tpos"))
+        .alias("nfp"),
+    )
+    uni = both.select(
+        id_col,
+        (F.col("tpos") * 2).alias("pos"),
+        F.pmod(F.col("fp"), F.lit(buckets)).cast("int").alias("bucket"),
+    )
+    bi = both.filter(F.col("nfp").isNotNull()).select(
+        id_col,
+        (F.col("tpos") * 2 + 1).alias("pos"),
+        F.pmod(
+            F.pmod(F.col("fp") * MULT + F.col("nfp"), F.lit(MOD)),
+            F.lit(buckets),
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    return uni.unionByName(bi)
+
+
+def dsir_log_ratios(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str,
+    buckets: int = 8192,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """The importance model: (bucket, log_ratio) with add-``smoothing``
+    estimates, ``log((ct+s)/(T+sB)) - log((cr+s)/(R+sB))``.
+
+    Scale shape: two explode → count aggregates (partial-aggregated,
+    token-count scale), then a full-outer join and a broadcast of the
+    one-row totals — the result is ≤ ``buckets`` rows, metadata-sized
+    regardless of corpus size, ready to broadcast into scoring."""
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        # adjacency needs a per-document identity; corpora passed in
+        # for counting may not carry one, so synthesize it (never
+        # surfaced — only the bucket multiset leaves this scope)
+        with_id = df.withColumn("__doc", F.monotonically_increasing_id())
+        return (
+            dsir_grams(with_id, "__doc", text_col, buckets)
+            .filter(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    joined = (
+        counts(target, "ct")
+        .join(counts(raw, "cr"), "bucket", "full_outer")
+        .fillna(0, ["ct", "cr"])
+    )
+    totals = joined.agg(
+        F.sum("ct").alias("__t_total"), F.sum("cr").alias("__r_total")
+    )
+    s = float(smoothing)
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + s) / (F.col("__t_total") + s * buckets))
+            - F.log((F.col("cr") + s) / (F.col("__r_total") + s * buckets))
+        ).alias("log_ratio"),
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ratios: DataFrame,
+    buckets: int = 8192,
+) -> DataFrame:
+    """Per-document log importance weight: the sum of its grams'
+    log-ratios, folded in GRAM ORDER (the interleaved ``pos`` from
+    :func:`dsir_grams`, sorted-struct fold) so the float total is
+    order-pinned and engine-reproducible, then rounded to 9 decimals.
+    Documents with no tokens score 0.
+
+    Scale shape: explode is token-count scale; the ratio table joins
+    broadcast; one partial-aggregated groupBy on the doc id."""
+    g = dsir_grams(df, id_col, text_col, buckets)
+    j = g.join(F.broadcast(ratios), "bucket", "left")
+    folded = F.aggregate(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("pos").alias("pos"),
+                    F.coalesce(F.col("log_ratio"), F.lit(0.0)).alias("lr"),
+                )
+            )
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x["lr"],
+    )
+    return j.groupBy(id_col).agg(
+        F.round(folded, 9).alias("dsir_logweight")
+    )
+
+
+def dsir_resample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: DataFrame,
+    k: int,
+    buckets: int = 8192,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR end to end: fit log-ratios target-vs-``df``, score every
+    document, keep the top ``k`` under Gumbel-perturbed weights —
+    importance sampling without replacement (the Gumbel-top-k trick).
+    The noise is the deterministic portable id hash mapped through
+    ``-log(-log(u))``, so the selected set is a pure function of the
+    data, reproducible across runs and engines.
+
+    Returns (id, dsir_logweight, gumbel_key), ordered by key desc; the
+    final top-k is a TakeOrderedAndProject, never a global sort."""
+    ratios = dsir_log_ratios(target, df, text_col, buckets, smoothing)
+    scores = dsir_scores(df, id_col, text_col, ratios, buckets)
+    u = (id_hash(id_col) + F.lit(0.5)) / F.lit(float(HASH_MOD))
+    gumbel = -F.log(-F.log(u))
+    return (
+        scores.select(
+            F.col(id_col),
+            F.col("dsir_logweight"),
+            F.round(F.col("dsir_logweight") + gumbel, 9).alias("gumbel_key"),
+        )
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(k)
+    )

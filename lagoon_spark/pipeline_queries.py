@@ -2016,3 +2016,77 @@ def d28(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_score"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# d29 — DSIR importance resampling (Xie et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+#
+# Select raw documents whose hashed-n-gram distribution matches a target
+# corpus (here: the English subset) — importance weights over a
+# fixed-size feature-hash table, per-doc order-pinned log-weight fold,
+# Gumbel-top-k resample under the deterministic portable id hash.
+
+_D29_B = 512
+_D29_K = 50
+
+_D29_ORACLE = f"""
+WITH f AS (SELECT doc_id, lang, {_D27_FPS} AS fps FROM documents),
+g AS (
+  SELECT doc_id, lang,
+         flatten(list_transform(range(1, len(fps) + 1),
+           i -> CASE WHEN i < len(fps)
+                THEN [CAST(fps[i] % {_D29_B} AS INT),
+                      CAST(((fps[i] * {text.MULT} + fps[i + 1])
+                            % {MOD}) % {_D29_B} AS INT)]
+                ELSE [CAST(fps[i] % {_D29_B} AS INT)] END)) AS grams
+  FROM f),
+tc AS (SELECT bucket, COUNT(*) AS ct
+       FROM (SELECT unnest(grams) AS bucket FROM g WHERE lang = 'en')
+       GROUP BY bucket),
+rc AS (SELECT bucket, COUNT(*) AS cr
+       FROM (SELECT unnest(grams) AS bucket FROM g) GROUP BY bucket),
+jx AS (SELECT COALESCE(tc.bucket, rc.bucket) AS bucket,
+              COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr
+       FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket),
+tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS rt FROM jx),
+lr AS (SELECT bucket,
+              ln((ct + 1.0) / (tt + 1.0 * {_D29_B}))
+              - ln((cr + 1.0) / (rt + 1.0 * {_D29_B})) AS log_ratio
+       FROM jx, tot),
+docg AS (SELECT g.doc_id, t.i AS pos, grams[t.i] AS bucket
+         FROM g, UNNEST(range(1, len(grams) + 1)) AS t(i)),
+sc AS (SELECT d.doc_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(COALESCE(lr.log_ratio, 0.0) ORDER BY d.pos)),
+                (a, b) -> a + b) AS w
+       FROM docg d LEFT JOIN lr USING (bucket) GROUP BY d.doc_id),
+scored AS (SELECT a.doc_id, round(COALESCE(sc.w, 0.0), 9) AS dsir_logweight
+           FROM (SELECT doc_id FROM documents) a LEFT JOIN sc USING (doc_id)),
+keyed AS (SELECT doc_id, dsir_logweight,
+                 round(dsir_logweight
+                       + -ln(-ln((({corpus.duck_id_hash('doc_id')}) + 0.5)
+                                 / {corpus.HASH_MOD}.0)), 9) AS gumbel_key
+          FROM scored)
+SELECT doc_id, dsir_logweight, gumbel_key
+FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT {_D29_K}
+"""
+
+
+@df_query(
+    "d29_dsir_resample",
+    "DSIR importance resampling (Xie et al., NeurIPS 2023): hashed "
+    "unigram+bigram importance weights target-vs-raw, order-pinned "
+    "per-doc log-weight fold, Gumbel-top-k selection — the "
+    "train-like-the-target data selection pass.",
+    _D29_ORACLE,
+)
+def d29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    target = (
+        spark.table("documents").filter(F.col("lang") == "en").select("text")
+    )
+    return corpus.dsir_resample(
+        docs, "doc_id", "text", target, k=_D29_K, buckets=_D29_B
+    )

@@ -142,3 +142,44 @@ def test_decontamination_empty_eval_set(spark, sf_small):
     empty = docs.filter(F.lit(False))
     out = corpus.shared_gram_counts(docs, empty, "doc_id", "text", n=3)
     assert out.count() == 0
+
+
+def test_dsir_scores_favor_target_like_documents(spark):
+    """DSIR (Xie et al. 2023): documents sharing the target corpus's
+    n-grams must out-score documents that don't; empty documents score
+    0; the resample is deterministic and k-bounded."""
+    from lagoon_spark.operators.corpus import (
+        dsir_log_ratios,
+        dsir_resample,
+        dsir_scores,
+    )
+
+    target = spark.createDataFrame(
+        [("the cat sat on the mat",), ("a cat and a dog",)], "text string"
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat today"),
+            (2, "quantum flux capacitor resonance cascade"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    ratios = dsir_log_ratios(target, raw, "text", buckets=256)
+    scores = {
+        r["doc_id"]: r["dsir_logweight"]
+        for r in dsir_scores(raw, "doc_id", "text", ratios, buckets=256).collect()
+    }
+    assert scores[1] > scores[2]  # cat-like doc matches the cat target
+    assert scores[3] == 0.0       # no tokens -> neutral
+    picked = dsir_resample(raw, "doc_id", "text", target, k=2, buckets=256)
+    rows = picked.collect()
+    assert len(rows) == 2
+    assert [r["doc_id"] for r in rows] == [
+        r["doc_id"] for r in dsir_resample(
+            raw, "doc_id", "text", target, k=2, buckets=256
+        ).collect()
+    ]  # deterministic
+    plan = picked._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
