@@ -486,3 +486,155 @@ def dsir_resample(
         .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed bigram language-model perplexity (the CCNet-style quality
+# filter, Wenzek et al. 2020 — public method — with a feature-hashed
+# count LM standing in for KenLM, and Stupid Backoff smoothing,
+# Brants et al. 2007).
+# ---------------------------------------------------------------------------
+
+
+def _token_stream(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, tpos, fp, prev_fp) token rows: portable rolling-hash
+    fingerprints posexploded (the array is referenced once, so the
+    fold runs once per document), previous-token adjacency via one lag
+    window keyed on the doc id. Empty documents keep one NULL-fp row."""
+    from lagoon_spark.operators.text import word_fingerprints
+
+    tok = df.withColumn("__fps", word_fingerprints(text_col)).select(
+        F.col(id_col), F.posexplode_outer("__fps").alias("tpos", "fp")
+    )
+    return tok.withColumn(
+        "prev_fp",
+        F.lag("fp").over(Window.partitionBy(id_col).orderBy("tpos")),
+    )
+
+
+def hashed_bigram_lm(
+    reference: DataFrame,
+    text_col: str,
+    uni_buckets: int = 4096,
+    bi_buckets: int = 65536,
+) -> tuple[DataFrame, DataFrame]:
+    """Count a feature-hashed bigram LM over a reference corpus:
+    (unigram_counts(bucket, c1), bigram_counts(bucket, c2)). Both
+    tables are bucket-bounded — broadcast-sized at any corpus scale —
+    which is the point: the trained-KenLM swap keeps this exact serving
+    shape (hash buckets → real vocabulary ids)."""
+    from lagoon_spark.operators.text import MOD, MULT
+
+    ref = reference.withColumn("__doc", F.monotonically_increasing_id())
+    s = _token_stream(ref, "__doc", text_col).filter(F.col("fp").isNotNull())
+    uni = (
+        s.groupBy(
+            F.pmod("fp", F.lit(uni_buckets)).cast("int").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = (
+        s.filter(F.col("prev_fp").isNotNull())
+        .groupBy(
+            F.pmod(
+                F.pmod(F.col("prev_fp") * MULT + F.col("fp"), F.lit(MOD)),
+                F.lit(bi_buckets),
+            )
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    return uni, bi
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    uni: DataFrame,
+    bi: DataFrame,
+    uni_buckets: int = 4096,
+    bi_buckets: int = 65536,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document perplexity under the hashed bigram LM:
+    ``exp(-mean log P(w_i | w_{i-1}))`` over tokens 2..n, with Stupid
+    Backoff — ``P = c2/c1(prev)`` when the bigram was seen, else
+    ``alpha * (c1(w_i)+1)/(N+B1)``. Documents with fewer than two
+    tokens return NULL (no scored transitions). The log-prob fold is
+    order-pinned (sorted-struct aggregate) and rounded to 6 decimals,
+    so scores hash-match across engines.
+
+    Scale shape: the token stream is one lag window keyed on the doc
+    id; both count tables and the one-row total broadcast; the per-doc
+    aggregate reuses the window's partitioning — one token-scale
+    shuffle end to end."""
+    from lagoon_spark.operators.text import MOD, MULT
+
+    s = _token_stream(df, id_col, text_col)
+    n_total = uni.agg(F.sum("c1").alias("__lm_n"))
+    cur = uni.select(F.col("bucket").alias("__cb"), F.col("c1").alias("c1_cur"))
+    prev = uni.select(F.col("bucket").alias("__pb"), F.col("c1").alias("c1_prev"))
+    big = bi.select(F.col("bucket").alias("__bb"), F.col("c2"))
+    j = (
+        s.crossJoin(F.broadcast(n_total))
+        .join(
+            F.broadcast(cur),
+            F.pmod("fp", F.lit(uni_buckets)).cast("int") == F.col("__cb"),
+            "left",
+        )
+        .join(
+            F.broadcast(prev),
+            F.pmod("prev_fp", F.lit(uni_buckets)).cast("int") == F.col("__pb"),
+            "left",
+        )
+        .join(
+            F.broadcast(big),
+            F.pmod(
+                F.pmod(F.col("prev_fp") * MULT + F.col("fp"), F.lit(MOD)),
+                F.lit(bi_buckets),
+            ).cast("int")
+            == F.col("__bb"),
+            "left",
+        )
+    )
+    logp = (
+        F.when(F.col("prev_fp").isNull(), F.lit(None).cast("double"))
+        .when(
+            (F.coalesce(F.col("c2"), F.lit(0)) > 0)
+            & (F.coalesce(F.col("c1_prev"), F.lit(0)) > 0),
+            F.log(F.col("c2") / F.col("c1_prev")),
+        )
+        .otherwise(
+            F.log(
+                F.lit(alpha)
+                * (F.coalesce(F.col("c1_cur"), F.lit(0)) + 1.0)
+                / (F.col("__lm_n") + uni_buckets)
+            )
+        )
+    )
+    scored = j.select(F.col(id_col), F.col("tpos"), logp.alias("logp"))
+    folded = F.aggregate(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("tpos").alias("tpos"),
+                    F.coalesce(F.col("logp"), F.lit(0.0)).alias("lp"),
+                )
+            )
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x["lp"],
+    )
+    return scored.groupBy(id_col).agg(
+        F.when(
+            F.sum(F.col("logp").isNotNull().cast("long")) > 0,
+            F.round(
+                F.exp(
+                    -(folded / F.sum(F.col("logp").isNotNull().cast("long")))
+                ),
+                6,
+            ),
+        ).alias("ppl")
+    )

@@ -2090,3 +2090,71 @@ def d29(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.dsir_resample(
         docs, "doc_id", "text", target, k=_D29_K, buckets=_D29_B
     )
+
+
+# ---------------------------------------------------------------------------
+# d30 — hashed bigram LM perplexity (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+#
+# Wenzek et al. 2020 filter corpora by LM perplexity under a model
+# trained on a trusted reference; a feature-hashed bigram count LM with
+# Stupid Backoff (Brants et al. 2007) stands in for KenLM with the
+# identical serving shape: broadcast count tables, one token-scale lag
+# window, order-pinned per-doc log-prob fold.
+
+_D30_B1 = 4096
+_D30_B2 = 65536
+
+_D30_ORACLE = f"""
+WITH f AS (SELECT doc_id, lang, {_D27_FPS} AS fps FROM documents),
+refu AS (SELECT CAST(u % {_D30_B1} AS INT) AS bucket, COUNT(*) AS c1
+         FROM (SELECT unnest(fps) AS u FROM f WHERE lang = 'en')
+         GROUP BY bucket),
+refb AS (SELECT CAST(((fps[i] * {text.MULT} + fps[i + 1]) % {MOD})
+                     % {_D30_B2} AS INT) AS bucket, COUNT(*) AS c2
+         FROM f, UNNEST(range(1, len(fps))) AS t(i)
+         WHERE lang = 'en' GROUP BY bucket),
+tot AS (SELECT SUM(c1) AS n FROM refu),
+toks AS (SELECT doc_id, t.i AS pos, fps[t.i] AS fp,
+                CASE WHEN t.i > 1 THEN fps[t.i - 1] END AS prev_fp
+         FROM f, UNNEST(range(1, len(fps) + 1)) AS t(i)),
+lp AS (SELECT toks.doc_id, toks.pos,
+              CASE WHEN prev_fp IS NULL THEN NULL
+                   WHEN COALESCE(b.c2, 0) > 0 AND COALESCE(p.c1, 0) > 0
+                     THEN ln(CAST(b.c2 AS DOUBLE) / p.c1)
+                   ELSE ln(0.4 * (COALESCE(cu.c1, 0) + 1.0)
+                           / (tot.n + {_D30_B1})) END AS logp
+       FROM toks CROSS JOIN tot
+       LEFT JOIN refu cu ON cu.bucket = CAST(toks.fp % {_D30_B1} AS INT)
+       LEFT JOIN refu p ON p.bucket = CAST(toks.prev_fp % {_D30_B1} AS INT)
+       LEFT JOIN refb b
+         ON b.bucket = CAST(((toks.prev_fp * {text.MULT} + toks.fp)
+                             % {MOD}) % {_D30_B2} AS INT)),
+sc AS (SELECT doc_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(COALESCE(logp, 0.0) ORDER BY pos)), (a, b) -> a + b) AS s,
+              SUM(CASE WHEN logp IS NOT NULL THEN 1 ELSE 0 END) AS nsc
+       FROM lp GROUP BY doc_id)
+SELECT a.doc_id,
+       CASE WHEN COALESCE(sc.nsc, 0) > 0
+            THEN round(exp(-(sc.s / sc.nsc)), 6) END AS ppl
+FROM (SELECT doc_id FROM documents) a LEFT JOIN sc USING (doc_id)
+"""
+
+
+@df_query(
+    "d30_lm_perplexity",
+    "CCNet-style LM perplexity filter: hashed bigram count LM with "
+    "Stupid Backoff trained on the English reference subset, per-doc "
+    "perplexity via an order-pinned log-prob fold — the quality gate "
+    "that keeps reference-like text.",
+    _D30_ORACLE,
+)
+def d30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    ref = spark.table("documents").filter(F.col("lang") == "en").select("text")
+    uni, bi = corpus.hashed_bigram_lm(ref, "text", _D30_B1, _D30_B2)
+    return corpus.lm_perplexity(
+        docs, "doc_id", "text", uni, bi, _D30_B1, _D30_B2
+    )

@@ -183,3 +183,35 @@ def test_dsir_scores_favor_target_like_documents(spark):
     plan = picked._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_lm_perplexity_favors_reference_like_text(spark):
+    """The hashed bigram LM (CCNet-style filter): documents made of the
+    reference's bigrams score LOWER perplexity than unseen-vocabulary
+    documents; sub-2-token documents return NULL; the plan carries no
+    Python stage."""
+    from lagoon_spark.operators.corpus import hashed_bigram_lm, lm_perplexity
+
+    ref = spark.createDataFrame(
+        [("the cat sat on the mat",), ("the dog sat on the rug",)],
+        "text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the rug"),     # all-seen bigrams
+            (2, "zorp blix quantum flux nine"),  # unseen vocabulary
+            (3, "single"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    uni, bi = hashed_bigram_lm(ref, "text", 512, 4096)
+    out = lm_perplexity(docs, "doc_id", "text", uni, bi, 512, 4096)
+    got = {r["doc_id"]: r["ppl"] for r in out.collect()}
+    assert got[1] is not None and got[2] is not None
+    assert got[1] < got[2]  # reference-like text is less surprising
+    assert got[3] is None and got[4] is None  # no scored transitions
+    again = {r["doc_id"]: r["ppl"] for r in out.collect()}
+    assert again == got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
