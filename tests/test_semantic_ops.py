@@ -509,6 +509,22 @@ def test_keep_canonical_accepts_precomputed_clusters(spark):
         map(tuple, keep_canonical(df, "doc_id", "text", min_matches=6).collect())
     )
     assert via_precomputed == recomputed
+    # the win is structural: with clusters supplied, the plan carries no
+    # minhash machinery (the rolling-hash folds live only in the
+    # clustering pass this path skips)
+    pinned = spark.createDataFrame(
+        clusters.collect(), schema=clusters.schema
+    )
+    reused_plan = (
+        keep_canonical(df, "doc_id", "text", clusters_df=pinned)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    recomputed_plan = (
+        keep_canonical(df, "doc_id", "text", min_matches=6)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "ascii(" not in reused_plan
+    assert "ascii(" in recomputed_plan
     with _pytest.raises(ValueError, match="cluster"):
         keep_canonical(
             df, "doc_id", "text",
