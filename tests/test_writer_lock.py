@@ -189,3 +189,33 @@ def test_lock_refreshes_cache_on_acquisition(tmp_path):
         )
     assert ix == 2  # saw a's row; without the refresh both would be 1
     assert sorted(Catalog(wh).load("sourcenames")["name"]) == ["from_a", "from_b"]
+
+
+def test_many_threads_one_instance_allocate_unique_ix(tmp_path):
+    """Stress the thread-aware lock: ten threads sharing ONE Catalog
+    instance allocate sources concurrently; every allocation must get a
+    distinct ix and survive (no lost update, no reentrant leak)."""
+    from lagoon_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.init_db()
+    errors: list[BaseException] = []
+
+    def work(i: int) -> None:
+        try:
+            with cat.writer_lock(timeout=30):
+                cat.new_source(
+                    f"s{i}", url=None, description=None,
+                    added_by="x", created=None, fmt="tabular",
+                )
+        except BaseException as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(10)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert not errors, errors
+    rows = Catalog(str(tmp_path / "wh")).load("sources")
+    assert len(rows) == 10 and rows["ix"].nunique() == 10
