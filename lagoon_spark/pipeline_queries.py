@@ -1928,13 +1928,7 @@ def d26(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d27 — hashed linear quality scorer (fasttext-style serving plan)
 # ---------------------------------------------------------------------------
 
-_D27_FPS = (
-    "list_transform(list_filter(string_split(text, ' '), w -> w <> ''), "
-    "w -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(range(1, length(w) + 1), "
-    "i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))), "
-    f"(a, b) -> (a * {text.MULT} + b) % {MOD}))"
-)
+from lagoon_spark.oracle_fragments import D27_FPS as _D27_FPS
 
 _D27_ORACLE = f"""
 WITH f AS (SELECT doc_id, {_D27_FPS} AS fps FROM documents),
@@ -1980,8 +1974,8 @@ def d27(spark: SparkSession, sf_dir: str) -> DataFrame:
 # twin's literal list converts to DOUBLE losslessly and the float fold
 # hash-matches.
 
-_D28_F = 64
-_D28_WEIGHTS = [((i * 37 + 11) % 129 - 64) / 64 for i in range(_D28_F)]
+from lagoon_spark.oracle_fragments import D28_F as _D28_F
+from lagoon_spark.oracle_fragments import D28_WEIGHTS as _D28_WEIGHTS
 
 _D28_ORACLE = f"""
 WITH f AS (SELECT doc_id, {_D27_FPS} AS fps FROM documents),

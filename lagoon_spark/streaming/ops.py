@@ -436,3 +436,49 @@ def finalize_topk(counts: DataFrame, k: int = 2) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("bucket_start", "event_type", "n_events", "rank")
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table as a file-source stream (the landing-zone
+    shape for continuous corpus cleaning). Streaming file sources
+    refuse inference, so the schema is stated explicitly."""
+    # the file stream source requires a directory; select the single
+    # table file with a glob filter (same trick as read_events_stream)
+    return (
+        spark.readStream.schema(
+            "doc_id bigint, text string, lang string, "
+            "source string, n_chars bigint"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def quality_gate(
+    docs: DataFrame,
+    *,
+    weights: "list[float] | None" = None,
+    min_score: float = 0.5,
+    min_tokens: int = 3,
+    max_tokens: int = 100_000,
+) -> DataFrame:
+    """Row-local document quality gate — the SAME plan batch or
+    streaming: hashed linear classifier score (trained ``weights`` or
+    the deterministic pseudo-table, `text.hashed_linear_score`) plus
+    token-count bounds. No window, no state, no shuffle — a pure map,
+    so the streaming deployment (``readStream → quality_gate →
+    writeStream``) works under any trigger and the batch twin is
+    oracle-checkable. This is the serving half of the d27/d28/d30
+    quality plane run continuously over a landing zone."""
+    from lagoon_spark.operators.text import hashed_linear_score, token_count
+
+    scored = docs.select(
+        "doc_id",
+        hashed_linear_score("text", weights=weights).alias("quality_score"),
+        token_count("text").cast("int").alias("n_tokens"),
+    )
+    return scored.filter(
+        (F.col("quality_score") >= min_score)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+    )

@@ -252,3 +252,59 @@ def st08(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.finalize_topk(
         ops.windowed_type_counts(spark.table("events")), k=2
     )
+
+
+# ---------------------------------------------------------------------------
+# st09 — continuous document quality gate (stream == batch, row-local)
+# ---------------------------------------------------------------------------
+
+from lagoon_spark.oracle_fragments import (
+    D27_FPS as _D27_FPS,
+    D28_F as _D28_F,
+    D28_WEIGHTS as _D28_WEIGHTS,
+)
+
+# near the corpus's score median, so the gate visibly keeps and drops
+_ST09_MIN_SCORE = 0.42
+_ST09_MIN_TOK, _ST09_MAX_TOK = 3, 10_000
+
+_ST09_ORACLE = f"""
+WITH f AS (SELECT doc_id, {_D27_FPS} AS fps FROM documents),
+s AS (
+  SELECT doc_id, len(fps) AS n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(fps,
+             x -> CAST(list_extract([{", ".join(repr(w) for w in _D28_WEIGHTS)}],
+                       CAST(x % {_D28_F} AS INT) + 1) AS DOUBLE))),
+           (a, b) -> a + b) AS sw
+  FROM f),
+scored AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-(CASE WHEN n > 0 THEN sw / n
+                                       ELSE 0.0 END))), 9) AS quality_score,
+         CAST(n AS INT) AS n_tokens
+  FROM s)
+SELECT doc_id, quality_score, n_tokens
+FROM scored
+WHERE quality_score >= {_ST09_MIN_SCORE}
+  AND n_tokens BETWEEN {_ST09_MIN_TOK} AND {_ST09_MAX_TOK}
+"""
+
+
+@df_query(
+    "st09_stream_quality_gate",
+    "Continuous document quality gate: hashed-linear score (trained "
+    "weights) + token bounds as ONE row-local plan shared by batch and "
+    "readStream→writeStream deployments — no state, no shuffle, any "
+    "trigger.",
+    _ST09_ORACLE,
+)
+def st09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return ops.quality_gate(
+        spark.table("documents"),
+        weights=_D28_WEIGHTS,
+        min_score=_ST09_MIN_SCORE,
+        min_tokens=_ST09_MIN_TOK,
+        max_tokens=_ST09_MAX_TOK,
+    )

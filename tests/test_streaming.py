@@ -210,3 +210,34 @@ def test_windowed_topk_stream_matches_batch(spark, sf_small):
     cols = ["bucket_start", "event_type", "n_events", "rank"]
     assert _rows(got, cols) == _rows(batch, cols)
     assert len(got.collect()) > 0
+
+
+def test_quality_gate_stream_matches_batch(spark, sf_small):
+    """st09: the row-local quality gate is ONE plan for both modes —
+    the streaming run over the documents file source must emit exactly
+    the batch result, and some documents must actually be filtered."""
+    register_views(spark, sf_small)
+    from lagoon_spark.streaming_queries import (
+        _D28_WEIGHTS,
+        _ST09_MAX_TOK,
+        _ST09_MIN_SCORE,
+        _ST09_MIN_TOK,
+    )
+
+    kw = dict(
+        weights=_D28_WEIGHTS,
+        min_score=_ST09_MIN_SCORE,
+        min_tokens=_ST09_MIN_TOK,
+        max_tokens=_ST09_MAX_TOK,
+    )
+    batch = ops.quality_gate(spark.table("documents"), **kw)
+    stream = ops.quality_gate(
+        ops.read_documents_stream(spark, sf_small), **kw
+    )
+    _run_stream(stream, "qgate", "append")
+    got = spark.table("qgate")
+    cols = ["doc_id", "quality_score", "n_tokens"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    n_all = spark.table("documents").count()
+    n_kept = got.count()
+    assert 0 < n_kept < n_all  # the gate actually gates
