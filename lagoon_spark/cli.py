@@ -166,6 +166,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--format", choices=["csv", "json"], default=None)
     p.add_argument("-o", "--output", default=None, help="write to file instead of stdout")
 
+    p = sub.add_parser(
+        "dedup-source",
+        help="Write a new version keeping one canonical document per "
+        "near-duplicate cluster (content-level compact)",
+    )
+    p.add_argument("name", metavar="NAME")
+    p.add_argument("--column", required=True, help="text column to cluster on")
+    p.add_argument("--quality-column", default=None,
+                   help="numeric column picking the survivor (default: token count)")
+    p.add_argument("--min-matches", type=int, default=8)
+
     p = sub.add_parser("compact", help="Compact all versions of a source")
     p.add_argument("name", metavar="NAME")
 
@@ -518,6 +529,15 @@ class _Cli:
         finally:
             if self.args.output:
                 out.close()
+
+    def cmd_dedup_source(self):
+        info = self.engine.dedup_source(
+            self.args.name,
+            self.args.column,
+            quality_column=self.args.quality_column,
+            min_matches=self.args.min_matches,
+        )
+        print(_pretty(info))
 
     def cmd_compact(self):
         info = self.engine.compact(self.args.name)

@@ -1030,6 +1030,112 @@ class Lagoon:
             out.append("\n".join(lines))
         return "\n\n".join(out) + "\n"
 
+    # -- content maintenance: near-dup dedup as a new version ----------------
+
+    def dedup_source(
+        self,
+        name: str,
+        text_column: str,
+        *,
+        quality_column: str | None = None,
+        num_hashes: int = 16,
+        bands: int = 4,
+        rows_per_band: int = 4,
+        min_matches: int = 8,
+        method: str = "portable",
+    ) -> SourceInfo:
+        """Materialize a NEW VERSION of a dataset keeping exactly one
+        canonical survivor per near-duplicate cluster of
+        ``text_column`` — content-level maintenance the way
+        :meth:`compact` is layout-level maintenance. The survivor
+        policy is :func:`operators.dedup.keep_canonical` (highest
+        ``quality_column`` — token count by default — ties toward the
+        lowest ix); surviving rows keep their columns, get dense new
+        row ids in original order, and land as an ordinary version:
+        the old version stays downloadable, auto-deprecates (A14), and
+        one delete restores it — the reference's versioning contract
+        applied to a pipeline operation it never had. Requires the
+        same rights as ingesting a new version."""
+        with self.catalog.writer_lock():
+            return self._dedup_source_locked(
+                name,
+                text_column,
+                quality_column=quality_column,
+                num_hashes=num_hashes,
+                bands=bands,
+                rows_per_band=rows_per_band,
+                min_matches=min_matches,
+                method=method,
+            )
+
+    def _dedup_source_locked(
+        self,
+        name: str,
+        text_column: str,
+        *,
+        quality_column: str | None,
+        num_hashes: int,
+        bands: int,
+        rows_per_band: int,
+        min_matches: int,
+        method: str,
+    ) -> SourceInfo:
+        from lagoon_spark import security as _sec
+        from lagoon_spark.ingest.rowid import dense_order_ix
+        from lagoon_spark.operators import dedup as _dedup
+
+        self._check_can_add_version(name, _sec)
+        info = self.catalog.get_source(name)
+        phys, _header, _t = self.catalog.get_column(info.ix, text_column)
+        cols = [F.col("ix"), F.col(phys).alias("__txt")]
+        if quality_column:
+            qphys, _qh, _qt = self.catalog.get_column(info.ix, quality_column)
+            cols.append(F.col(qphys).cast("double").alias("__q"))
+        src = self._source_frame(info, typed=False)
+        marked = _dedup.keep_canonical(
+            src.select(*cols),
+            "ix",
+            "__txt",
+            quality_col="__q" if quality_column else None,
+            num_hashes=num_hashes,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            min_matches=min_matches,
+            method=method,
+        )
+        keep = marked.filter(F.col("is_canonical")).select(
+            F.col("ix").alias("__ord")
+        )
+        rows = src.withColumnRenamed("ix", "__ord").join(keep, "__ord")
+        numbered, pinned = dense_order_ix(rows, "__ord")
+        ix, _version, table_name, _view = self.catalog.new_source(
+            name,
+            url=info.url,
+            description=f"near-dup survivors of {name} v{info.version}",
+            added_by=self.user,
+            created=None,
+            fmt=info.format,
+        )
+        try:
+            phys_cols = [c[0] for c in info.columns]
+            out = numbered.select("ix", *phys_cols)
+            out.write.mode("overwrite").parquet(self._data_path(table_name))
+            row_count = self.spark.read.parquet(
+                self._data_path(table_name)
+            ).count()
+            self.catalog.set_columns(ix, list(info.columns))
+            self.catalog.update_source(
+                ix, row_count=row_count, json_type=info.json_type
+            )
+        except BaseException:
+            self._rollback_ingest(ix, table_name)
+            raise
+        finally:
+            pinned.unpersist()
+        new_info = self.catalog.get_source_by_ix(ix)
+        self.register_views(new_info)
+        return new_info
+
     # -- compaction (A24) ----------------------------------------------------
 
     def compact(self, name: str):

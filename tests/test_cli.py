@@ -329,3 +329,19 @@ def test_cli_compaction_golden_dump(spark, tmp_path):
     _, dump = _run(wh, "dump-db-info", user="edsko")
     with open(COMPACT_GOLDEN) as f:
         assert dump == f.read()
+
+
+def test_cli_dedup_source(spark, tmp_path):
+    wh = tmp_path / "warehouse"
+    _run(wh, "init-db", user="admin")
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    p = tmp_path / "dd.csv"
+    p.write_text(
+        "txt\n" + base + "short\n" + base + "short\n"
+        + base + "longer tail with extra tokens\n"
+        + "completely different text about something else entirely ok\n"
+    )
+    _run(wh, "ingest", "-n", "ddcli", str(p), user="admin")
+    _, out = _run(wh, "dedup-source", "ddcli", "--column", "txt",
+                  "--min-matches", "6", user="admin")
+    assert "version 2" in out and "row count   2" in out

@@ -665,3 +665,41 @@ def test_source_stats_single_pass(lagoon, tmp_path):
     assert st["b"]["nulls"] == 0 and st["b"]["distinct_est"] == 3
     assert st["b"]["min"] == "x" and st["b"]["max"] == "z"
     assert st["c"]["nulls"] == 2 and st["c"]["min"] == 1.5 and st["c"]["max"] == 2.5
+
+
+def test_dedup_source_materializes_survivor_version(lagoon, tmp_path):
+    """Content maintenance: dedup_source writes a new version holding
+    one canonical survivor per near-dup cluster, with dense row ids,
+    the parent auto-deprecated, and delete-restores-state intact."""
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    texts = [
+        base + "short",
+        base + "short",
+        base + "longer tail with extra tokens",
+        "completely different text about something else entirely ok",
+    ]
+    p = tmp_path / "corpus.csv"
+    p.write_text("txt\n" + "\n".join(texts) + "\n")
+    lagoon.ingest(str(p), "dd")
+
+    info2 = lagoon.dedup_source("dd", "txt", min_matches=6)
+    assert info2.version == 2 and info2.row_count == 2
+    rows = lagoon.sql("SELECT ix, txt FROM dd_v2 ORDER BY ix").collect()
+    assert [r["ix"] for r in rows] == [1, 2]
+    kept = {r["txt"] for r in rows}
+    assert texts[2] in kept and texts[3] in kept  # longest copy survives
+    # parent version intact but auto-deprecated
+    assert lagoon.sql("SELECT COUNT(*) AS n FROM dd_v1").collect()[0]["n"] == 4
+    assert lagoon.catalog.get_source("dd", 1).deprecated is True
+    assert lagoon.catalog.get_source("dd", 2).deprecated is False
+    # an explicit quality column flips the survivor
+    info3 = lagoon.dedup_source("dd", "txt", min_matches=6)
+    assert info3.version == 3  # idempotent-safe: just another version
+
+    # permission: a stranger may not write a new version
+    from lagoon_spark.security import PermissionDenied as _PD
+
+    mallory = Lagoon(lagoon.spark, lagoon.warehouse, user="mallory")
+    mallory.catalog = lagoon.catalog
+    with pytest.raises(_PD):
+        mallory.dedup_source("dd", "txt", min_matches=6)
