@@ -167,6 +167,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", default=None, help="write to file instead of stdout")
 
     p = sub.add_parser(
+        "build-ann-index",
+        help="Train and persist an IVF index over an embedding column",
+    )
+    p.add_argument("name", metavar="NAME")
+    p.add_argument("--column", required=True)
+    p.add_argument("-k", type=int, default=64, dest="cells")
+    p.add_argument("--iters", type=int, default=2)
+
+    p = sub.add_parser(
+        "ann-search", help="Approximate nearest neighbors via the IVF index"
+    )
+    p.add_argument("name", metavar="NAME")
+    p.add_argument("--column", required=True)
+    p.add_argument("--vector", required=True, help='JSON array, e.g. "[0.1, 0.9]"')
+    p.add_argument("--topk", type=int, default=10)
+    p.add_argument("--nprobe", type=int, default=4)
+
+    p = sub.add_parser(
         "dedup-source",
         help="Write a new version keeping one canonical document per "
         "near-duplicate cluster (content-level compact)",
@@ -529,6 +547,30 @@ class _Cli:
         finally:
             if self.args.output:
                 out.close()
+
+    def cmd_build_ann_index(self):
+        import json as _json
+
+        meta = self.engine.build_ann_index(
+            self.args.name,
+            self.args.column,
+            k=self.args.cells,
+            iters=self.args.iters,
+        )
+        print(_json.dumps(meta))
+
+    def cmd_ann_search(self):
+        import json as _json
+
+        res = self.engine.ann_search(
+            self.args.name,
+            self.args.column,
+            _json.loads(self.args.vector),
+            topk=self.args.topk,
+            nprobe=self.args.nprobe,
+        )
+        for r in res.collect():
+            print(f"{r['ix']}\t{r['cosine']}")
 
     def cmd_dedup_source(self):
         info = self.engine.dedup_source(

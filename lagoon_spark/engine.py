@@ -1030,6 +1030,147 @@ class Lagoon:
             out.append("\n".join(lines))
         return "\n\n".join(out) + "\n"
 
+    # -- persisted ANN index over an embedding column ------------------------
+
+    def _ann_read_check(self, info: SourceInfo) -> None:
+        from lagoon_spark import security as _sec
+
+        if not (
+            _sec.is_admin(self.user)
+            or info.added_by == self.user
+            or _sec.can_read(self.catalog, self.user, info.ix)
+        ):
+            raise _sec.PermissionDenied(
+                f"{self.user!r} may not read {info.name!r} v{info.version}"
+            )
+
+    def _ann_index_dir(self, info: SourceInfo, phys: str) -> str:
+        return os.path.join(self.warehouse, "index", f"ivf_{info.ix}_{phys}")
+
+    def _ann_vectors(self, info: SourceInfo, phys: str) -> DataFrame:
+        # embedding columns arrive as JSON array text (the engine's
+        # sources are CSV/JSON); parse once, drop unparseable rows
+        return (
+            self._source_frame(info, typed=False)
+            .select(
+                "ix",
+                F.from_json(F.col(phys), "array<double>").alias("__vec"),
+            )
+            .filter(F.col("__vec").isNotNull())
+        )
+
+    def build_ann_index(
+        self,
+        name: str,
+        column: str,
+        *,
+        k: int = 64,
+        iters: int = 2,
+        version: int | None = None,
+    ) -> dict:
+        """Train and persist an IVF index over an embedding column
+        (JSON ``array<double>`` text): deterministic k-means centroids
+        plus per-row cell assignments, written under
+        ``<warehouse>/index/ivf_<source ix>_<column>/``. The index is a
+        per-VERSION artifact (keyed on the version's ix), the vector
+        analog of A13's layout indexes: :meth:`ann_search` then probes
+        ``nprobe`` cells instead of scanning the corpus. Returns the
+        index metadata dict.
+
+        Scale shape: training is the engine's deterministic distributed
+        k-means (one map-side-combinable aggregate per iteration); the
+        centroid table is k rows; assignments are one row per corpus
+        row, written columnar so the search-side cell filter is a
+        pushed-down parquet scan."""
+        import json as _json
+
+        info = self.catalog.get_source(name, version)
+        self._ann_read_check(info)
+        phys, _h, _t = self.catalog.get_column(info.ix, column)
+        vecs = self._ann_vectors(info, phys)
+        first = vecs.select(F.size("__vec").alias("d")).first()
+        if first is None:
+            raise ValueError(f"no parseable vectors in {name}.{column}")
+        dim = int(first["d"])
+        from lagoon_spark.operators.similarity import kmeans_fit_predict
+
+        assigns, centroids = kmeans_fit_predict(
+            vecs, "ix", "__vec", k=k, iters=iters, dim=dim
+        )
+        idx_dir = self._ann_index_dir(info, phys)
+        cent_df = self.spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "cell int, centroid array<double>",
+        )
+        cent_df.write.mode("overwrite").parquet(os.path.join(idx_dir, "centroids"))
+        assigns.select("ix", "cell").write.mode("overwrite").parquet(
+            os.path.join(idx_dir, "assignments")
+        )
+        meta = {
+            "source_ix": info.ix,
+            "column": phys,
+            "k": k,
+            "dim": dim,
+            "iters": iters,
+        }
+        with open(os.path.join(idx_dir, "meta.json"), "w") as fh:
+            _json.dump(meta, fh)
+        return meta
+
+    def ann_search(
+        self,
+        name: str,
+        column: str,
+        query_vec: list[float],
+        *,
+        topk: int = 10,
+        nprobe: int = 4,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Approximate nearest neighbors against a persisted IVF index:
+        pick the query's ``nprobe`` nearest centroids (k-row
+        metadata-sized math), scan ONLY those cells' assignment rows
+        (cell filter pushed into the parquet scan), join back the
+        vectors, exact-cosine re-rank, top-k — (ix, cosine), a
+        TakeOrderedAndProject. Raises KeyError if no index was built
+        for this version."""
+        import math
+
+        info = self.catalog.get_source(name, version)
+        self._ann_read_check(info)
+        phys, _h, _t = self.catalog.get_column(info.ix, column)
+        idx_dir = self._ann_index_dir(info, phys)
+        if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+            raise KeyError(
+                f"no ANN index for {name!r} v{info.version} column "
+                f"{column!r}; run build_ann_index first"
+            )
+        cents = self.spark.read.parquet(
+            os.path.join(idx_dir, "centroids")
+        ).collect()  # k rows — metadata-sized by construction
+
+        def cos(a: list[float], b: list[float]) -> float:
+            num = sum(x * y for x, y in zip(a, b))
+            den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+                sum(y * y for y in b)
+            )
+            return num / den if den else -1.0
+
+        ranked = sorted(
+            cents, key=lambda r: (-cos(query_vec, r["centroid"]), r["cell"])
+        )
+        probe = [int(r["cell"]) for r in ranked[:nprobe]]
+        assigns = self.spark.read.parquet(
+            os.path.join(idx_dir, "assignments")
+        ).filter(F.col("cell").isin(probe))
+        candidates = self._ann_vectors(info, phys).join(assigns, "ix")
+        from lagoon_spark.operators.similarity import cosine_topk
+
+        qdf = self.spark.createDataFrame(
+            [([float(x) for x in query_vec],)], "__vec array<double>"
+        )
+        return cosine_topk(candidates, "ix", "__vec", qdf, k=topk)
+
     # -- content maintenance: near-dup dedup as a new version ----------------
 
     def dedup_source(

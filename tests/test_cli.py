@@ -345,3 +345,20 @@ def test_cli_dedup_source(spark, tmp_path):
     _, out = _run(wh, "dedup-source", "ddcli", "--column", "txt",
                   "--min-matches", "6", user="admin")
     assert "version 2" in out and "row count   2" in out
+
+
+def test_cli_ann_index_and_search(spark, tmp_path):
+    wh = tmp_path / "warehouse"
+    _run(wh, "init-db", user="admin")
+    p = tmp_path / "emb.json"
+    p.write_text("[1.0, 0.0]\n[0.9, 0.1]\n[0.0, 1.0]\n[0.1, 0.9]\n")
+    _run(wh, "ingest", "-n", "embcli", "--file-type", "json", str(p),
+         user="admin")
+    _, out = _run(wh, "build-ann-index", "embcli", "--column", "data",
+                  "-k", "2", user="admin")
+    assert '"k": 2' in out and '"dim": 2' in out
+    _, out = _run(wh, "ann-search", "embcli", "--column", "data",
+                  "--vector", "[1.0, 0.05]", "--topk", "2", "--nprobe", "1",
+                  user="admin")
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert len(lines) == 2 and lines[0].startswith("1\t")

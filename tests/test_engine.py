@@ -703,3 +703,45 @@ def test_dedup_source_materializes_survivor_version(lagoon, tmp_path):
     mallory.catalog = lagoon.catalog
     with pytest.raises(_PD):
         mallory.dedup_source("dd", "txt", min_matches=6)
+
+
+def test_ann_index_build_and_search(lagoon, tmp_path):
+    """A13 for vectors: build a persisted IVF index over an embedding
+    column, search probes only nprobe cells, exact-cosine re-ranks the
+    candidates, and the artifact is per-version and read-gated."""
+    import json as _json
+
+    vectors = [
+        [1.0, 0.0], [0.95, 0.05], [0.9, 0.1],      # x-cluster: ix 1..3
+        [0.0, 1.0], [0.05, 0.95], [0.1, 0.9],      # y-cluster: ix 4..6
+    ]
+    p = tmp_path / "emb.json"
+    p.write_text("\n".join(_json.dumps(v) for v in vectors) + "\n")
+    lagoon.ingest(str(p), "emb", file_type="json")
+
+    meta = lagoon.build_ann_index("emb", "data", k=2, iters=2)
+    assert meta["dim"] == 2 and meta["k"] == 2
+
+    res = lagoon.ann_search("emb", "data", [1.0, 0.02], topk=2, nprobe=1)
+    got = [r["ix"] for r in res.collect()]
+    assert got == [1, 2]  # the x-cluster's closest two, cosine-ordered
+    # the probe really prunes: one cell → only that cluster's rows rank
+    allres = lagoon.ann_search("emb", "data", [1.0, 0.02], topk=6, nprobe=1)
+    assert {r["ix"] for r in allres.collect()} <= {1, 2, 3}
+    # both cells probed → the full corpus ranks
+    both = lagoon.ann_search("emb", "data", [1.0, 0.02], topk=6, nprobe=2)
+    assert len(both.collect()) == 6
+
+    # no index → KeyError with guidance
+    p2 = tmp_path / "emb2.json"
+    p2.write_text('[0.5, 0.5]\n')
+    lagoon.ingest(str(p2), "emb2", file_type="json")
+    with pytest.raises(KeyError, match="build_ann_index"):
+        lagoon.ann_search("emb2", "data", [1.0, 0.0])
+    # read-gated like download
+    from lagoon_spark.security import PermissionDenied as _PD
+
+    mallory = Lagoon(lagoon.spark, lagoon.warehouse, user="mallory")
+    mallory.catalog = lagoon.catalog
+    with pytest.raises(_PD):
+        mallory.ann_search("emb", "data", [1.0, 0.0])
