@@ -702,6 +702,13 @@ class Lagoon:
         for v in (info.view_name, info.typed_view_name):
             if v:
                 self.spark.catalog.dropTempView(v)
+        # ANN index artifacts are per-version (keyed on this ix) —
+        # nothing else can reference them, so they go with the version
+        idx_root = os.path.join(self.warehouse, "index")
+        if os.path.isdir(idx_root):
+            for d in os.listdir(idx_root):
+                if d.startswith(f"ivf_{info.ix}_"):
+                    shutil.rmtree(os.path.join(idx_root, d))
         self.catalog.delete_source(info.ix)
 
     #: swap-protocol temp suffixes used by streaming append / compaction /
@@ -767,6 +774,24 @@ class Lagoon:
 
             for d in orphans:
                 shutil.rmtree(os.path.join(data_dir, d))
+        # index artifacts whose source ix no longer exists are orphans
+        # too (a crash between index write and a later delete)
+        idx_root = os.path.join(self.warehouse, "index")
+        if os.path.isdir(idx_root):
+            live_ix = set(int(x) for x in sources["ix"])
+            for d in sorted(os.listdir(idx_root)):
+                parts = d.split("_")
+                if (
+                    len(parts) >= 3
+                    and parts[0] == "ivf"
+                    and parts[1].isdigit()
+                    and int(parts[1]) not in live_ix
+                ):
+                    orphans.append(os.path.join("index", d))
+                    if not dry_run:
+                        import shutil
+
+                        shutil.rmtree(os.path.join(idx_root, d))
         return orphans
 
     # -- SQL passthrough (A21/A22) ------------------------------------------

@@ -745,3 +745,30 @@ def test_ann_index_build_and_search(lagoon, tmp_path):
     mallory.catalog = lagoon.catalog
     with pytest.raises(_PD):
         mallory.ann_search("emb", "data", [1.0, 0.0])
+
+
+def test_ann_index_lifecycle_cleanup(lagoon, tmp_path):
+    """Index artifacts die with their version (delete_source) and
+    orphaned index dirs are vacuumable."""
+    import json as _json
+    import os
+
+    p = tmp_path / "embv.json"
+    p.write_text("[1.0, 0.0]\n[0.0, 1.0]\n")
+    lagoon.ingest(str(p), "embv", file_type="json")
+    info = lagoon.catalog.get_source("embv", 1)
+    lagoon.build_ann_index("embv", "data", k=2, iters=1)
+    idx = os.path.join(lagoon.warehouse, "index", f"ivf_{info.ix}_c1")
+    assert os.path.isdir(idx)
+    lagoon.delete_source(info)
+    assert not os.path.exists(idx)
+
+    # an orphan (simulated crash debris) is vacuumed
+    orphan = os.path.join(lagoon.warehouse, "index", "ivf_9999_c1")
+    os.makedirs(orphan)
+    lagoon.user = "admin"
+    flagged = lagoon.vacuum(dry_run=True)
+    assert os.path.join("index", "ivf_9999_c1") in flagged
+    assert os.path.exists(orphan)  # dry run doesn't touch it
+    lagoon.vacuum()
+    assert not os.path.exists(orphan)
