@@ -77,7 +77,11 @@ unauthenticated sessions with public-only visibility.
 Deliberate divergences, documented here once: the credential verifier
 is an injected callable/dict (the reference's pluggable AuthProvider
 seam, `Server/Auth/VerifyCreds.hs:46-51`, minus the LDAP/HTTP
-backends); a failed login answers 403 with the reference's
+backends); sessions and persisted resume tokens live in process
+memory, so a server restart logs everyone out (the reference persists
+sessions in Postgres — a durable store would slot into
+``open_session``/``session_user`` without touching the routes); a
+failed login answers 403 with the reference's
 ``{"failed": "Invalid credentials"}`` wire body (the reference returns
 it with 200); permission paths key on the SOURCE ix (the engine
 anchors grants on the owning dataset itself, so any version's ix
