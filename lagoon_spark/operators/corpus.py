@@ -459,10 +459,11 @@ def dsir_resample(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    target: DataFrame,
+    target: DataFrame | None,
     k: int,
     buckets: int = 8192,
     smoothing: float = 1.0,
+    ratios_df: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR end to end: fit log-ratios target-vs-``df``, score every
     document, keep the top ``k`` under Gumbel-perturbed weights —
@@ -472,8 +473,23 @@ def dsir_resample(
     data, reproducible across runs and engines.
 
     Returns (id, dsir_logweight, gumbel_key), ordered by key desc; the
-    final top-k is a TakeOrderedAndProject, never a global sort."""
-    ratios = dsir_log_ratios(target, df, text_col, buckets, smoothing)
+    final top-k is a TakeOrderedAndProject, never a global sort.
+
+    ``ratios_df`` short-circuits the fit: a pipeline that already
+    called :func:`dsir_log_ratios` (or selects repeatedly against one
+    fixed target — the serving shape) passes the (bucket, log_ratio)
+    frame and pays only scoring; ``target`` may then be None."""
+    if ratios_df is not None:
+        missing = {"bucket", "log_ratio"} - set(ratios_df.columns)
+        if missing:
+            raise ValueError(
+                f"ratios_df must carry (bucket, log_ratio); missing {sorted(missing)}"
+            )
+        ratios = ratios_df
+    else:
+        if target is None:
+            raise ValueError("pass target= or ratios_df=")
+        ratios = dsir_log_ratios(target, df, text_col, buckets, smoothing)
     scores = dsir_scores(df, id_col, text_col, ratios, buckets)
     u = (id_hash(id_col) + F.lit(0.5)) / F.lit(float(HASH_MOD))
     gumbel = -F.log(-F.log(u))

@@ -215,3 +215,37 @@ def test_lm_perplexity_favors_reference_like_text(spark):
     assert again == got
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dsir_resample_accepts_prefit_ratios(spark):
+    """Serving shape: fit the importance model once, select many times —
+    ratios_df skips the fit and must reproduce the fit-inline result;
+    a malformed ratios frame is refused."""
+    from pyspark.sql import functions as F
+
+    from lagoon_spark.operators.corpus import dsir_log_ratios, dsir_resample
+
+    target = spark.createDataFrame(
+        [("the cat sat on the mat",)], "text string"
+    )
+    raw = spark.createDataFrame(
+        [(1, "the cat sat here"), (2, "unrelated gibberish zz qq")],
+        "doc_id long, text string",
+    )
+    ratios = dsir_log_ratios(target, raw, "text", buckets=128)
+    inline = dsir_resample(raw, "doc_id", "text", target, k=2, buckets=128)
+    prefit = dsir_resample(
+        raw, "doc_id", "text", None, k=2, buckets=128, ratios_df=ratios
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, prefit.collect())
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="log_ratio"):
+        dsir_resample(
+            raw, "doc_id", "text", None, k=2,
+            ratios_df=ratios.withColumnRenamed("log_ratio", "oops"),
+        )
+    with _pytest.raises(ValueError, match="target"):
+        dsir_resample(raw, "doc_id", "text", None, k=2)
