@@ -81,7 +81,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-type-inference", action="store_true")
     p.add_argument("--json-path", default=None)
     p.add_argument("--source-identifier", default=None)
-    p.add_argument("--file-type", choices=["csv", "json"], default=None)
+    p.add_argument("--file-type", choices=["csv", "json", "parquet"], default=None)
     vis = p.add_mutually_exclusive_group()
     vis.add_argument("--public", action="store_true", default=None)
     vis.add_argument("--private", dest="public", action="store_false")

@@ -189,7 +189,15 @@ class Lagoon:
         probe: str | None = None
         if multi:
             pattern = os.path.join(path, "*") if os.path.isdir(path) else path
-            shards = sorted(f for f in globmod.glob(pattern) if os.path.isfile(f))
+            # skip Hadoop-convention marker/hidden files (_SUCCESS,
+            # .crc): they are not shards and must not drive the
+            # format probe of a Spark-written parquet/csv directory
+            shards = sorted(
+                f
+                for f in globmod.glob(pattern)
+                if os.path.isfile(f)
+                and not os.path.basename(f).startswith(("_", "."))
+            )
             if not shards:
                 raise FileNotFoundError(f"no files match {path}")
             if json_path is not None:
@@ -211,20 +219,29 @@ class Lagoon:
         emit({"event": "input", "source": path, "local": local})
 
         try:
+            probe_lower = (probe or local).lower()
             ftype = file_type or (
-                "json"
-                if (probe or local).lower().endswith((".json", ".jsonl", ".ndjson"))
+                "parquet"
+                if probe_lower.endswith(".parquet")
+                else "json"
+                if probe_lower.endswith((".json", ".jsonl", ".ndjson"))
                 else "tabular"
             )
             # UTF-16 tabular inputs (BOM or NUL-pattern sniff) transcode
             # to a UTF-8 spool during acquisition — beyond the reference,
-            # whose UTF-16 fixtures are disabled (disabled-tests/082-085)
-            if ftype != "json" and not multi:
+            # whose UTF-16 fixtures are disabled (disabled-tests/082-085).
+            # Parquet is binary: the NUL sniff would false-positive
+            if ftype == "tabular" and not multi:
                 codec = csvmod.sniff_utf16(local)
                 if codec:
                     local = csvmod.transcode_to_utf8(local, codec, cleanup)
                     emit({"event": "encoding", "detected": codec})
-            if ftype == "json":
+            if ftype == "parquet":
+                info = self._ingest_parquet(
+                    local, name, description=description, created=created,
+                    url=url, emit=emit,
+                )
+            elif ftype == "json":
                 info = self._ingest_json(
                     local, name, description=description, created=created, url=url,
                     json_path=json_path, emit=emit, probe_path=probe,
@@ -327,6 +344,113 @@ class Lagoon:
                 typed_df.write.mode("overwrite").parquet(self._data_path(typed_table))
                 emit({"event": "typed", "columns": [(h, t) for _p, h, t in cols]})
 
+            self.catalog.set_columns(ix, cols)
+            self.catalog.update_source(
+                ix, row_count=row_count,
+                typed_table_name=typed_table, typed_view_name=typed_view,
+            )
+        except BaseException:
+            self._rollback_ingest(ix, table_name, f"typed{ix}")
+            raise
+        info = self.catalog.get_source_by_ix(ix)
+        self.register_views(info)
+        return info
+
+    def _ingest_parquet(
+        self, path, name, *, description, created, url, emit=lambda e: None,
+    ) -> SourceInfo:
+        """Parquet-native ingest — beyond the reference (whose inputs
+        are CSV/JSON), because the 100 TB landing format IS parquet
+        (crawl output, upstream pipeline shards). Column types come
+        from the file schema, so the two-pass inference is skipped:
+        schema-native scalars map straight into the reference lattice
+        (bool/int/bigint/double; decimals beyond double precision,
+        dates, timestamps → TEXT; arrays/structs/maps → their JSON
+        text; binary → base64). A directory or glob of shards reads as
+        one source with filename-major row ids, like sharded CSV.
+
+        The UNTYPED table stores canonical string renderings — every
+        downstream invariant (download roundtrip, compaction's
+        row-content matching, ``set_column_type`` re-casts) assumes
+        text there; the typed table lands directly from the native
+        columns, no string round-trip."""
+        from pyspark.sql import types as T
+
+        df = self.spark.read.parquet(path)
+        fields = df.schema.fields
+        if not fields:
+            raise ValueError(f"{path} has no columns")
+        width = len(fields)
+        phys = [f"c{i+1}" for i in range(width)]
+
+        def canon(p: str, dt) -> "F.Column":
+            c = F.col(p)
+            if isinstance(dt, T.BinaryType):
+                return F.base64(c)
+            if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+                return F.to_json(c)
+            return c.cast("string")
+
+        def lattice(dt) -> str:
+            if isinstance(dt, T.BooleanType):
+                return "BOOLEAN"
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+                return "INTEGER"
+            if isinstance(dt, T.LongType):
+                return "BIGINT"
+            if isinstance(dt, (T.FloatType, T.DoubleType)):
+                return "DOUBLE PRECISION"
+            if isinstance(dt, T.DecimalType) and dt.precision <= 15:
+                return "DOUBLE PRECISION"
+            return "TEXT"
+
+        _NATIVE = {
+            "BOOLEAN": "boolean",
+            "INTEGER": "int",
+            "BIGINT": "long",
+            "DOUBLE PRECISION": "double",
+        }
+
+        # rename to physical c1..cn BEFORE ix assignment so a source
+        # column literally named "ix" cannot collide
+        raw = with_ix(
+            df.select(*[F.col(f.name).alias(p) for f, p in zip(fields, phys)])
+        )
+        emit({"event": "format", "width": width, "schema_native": True})
+        ix, _version, table_name, view_name = self.catalog.new_source(
+            name, url=url, description=description, added_by=self.user,
+            created=created, fmt="tabular",
+        )
+        try:
+            untyped = raw.select(
+                "ix", *[canon(p, f.dataType).alias(p) for p, f in zip(phys, fields)]
+            )
+            untyped.write.mode("overwrite").parquet(self._data_path(table_name))
+            row_count = self.spark.read.parquet(
+                self._data_path(table_name)
+            ).count()
+            emit({"event": "loaded", "rows": row_count})
+
+            friendly = no_dup_names([f.name for f in fields])
+            cols = [
+                (p, h, lattice(f.dataType))
+                for p, h, f in zip(phys, friendly, fields)
+            ]
+            typed_table = f"typed{ix}"
+            typed_view = f"{view_name}_typed"
+            typed_df = raw.select(
+                "ix",
+                *[
+                    (
+                        F.col(p).cast(_NATIVE[t])
+                        if t in _NATIVE
+                        else canon(p, f.dataType)
+                    ).alias(p)
+                    for (p, _h, t), f in zip(cols, fields)
+                ],
+            )
+            typed_df.write.mode("overwrite").parquet(self._data_path(typed_table))
+            emit({"event": "typed", "columns": [(h, t) for _p, h, t in cols]})
             self.catalog.set_columns(ix, cols)
             self.catalog.update_source(
                 ix, row_count=row_count,

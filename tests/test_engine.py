@@ -772,3 +772,62 @@ def test_ann_index_lifecycle_cleanup(lagoon, tmp_path):
     assert os.path.exists(orphan)  # dry run doesn't touch it
     lagoon.vacuum()
     assert not os.path.exists(orphan)
+
+
+def test_parquet_native_ingest(lagoon, tmp_path):
+    """Parquet-native ingest: schema-native types skip inference, the
+    untyped table stores canonical strings (download/compat invariants
+    hold), the typed table lands native, complex columns render as
+    JSON text, and a Spark-written shard DIRECTORY ingests as one
+    source with file-major row ids."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    single = str(tmp_path / "single.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "flag": [True, False],
+                "small": pa.array([1, 2], type=pa.int32()),
+                "big": pa.array([10**12, 2], type=pa.int64()),
+                "ratio": [1.5, 2.0],
+                "label": ["x", "y"],
+                "tags": [[1, 2], []],
+            }
+        ),
+        single,
+    )
+    info = lagoon.ingest(single, "pqsrc")
+    got = {h: t for _p, h, t in info.columns}
+    assert got == {
+        "flag": "BOOLEAN",
+        "small": "INTEGER",
+        "big": "BIGINT",
+        "ratio": "DOUBLE PRECISION",
+        "label": "TEXT",
+        "tags": "TEXT",
+    }
+    assert info.row_count == 2 and info.typed_table_name
+    rows = lagoon.sql(
+        "SELECT ix, flag, big, ratio, tags FROM pqsrc_v1_typed ORDER BY ix"
+    ).collect()
+    assert rows[0]["flag"] is True and rows[0]["big"] == 10**12
+    assert rows[0]["tags"] == "[1,2]"  # complex → JSON text
+    # untyped stays text: download round-trips the canonical strings
+    text = "".join(lagoon.download(info, fmt="csv"))
+    assert "true" in text and "1.5" in text
+
+    # a Spark-written directory (with _SUCCESS) is a sharded ingest
+    sharded_dir = str(tmp_path / "sharded.parquet")
+    lagoon.spark.createDataFrame(
+        [(i, f"r{i}") for i in range(10)], "k long, v string"
+    ).repartition(2).write.parquet(sharded_dir)
+    info2 = lagoon.ingest(sharded_dir, "pqshard")
+    assert info2.row_count == 10
+    ixs = [r["ix"] for r in lagoon.sql(
+        "SELECT ix FROM pqshard_v1 ORDER BY ix").collect()]
+    assert ixs == list(range(1, 11))  # dense, file-major
+
+    # set_column_type re-casts from the canonical strings
+    info3 = lagoon.set_column_type(info, "big", "TEXT")
+    assert {h: t for _p, h, t in info3.columns}["big"] == "TEXT"
