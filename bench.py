@@ -68,6 +68,21 @@ def main() -> None:
         _warm_group, "id long"
     ).count()
 
+    # calibration probe: a FIXED CPU-bound Spark job timed alongside the
+    # queries. This container shares a host; measured totals drift ±30%
+    # with neighbor load (same commit: 61.2s vs 93.2s within one
+    # session). calib_sec moves with the same noise, so cross-round
+    # comparisons can normalize: total/calib is load-independent.
+    def calibrate() -> float:
+        t0 = time.perf_counter()
+        spark.range(3_000_000_000, numPartitions=96).selectExpr(
+            "sum(id * 2654435761 % 1000003) AS s"
+        ).collect()
+        return time.perf_counter() - t0
+
+    calibrate()  # warm the codegen for the probe itself
+    calib = round(min(calibrate(), calibrate()), 3)
+
     timings: dict[str, float] = {}
     for name, q in sorted(qs.items()):
         t0 = time.perf_counter()
@@ -80,7 +95,8 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_full.json"), "w") as fh:
         json.dump({"metric": "total_query_wall_sec", "value": total,
-                   "unit": "sec", "queries": timings, "sf": sf_dir}, fh,
+                   "unit": "sec", "queries": timings, "sf": sf_dir,
+                   "calib_sec": calib}, fh,
                   indent=1, sort_keys=True)
     # The driver captures only the TAIL of stdout (~2 KB) and parses the
     # last JSON line; with 100 long registry keys the line overflows the
@@ -98,6 +114,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": short,
                 "sf": sf_dir,
+                "calib_sec": calib,
             },
             separators=(",", ":"),
         )
