@@ -1424,6 +1424,10 @@ class Lagoon:
             pinned.unpersist()
         new_info = self.catalog.get_source_by_ix(ix)
         self.register_views(new_info)
+        if info.typed_table_name:
+            # the parent was typed; the survivor version should be too
+            # (same column types — set_columns copied them above)
+            new_info = self.make_typed(new_info)
         return new_info
 
     # -- compaction (A24) ----------------------------------------------------

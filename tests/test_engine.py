@@ -684,6 +684,9 @@ def test_dedup_source_materializes_survivor_version(lagoon, tmp_path):
 
     info2 = lagoon.dedup_source("dd", "txt", min_matches=6)
     assert info2.version == 2 and info2.row_count == 2
+    # typed materialization is inherited from the typed parent
+    assert info2.typed_view_name == "dd_v2_typed"
+    assert lagoon.sql("SELECT COUNT(*) AS n FROM dd_v2_typed").collect()[0]["n"] == 2
     rows = lagoon.sql("SELECT ix, txt FROM dd_v2 ORDER BY ix").collect()
     assert [r["ix"] for r in rows] == [1, 2]
     kept = {r["txt"] for r in rows}
