@@ -251,6 +251,15 @@ class StreamIngestor:
             return
         paths = [_local(p) for p, _ in files]
         fmt = self._resolve_format(paths, st)
+        if fmt == "parquet":
+            # appending parquet would need schema-merge semantics the
+            # text lattice doesn't model; versions mode ingests parquet
+            # files natively (each file → a version)
+            raise ValueError(
+                "append mode does not support parquet input; use "
+                "mode='versions' (each arriving parquet file becomes a "
+                "new version via the native parquet ingest)"
+            )
         if fmt == "json":
             self._batch_append_json(paths, batch_id, st)
         else:
@@ -258,7 +267,13 @@ class StreamIngestor:
 
     def _classify(self, path: str) -> str:
         if self.file_type is not None:
-            return "json" if self.file_type == "json" else "tabular"
+            return (
+                self.file_type
+                if self.file_type in ("json", "parquet")
+                else "tabular"
+            )
+        if path.endswith(".parquet"):
+            return "parquet"
         return "json" if path.endswith((".json", ".jsonl")) else "tabular"
 
     def _resolve_format(self, paths: list[str], st: _AppendState) -> str:

@@ -341,3 +341,44 @@ class TestSecurity:
             restricted.ingest_stream(
                 str(tmp_path), "blocked", checkpoint_dir=str(tmp_path / "c")
             )
+
+
+def test_stream_versions_mode_ingests_parquet(lagoon, tmp_path):
+    """Arriving parquet files flow through the native parquet ingest:
+    each file becomes a version with schema-derived types; append mode
+    refuses parquet loudly (the text lattice can't merge it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    watch = tmp_path / "landing"
+    watch.mkdir()
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], type=pa.int64()), "v": ["a", "b"]}),
+        str(watch / "batch1.parquet"),
+    )
+    ing = lagoon.ingest_stream(
+        str(watch), "pqstream",
+        checkpoint_dir=str(tmp_path / "ckpt"), mode="versions",
+    )
+    ing.run_available()
+    info = lagoon.catalog.get_source("pqstream", 1)
+    assert info.row_count == 2
+    assert {h: t for _p, h, t in info.columns} == {"k": "BIGINT", "v": "TEXT"}
+    # a second arriving file → version 2
+    pq.write_table(
+        pa.table({"k": pa.array([3], type=pa.int64()), "v": ["c"]}),
+        str(watch / "batch2.parquet"),
+    )
+    ing.run_available()
+    assert lagoon.catalog.get_source("pqstream", 2).row_count == 1
+
+    # append mode refuses parquet
+    watch2 = tmp_path / "landing2"
+    watch2.mkdir()
+    pq.write_table(pa.table({"k": [1]}), str(watch2 / "a.parquet"))
+    ing2 = lagoon.ingest_stream(
+        str(watch2), "pqappend",
+        checkpoint_dir=str(tmp_path / "ckpt2"), mode="append",
+    )
+    with pytest.raises(Exception, match="versions"):
+        ing2.run_available()
