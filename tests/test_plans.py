@@ -160,3 +160,12 @@ def test_semantic_dedup_pair_join_is_cell_blocked(spark, sf_small):
     plan = _plan(get_query("d20_semantic_dedup").spark_fn(spark, sf_small))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_gate_is_map_only(spark, sf_small):
+    """st09's batch/stream-shared plan must be a pure row-local map:
+    no shuffle, no Python stage — the property that makes it streamable
+    under any trigger."""
+    plan = _plan(get_query("q118_st09_stream_quality_gate").spark_fn(spark, sf_small))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
