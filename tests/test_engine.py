@@ -834,3 +834,49 @@ def test_parquet_native_ingest(lagoon, tmp_path):
     # set_column_type re-casts from the canonical strings
     info3 = lagoon.set_column_type(info, "big", "TEXT")
     assert {h: t for _p, h, t in info3.columns}["big"] == "TEXT"
+
+
+def test_parquet_and_csv_ingest_agree_on_typed_values(lagoon, tmp_path):
+    """Differential: the same logical table ingested as CSV (inference
+    path) and as parquet (schema-native path) must produce identical
+    typed-view values and the same lattice types — the canonical-string
+    design means neither path can drift from the other."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (True, 1, 5_000_000_000, 1.5, "alpha"),
+        (False, 2, 6_000_000_000, 2.25, "beta"),
+        (True, 3, 7_000_000_000, 3.0, "gamma"),
+    ]
+    csv_path = tmp_path / "t.csv"
+    csv_path.write_text(
+        "flag,small,big,ratio,label\n"
+        + "\n".join(
+            f"{'true' if b else 'false'},{i},{l},{d},{s}"
+            for b, i, l, d, s in rows
+        )
+        + "\n"
+    )
+    pq_path = str(tmp_path / "t.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "flag": [r[0] for r in rows],
+                "small": pa.array([r[1] for r in rows], type=pa.int32()),
+                "big": pa.array([r[2] for r in rows], type=pa.int64()),
+                "ratio": [r[3] for r in rows],
+                "label": [r[4] for r in rows],
+            }
+        ),
+        pq_path,
+    )
+    a = lagoon.ingest(str(csv_path), "diff_csv")
+    b = lagoon.ingest(pq_path, "diff_pq")
+    assert [(h, t) for _p, h, t in a.columns] == [
+        (h, t) for _p, h, t in b.columns
+    ]
+    q = "SELECT flag, small, big, ratio, label FROM {} ORDER BY ix"
+    va = [tuple(r) for r in lagoon.sql(q.format("diff_csv_v1_typed")).collect()]
+    vb = [tuple(r) for r in lagoon.sql(q.format("diff_pq_v1_typed")).collect()]
+    assert va == vb == rows
