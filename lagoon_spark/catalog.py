@@ -249,6 +249,13 @@ class Catalog:
                 finally:
                     self._lock_depth -= 1
                 return
+            import time
+
+            # one budget covers BOTH waits: a contender may spend part
+            # of `timeout` on the in-process RLock and only the
+            # remainder in the flock spin — the documented "blocks up
+            # to timeout seconds" contract, not up to 2×
+            t0 = time.monotonic()
             # cross-thread writers in this process serialize here; the
             # flock below arbitrates only between processes (a second
             # flock on the same file in one process would also block,
@@ -265,11 +272,8 @@ class Catalog:
                     fcntl = None
                 f = None
                 if fcntl is not None:
-                    import time
-
                     os.makedirs(self.dir, exist_ok=True)
                     f = open(os.path.join(self.dir, ".writer.lock"), "a+")
-                    t0 = time.monotonic()
                     while True:
                         try:
                             fcntl.flock(f, fcntl.LOCK_EX | fcntl.LOCK_NB)

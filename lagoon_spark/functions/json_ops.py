@@ -71,7 +71,9 @@ def jsonb_exists(col: str | Column, key: str) -> Column:
     c = _c(col)
     keys = F.json_object_keys(c)
     arr = F.from_json(c, "array<variant>")
-    quoted = F.lit(json.dumps(key))
+    # ensure_ascii=False: compared against Spark's raw-UTF-8 variant
+    # to_json output — \uXXXX escapes would miss non-ASCII keys
+    quoted = F.lit(json.dumps(key, ensure_ascii=False))
     return (
         F.when(keys.isNotNull(), F.array_contains(keys, key))
         .when(arr.isNotNull(), F.exists(arr, lambda e: F.to_json(e) == quoted))
@@ -259,7 +261,10 @@ def jsonb_contained(col: str | Column, hay_json: str) -> Column:
 
 
 def _dump(obj) -> str:
-    return json.dumps(obj, separators=(",", ":"), sort_keys=True)
+    # ensure_ascii=False: raw UTF-8, matching both Postgres jsonb
+    # output and Spark's variant to_json (keeps the two tiers
+    # byte-identical on non-ASCII content)
+    return json.dumps(obj, separators=(",", ":"), sort_keys=True, ensure_ascii=False)
 
 
 def _entries_to_json(entries: Column) -> Column:
@@ -714,7 +719,10 @@ def delete_key_sql(operand_sql: str, key: str) -> str:
     m = f"from_json({op}, 'map<string,variant>')"
     entries = f"filter(map_entries({m}), e -> e.key <> {_sql_str(key)})"
     arr = f"from_json({op}, 'array<variant>')"
-    quoted = _sql_str(json.dumps(key))
+    # ensure_ascii=False: Spark's variant to_json emits raw UTF-8, so a
+    # \uXXXX-escaped comparand would silently keep non-ASCII elements
+    # the pandas tier (and Postgres '-') delete (round-7 ADVICE fix)
+    quoted = _sql_str(json.dumps(key, ensure_ascii=False))
     return (
         f"CASE WHEN try_parse_json({op}) IS NULL THEN CAST(NULL AS STRING) "
         f"WHEN json_object_keys({op}) IS NOT NULL THEN {_sorted_obj_sql(entries)} "

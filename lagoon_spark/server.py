@@ -530,7 +530,20 @@ def _make_handler(srv: LagoonServer):
             """`API.hs:189-194` SourceGetColumn → ColumnIx. Columns here
             are keyed (source, name) rather than globally indexed, so
             the returned identifier is the physical column name — the
-            value `/column/<ix>/<name>/type` addresses."""
+            value `/column/<ix>/<name>/type` addresses. Read-gated:
+            column names of a private source are metadata an
+            unauthorized principal must not learn."""
+            from lagoon_spark import security as _sec
+
+            info = self._info(ix)
+            if not (
+                _sec.is_admin(self.user)
+                or info.added_by == self.user
+                or _sec.can_read(self.eng.catalog, self.user, info.ix)
+            ):
+                raise _sec.PermissionDenied(
+                    f"{self.user!r} may not read columns of {info.name!r}"
+                )
             phys, _header, _t = self.eng.catalog.get_column(int(ix), col)
             self._json(phys)
 

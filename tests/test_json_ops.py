@@ -67,6 +67,17 @@ def test_pg_containment_rules(spark, hay, needle, expect):
     assert got is expect
 
 
+def test_jsonb_exists_non_ascii_key(spark):
+    """`?` against array / string-scalar shapes compares Spark's raw
+    UTF-8 variant rendering — a \\uXXXX-escaped comparand would miss
+    (round-7 ADVICE class)."""
+    df = spark.createDataFrame(
+        [('["é中", "y"]',), ('"é中"',), ('{"é中": 1}',), ('["x"]',)], "js string"
+    )
+    got = [r["e"] for r in df.select(j.jsonb_exists("js", "é中").alias("e")).collect()]
+    assert got == [True, True, True, False]
+
+
 def test_contained_is_reverse(spark):
     df = spark.createDataFrame([('{"a": 1}',)], "js string")
     got = df.select(j.jsonb_contained("js", '{"a": 1, "b": 2}').alias("c")).collect()[0]["c"]
@@ -86,6 +97,8 @@ def test_null_and_invalid_json(jdf):
         ('{"a": 1, "k": 7}', "k", '{"a":1}'),
         ('{"a": 1}', "k", '{"a":1}'),  # absent key → unchanged
         ('["x", "y", "x"]', "x", '["y"]'),  # string element removal
+        ('["é中", "y"]', "é中", '["y"]'),  # non-ASCII element (round-7 ADVICE)
+        ('{"é": 1, "a": 2}', "é", '{"a":2}'),  # non-ASCII object key
         ('["a", "b", "c"]', 1, '["a","c"]'),  # index removal
         ('["a", "b", "c"]', -1, '["a","b"]'),  # negative index
     ],
@@ -734,6 +747,13 @@ def test_sql_rewrite_fuzz_parity_with_pandas_tier(spark):
         cases.append(
             ("fz_ascii", f"jsonb_delete_key(js, '{rng.choice(keypool)}')")
         )
+    # round-7 ADVICE: non-ASCII keys against unicode documents — the
+    # JVM array branch compares to_json(element) (raw UTF-8) with the
+    # Python-rendered comparand, so escaping must agree
+    for k in ["é", "中", "é中"]:
+        cases.append(("fz_uni", f"jsonb_delete_key(js, '{k}')"))
+        cases.append(("fz_uni", f"jsonb_delete_path(js, '{{{k},0}}')"))
+        cases.append(("fz_uni", f"jsonb_concat(js, '{{\"{k}\": \"α\"}}')"))
     for _ in range(6):
         path = "{" + ",".join(
             rng.choice(keypool + ["0", "1", "-1", "2"])

@@ -466,6 +466,47 @@ def test_column_routes_and_reference_group_spellings(served):
     _req(served, "DELETE", "/group/refg/admin/wendy", user="admin")
 
 
+def test_column_routes_permission_gated(served):
+    """Round-7 ADVICE fix: ColumnSetType is permission-gated in the
+    reference (`server/src/Lagoon/Server/API/Column.hs:33-39` runs
+    checkHasPermission before setColumnType) — a non-privileged
+    principal must not rewrite another user's typed table, nor learn
+    a private source's column names via SourceGetColumn."""
+    _, _, info = _req(served, "POST", "/sources?name=colperm&private=1",
+                      body=b"num\n1\n", user="alice")
+    ix = info["ix"]
+    # bob can neither read column metadata nor set a type → 403
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(served, "GET", f"/source/{ix}/column/num", user="bob")
+    assert e.value.code == 403
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(served, "POST", f"/column/{ix}/num/type", body="TEXT",
+             user="bob")
+    assert e.value.code == 403
+    # type unchanged
+    _, _, got = _req(served, "GET", f"/source/{ix}", user="alice")
+    assert not any(
+        c["header"] == "num" and c["type"] == "TEXT" for c in got["columns"]
+    )
+    # read level is enough to see the column, not to retype it
+    _req(served, "POST", f"/source/{ix}/userAccessLevel/bob", body="read",
+         user="alice")
+    assert _req(served, "GET", f"/source/{ix}/column/num", user="bob")[2] == "c1"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(served, "POST", f"/column/{ix}/num/type", body="TEXT",
+             user="bob")
+    assert e.value.code == 403
+    # update level unlocks it (checkHasPermission's update tier)
+    _req(served, "POST", f"/source/{ix}/userAccessLevel/bob", body="update",
+         user="alice")
+    st, _, updated = _req(served, "POST", f"/column/{ix}/num/type",
+                          body="TEXT", user="bob")
+    assert st == 200 and any(
+        c["header"] == "num" and c["type"] == "TEXT"
+        for c in updated["columns"]
+    )
+
+
 def test_users_create_and_debug_routes(served):
     """UsersCreate (`API.hs:374-379`) and the /debug group
     (`API.hs:434-444`): created principals appear in /users, debug dump
