@@ -194,6 +194,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quality-column", default=None,
                    help="numeric column picking the survivor (default: token count)")
     p.add_argument("--min-matches", type=int, default=8)
+    p.add_argument("--reindex", action="store_true",
+                   help="rebuild the parent version's ANN indexes on the survivors")
 
     p = sub.add_parser("compact", help="Compact all versions of a source")
     p.add_argument("name", metavar="NAME")
@@ -578,6 +580,7 @@ class _Cli:
             self.args.column,
             quality_column=self.args.quality_column,
             min_matches=self.args.min_matches,
+            reindex=self.args.reindex,
         )
         print(_pretty(info))
 

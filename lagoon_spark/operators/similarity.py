@@ -324,6 +324,7 @@ def kmeans_fit_predict(
     dim: int,
     out_col: str = "cell",
     centroids_as: str = "list",
+    keep_vec: bool = False,
 ) -> tuple[DataFrame, "list[list[float]] | DataFrame"]:
     """Lloyd's k-means, engine-deterministic: (assignments, centroids).
 
@@ -392,7 +393,8 @@ def kmeans_fit_predict(
                 .localCheckpoint(eager=False)
             )
             assigned = ivf_assign(df, vec_col, cents, out_col=out_col)
-        return assigned.select(id_col, out_col), cents
+        keep = [id_col, vec_col, out_col] if keep_vec else [id_col, out_col]
+        return assigned.select(*keep), cents
 
     centroids = [[0.0] * dim for _ in range(k)]
     for _ in range(iters):
@@ -402,7 +404,8 @@ def kmeans_fit_predict(
                 row["__c"] * float(KMEANS_FP)
             )
         assigned = ivf_assign(df, vec_col, centroids, out_col=out_col)
-    return assigned.select(id_col, out_col), centroids
+    keep = [id_col, vec_col, out_col] if keep_vec else [id_col, out_col]
+    return assigned.select(*keep), centroids
 
 
 def kmeans_oracle_sql(

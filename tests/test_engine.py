@@ -678,14 +678,28 @@ def test_dedup_source_materializes_survivor_version(lagoon, tmp_path):
         base + "longer tail with extra tokens",
         "completely different text about something else entirely ok",
     ]
+    # `v` is TEXT only because of row 0 ("oops") — which is the row the
+    # dedup removes, so a re-inference over the survivors would narrow
+    # it to INTEGER and the versions would disagree on schema
     p = tmp_path / "corpus.csv"
-    p.write_text("txt\n" + "\n".join(texts) + "\n")
+    p.write_text(
+        "txt,v\n"
+        + "\n".join(f"{t},{v}" for t, v in zip(texts, ["oops", "9", "1", "2"]))
+        + "\n"
+    )
     lagoon.ingest(str(p), "dd")
 
     info2 = lagoon.dedup_source("dd", "txt", min_matches=6)
     assert info2.version == 2 and info2.row_count == 2
     # typed materialization is inherited from the typed parent
     assert info2.typed_view_name == "dd_v2_typed"
+    # ... with the parent's EXACT types, never re-inferred (round-7
+    # ADVICE: deduping outliers away must not narrow a column)
+    parent_types = {h: t for _p, h, t in lagoon.catalog.get_source("dd", 1).columns}
+    survivor_types = {h: t for _p, h, t in info2.columns}
+    assert parent_types["v"] == "TEXT" and survivor_types == parent_types
+    vdt = dict(lagoon.spark.table("dd_v2_typed").dtypes)
+    assert vdt["v"] == "string"
     assert lagoon.sql("SELECT COUNT(*) AS n FROM dd_v2_typed").collect()[0]["n"] == 2
     rows = lagoon.sql("SELECT ix, txt FROM dd_v2 ORDER BY ix").collect()
     assert [r["ix"] for r in rows] == [1, 2]
@@ -728,6 +742,32 @@ def test_ann_index_build_and_search(lagoon, tmp_path):
     res = lagoon.ann_search("emb", "data", [1.0, 0.02], topk=2, nprobe=1)
     got = [r["ix"] for r in res.collect()]
     assert got == [1, 2]  # the x-cluster's closest two, cosine-ordered
+
+    # round-7 verdict fix: the index is SELF-CONTAINED — a probe reads
+    # exactly nprobe cell directories of the index and never touches
+    # the source table (previously each query re-scanned + re-parsed
+    # the whole corpus). Executed-scan metrics are the I/O ground
+    # truth: numPartitions counts the cell dirs actually read after
+    # partition pruning.
+    info = lagoon.catalog.get_source("emb", 1)
+    qe = res._jdf.queryExecution()
+    # AQE's toString appends an "== Initial Plan ==" copy — keep the
+    # final (executed) section only
+    plan_text = qe.executedPlan().toString().split("== Initial Plan ==")[0]
+    assert info.table_name not in plan_text  # source never scanned
+    # every file relation in the plan is the index artifact itself
+    files = res.inputFiles()
+    assert files and all(f"ivf_{info.ix}_c1" in f for f in files)
+    # exactly one file scan — the index's assignments — and its cell
+    # filter is a PARTITION filter (pruned before I/O, not after)
+    scans = [
+        ln for ln in plan_text.splitlines() if "FileScan parquet" in ln
+    ]
+    assert len(scans) == 1  # location pinned by inputFiles() above
+    import re as _re
+
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", scans[0]).group(1)
+    assert "cell" in pf  # the nprobe cell equality prunes directories
     # the probe really prunes: one cell → only that cluster's rows rank
     allres = lagoon.ann_search("emb", "data", [1.0, 0.02], topk=6, nprobe=1)
     assert {r["ix"] for r in allres.collect()} <= {1, 2, 3}
@@ -748,6 +788,40 @@ def test_ann_index_build_and_search(lagoon, tmp_path):
     mallory.catalog = lagoon.catalog
     with pytest.raises(_PD):
         mallory.ann_search("emb", "data", [1.0, 0.0])
+
+
+def test_ann_index_lifecycle_under_dedup_source(lagoon, tmp_path):
+    """Round-7 verdict #6: content maintenance mints new versions that
+    don't inherit the parent's per-version ANN index — ann_search must
+    say so (not a bare KeyError), and reindex=True must rebuild."""
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (base + "one", "[1.0, 0.0]"),
+        (base + "one", "[0.9, 0.1]"),
+        ("entirely different text about other things altogether ok", "[0.0, 1.0]"),
+    ]
+    p = tmp_path / "dv.csv"
+    p.write_text(
+        "txt,vec\n" + "\n".join(f'{t},"{v}"' for t, v in rows) + "\n"
+    )
+    lagoon.ingest(str(p), "dv")
+    lagoon.build_ann_index("dv", "vec", k=2, iters=1)
+    assert lagoon.ann_search("dv", "vec", [1.0, 0.0], topk=1).count() == 1
+
+    # without reindex: survivor version is unindexed, with guidance
+    info2 = lagoon.dedup_source("dv", "txt", min_matches=6)
+    assert info2.version == 2
+    with pytest.raises(KeyError, match="v1 .* has one|reindex=True"):
+        lagoon.ann_search("dv", "vec", [1.0, 0.0])
+
+    # with reindex: the survivors are searchable immediately (the
+    # rebuild inherits the immediate parent's index parameters)
+    lagoon.build_ann_index("dv", "vec", k=2, iters=1, version=2)
+    info3 = lagoon.dedup_source("dv", "txt", min_matches=6, reindex=True)
+    res = lagoon.ann_search(
+        "dv", "vec", [1.0, 0.0], topk=3, nprobe=2, version=info3.version
+    )
+    assert res.count() == info3.row_count  # every survivor indexed
 
 
 def test_ann_index_lifecycle_cleanup(lagoon, tmp_path):
