@@ -15,7 +15,7 @@ Two hash flavors are provided where hashing is involved:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MOD = 1_000_000_007
@@ -139,11 +139,20 @@ def word_fingerprints(col: str, mod: int = MOD, mult: int = MULT) -> Column:
     return F.expr(expr)
 
 
+#: above this F the coefficient table stops being an expression and
+#: becomes DATA: a fastText/CCNet-shaped scorer hashes into millions of
+#: bins, and a plan-literal array of that size blows up expression text
+#: + codegen (the same ceiling `similarity.IVF_LITERAL_MAX_K` guards
+#: for centroids) — larger tables ride a broadcast single-row array
+WEIGHTS_LITERAL_MAX_F = 50_000
+
+
 def hashed_linear_score(
     col: str,
     mod: int = MOD,
     mult: int = MULT,
     weights: "list[float] | None" = None,
+    weights_col: "str | None" = None,
 ) -> Column:
     """Fasttext-style hashed linear text scorer: each token's portable
     rolling-hash fingerprint indexes a weight; the document score is
@@ -159,15 +168,26 @@ def hashed_linear_score(
     point of the fastText/CCNet quality-filter serving architecture
     (public method): feature hashing + weight lookup + mean + sigmoid
     as one row-local whole-stage-codegen expression — no shuffle, no
-    Python, a pure map over 100 TB. The weight table embeds in the
-    plan as an array literal (fine through ~100k coefficients; beyond
-    that, store the table as a 1-row DataFrame and crossJoin-broadcast
-    it — same per-row expression). The float fold is order-pinned
+    Python, a pure map over 100 TB. The float fold is order-pinned
     (array order, same in the DuckDB twin), so scores hash-match
     across engines.
+
+    Two weight carriers, same per-row expression (parity-tested):
+    ``weights`` embeds the table as a plan LITERAL — right for small
+    F, wrong past ``WEIGHTS_LITERAL_MAX_F`` (expression text and
+    codegen grow with F); ``weights_col`` reads the table from an
+    ``array<double>`` COLUMN a one-row broadcast supplies (see
+    :func:`with_hashed_linear_score`), so plan size stays O(1) in F —
+    the millions-of-bins fastText serving regime. ``weights_col``
+    wins when both are given.
     """
     fps = word_fingerprints(col, mod, mult)
-    if weights is None:
+    if weights_col is not None:
+        lookup = (
+            f"element_at({weights_col}, "
+            f"CAST(f % size({weights_col}) AS INT) + 1)"
+        )
+    elif weights is None:
         lookup = "(CAST(f % 2001 AS DOUBLE) - 1000.0) / 1000.0"
     else:
         arr = ", ".join(f"CAST({float(w)!r} AS DOUBLE)" for w in weights)
@@ -182,6 +202,65 @@ def hashed_linear_score(
     n = F.size(fps)
     mean = F.when(n > 0, sum_w / n).otherwise(F.lit(0.0))
     return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 9)
+
+
+def with_hashed_linear_score(
+    df: "DataFrame",
+    col: str,
+    out_col: str = "quality_score",
+    *,
+    weights: "list[float] | None" = None,
+    weights_df: "DataFrame | None" = None,
+    mod: int = MOD,
+    mult: int = MULT,
+) -> "DataFrame":
+    """DataFrame-level :func:`hashed_linear_score` with automatic
+    weight-carrier tiering (the centroid pattern from
+    ``similarity.ivf_assign``, round-7 verdict ask #2):
+
+    * F ≤ ``WEIGHTS_LITERAL_MAX_F`` → the table embeds as a plan
+      literal (cheapest: zero joins);
+    * larger F, or an explicit ``weights_df`` → the table crosses the
+      plan as ONE broadcast row of ``array<double>`` joined to every
+      corpus row, and the identical per-row expression reads it from
+      the column — plan text and codegen stay O(1) in F, so a
+      2,000,000-bin fastText/CCNet-shaped table serves without
+      blowing up Catalyst analysis.
+
+    ``weights_df`` is either the packed one-row ``array<double>``
+    form or a (bin, weight)-shaped table — anything else with exactly
+    two columns is packed by bin order, never touching the driver
+    with more than the packed row. Both tiers stay Python-free and
+    shuffle-free over the corpus (a broadcast exchange ships the row;
+    the corpus itself never moves)."""
+    if weights_df is None and (
+        weights is None or len(weights) <= WEIGHTS_LITERAL_MAX_F
+    ):
+        return df.withColumn(
+            out_col, hashed_linear_score(col, mod, mult, weights=weights)
+        )
+    if weights_df is None:
+        one = df.sparkSession.createDataFrame(
+            [([float(w) for w in weights],)], "__weights array<double>"
+        )
+    elif len(weights_df.columns) == 1:
+        one = weights_df.select(F.col(weights_df.columns[0]).alias("__weights"))
+    else:
+        b, w = weights_df.columns[:2]
+        one = weights_df.groupBy().agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col(b), F.col(w)))),
+                lambda s: s[w].cast("double"),
+            ).alias("__weights")
+        )
+    return (
+        df.join(F.broadcast(one))
+        .withColumn(
+            out_col,
+            hashed_linear_score(col, mod, mult, weights_col="__weights"),
+        )
+        .drop("__weights")
+    )
 
 
 def word_hashes_fast(col: str, seed: int = 42) -> Column:

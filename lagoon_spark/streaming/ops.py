@@ -458,6 +458,7 @@ def quality_gate(
     docs: DataFrame,
     *,
     weights: "list[float] | None" = None,
+    weights_df: "DataFrame | None" = None,
     min_score: float = 0.5,
     min_tokens: int = 3,
     max_tokens: int = 100_000,
@@ -469,12 +470,21 @@ def quality_gate(
     so the streaming deployment (``readStream → quality_gate →
     writeStream``) works under any trigger and the batch twin is
     oracle-checkable. This is the serving half of the d27/d28/d30
-    quality plane run continuously over a landing zone."""
-    from lagoon_spark.operators.text import hashed_linear_score, token_count
+    quality plane run continuously over a landing zone.
 
-    scored = docs.select(
+    Weight-table tiering rides :func:`text.with_hashed_linear_score`:
+    past ``WEIGHTS_LITERAL_MAX_F`` coefficients — or with an explicit
+    ``weights_df`` — the table crosses the plan as one broadcast row
+    (a stream-static broadcast join), never as expression text, so a
+    millions-of-bins production table serves in the same streaming
+    plan."""
+    from lagoon_spark.operators.text import token_count, with_hashed_linear_score
+
+    scored = with_hashed_linear_score(
+        docs, "text", "quality_score", weights=weights, weights_df=weights_df
+    ).select(
         "doc_id",
-        hashed_linear_score("text", weights=weights).alias("quality_score"),
+        "quality_score",
         token_count("text").cast("int").alias("n_tokens"),
     )
     return scored.filter(

@@ -560,3 +560,70 @@ def test_hashed_linear_score_trained_weights(spark):
     plan = sel_up._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan  # pure row-local map
+
+
+def test_hashed_linear_score_weight_tiers_agree(spark):
+    """Round-7 verdict ask #2: the plan-literal and one-row-broadcast
+    weight carriers are the SAME scorer — identical scores for an
+    identical table, whichever way the coefficients cross the plan."""
+    from lagoon_spark.operators.text import with_hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(1, "some sample tokens here"), (2, ""), (3, "zzz qqq xyz")],
+        "doc_id long, text string",
+    )
+    w = [((i * 37) % 2001 - 1000) / 1000.0 for i in range(257)]
+    lit = with_hashed_linear_score(df, "text", "s", weights=w)
+    # force the table tier three ways: packed one-row df, (bin, weight)
+    # table, and the auto-tier threshold
+    packed = spark.createDataFrame([(w,)], "__weights array<double>")
+    pairs = spark.createDataFrame(
+        list(enumerate(w)), "bin int, weight double"
+    )
+    want = {r["doc_id"]: r["s"] for r in lit.collect()}
+    for wdf in (packed, pairs):
+        got = {
+            r["doc_id"]: r["s"]
+            for r in with_hashed_linear_score(
+                df, "text", "s", weights=w, weights_df=wdf
+            ).collect()
+        }
+        assert got == want
+    # the broadcast tier is still Python-free and corpus-shuffle-free:
+    # the only exchange is the broadcast of the one-row weight table
+    tbl = with_hashed_linear_score(df, "text", "s", weights=w, weights_df=packed)
+    plan = tbl._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "hashpartitioning" not in plan  # no corpus shuffle
+    assert "Broadcast" in plan
+
+
+def test_hashed_linear_score_two_million_bins(spark):
+    """The fastText/CCNet serving regime: F = 2,000,000 hashed bins
+    auto-tier to the broadcast carrier — the weight table crosses the
+    plan as DATA (one ~16 MB row), never as expression text, so
+    Catalyst analysis and codegen stay O(1) in F."""
+    import time
+
+    from lagoon_spark.operators.text import (
+        WEIGHTS_LITERAL_MAX_F,
+        with_hashed_linear_score,
+    )
+
+    F_BINS = 2_000_000
+    assert F_BINS > WEIGHTS_LITERAL_MAX_F
+    w = [((i * 37) % 2001 - 1000) / 1000.0 for i in range(F_BINS)]
+    df = spark.createDataFrame(
+        [(1, "some sample tokens here"), (2, "")],
+        "doc_id long, text string",
+    )
+    t0 = time.monotonic()
+    scored = with_hashed_linear_score(df, "text", "s", weights=w)
+    got = {r["doc_id"]: r["s"] for r in scored.collect()}
+    elapsed = time.monotonic() - t0
+    assert got[2] == 0.5 and 0.0 < got[1] < 1.0
+    # plan text must NOT carry the table: a 2M-element literal would
+    # be tens of MB of expression text
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 200_000
+    assert elapsed < 120  # analysis doesn't blow up super-linearly

@@ -241,3 +241,34 @@ def test_quality_gate_stream_matches_batch(spark, sf_small):
     n_all = spark.table("documents").count()
     n_kept = got.count()
     assert 0 < n_kept < n_all  # the gate actually gates
+
+
+def test_quality_gate_broadcast_weights_stream_matches_batch(spark, sf_small):
+    """Round-7 verdict ask #2: the one-row-broadcast weight carrier
+    works inside the SAME streaming plan (a stream-static broadcast
+    join) and emits exactly the literal-tier batch result."""
+    register_views(spark, sf_small)
+    from lagoon_spark.streaming_queries import (
+        _D28_WEIGHTS,
+        _ST09_MAX_TOK,
+        _ST09_MIN_SCORE,
+        _ST09_MIN_TOK,
+    )
+
+    kw = dict(
+        min_score=_ST09_MIN_SCORE,
+        min_tokens=_ST09_MIN_TOK,
+        max_tokens=_ST09_MAX_TOK,
+    )
+    batch = ops.quality_gate(spark.table("documents"), weights=_D28_WEIGHTS, **kw)
+    wdf = spark.createDataFrame(
+        [([float(w) for w in _D28_WEIGHTS],)], "__weights array<double>"
+    )
+    stream = ops.quality_gate(
+        ops.read_documents_stream(spark, sf_small), weights_df=wdf, **kw
+    )
+    _run_stream(stream, "qgate_bw", "append")
+    got = spark.table("qgate_bw")
+    cols = ["doc_id", "quality_score", "n_tokens"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    assert got.count() > 0
