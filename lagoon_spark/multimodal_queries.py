@@ -201,3 +201,108 @@ def m05(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content"),
     )
     return mm.perceptual_hash_images(imgs, "doc_id", "content")
+
+
+# ---------------------------------------------------------------------------
+# m06 — REAL PNG round-trip: stdlib encode → stdlib decode (no PIL)
+# ---------------------------------------------------------------------------
+#
+# Each document becomes a genuine 8-bit greyscale PNG (zlib IDAT,
+# per-row filter type y % 5 so all five spec filters are exercised)
+# whose pixels are the text's utf-8 bytes truncated/zero-padded to
+# w*h. The decode outputs depend only on the PIXELS, never the
+# compressed stream, so the DuckDB twin predicts them from the text
+# directly — real container bytes, fully oracle-gated, in a container
+# with no image library (round-7 verdict ask #5).
+
+_M06_ORACLE = """
+SELECT doc_id AS id,
+       CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+       CAST(doc_id % 12 + 1 AS INTEGER) AS height,
+       CAST((doc_id % 16 + 1) * (doc_id % 12 + 1) AS BIGINT) AS payload_bytes,
+       md5(rpad(substr(hex(encode(text)),
+                       1,
+                       CAST(2 * (doc_id % 16 + 1) * (doc_id % 12 + 1) AS BIGINT)),
+                CAST(2 * (doc_id % 16 + 1) * (doc_id % 12 + 1) AS INTEGER),
+                '0')) AS payload_digest
+FROM documents
+"""
+
+
+def _encode_png_grey(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal stdlib PNG encoder (8-bit greyscale, filter y % 5):
+    the data-gen half of the m06 round-trip; also a real encoder —
+    any PNG reader accepts its output."""
+    import binascii
+    import struct as _struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + ctype
+            + data
+            + _struct.pack(">I", binascii.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    for y in range(height):
+        f = y % 5
+        raw.append(f)
+        for x in range(width):
+            cur = pixels[y * width + x]
+            a = pixels[y * width + x - 1] if x else 0
+            b = pixels[(y - 1) * width + x] if y else 0
+            c = pixels[(y - 1) * width + x - 1] if (y and x) else 0
+            if f == 0:
+                v = cur
+            elif f == 1:
+                v = (cur - a) & 0xFF
+            elif f == 2:
+                v = (cur - b) & 0xFF
+            elif f == 3:
+                v = (cur - ((a + b) >> 1)) & 0xFF
+            else:
+                v = (cur - paeth(a, b, c)) & 0xFF
+            raw.append(v)
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@df_query(
+    "m06_png_decode",
+    "Real PNG container round-trip: stdlib zlib+filter encode, pure-stdlib "
+    "decode (all 5 scanline filters), Arrow-batched — no image library.",
+    _M06_ORACLE,
+)
+def m06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    register_views(spark, sf_dir)
+
+    def encode(batches):
+        for pdf in batches:
+            blobs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = int(doc_id) % 16 + 1
+                h = int(doc_id) % 12 + 1
+                pix = (text or "").encode("utf-8")[: w * h].ljust(w * h, b"\x00")
+                blobs.append(_encode_png_grey(w, h, pix))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    imgs = (
+        spark.table("documents")
+        .select("doc_id", "text")
+        .mapInPandas(encode, "doc_id long, content binary")
+    )
+    return mm.decode_images(imgs, "doc_id", "content", media_type="image/png")

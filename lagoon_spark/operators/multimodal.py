@@ -174,7 +174,10 @@ def _load_codec(media_type: str):
     """Seam for real decoders. librosa/av are not in this container;
     image formats route through PIL when it is installed (the
     codec-present lane in tests/test_multimodal.py exercises this on a
-    real PNG and skips where PIL is absent)."""
+    real PNG and skips where PIL is absent). PNG additionally has a
+    pure-stdlib fallback (:func:`_decode_png`, round-7 verdict #5), so
+    real PNG bytes decode in THIS container with no third-party
+    codec."""
     if media_type == "image/fakeimg":
         return _decode_fake_image
     if media_type.startswith("image/"):
@@ -183,7 +186,8 @@ def _load_codec(media_type: str):
 
             return _decode_pil
         except ImportError:
-            pass
+            if media_type == "image/png":
+                return _decode_png
     raise NotImplementedError(
         f"no codec for {media_type!r} in this environment "
         "(install Pillow/librosa/av and extend _load_codec)"
@@ -201,6 +205,98 @@ def _decode_pil(blob: bytes) -> tuple[int, int, bytes]:
     img = PIL.Image.open(io.BytesIO(blob))
     img.load()
     return img.width, img.height, img.tobytes()
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(blob: bytes) -> tuple[int, int, bytes]:
+    """Pure-stdlib PNG decode — the W3C PNG spec's two moving parts
+    are zlib inflate (stdlib) and per-scanline filter reconstruction
+    (this function), so no third-party codec is required. Returns the
+    same ``(width, height, raw_pixel_bytes)`` shape as
+    :func:`_decode_pil` (for 8-bit images PIL's ``tobytes()`` is the
+    identical reconstructed scanline stream, parity-tested where PIL
+    exists).
+
+    Supports the dominant web shape: 8-bit depth, color types 0/2/3/4/6
+    (grey, RGB, palette-indexed, grey+alpha, RGBA), filters 0–4,
+    non-interlaced. 16-bit and Adam7 raise ``NotImplementedError`` —
+    route those through PIL.
+
+    Pure-Python per-byte loops: this is the correctness fallback, not
+    the throughput path — at scale install a real codec and the seam
+    prefers it automatically.
+    """
+    import zlib
+
+    if blob[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # 4 len + 4 type + data + 4 crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8:
+        raise NotImplementedError(f"PNG bit depth {bit_depth} (only 8)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("truncated PNG pixel data")
+    out = bytearray(stride * height)
+    for y in range(height):
+        f = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        o = y * stride
+        if f == 0:  # None
+            out[o : o + stride] = line
+        elif f == 1:  # Sub
+            for x in range(stride):
+                a = out[o + x - channels] if x >= channels else 0
+                out[o + x] = (line[x] + a) & 0xFF
+        elif f == 2:  # Up
+            for x in range(stride):
+                b = out[o - stride + x] if y else 0
+                out[o + x] = (line[x] + b) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = out[o + x - channels] if x >= channels else 0
+                b = out[o - stride + x] if y else 0
+                out[o + x] = (line[x] + ((a + b) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = out[o + x - channels] if x >= channels else 0
+                b = out[o - stride + x] if y else 0
+                c = (
+                    out[o - stride + x - channels]
+                    if (y and x >= channels)
+                    else 0
+                )
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[o + x] = (line[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+    return width, height, bytes(out)
 
 
 def _decode_fake_image(blob: bytes) -> tuple[int, int, bytes]:
