@@ -91,12 +91,55 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # -- normalization vs the previous round (round-7 verdict ask #4) --------
+    # This host is shared: raw totals drift ±30% with neighbor load, but
+    # the fixed CPU probe drifts WITH them, so value/calib_sec is the
+    # comparable headline. Compare against the newest committed
+    # BENCH_r{N}.json's parsed line (its calib_sec anchors that round).
+    here = os.path.dirname(os.path.abspath(__file__))
+    value_norm = round(total / calib, 3) if calib else None
+    prev, prev_name = None, None
+    import glob as _glob
+    import re as _re
+
+    benches = sorted(
+        _glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if benches:
+        try:
+            with open(benches[-1]) as fh:
+                prev = json.load(fh).get("parsed")
+            prev_name = os.path.basename(benches[-1])
+        except (OSError, json.JSONDecodeError):
+            prev = None
+    norm_ratio = None
+    regressions: dict[str, float] = {}
+    per_query_norm_ratio: dict[str, float] = {}
+    if prev and prev.get("calib_sec") and prev.get("value"):
+        prev_norm = prev["value"] / prev["calib_sec"]
+        norm_ratio = round(value_norm / prev_norm, 3)
+        pq = prev.get("queries") or {}
+        short_now = {k.split("_", 1)[0]: v for k, v in timings.items()}
+        for k, now_s in short_now.items():
+            if k in pq and pq[k] and calib and prev["calib_sec"]:
+                r = (now_s / calib) / (pq[k] / prev["calib_sec"])
+                per_query_norm_ratio[k] = round(r, 3)
+                # flag only normalized regressions >1.25× on queries
+                # big enough for the ratio to mean anything (>0.2s)
+                if r > 1.25 and now_s > 0.2:
+                    regressions[k] = round(r, 2)
+
     # Full long-key timings for local diffing (not the driver artifact).
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_full.json"), "w") as fh:
+    with open(os.path.join(here, "bench_full.json"), "w") as fh:
         json.dump({"metric": "total_query_wall_sec", "value": total,
                    "unit": "sec", "queries": timings, "sf": sf_dir,
-                   "calib_sec": calib}, fh,
+                   "calib_sec": calib, "value_norm": value_norm,
+                   "norm_ratio_vs_prev": norm_ratio,
+                   "prev_bench": prev_name,
+                   "queries_norm_ratio_vs_prev": per_query_norm_ratio,
+                   "norm_regressions_gt_1_25": regressions}, fh,
                   indent=1, sort_keys=True)
     # The driver captures only the TAIL of stdout (~2 KB) and parses the
     # last JSON line; with 100 long registry keys the line overflows the
@@ -115,6 +158,15 @@ def main() -> None:
                 "queries": short,
                 "sf": sf_dir,
                 "calib_sec": calib,
+                # the load-normalized headline: compare THIS across
+                # rounds, never raw totals (shared-host drift ±30%)
+                "value_norm": value_norm,
+                "norm_ratio_vs_prev": norm_ratio,
+                # top 8 only — the stdout line must fit the driver's
+                # ~2 KB tail capture; the full set is in bench_full.json
+                "norm_regressions_gt_1_25": dict(
+                    sorted(regressions.items(), key=lambda kv: -kv[1])[:8]
+                ),
             },
             separators=(",", ":"),
         )
