@@ -16,7 +16,7 @@ the evidence:
   "no stage shuffles O(n²) bytes" check, pinned against the corpus's
   raw input bytes.
 
-Writes SCALE_SMOKE_r6.json (one JSON document). Usage:
+Writes SCALE_SMOKE_r7.json (one JSON document). Usage:
 
     python scale_smoke.py [--docs 1000000] [--vectors 100000]
                           [--sf-dir /root/testdata/sf0.1] [--factor 10]
@@ -249,12 +249,21 @@ _STRATEGY_OPS = (
 
 def run_relational(spark, sf_dir: str, names: list[str]) -> dict:
     """Execute each registry query against sf_dir through the noop sink
-    (everything computes, nothing lands on the driver)."""
+    (everything computes, nothing lands on the driver).
+
+    Each query runs once UNTIMED first: the sf0.1 directory is page-
+    cache-warm from the rest of the session while the just-built
+    replica is cold, so a single timed run charges the replica's
+    first-touch IO to the big side only and inflates the ratio
+    (round-7 profiling: q02 12.5× cold-vs-warm became 5.6× warm-vs-
+    warm, q03 18.7× → 4.5×; zero spill either scale). Warm timings
+    are the scaling signal; first-touch IO is a separate, linear cost."""
     from lagoon_spark.queries import get_query
 
     out = {}
     for name in names:
         df = get_query(name).spark_fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm, untimed
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         wall = time.time() - t0
@@ -289,9 +298,10 @@ def relational_phase(spark, meter, sf_dir: str, factor: int) -> dict:
             "sf_small": small[name],
             "sf_big": big[name],
             "wall_ratio": ratio,
-            # linear = factor; 2.5× headroom absorbs fixed per-query
-            # overhead and n log n sorts
-            "near_linear": ratio < 2.5 * factor,
+            # linear = factor; with warm-vs-warm timing the gate
+            # tightens to 1.5× headroom (fixed per-query overhead and
+            # n log n sorts) — round-7 verdict ask #3
+            "near_linear": ratio < 1.5 * factor,
             "plan_strategy_equal": strat_small == strat_big,
         }
     return {
@@ -315,7 +325,7 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--skip-relational", action="store_true")
-    ap.add_argument("--out", default="SCALE_SMOKE_r6.json")
+    ap.add_argument("--out", default="SCALE_SMOKE_r7.json")
     args = ap.parse_args()
 
     import os
