@@ -183,11 +183,20 @@ def _jvm_flat_contains(col: Column, needle: dict) -> Column:
     ).otherwise(ok)
 
 
+def _pg_eq(a, b) -> bool:
+    """jsonb scalar equality: like Python ``==`` EXCEPT that booleans
+    are their own kind (Postgres: ``'1' @> 'true'`` is false; Python's
+    ``1 == True`` would say otherwise)."""
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool) and a == b
+    return a == b
+
+
 def _pg_contains(hay, needle) -> bool:
     """Postgres jsonb containment: objects need every needle pair
     contained; arrays need every needle element contained in some
     haystack element (scalar needle in array haystack also matches);
-    scalars compare by equality."""
+    scalars compare by equality (kind-separated, see :func:`_pg_eq`)."""
     if isinstance(needle, dict):
         if not isinstance(hay, dict):
             return False
@@ -197,9 +206,9 @@ def _pg_contains(hay, needle) -> bool:
             return False
         return all(any(_pg_contains(h, n) for h in hay) for n in needle)
     if isinstance(hay, list):
-        # top-level scalar-in-array special case
-        return any(h == needle for h in hay)
-    return hay == needle
+        # scalar-in-array special case
+        return any(_pg_eq(h, needle) for h in hay)
+    return _pg_eq(hay, needle)
 
 
 def jsonb_contains(col: str | Column, needle_json: str) -> Column:
@@ -710,6 +719,129 @@ def contained_flat_sql(operand_sql: str, hay: dict) -> str:
     )
 
 
+# -- dynamic (column-vs-column) containment, pure JVM ------------------------
+#
+# The recursive containment over two VARIANT values unrolls to a fixed
+# needle-nesting depth. Every level LET-BINDS its operands through
+# single-element-array lambdas (``exists(array(x), v -> ...)``) so the
+# generated text stays linear per level instead of re-inlining the
+# whole operand chain into every reference (the measured 20× Catalyst
+# analysis blowup this codebase documents for naked lambda inlining).
+
+#: needle nesting the JVM dynamic tier unrolls to; deeper needles
+#: raise_error (loud, never silently wrong) — real jsonb rarely nests
+#: past 3-4 levels of CONTAINMENT structure. The unrolled text doubles
+#: per level (~30 KB/level after kind-binding); 5+ makes the SQL
+#: parser the bottleneck
+JSONB_DYNAMIC_DEPTH = 4
+
+
+def _vkind(x: str) -> str:
+    """One-char jsonb kind of a variant: o(bject) a(rray) s(tring)
+    b(ool) n(ull) d(number) — schema_of_variant spells the rest."""
+    s = f"schema_of_variant({x})"
+    return (
+        f"(CASE WHEN {s} = 'STRING' THEN 's' WHEN {s} = 'BOOLEAN' THEN 'b' "
+        f"WHEN {s} = 'VOID' THEN 'n' WHEN startswith({s}, 'OBJECT') THEN 'o' "
+        f"WHEN startswith({s}, 'ARRAY') THEN 'a' ELSE 'd' END)"
+    )
+
+
+def _scalar_eq_sql(x: str, y: str, kx: str | None = None, ky: str | None = None) -> str:
+    """jsonb scalar equality over two variants, kind-separated (the
+    `_pg_eq` twin). Numbers compare by canonical text (exact at any
+    magnitude — the variant writer trims 1.0 to 1, so int/decimal
+    cross-kind works) OR by double value within the 2^53-exact range
+    (so 100 vs 1e2 works); containers never equal scalars. ``kx``/
+    ``ky`` take pre-bound kind variables to keep the unrolled text
+    small."""
+    kx = kx or _vkind(x)
+    ky = ky or _vkind(y)
+    big = "9007199254740993"
+    return (
+        f"({kx} = {ky} AND CASE {kx} "
+        f"WHEN 'n' THEN true "
+        f"WHEN 's' THEN CAST({x} AS STRING) = CAST({y} AS STRING) "
+        f"WHEN 'b' THEN CAST({x} AS BOOLEAN) = CAST({y} AS BOOLEAN) "
+        f"WHEN 'd' THEN (to_json({x}) = to_json({y}) OR ("
+        f"try_cast({x} AS DOUBLE) = try_cast({y} AS DOUBLE) "
+        f"AND abs(try_cast({x} AS DOUBLE)) < CAST({big} AS DOUBLE))) "
+        f"ELSE false END)"
+    )
+
+
+def _contains_variant_sql(h: str, n: str, depth: int, d: int = 0) -> str:
+    """`_pg_contains` over two variant-typed SQL expressions, unrolled
+    to ``depth`` levels of needle nesting. Each level let-binds its
+    operands AND their kind chars through single-element-array lambdas
+    so the text grows ~30 KB per level, not exponentially in reference
+    count."""
+    hv, nv, hk, nk = f"hv{d}", f"nv{d}", f"hk{d}", f"nk{d}"
+    if d >= depth:
+        body = (
+            f"(CASE WHEN {nk} IN ('o', 'a') THEN "
+            f"CAST(raise_error('jsonb containment: needle nesting exceeds "
+            f"the JVM tier depth ({depth}); rewrite the query with a "
+            f"constant needle or raise JSONB_DYNAMIC_DEPTH') AS BOOLEAN) "
+            f"WHEN {hk} = 'a' THEN "
+            f"exists(try_cast({hv} AS ARRAY<VARIANT>), "
+            f"he{d} -> {_scalar_eq_sql(f'he{d}', nv, ky=nk)}) "
+            f"ELSE {_scalar_eq_sql(hv, nv, kx=hk, ky=nk)} END)"
+        )
+    else:
+        hm = f"try_cast({hv} AS MAP<STRING, VARIANT>)"
+        nm = f"try_cast({nv} AS MAP<STRING, VARIANT>)"
+        ha = f"try_cast({hv} AS ARRAY<VARIANT>)"
+        na = f"try_cast({nv} AS ARRAY<VARIANT>)"
+        e, ne_, he_ = f"e{d}", f"ne{d}", f"he{d}"
+        inner_obj = _contains_variant_sql(
+            f"try_element_at({hm}, {e}.key)", f"{e}.value", depth, d + 1
+        )
+        inner_arr = _contains_variant_sql(he_, ne_, depth, d + 1)
+        body = (
+            f"(CASE "
+            f"WHEN {nk} = 'o' THEN {hk} = 'o' AND "
+            f"forall(map_entries({nm}), {e} -> "
+            f"map_contains_key({hm}, {e}.key) AND {inner_obj}) "
+            f"WHEN {nk} = 'a' THEN {hk} = 'a' AND "
+            f"forall({na}, {ne_} -> exists({ha}, {he_} -> {inner_arr})) "
+            f"WHEN {hk} = 'a' THEN "
+            f"exists({ha}, {he_} -> {_scalar_eq_sql(he_, nv, ky=nk)}) "
+            f"ELSE {_scalar_eq_sql(hv, nv, kx=hk, ky=nk)} END)"
+        )
+    # let-bind operands and kinds once per level
+    return (
+        f"exists(array({h}), {hv} -> exists(array({n}), {nv} -> "
+        f"exists(array({_vkind(hv)}), {hk} -> "
+        f"exists(array({_vkind(nv)}), {nk} -> {body}))))"
+    )
+
+
+def contains_dynamic_sql(
+    operand_sql: str, needle_sql: str, depth: int | None = None
+) -> str:
+    """``<hay expr> @> <needle expr>`` with BOTH sides dynamic, pure
+    JVM — the round-7 verdict-#7 tier: full recursive Postgres
+    containment semantics (the `_pg_contains` twin, fuzz-parity-tested)
+    compiled as one whole-stage-codegen expression. NULL / unparseable
+    on either side → NULL, like the pandas tier. Needles nested deeper
+    than ``depth`` raise_error rather than silently answering."""
+    depth = JSONB_DYNAMIC_DEPTH if depth is None else depth
+    # CAST AS STRING mirrors the pandas UDF's string-typed signature
+    # (a numeric literal or column coerces instead of failing analysis)
+    op = f"(CAST(({operand_sql}) AS STRING))"
+    ne = f"(CAST(({needle_sql}) AS STRING))"
+    return (
+        f"CASE WHEN {op} IS NULL OR {ne} IS NULL "
+        f"OR try_parse_json({op}) IS NULL OR try_parse_json({ne}) IS NULL "
+        f"THEN CAST(NULL AS BOOLEAN) ELSE "
+        + _contains_variant_sql(
+            f"try_parse_json({op})", f"try_parse_json({ne})", depth
+        )
+        + " END"
+    )
+
+
 def delete_key_sql(operand_sql: str, key: str) -> str:
     """SQL text for ``<expr> - '<key>'`` with the FULL Postgres shape
     semantics, pure JVM: object → drop the key, re-serialize sorted-
@@ -985,6 +1117,16 @@ def rewrite_jsonb_sql(sql: str) -> str:
                     replacement = _exists_chain_sql(
                         operand, keys, "AND" if fname == "jsonb_exists_all" else "OR"
                     )
+        elif len(args) == 2 and fname in ("jsonb_contains", "jsonb_contained"):
+            # DYNAMIC right side (column / expression): the unrolled
+            # variant containment (round-7 verdict #7) — both operands
+            # may themselves be rewritable jsonb chains
+            operand = rewrite_jsonb_sql(args[0])
+            other = rewrite_jsonb_sql(args[1])
+            if fname == "jsonb_contains":
+                replacement = contains_dynamic_sql(operand, other)
+            else:  # col <@ hay  ==  contains(hay, col)
+                replacement = contains_dynamic_sql(other, operand)
         if replacement is None:
             out.append(sql[i : m.start() + 1])
             i = m.start() + 1
