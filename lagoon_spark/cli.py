@@ -252,6 +252,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="user:password per line; enables /user/login cookie "
         "sessions and disables the X-Lagoon-User trust header",
     )
+    p.add_argument(
+        "--auth-ldap",
+        default=None,
+        metavar="URL",
+        help="LDAP directory URL for simple-bind auth (needs an LDAP "
+        "client library; mirrors the reference's authProviderLDAP)",
+    )
+    p.add_argument(
+        "--auth-ldap-template",
+        default="uid={{user}},ou=people,dc=example,dc=org",
+        metavar="DN",
+        help="bind-DN template; {{user}} is replaced with the login name",
+    )
 
     p = sub.add_parser("vacuum", help="Remove orphaned data directories")
     p.add_argument("--dry-run", action="store_true")
@@ -641,19 +654,24 @@ class _Cli:
     def cmd_serve(self):
         from lagoon_spark.server import LagoonServer
 
+        from lagoon_spark import auth as _auth
+
         auth = None
-        if self.args.auth_file:
-            auth = {}
-            with open(self.args.auth_file) as f:
-                for line in f:
-                    line = line.strip()
-                    if line and not line.startswith("#"):
-                        user, _, pw = line.partition(":")
-                        auth[user] = pw
+        if self.args.auth_ldap:
+            auth = _auth.ldap_provider(
+                self.args.auth_ldap, self.args.auth_ldap_template
+            )
+        elif self.args.auth_file:
+            # provider form: re-reads per login, distinguishes a
+            # missing/unreadable file (server error) from a bad password
+            auth = _auth.file_provider(self.args.auth_file)
         srv = LagoonServer(
             self.engine, host=self.args.host, port=self.args.port, auth=auth
         )
-        mode = "session auth" if auth else "trust-auth (X-Lagoon-User)"
+        mode = (
+            f"session auth [{auth.name}]" if auth
+            else "trust-auth (X-Lagoon-User)"
+        )
         print(f"lagoon REST facade on http://{self.args.host}:{srv.port} [{mode}]")
         try:
             srv.httpd.serve_forever()

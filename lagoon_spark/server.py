@@ -152,11 +152,30 @@ class LagoonServer:
     # -- sessions --------------------------------------------------------------
 
     def verify_credentials(self, user: str, password: str) -> bool:
+        from lagoon_spark import auth as _auth
+
+        return isinstance(self.verify_login(user, password), _auth.LoginOk)
+
+    def verify_login(self, user: str, password: str):
+        """Full login-result taxonomy (`Lagoon.Auth`): LoginOk,
+        LoginInvalidCreds, or LoginServerError — an
+        :class:`lagoon_spark.auth.AuthProvider` reports all three;
+        dict/callable verifiers collapse to ok/invalid."""
+        from lagoon_spark import auth as _auth
+
         if self.auth is None:
-            return False
-        if callable(self.auth):
-            return bool(self.auth(user, password))
-        return self.auth.get(user) == password
+            return _auth.LoginInvalidCreds()
+        if isinstance(self.auth, _auth.AuthProvider):
+            res = self.auth(user, password)
+            return res if res is not None else _auth.LoginServerError(
+                f"provider {self.auth.name} returned nothing"
+            )
+        ok = (
+            bool(self.auth(user, password))
+            if callable(self.auth)
+            else self.auth.get(user) == password
+        )
+        return _auth.LoginOk() if ok else _auth.LoginInvalidCreds()
 
     def open_session(self, user: str) -> str:
         import secrets
@@ -761,11 +780,21 @@ def _make_handler(srv: LagoonServer):
                     "no credential verifier configured; this server runs "
                     "in trust-auth mode (X-Lagoon-User)"
                 )
+            from lagoon_spark import auth as _auth
+
             creds = json.loads(self._body() or b"{}")
             user, password = creds.get("user"), creds.get("pass")
-            if not user or password is None or not srv.verify_credentials(
-                user, password
-            ):
+            res = (
+                srv.verify_login(user, password)
+                if user and password is not None
+                else _auth.LoginInvalidCreds()
+            )
+            if isinstance(res, _auth.LoginServerError):
+                # the reference's LoginServerError: the PROVIDER failed
+                # (directory down, bad template) — not the credentials
+                self._json({"error": res.message}, 502)
+                return
+            if not isinstance(res, _auth.LoginOk):
                 # the reference's LoginFailed wire body (`Auth.hs:96-99`),
                 # carried on 403 so clients need no body inspection
                 self._json({"failed": "Invalid credentials"}, 403)

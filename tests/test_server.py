@@ -466,6 +466,89 @@ def test_column_routes_and_reference_group_spellings(served):
     _req(served, "DELETE", "/group/refg/admin/wendy", user="admin")
 
 
+def test_ldap_shaped_auth_provider_end_to_end(lagoon):
+    """Round-7 verdict #8: the pluggable AuthProvider seam
+    (`Server/Auth/VerifyCreds.hs:46-60`) with an LDAP-shaped provider
+    (`Server/Auth/LDAP.hs:29-52`) against a stub directory — DN
+    template substitution, the full login-failure taxonomy (403
+    invalid creds vs 502 provider error), and a real session issued
+    on success."""
+    from lagoon_spark import auth as _auth
+    from lagoon_spark.server import LagoonServer
+
+    directory = _auth.StubDirectory(
+        {"uid=alice,ou=people,dc=example,dc=org": "s3cret"}
+    )
+    provider = _auth.ldap_provider(
+        "ldap://stub.example.org",
+        "uid={{user}},ou=people,dc=example,dc=org",
+        bind=directory.bind,
+    )
+    lagoon.user = "admin"
+    srv = LagoonServer(lagoon, port=0, auth=provider)
+    base = f"http://127.0.0.1:{srv.start()}"
+    try:
+        # wrong password → 403 with the LoginFailed wire body
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(base, "POST", "/user/login",
+                 body={"user": "alice", "pass": "wrong"})
+        assert e.value.code == 403
+        # right password → session; the bind used the SUBSTITUTED DN
+        st, hdr, ok = _req(base, "POST", "/user/login",
+                           body={"user": "alice", "pass": "s3cret"})
+        assert st == 200 and ok == {"ok": {"username": "alice"}}
+        assert directory.binds[-1] == (
+            "uid=alice,ou=people,dc=example,dc=org", "s3cret"
+        )
+        cookie = _cookie(hdr)
+        _, _, info = _req(base, "POST", "/sources?name=ldapmine&private=1",
+                          body=b"a\n1\n", headers={"Cookie": cookie})
+        assert info["addedBy"] == "alice"
+        # a provider SERVER error (not wrong creds) → 502, never 403
+        broken = _auth.ldap_provider(
+            "ldap://stub.example.org", "cn=admin,dc=example,dc=org",  # no slot
+            bind=directory.bind,
+        )
+        srv.auth = broken
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(base, "POST", "/user/login",
+                 body={"user": "alice", "pass": "s3cret"})
+        assert e.value.code == 502
+        # directory unreachable (bind raises) → also 502
+        def down(url, dn, password):
+            raise ConnectionError("directory unreachable")
+
+        srv.auth = _auth.ldap_provider(
+            "ldap://stub.example.org", "uid={{user}},dc=example,dc=org",
+            bind=down,
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(base, "POST", "/user/login",
+                 body={"user": "alice", "pass": "s3cret"})
+        assert e.value.code == 502
+    finally:
+        srv.stop()
+
+
+def test_file_auth_provider_taxonomy(tmp_path):
+    """file_provider: live re-read, comments, and the unreadable-file
+    server error."""
+    from lagoon_spark import auth as _auth
+
+    f = tmp_path / "users.txt"
+    f.write_text("# staff\nalice:pw1\n")
+    p = _auth.file_provider(str(f))
+    assert isinstance(p("alice", "pw1"), _auth.LoginOk)
+    assert isinstance(p("alice", "nope"), _auth.LoginInvalidCreds)
+    assert isinstance(p("bob", "pw"), _auth.LoginInvalidCreds)
+    f.write_text("alice:pw1\nbob:pw2\n")  # edits apply without restart
+    assert isinstance(p("bob", "pw2"), _auth.LoginOk)
+    assert isinstance(
+        _auth.file_provider(str(tmp_path / "missing"))("a", "b"),
+        _auth.LoginServerError,
+    )
+
+
 def test_column_routes_permission_gated(served):
     """Round-7 ADVICE fix: ColumnSetType is permission-gated in the
     reference (`server/src/Lagoon/Server/API/Column.hs:33-39` runs
