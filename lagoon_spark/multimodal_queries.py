@@ -279,6 +279,71 @@ def _encode_png_grey(width: int, height: int, pixels: bytes) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# m07 — REAL WAV (RIFF/PCM) round-trip: stdlib encode → stdlib decode
+# ---------------------------------------------------------------------------
+#
+# Mono 16-bit PCM whose sample bytes are the text's utf-8 bytes
+# truncated/zero-padded to 2*n_frames — decode outputs depend only on
+# the PCM payload, so the DuckDB twin predicts them from the text.
+
+_M07_ORACLE = """
+SELECT doc_id AS id,
+       CAST(doc_id % 50 + 4 AS INTEGER) AS n_frames,
+       CAST(8000 + (doc_id % 8) * 1000 AS INTEGER) AS sample_rate,
+       CAST(2 * (doc_id % 50 + 4) AS BIGINT) AS pcm_bytes,
+       md5(rpad(substr(hex(encode(text)),
+                       1,
+                       CAST(4 * (doc_id % 50 + 4) AS BIGINT)),
+                CAST(4 * (doc_id % 50 + 4) AS INTEGER),
+                '0')) AS pcm_digest
+FROM documents
+"""
+
+
+def _encode_wav_pcm16(rate: int, pcm: bytes) -> bytes:
+    """Minimal stdlib WAV encoder (mono 16-bit PCM): the data-gen half
+    of the m07 round-trip; any audio tool accepts its output."""
+    import struct as _struct
+
+    hdr = _struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(pcm), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(pcm),
+    )
+    return hdr + pcm
+
+
+@df_query(
+    "m07_wav_decode",
+    "Real WAV (RIFF/PCM) round-trip: stdlib encode, pure-stdlib chunk-walk "
+    "decode, Arrow-batched — no audio library.",
+    _M07_ORACLE,
+)
+def m07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    register_views(spark, sf_dir)
+
+    def encode(batches):
+        for pdf in batches:
+            blobs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = int(doc_id) % 50 + 4  # frames
+                rate = 8000 + int(doc_id) % 8 * 1000
+                pcm = (text or "").encode("utf-8")[: 2 * n].ljust(2 * n, b"\x00")
+                blobs.append(_encode_wav_pcm16(rate, pcm))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    wavs = (
+        spark.table("documents")
+        .select("doc_id", "text")
+        .mapInPandas(encode, "doc_id long, content binary")
+    )
+    return mm.decode_audio(wavs, "doc_id", "content")
+
+
 @df_query(
     "m06_png_decode",
     "Real PNG container round-trip: stdlib zlib+filter encode, pure-stdlib "

@@ -155,6 +155,38 @@ def test_decode_png_stdlib_real_bytes(spark):
     ).hexdigest()
 
 
+def test_decode_wav_stdlib_real_bytes(spark):
+    """Real RIFF/PCM bytes decode with the stdlib chunk walk: frame
+    count, sample rate, and payload pinned; word-aligned odd chunks
+    handled; compressed formats refused loudly."""
+    import struct as _struct
+
+    from lagoon_spark.multimodal_queries import _encode_wav_pcm16
+
+    pcm = bytes(range(32)) * 2  # 32 16-bit mono frames
+    wav = _encode_wav_pcm16(11025, pcm)
+    assert mm.sniff_media_type(F.lit(wav)) is not None  # RIFF magic
+    assert mm._decode_wav(wav) == (32, 11025, pcm)
+
+    # an extra odd-length chunk before data must word-align correctly
+    extra = b"LIST" + _struct.pack("<I", 3) + b"abc" + b"\x00"
+    padded = wav[:36] + extra + wav[36:]
+    padded = padded[:4] + _struct.pack("<I", len(padded) - 8) + padded[8:]
+    assert mm._decode_wav(padded) == (32, 11025, pcm)
+
+    df = spark.createDataFrame([(1, wav)], "id long, content binary")
+    out = mm.decode_audio(df, "id", "content").collect()[0]
+    assert (out["n_frames"], out["sample_rate"], out["pcm_bytes"]) == (32, 11025, 64)
+
+    # float/ADPCM formats refuse rather than mis-decode
+    bad = bytearray(wav)
+    bad[20:22] = _struct.pack("<H", 3)  # IEEE float
+    with pytest.raises(NotImplementedError, match="only PCM"):
+        mm._decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="not a RIFF"):
+        mm._decode_wav(b"OggS....")
+
+
 def test_decode_png_matches_pil_if_present():
     """Where Pillow exists the stdlib decoder must agree with it
     byte-for-byte on 8-bit RGB (PIL's tobytes() is the same
