@@ -344,6 +344,123 @@ def m07(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_audio(wavs, "doc_id", "content")
 
 
+# ---------------------------------------------------------------------------
+# m08 — REAL animated GIF round-trip: stdlib LZW encode → stdlib decode
+# ---------------------------------------------------------------------------
+#
+# Multi-frame GIFs whose frame pixels (palette indices) are slices of
+# the text's utf-8 bytes — the frame-sampling/"video" shape on REAL
+# container bytes. The encoder uses the classic uncompressed-GIF
+# technique (every pixel its own LZW code, CLEAR emitted before the
+# decoder's table would grow), so any GIF reader accepts the output;
+# digests depend only on the indices, never the palette or the code
+# stream.
+
+_M08_ORACLE = """
+SELECT doc_id AS id,
+       CAST(doc_id % 4 + 1 AS INTEGER) AS n_frames,
+       CAST(doc_id % 8 + 2 AS INTEGER) AS width,
+       CAST(doc_id % 6 + 2 AS INTEGER) AS height,
+       md5(rpad(substr(hex(encode(text)),
+                       1,
+                       CAST(2 * (doc_id % 4 + 1) * (doc_id % 8 + 2) * (doc_id % 6 + 2) AS BIGINT)),
+                CAST(2 * (doc_id % 4 + 1) * (doc_id % 8 + 2) * (doc_id % 6 + 2) AS INTEGER),
+                '0')) AS frames_digest
+FROM documents
+"""
+
+
+def _lzw_encode_uncompressed(indices: bytes, min_code_size: int = 8) -> bytes:
+    """GIF LZW 'uncompressed' encoding: emit every pixel as a literal
+    code and a CLEAR before the decoder's table would force a code-size
+    bump — valid output for any decoder, no string table needed."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    # after a CLEAR the decoder adds an entry per code except the
+    # first; stay below 2^min - 2 additions so code_size never grows
+    budget = clear - 2
+    for i, px in enumerate(indices):
+        if i and budget == 0:
+            emit(clear)
+            budget = clear - 2
+        emit(px)
+        budget -= 1
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _encode_gif(width: int, height: int, frames: "list[bytes]") -> bytes:
+    """Minimal stdlib animated-GIF writer (GIF89a, global greyscale
+    palette, one image block per frame)."""
+    import struct as _struct
+
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", width, height, 0xF7, 0, 0)  # GCT 256
+    for i in range(256):
+        out += bytes((i, i, i))
+    for fr in frames:
+        out += b"\x2c" + _struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(8)  # LZW min code size
+        data = _lzw_encode_uncompressed(fr, 8)
+        for off in range(0, len(data), 255):
+            chunk = data[off : off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+@df_query(
+    "m08_gif_frames",
+    "Real animated-GIF round-trip: stdlib LZW encode, pure-stdlib multi-frame "
+    "decode, Arrow-batched — frame sampling on real container bytes.",
+    _M08_ORACLE,
+)
+def m08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    register_views(spark, sf_dir)
+
+    def encode(batches):
+        for pdf in batches:
+            blobs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                nf = int(doc_id) % 4 + 1
+                w = int(doc_id) % 8 + 2
+                h = int(doc_id) % 6 + 2
+                raw = (text or "").encode("utf-8")[: nf * w * h].ljust(
+                    nf * w * h, b"\x00"
+                )
+                frames = [raw[k * w * h : (k + 1) * w * h] for k in range(nf)]
+                blobs.append(_encode_gif(w, h, frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    gifs = (
+        spark.table("documents")
+        .select("doc_id", "text")
+        .mapInPandas(encode, "doc_id long, content binary")
+    )
+    return mm.decode_gif_frames(gifs, "doc_id", "content")
+
+
 @df_query(
     "m06_png_decode",
     "Real PNG container round-trip: stdlib zlib+filter encode, pure-stdlib "

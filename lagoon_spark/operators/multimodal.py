@@ -210,6 +210,101 @@ def _decode_pil(blob: bytes) -> tuple[int, int, bytes]:
     return img.width, img.height, img.tobytes()
 
 
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW decompression (LSB-first bit packing, CLEAR/END
+    codes, 12-bit cap) — pure stdlib, the only nontrivial piece of the
+    GIF spec."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits:
+        byte_i = bitpos // 8
+        chunk = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (chunk >> (bitpos % 8)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError(f"bad LZW code {code}")
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def _decode_gif(blob: bytes) -> tuple[int, int, list[bytes]]:
+    """Pure-stdlib GIF decode (GIF87a/89a spec): returns
+    ``(width, height, [frame indices...])`` — one palette-index
+    bytestring per frame, the multi-frame 'video' twin of
+    :func:`_decode_png`. Extensions are skipped; interlaced frames
+    raise ``NotImplementedError`` (PIL territory); color tables are
+    parsed but frames return INDICES, so pixel identity is
+    palette-independent."""
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    width, height = struct.unpack("<HH", blob[6:10])
+    packed = blob[10]
+    pos = 13
+    if packed & 0x80:  # global color table
+        pos += 3 * (2 << (packed & 0x07))
+    frames: list[bytes] = []
+    while pos < len(blob):
+        b = blob[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(blob) and blob[pos]:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            fw, fh = struct.unpack("<HH", blob[pos + 5 : pos + 9])
+            fpacked = blob[pos + 9]
+            pos += 10
+            if fpacked & 0x80:  # local color table
+                pos += 3 * (2 << (fpacked & 0x07))
+            if fpacked & 0x40:
+                raise NotImplementedError("interlaced GIF frame")
+            min_code = blob[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(blob) and blob[pos]:
+                n = blob[pos]
+                data += blob[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            pos += 1
+            indices = _lzw_decode(bytes(data), min_code)
+            if len(indices) < fw * fh:
+                raise ValueError("truncated GIF frame")
+            frames.append(indices[: fw * fh])
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF with no image data")
+    return width, height, frames
+
+
 def _decode_wav(blob: bytes) -> tuple[int, int, bytes]:
     """Pure-stdlib WAV (RIFF/PCM) decode — the audio twin of
     :func:`_decode_png`: RIFF chunk walk + PCM extraction, no codec
@@ -435,6 +530,51 @@ def decode_audio(
             )
 
     return df.select(id_col, content_col).mapInPandas(decode, AUDIO_SCHEMA)
+
+
+GIF_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("frames_digest", StringType()),
+    ]
+)
+
+
+def decode_gif_frames(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Decode animated GIFs (stdlib LZW) to per-asset frame metadata —
+    the real-bytes version of the frame-sampling shape: one Arrow
+    batch per Python call, partitioning inherited (pure map at
+    100 TB). The digest covers the concatenated frame indices, so it
+    pins every frame's pixels at once."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, nf, ws, hs, digs = [], [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                w, h, frames = _decode_gif(bytes(blob))
+                ids.append(i)
+                nf.append(len(frames))
+                ws.append(w)
+                hs.append(h)
+                digs.append(
+                    hashlib.md5(b"".join(frames).hex().upper().encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "n_frames": nf,
+                    "width": ws,
+                    "height": hs,
+                    "frames_digest": digs,
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(decode, GIF_SCHEMA)
 
 
 def resize_fake_images(

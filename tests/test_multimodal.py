@@ -187,6 +187,44 @@ def test_decode_wav_stdlib_real_bytes(spark):
         mm._decode_wav(b"OggS....")
 
 
+def test_decode_gif_stdlib_real_bytes(spark):
+    """Animated-GIF round-trip on real container bytes: stdlib LZW
+    both directions, multi-frame, extensions skipped, and a
+    spec-exemplar GIF authored by neither side decodes correctly."""
+    import random
+
+    from lagoon_spark.multimodal_queries import _encode_gif
+
+    rng = random.Random(11)
+    frames = [bytes(rng.randrange(256) for _ in range(6 * 4)) for _ in range(3)]
+    blob = _encode_gif(6, 4, frames)
+    assert mm._decode_gif(blob) == (6, 4, frames)
+
+    # LZW budget edge: a frame large enough to force mid-stream CLEARs
+    big = [bytes(rng.randrange(256) for _ in range(40 * 30))]
+    assert mm._decode_gif(_encode_gif(40, 30, big)) == (40, 30, big)
+
+    # the classic 1x1 spec exemplar (independent encoder)
+    known = bytes.fromhex(
+        "474946383761" "01000100" "800000" "000000ffffff"
+        "2c000000000100010000" "02" "024401" "00" "3b"
+    )
+    assert mm._decode_gif(known) == (1, 1, [b"\x00"])
+
+    # end-to-end through the Arrow-batched operator
+    df = spark.createDataFrame([(1, blob)], "id long, content binary")
+    out = mm.decode_gif_frames(df, "id", "content").collect()[0]
+    assert (out["n_frames"], out["width"], out["height"]) == (3, 6, 4)
+    import hashlib
+
+    assert out["frames_digest"] == hashlib.md5(
+        b"".join(frames).hex().upper().encode()
+    ).hexdigest()
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        mm._decode_gif(b"PNG?....")
+
+
 def test_decode_png_matches_pil_if_present():
     """Where Pillow exists the stdlib decoder must agree with it
     byte-for-byte on 8-bit RGB (PIL's tobytes() is the same
