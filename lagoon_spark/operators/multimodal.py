@@ -188,6 +188,12 @@ def _load_codec(media_type: str):
         except ImportError:
             if media_type == "image/png":
                 return _decode_png
+            if media_type == "image/gif":
+                # first frame as palette indices — the same bytes
+                # PIL's mode-P tobytes() yields
+                return lambda blob: (lambda w, h, fr: (w, h, fr[0]))(
+                    *_decode_gif(blob)
+                )
     if media_type == "audio/wav":
         # PCM WAV needs no codec library at all
         return _decode_wav

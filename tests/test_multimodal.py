@@ -224,6 +224,15 @@ def test_decode_gif_stdlib_real_bytes(spark):
     with pytest.raises(ValueError, match="not a GIF"):
         mm._decode_gif(b"PNG?....")
 
+    # the generic decode seam serves GIF too (first frame, the bytes
+    # PIL's mode-P tobytes() would yield)
+    out1 = mm.decode_images(df, "id", "content", media_type="image/gif").collect()[0]
+    assert (out1["width"], out1["height"]) == (6, 4)
+    assert out1["payload_bytes"] == 24
+    assert out1["payload_digest"] == hashlib.md5(
+        frames[0].hex().upper().encode()
+    ).hexdigest()
+
 
 def test_decode_png_matches_pil_if_present():
     """Where Pillow exists the stdlib decoder must agree with it
