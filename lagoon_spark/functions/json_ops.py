@@ -770,19 +770,43 @@ def _scalar_eq_sql(x: str, y: str, kx: str | None = None, ky: str | None = None)
     )
 
 
-def _contains_variant_sql(h: str, n: str, depth: int, d: int = 0) -> str:
+def _json_depth(v) -> int:
+    """Container nesting depth of a parsed JSON value (scalars 0)."""
+    if isinstance(v, dict):
+        return 1 + max((_json_depth(x) for x in v.values()), default=0)
+    if isinstance(v, list):
+        return 1 + max((_json_depth(x) for x in v), default=0)
+    return 0
+
+
+def _contains_variant_sql(
+    h: str, n: str, depth: int, d: int = 0, floor: str = "raise"
+) -> str:
     """`_pg_contains` over two variant-typed SQL expressions, unrolled
     to ``depth`` levels of needle nesting. Each level let-binds its
     operands AND their kind chars through single-element-array lambdas
     so the text grows ~30 KB per level, not exponentially in reference
-    count."""
+    count.
+
+    ``floor`` decides what a still-nested needle at the unroll floor
+    does: ``"raise"`` (dynamic needles of unknown depth — loud, never
+    silently wrong) or ``"false"`` (EXACT when the unroll covers the
+    full depth of one side: recursion steps both sides together, so
+    past the known side's depth the other side faces a scalar and a
+    container needle is simply not contained)."""
     hv, nv, hk, nk = f"hv{d}", f"nv{d}", f"hk{d}", f"nk{d}"
     if d >= depth:
+        if floor == "raise":
+            deep = (
+                f"CAST(raise_error('jsonb containment: needle nesting "
+                f"exceeds the JVM tier depth ({depth}); rewrite the query "
+                f"with a constant needle or raise JSONB_DYNAMIC_DEPTH') "
+                f"AS BOOLEAN)"
+            )
+        else:
+            deep = "false"
         body = (
-            f"(CASE WHEN {nk} IN ('o', 'a') THEN "
-            f"CAST(raise_error('jsonb containment: needle nesting exceeds "
-            f"the JVM tier depth ({depth}); rewrite the query with a "
-            f"constant needle or raise JSONB_DYNAMIC_DEPTH') AS BOOLEAN) "
+            f"(CASE WHEN {nk} IN ('o', 'a') THEN {deep} "
             f"WHEN {hk} = 'a' THEN "
             f"exists(try_cast({hv} AS ARRAY<VARIANT>), "
             f"he{d} -> {_scalar_eq_sql(f'he{d}', nv, ky=nk)}) "
@@ -795,9 +819,9 @@ def _contains_variant_sql(h: str, n: str, depth: int, d: int = 0) -> str:
         na = f"try_cast({nv} AS ARRAY<VARIANT>)"
         e, ne_, he_ = f"e{d}", f"ne{d}", f"he{d}"
         inner_obj = _contains_variant_sql(
-            f"try_element_at({hm}, {e}.key)", f"{e}.value", depth, d + 1
+            f"try_element_at({hm}, {e}.key)", f"{e}.value", depth, d + 1, floor
         )
-        inner_arr = _contains_variant_sql(he_, ne_, depth, d + 1)
+        inner_arr = _contains_variant_sql(he_, ne_, depth, d + 1, floor)
         body = (
             f"(CASE "
             f"WHEN {nk} = 'o' THEN {hk} = 'o' AND "
@@ -818,7 +842,10 @@ def _contains_variant_sql(h: str, n: str, depth: int, d: int = 0) -> str:
 
 
 def contains_dynamic_sql(
-    operand_sql: str, needle_sql: str, depth: int | None = None
+    operand_sql: str,
+    needle_sql: str,
+    depth: int | None = None,
+    floor: str = "raise",
 ) -> str:
     """``<hay expr> @> <needle expr>`` with BOTH sides dynamic, pure
     JVM — the round-7 verdict-#7 tier: full recursive Postgres
@@ -836,7 +863,7 @@ def contains_dynamic_sql(
         f"OR try_parse_json({op}) IS NULL OR try_parse_json({ne}) IS NULL "
         f"THEN CAST(NULL AS BOOLEAN) ELSE "
         + _contains_variant_sql(
-            f"try_parse_json({op})", f"try_parse_json({ne})", depth
+            f"try_parse_json({op})", f"try_parse_json({ne})", depth, 0, floor
         )
         + " END"
     )
@@ -987,13 +1014,27 @@ def delete_path_sql(operand_sql: str, path: list) -> str:
     )
 
 
+_UNPARSED = object()  # sentinel: a literal that is not valid JSON
+
+
 def rewrite_jsonb_sql(sql: str) -> str:
     """Rewrite the jsonb calls whose JVM form exists onto it:
 
     * ``jsonb_contains(<expr>, '<flat object literal>')`` → the variant
-      containment expression (`flat_contains_sql`);
+      containment expression (`flat_contains_sql`); nested / array /
+      scalar constant needles → the recursive variant containment
+      unrolled to the needle's EXACT depth (`contains_dynamic_sql`,
+      round 7 — no raise floor, capped at depth 5 past which the
+      pandas tier stays);
     * ``jsonb_contained(<expr>, '<flat object literal>')`` → the
       mirrored forall-entries containment (`contained_flat_sql`);
+      non-flat constant hays → the recursive form unrolled to hay
+      depth + 1 with a ``false`` floor (exact for documents of ANY
+      depth: recursion steps both sides together, so past the hay's
+      depth a container needle faces a scalar);
+    * ``jsonb_contains/jsonb_contained(<expr>, <DYNAMIC expr>)`` → the
+      recursive form at ``JSONB_DYNAMIC_DEPTH`` with a raise_error
+      floor (loud, never silently wrong, round-7 verdict #7);
     * ``jsonb_exists_all/any(<expr>, '<string array literal>')`` → an
       AND/OR chain over the codegen'd ``jsonb_exists`` SQL UDF;
     * ``jsonb_delete_key(<expr>, '<key>')`` → the full-shape map/array
@@ -1006,9 +1047,10 @@ def rewrite_jsonb_sql(sql: str) -> str:
     Operand expressions are rewritten recursively, so a modifier CHAIN
     (``jsonb_concat(jsonb_delete_key(doc, 'k'), '{...}')``) compiles
     end-to-end with no Python worker stage. Everything else passes
-    through verbatim — dynamic needles, array/scalar right sides, and
-    constants whose rendering differs between Python json and the
-    variant writer stay on the pandas tier.
+    through verbatim — dynamic MODIFIER arguments, over-deep constant
+    containment shapes, and modifier constants whose rendering differs
+    between Python json and the variant writer stay on the pandas
+    tier.
 
     Rendering caveat (same as the DataFrame ``object_only`` tier): the
     JVM modifiers re-serialize through Spark's variant writer — sorted
@@ -1082,10 +1124,46 @@ def rewrite_jsonb_sql(sql: str) -> str:
                 flat = _flat_needle(lit)
                 if flat is not None:
                     replacement = flat_contains_sql(operand, flat)
+                else:
+                    # nested/array/scalar CONSTANT needle: the variant
+                    # containment unrolled to the needle's exact depth
+                    # (the raise floor is unreachable — fully covered)
+                    try:
+                        needle_v = json.loads(lit)
+                    except ValueError:
+                        needle_v = _UNPARSED
+                    # cap: unrolled text doubles per level; past 5 the
+                    # SQL parser is the bottleneck — deeper stays pandas
+                    if (
+                        needle_v is not _UNPARSED
+                        and _json_depth(needle_v) <= JSONB_DYNAMIC_DEPTH + 1
+                    ):
+                        replacement = contains_dynamic_sql(
+                            operand, args[1], depth=_json_depth(needle_v)
+                        )
             elif fname == "jsonb_contained":
                 hay = _flat_hay(lit)
                 if hay is not None:
                     replacement = contained_flat_sql(operand, hay)
+                else:
+                    # constant HAY: recursion steps both sides together,
+                    # so unrolling to hay depth + 1 with a `false` floor
+                    # is EXACT for documents of ANY depth (past the
+                    # hay's depth a container needle faces a scalar)
+                    try:
+                        hay_v = json.loads(lit)
+                    except ValueError:
+                        hay_v = _UNPARSED
+                    if (
+                        hay_v is not _UNPARSED
+                        and _json_depth(hay_v) + 1 <= JSONB_DYNAMIC_DEPTH + 1
+                    ):
+                        replacement = contains_dynamic_sql(
+                            args[1],
+                            operand,
+                            depth=_json_depth(hay_v) + 1,
+                            floor="false",
+                        )
             elif fname == "jsonb_delete_key":
                 # the literal IS the key (not JSON); integer-index
                 # deletes arrive as numeric literals and stay pandas

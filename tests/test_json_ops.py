@@ -393,15 +393,21 @@ def test_sql_rewrite_plan_has_no_python_worker(lagoon, tmp_path):
 
 
 def test_rewrite_text_level_edge_cases():
-    # untouched: literal containing the call name, glued identifiers,
-    # dynamic second arg, nested needle
+    # untouched: literal containing the call name, glued identifiers
     for sql in (
         "SELECT 'jsonb_contains(x, ''{}'')' AS s",
         "SELECT my_jsonb_contains(js, '{}') FROM t",
+    ):
+        assert j.rewrite_jsonb_sql(sql) == sql
+    # since round 7 a DYNAMIC second arg rewrites too (the variant
+    # containment tier), as does a nested constant needle via the
+    # same dynamic path
+    for sql in (
         "SELECT jsonb_contains(js, other_col) FROM t",
         'SELECT jsonb_contains(js, \'{"k": {"n": 1}}\') FROM t',
     ):
-        assert j.rewrite_jsonb_sql(sql) == sql
+        out = j.rewrite_jsonb_sql(sql)
+        assert out != sql and "jsonb_contains" not in out
     # rewritten: case-insensitive, nested parens in the operand,
     # multiple calls, '' escapes in the needle
     out = j.rewrite_jsonb_sql(
@@ -575,13 +581,20 @@ def test_sql_rewrite_contained_flat_hay_parity(spark):
         jvm = {r["id"]: r["v"] for r in spark.sql(rewritten).collect()}
         pandas_tier = {r["id"]: r["v"] for r in spark.sql(raw).collect()}
         assert jvm == pandas_tier, hay
-    # nested / array hays stay on the pandas tier
-    for sql in (
-        'SELECT jsonb_contained(js, \'{"k": {"n": 1}}\') FROM t',
-        "SELECT jsonb_contained(js, '[1, 2]') FROM t",
-        "SELECT jsonb_contained(js, other_col) FROM t",
-    ):
-        assert j.rewrite_jsonb_sql(sql) == sql
+    # since round 7 nested / array constant hays AND dynamic hays
+    # rewrite too (exact-depth variant containment; the constant-hay
+    # floor is `false`, exact for documents of any depth) — parity
+    # asserted for the constant shapes over every document
+    for hay in ('{"k": {"n": 1}}', "[1, 2]", '{"k": [1, {"d": 2}]}'):
+        lit = hay.replace("'", "''")
+        raw = f"SELECT id, jsonb_contained(js, '{lit}') AS v FROM md_docs"
+        rewritten = j.rewrite_jsonb_sql(raw)
+        assert rewritten != raw and "jsonb_contained" not in rewritten.lower()
+        jvm = {r["id"]: r["v"] for r in spark.sql(rewritten).collect()}
+        pandas_tier = {r["id"]: r["v"] for r in spark.sql(raw).collect()}
+        assert jvm == pandas_tier, hay
+    out = j.rewrite_jsonb_sql("SELECT jsonb_contained(js, other_col) FROM t")
+    assert "jsonb_contained" not in out.lower()
 
 
 def test_sql_rewrite_exists_empty_list_is_operand_aware(spark):
@@ -620,6 +633,29 @@ def test_sql_rewrite_modifier_chain_end_to_end(lagoon, tmp_path):
         '{"a":1,"z":"w"}',
         '{"a":2,"z":"w"}',
     ]
+
+
+def test_sql_dynamic_containment_end_to_end(lagoon, tmp_path):
+    """Column-vs-column containment through the real /sql surface
+    (engine rewrite hook + security walker): JVM plan, right answers —
+    the round-7 verdict-#7 surface proof."""
+    p = tmp_path / "dyndocs.json"
+    p.write_text(
+        '{"doc": {"a": 1, "b": 2}, "pat": {"a": 1}}\n'
+        '{"doc": {"a": 1}, "pat": {"a": 2}}\n'
+        '{"doc": [1, 2, 3], "pat": 2}\n'
+    )
+    lagoon.ingest(str(p), "dynsql", file_type="json")
+    df = lagoon.sql(
+        "SELECT ix, jsonb_contains(get_json_object(data, '$.doc'), "
+        "get_json_object(data, '$.pat')) AS c "
+        "FROM dynsql_v1 ORDER BY ix"
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "extended"
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert [r["c"] for r in df.collect()] == [True, False, True]
 
 
 PATH_DOCS = [
@@ -794,6 +830,28 @@ def test_dynamic_containment_deep_needle_raises_not_lies(spark):
     )).collect()[0]["c"]
     assert ok is True
 
+    # a CONSTANT needle unrolls to its exact depth (here 5, past the
+    # dynamic default) — no raise floor, the JVM tier answers
+    needle5 = '{"a": {"b": {"c": {"d": {"e": 1}}}}}'
+    spark.createDataFrame(
+        [(1, needle5), (2, '{"a": 1}')], "id long, js string"
+    ).createOrReplaceTempView("dynconst")
+    lit = needle5.replace("'", "''")
+    raw5 = f"SELECT id, jsonb_contains(js, '{lit}') AS c FROM dynconst"
+    rw5 = j.rewrite_jsonb_sql(raw5)
+    assert rw5 != raw5 and "jsonb_contains" not in rw5
+    assert {r["id"]: r["c"] for r in spark.sql(rw5).collect()} == {
+        1: True, 2: False
+    }
+    # ... and a constant HAY's `false` floor is exact for documents
+    # DEEPER than the unroll (never raises, answers like pandas)
+    raw = "SELECT id, jsonb_contained(js, '{\"k\": 1}') AS c FROM dyndeep"
+    rewritten = j.rewrite_jsonb_sql(raw)
+    assert rewritten != raw and "jsonb_contained" not in rewritten
+    assert {r["id"]: r["c"] for r in spark.sql(rewritten).collect()} == {
+        r["id"]: r["c"] for r in spark.sql(raw).collect()
+    }
+
 
 def test_sql_rewrite_fuzz_parity_with_pandas_tier(spark):
     """300 seeded random documents (nested, quotes, commas, unicode for
@@ -865,6 +923,13 @@ def test_sql_rewrite_fuzz_parity_with_pandas_tier(spark):
         }
         lit = _sql_lit(_json.dumps(needle, ensure_ascii=False))
         cases.append(("fz_uni", f"jsonb_contains(js, '{lit}')"))
+    # round-7: NESTED / array / scalar constant needles and hays hit
+    # the exact-depth variant-containment tier
+    for _ in range(6):
+        shape = _rand_json(rng, ascii_only=False)
+        lit = _sql_lit(_json.dumps(shape, ensure_ascii=False))
+        cases.append(("fz_uni", f"jsonb_contains(js, '{lit}')"))
+        cases.append(("fz_uni", f"jsonb_contained(js, '{lit}')"))
 
     for view, call in cases:
         raw = f"SELECT id, {call} AS v FROM {view}"
