@@ -145,3 +145,24 @@ def test_quickstart_example_runs():
     assert out.returncode == 0, out.stderr[-2000:]
     assert "download v1 roundtrips byte-identically" in out.stdout
     assert '{"items":[string], "place":string, "transaction":number}' in out.stdout
+
+
+def test_media_pipeline_example_runs():
+    """The round-7 media/vector tour (examples/media_pipeline.py):
+    real-bytes codec round-trips, ANN probe search, dedup_source —
+    kept green as the multimodal switch-over demo."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "media_pipeline.py")],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    for marker in ("PNG: decoded", "WAV: decoded", "GIF: decoded",
+                   "ANN: index dim=", "dedup_source: v2 keeps 2 of 3"):
+        assert marker in out.stdout, marker

@@ -234,6 +234,55 @@ def test_decode_gif_stdlib_real_bytes(spark):
     ).hexdigest()
 
 
+def test_decode_png_random_filters_property():
+    """Property: for random pixel data and RANDOM per-row filter
+    choices, forward-filter + deflate → _decode_png recovers the exact
+    pixels (greyscale and RGB, many sizes). Exercises every filter
+    arithmetic path, not just the fixture's fixed sequence."""
+    import binascii
+    import random
+    import struct as _struct
+    import zlib
+
+    rng = random.Random(20260814)
+
+    def chunk(ctype, data):
+        return (
+            _struct.pack(">I", len(data))
+            + ctype
+            + data
+            + _struct.pack(">I", binascii.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    for _ in range(25):
+        w, hgt = rng.randint(1, 9), rng.randint(1, 7)
+        color_type, ch = rng.choice([(0, 1), (2, 3), (6, 4)])
+        stride = w * ch
+        pix = bytes(rng.randrange(256) for _ in range(stride * hgt))
+        raw = bytearray()
+        for y in range(hgt):
+            f = rng.randrange(5)
+            raw.append(f)
+            for x in range(stride):
+                cur = pix[y * stride + x]
+                a = pix[y * stride + x - ch] if x >= ch else 0
+                b = pix[(y - 1) * stride + x] if y else 0
+                c = pix[(y - 1) * stride + x - ch] if (y and x >= ch) else 0
+                v = (cur, cur - a, cur - b, cur - ((a + b) >> 1),
+                     cur - paeth(a, b, c))[f] & 0xFF
+                raw.append(v)
+        ihdr = _struct.pack(">IIBBBBB", w, hgt, 8, color_type, 0, 0, 0)
+        png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+        assert mm._decode_png(png) == (w, hgt, pix)
+
+
 def test_decode_png_matches_pil_if_present():
     """Where Pillow exists the stdlib decoder must agree with it
     byte-for-byte on 8-bit RGB (PIL's tobytes() is the same
