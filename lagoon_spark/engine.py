@@ -1295,9 +1295,16 @@ class Lagoon:
             "cell int, centroid array<double>",
         )
         cent_df.write.mode("overwrite").parquet(os.path.join(idx_dir, "centroids"))
-        assigns.select("ix", "__vec", "cell").write.partitionBy("cell").mode(
-            "overwrite"
-        ).parquet(os.path.join(idx_dir, "assignments"))
+        # repartition by cell BEFORE the partitioned write: without it
+        # every input partition spills a sliver into every cell dir
+        # (k x input-partitions tiny files, and probe-time listing cost
+        # scales with file count); after it each cell is one file per
+        # writer that owns it -> ~k files total, sized by cell
+        assigns.select("ix", "__vec", "cell").repartition(
+            F.col("cell")
+        ).write.partitionBy("cell").mode("overwrite").parquet(
+            os.path.join(idx_dir, "assignments")
+        )
         meta = {
             "source_ix": info.ix,
             "column": phys,
@@ -1378,9 +1385,26 @@ class Lagoon:
             cents, key=lambda r: (-cos(query_vec, r["centroid"]), r["cell"])
         )
         probe = [int(r["cell"]) for r in ranked[:nprobe]]
-        assigns = self.spark.read.parquet(
-            os.path.join(idx_dir, "assignments")
-        ).filter(F.col("cell").isin(probe))
+        ass_root = os.path.join(idx_dir, "assignments")
+        # list ONLY the probed cell directories: spark.read on the root
+        # would enumerate all k partition dirs before pruning, so probe
+        # latency would grow with k even though the I/O doesn't. An
+        # absent dir is an empty cell - contributes no candidates.
+        probe_dirs = [
+            d
+            for c in probe
+            if os.path.isdir(d := os.path.join(ass_root, f"cell={c}"))
+        ]
+        if probe_dirs:
+            assigns = (
+                self.spark.read.option("basePath", ass_root)
+                .parquet(*probe_dirs)
+                .filter(F.col("cell").isin(probe))
+            )
+        else:  # every probed cell empty (tiny corpus / stale index)
+            assigns = self.spark.read.parquet(ass_root).filter(
+                F.col("cell").isin(probe)
+            )
         if "__vec" in assigns.columns:  # format 2: self-contained
             candidates = assigns
         else:  # format-1 artifact: vectors still live in the source

@@ -169,3 +169,16 @@ def test_quality_gate_is_map_only(spark, sf_small):
     plan = _plan(get_query("q118_st09_stream_quality_gate").spark_fn(spark, sf_small))
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_media_roundtrips_are_map_only(spark, sf_small):
+    """m06/m07/m08 (real PNG/WAV/GIF round-trips) must run as ONE
+    map chain — Arrow-batched encode then decode with no shuffle in
+    between, so at 100 TB they scale as pure per-split work."""
+    for name in (
+        "q119_m06_png_decode",
+        "q120_m07_wav_decode",
+        "q121_m08_gif_frames",
+    ):
+        plan = _plan(get_query(name).spark_fn(spark, sf_small))
+        assert "Exchange" not in plan, name
