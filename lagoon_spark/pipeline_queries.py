@@ -1174,6 +1174,143 @@ def d18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# d31 — Gopher character-level repetition signals
+# ---------------------------------------------------------------------------
+#
+# The two Gopher (Rae et al. 2021, table A1) repetition rules d18's
+# count-based ratio doesn't cover, both CHARACTER-weighted:
+#   - top n-gram character fraction: chars covered by all occurrences
+#     of the single most frequent word 2-gram / total chars (ties
+#     break to the lexicographically smallest gram, both engines);
+#   - duplicate n-gram character fraction: chars covered by word
+#     3-grams occurring more than once / total chars (the paper uses
+#     n=5..10; this corpus's synthetic docs only repeat up to n=3,4 —
+#     n is a constant, the shape is identical).
+# Occurrence coverage is overlap-unaware (count x gram chars), capped
+# at 1.0 — the standard approximation; the paper's thresholds are
+# 0.20 (top, n=2) / 0.18-0.16 (dup) for these two.
+#
+# Shape: gram streams are relational (posexplode + count), NOT per-row
+# array lambdas — a 100k-token document costs O(tokens) rows here, vs
+# O(tokens^2) row-local comparisons; the per-doc reductions are
+# map-side-combinable aggregates and the final joins are doc-scale.
+
+_D31_TOP_N = 2
+_D31_DUP_N = 3
+
+
+def _d31_gram_stream_sql(n: int) -> str:
+    return f"""
+  SELECT doc_id, chars,
+         array_to_string(toks[i : i + {n - 1}], ' ') AS g
+  FROM t, unnest(range(1, greatest(len(toks) - {n - 1}, 0) + 1)) AS r(i)
+"""
+
+
+_D31_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS chars,
+         list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+c2 AS (
+  SELECT doc_id, chars, g, count(*) AS cnt
+  FROM ({_d31_gram_stream_sql(_D31_TOP_N)}) GROUP BY ALL
+),
+top2 AS (
+  SELECT doc_id,
+         least(1.0, (-(m.nc)) * length(m.g) / chars) AS f
+  FROM (
+    SELECT doc_id, chars, min({{'nc': -cnt, 'g': g}}) AS m
+    FROM c2 GROUP BY doc_id, chars
+  )
+),
+c3 AS (
+  SELECT doc_id, chars, g, count(*) AS cnt
+  FROM ({_d31_gram_stream_sql(_D31_DUP_N)}) GROUP BY ALL
+),
+dup3 AS (
+  SELECT doc_id,
+         least(1.0, coalesce(sum(CASE WHEN cnt > 1 THEN cnt * length(g) END), 0)
+                    / chars) AS f
+  FROM c3 GROUP BY doc_id, chars
+)
+SELECT t.doc_id,
+       round(coalesce(top2.f, 0.0), 6) AS top_2gram_char_frac,
+       round(coalesce(dup3.f, 0.0), 6) AS dup_3gram_char_frac
+FROM t LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id)
+"""
+
+
+@df_query(
+    "d31_gopher_char_repetition",
+    "Gopher character-weighted repetition rules: top word-2-gram character "
+    "fraction and duplicated word-5-gram character fraction per document "
+    "(relational gram streams, map-side-combinable reductions).",
+    _D31_ORACLE,
+)
+def d31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    base = (
+        spark.table("documents")
+        .withColumn("__toks", F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+        .select("doc_id", F.length("text").alias("__chars"), "__toks")
+    )
+
+    def grams(n: int) -> DataFrame:
+        return base.select(
+            "doc_id",
+            "__chars",
+            F.explode(dedup._ngrams_expr("__toks", n)).alias("g"),
+        )
+
+    c2 = grams(_D31_TOP_N).groupBy("doc_id", "__chars", "g").count()
+    # highest count, ties to the smallest gram: min of (-cnt, gram)
+    top2 = (
+        c2.groupBy("doc_id")
+        .agg(
+            F.min(F.struct((-F.col("count")).alias("nc"), F.col("g"))).alias("m"),
+            F.first("__chars").alias("chars"),
+        )
+        .select(
+            "doc_id",
+            F.least(
+                F.lit(1.0),
+                (-F.col("m.nc")).cast("double") * F.length("m.g") / F.col("chars"),
+            ).alias("top_f"),
+        )
+    )
+    c3 = grams(_D31_DUP_N).groupBy("doc_id", "__chars", "g").count()
+    dup3 = (
+        c3.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("count") > 1, F.col("count") * F.length("g"))
+            ).alias("dup_chars"),
+            F.first("__chars").alias("chars"),
+        )
+        .select(
+            "doc_id",
+            F.least(
+                F.lit(1.0),
+                F.coalesce(F.col("dup_chars").cast("double"), F.lit(0))
+                / F.col("chars"),
+            ).alias("dup_f"),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce("top_f", F.lit(0.0)), 6).alias("top_2gram_char_frac"),
+            F.round(F.coalesce("dup_f", F.lit(0.0)), 6).alias("dup_3gram_char_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # d19 — benchmark decontamination (shared n-grams vs a held-out eval set)
 # ---------------------------------------------------------------------------
 #
