@@ -488,3 +488,70 @@ def m06(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(encode, "doc_id long, content binary")
     )
     return mm.decode_images(imgs, "doc_id", "content", media_type="image/png")
+
+
+# ---------------------------------------------------------------------------
+# m09 — REAL baseline JPEG round-trip: stdlib(+numpy) encode → decode
+# ---------------------------------------------------------------------------
+#
+# Each document becomes a grayscale JPEG of nb solid 8x8 blocks (block
+# b's value is (doc_id*31 + b*17) % 256), encoded at quality 75 with a
+# restart interval so the decoder's DRI/RSTn path runs in the hot
+# query. At quality 75 the luminance DC quantizer is exactly 8 and a
+# solid block's only nonzero coefficient is DC = 8*(v-128), so the
+# round-trip is LOSSLESS by construction — real Huffman/DCT work on
+# the wire, yet the DuckDB twin predicts the decoded pixel stream (and
+# its md5-of-upper-hex digest, decode_images' digest convention) in
+# closed form. Arrow-batched both directions: one map stage, no
+# shuffle.
+
+_M09_ORACLE = """
+SELECT doc_id AS id,
+       CAST(8 * (doc_id % 6 + 1) AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       CAST(64 * (doc_id % 6 + 1) AS BIGINT) AS payload_bytes,
+       md5(repeat(
+         array_to_string(
+           list_transform(range(0, doc_id % 6 + 1),
+             b -> repeat(lpad(upper(hex((doc_id * 31 + b * 17) % 256)), 2, '0'), 8)),
+           ''),
+         8)) AS payload_digest
+FROM documents
+"""
+
+
+@df_query(
+    "m09_jpeg_decode",
+    "Real baseline JPEG round-trip: stdlib(+numpy) DCT/Huffman encode with "
+    "restart markers, pure-stdlib decode — lossless-by-construction solid "
+    "blocks make the lossy codec oracle-checkable end to end.",
+    _M09_ORACLE,
+)
+def m09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    register_views(spark, sf_dir)
+
+    def encode(batches):
+        from lagoon_spark.operators.jpeg import encode_jpeg
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                nb = int(doc_id) % 6 + 1
+                px = bytearray()
+                for _row in range(8):
+                    for b in range(nb):
+                        px += bytes([(int(doc_id) * 31 + b * 17) % 256]) * 8
+                blobs.append(
+                    encode_jpeg(8 * nb, 8, bytes(px), quality=75,
+                                restart_interval=2)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    imgs = (
+        spark.table("documents")
+        .select("doc_id")
+        .mapInPandas(encode, "doc_id long, content binary")
+    )
+    return mm.decode_images(imgs, "doc_id", "content", media_type="image/jpeg")

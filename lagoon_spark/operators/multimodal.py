@@ -174,10 +174,11 @@ def _load_codec(media_type: str):
     """Seam for real decoders. librosa/av are not in this container;
     image formats route through PIL when it is installed (the
     codec-present lane in tests/test_multimodal.py exercises this on a
-    real PNG and skips where PIL is absent). PNG additionally has a
-    pure-stdlib fallback (:func:`_decode_png`, round-7 verdict #5), so
-    real PNG bytes decode in THIS container with no third-party
-    codec."""
+    real PNG and skips where PIL is absent). PNG, baseline JPEG and
+    GIF additionally have pure-stdlib(+numpy) fallbacks
+    (:func:`_decode_png`, :func:`lagoon_spark.operators.jpeg.decode_jpeg`,
+    :func:`_decode_gif`), so real image bytes decode in THIS container
+    with no third-party codec."""
     if media_type == "image/fakeimg":
         return _decode_fake_image
     if media_type.startswith("image/"):
@@ -188,6 +189,10 @@ def _load_codec(media_type: str):
         except ImportError:
             if media_type == "image/png":
                 return _decode_png
+            if media_type in ("image/jpeg", "image/jpg"):
+                from lagoon_spark.operators.jpeg import decode_jpeg
+
+                return decode_jpeg
             if media_type == "image/gif":
                 # first frame as palette indices — the same bytes
                 # PIL's mode-P tobytes() yields

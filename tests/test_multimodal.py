@@ -50,9 +50,13 @@ def test_decode_fake_images(spark):
 
 
 def test_decode_unknown_codec_raises(spark):
-    df = spark.createDataFrame([(1, b"\xff\xd8\xff")], "id long, content binary")
+    # video/webm has no decoder in any environment here (av absent);
+    # image formats now all have stdlib fallbacks, so they don't refuse
+    df = spark.createDataFrame(
+        [(1, b"\x1a\x45\xdf\xa3")], "id long, content binary"
+    )
     with pytest.raises(NotImplementedError, match="no codec"):
-        mm.decode_images(df, "id", "content", media_type="image/jpeg")
+        mm.decode_images(df, "id", "content", media_type="video/webm")
 
 
 def test_fake_image_col_roundtrip(spark):
@@ -356,3 +360,166 @@ def test_perceptual_hash_identical_payloads_collide(spark):
     assert got[1] != got[3]
     # strictly descending bytes: every comparison is >, all 63 bits set
     assert got[3] == (1 << 63) - 1
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (operators/jpeg.py)
+# ---------------------------------------------------------------------------
+
+_KITTEN_JPG = (
+    "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens/DP802813.jpg"
+)
+_PROGRESSIVE_JPG = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+
+
+def test_jpeg_roundtrip_psnr():
+    """Gradient images survive encode→decode at sane fidelity in all
+    three carrier shapes (gray, RGB 4:4:4, RGB 4:2:0), including
+    non-multiple-of-8 dimensions (pad-then-crop paths)."""
+    import numpy as np
+
+    from lagoon_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    def psnr(a, b):
+        mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+        return 10 * np.log10(255**2 / max(mse, 1e-9))
+
+    h, w = 45, 61  # deliberately not 8-multiples
+    grad = (np.add.outer(np.arange(h) * 2, np.arange(w) * 3) % 256).astype(
+        np.uint8
+    )
+    W, H, out = decode_jpeg(encode_jpeg(w, h, grad.tobytes(), quality=90))
+    assert (W, H) == (w, h)
+    assert psnr(np.frombuffer(out, np.uint8).reshape(h, w), grad) > 40
+
+    rgb = np.stack([grad, 255 - grad, np.full_like(grad, 96)], axis=-1)
+    for sub, floor in (("444", 32), ("420", 24)):
+        W, H, out = decode_jpeg(
+            encode_jpeg(w, h, rgb.tobytes(), quality=90, subsampling=sub)
+        )
+        assert (W, H) == (w, h)
+        got = np.frombuffer(out, np.uint8).reshape(h, w, 3)
+        assert psnr(got, rgb) > floor, sub
+
+
+def test_jpeg_solid_blocks_lossless_at_q75():
+    """At quality 75 the luminance DC quantizer is exactly 8, so solid
+    8x8 blocks round-trip bit-exactly — the invariant the m09 oracle's
+    closed form stands on."""
+    from lagoon_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    for vals in ([0], [255], [1, 254], [7, 129, 200, 63]):
+        nb = len(vals)
+        px = bytearray()
+        for _row in range(8):
+            for v in vals:
+                px += bytes([v]) * 8
+        W, H, out = decode_jpeg(encode_jpeg(8 * nb, 8, bytes(px), quality=75))
+        assert (W, H) == (8 * nb, 8) and out == bytes(px)
+
+
+def test_jpeg_restart_interval_roundtrip():
+    """DRI + RSTn markers decode to the identical pixels as the
+    marker-free stream, and really appear on the wire."""
+    import numpy as np
+
+    from lagoon_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 24, 40
+    img = (np.add.outer(np.arange(h) * 7, np.arange(w) * 5) % 256).astype(
+        np.uint8
+    )
+    plain = encode_jpeg(w, h, img.tobytes(), quality=80)
+    rst = encode_jpeg(w, h, img.tobytes(), quality=80, restart_interval=2)
+    assert b"\xff\xdd" in rst and b"\xff\xd0" in rst
+    assert b"\xff\xdd" not in plain
+    assert decode_jpeg(plain) == decode_jpeg(rst)
+
+
+def test_jpeg_fuzz_roundtrip_decodes():
+    """Seeded fuzz: random sizes and pixels (noise is JPEG's worst
+    case) always decode to the right dimensions with bounded error and
+    a preserved mean — the codec never crashes or drifts."""
+    import random
+
+    import numpy as np
+
+    from lagoon_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = random.Random(1234)
+    for _ in range(12):
+        w, h = rng.randint(1, 25), rng.randint(1, 25)
+        ncomp = rng.choice((1, 3))
+        sub = rng.choice(("444", "420")) if ncomp == 3 else "444"
+        q = rng.choice((50, 75, 90))
+        px = bytes(rng.randrange(256) for _ in range(w * h * ncomp))
+        W, H, out = decode_jpeg(
+            encode_jpeg(w, h, px, quality=q, subsampling=sub)
+        )
+        assert (W, H) == (w, h) and len(out) == len(px)
+        a = np.frombuffer(px, np.uint8).astype(float)
+        b = np.frombuffer(out, np.uint8).astype(float)
+        assert abs(a.mean() - b.mean()) < 8.0
+        # noise is incompressible; q50 + 4:2:0 chroma legitimately
+        # lands near 50 mean-abs — this bounds "decoded garbage", not
+        # fidelity (the PSNR tests above do that on realistic content)
+        assert np.abs(a - b).mean() < 64.0
+
+
+def test_jpeg_foreign_real_bytes_vs_imageio(spark):
+    """A real camera JPEG (4:2:0, non-multiple-of-16 dims, shipped
+    with Spark) decodes within a fraction of a gray level of Java
+    ImageIO — an INDEPENDENT reference decoder, so this pins absolute
+    correctness, not just self-consistency."""
+    import os
+
+    import numpy as np
+
+    from lagoon_spark.operators.jpeg import decode_jpeg
+
+    if not os.path.exists(_KITTEN_JPG):
+        pytest.skip("Spark sample images not installed")
+    W, H, out = decode_jpeg(open(_KITTEN_JPG, "rb").read())
+    assert (W, H) == (199, 313)
+    mine = np.frombuffer(out, np.uint8).reshape(H, W, 3).astype(float)
+
+    row = spark.read.format("image").load(_KITTEN_JPG).select("image.*").first()
+    assert (row.width, row.height, row.nChannels) == (199, 313, 3)
+    ref = (
+        np.frombuffer(bytes(row.data), np.uint8)
+        .reshape(H, W, 3)[..., ::-1]  # ImageIO hands back BGR
+        .astype(float)
+    )
+    diff = np.abs(mine - ref)
+    psnr = 10 * np.log10(255**2 / max((diff**2).mean(), 1e-9))
+    assert psnr > 45 and diff.mean() < 1.0
+
+
+def test_jpeg_refusals():
+    """Progressive (SOF2), truncated, and non-JPEG bytes all refuse
+    loudly instead of mis-decoding."""
+    import os
+    import struct
+
+    from lagoon_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    if os.path.exists(_PROGRESSIVE_JPG):
+        with pytest.raises(NotImplementedError, match="SOF2"):
+            decode_jpeg(open(_PROGRESSIVE_JPG, "rb").read())
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg at all")
+    with pytest.raises((ValueError, struct.error, IndexError)):
+        decode_jpeg(encode_jpeg(8, 8, bytes(64), quality=75)[:40])
+
+
+def test_jpeg_codec_seam(spark):
+    """image/jpeg routes through the seam: PIL when installed, the
+    stdlib decoder otherwise — decode_images works on real JPEG bytes
+    either way."""
+    from lagoon_spark.operators.jpeg import encode_jpeg
+
+    blob = encode_jpeg(16, 8, bytes(range(128)), quality=75)
+    df = spark.createDataFrame([(7, blob)], "id long, content binary")
+    out = mm.decode_images(df, "id", "content", media_type="image/jpeg").collect()[0]
+    assert (out["width"], out["height"]) == (16, 8)
+    assert out["payload_bytes"] == 128

@@ -179,6 +179,7 @@ def test_media_roundtrips_are_map_only(spark, sf_small):
         "q119_m06_png_decode",
         "q120_m07_wav_decode",
         "q121_m08_gif_frames",
+        "q123_m09_jpeg_decode",
     ):
         plan = _plan(get_query(name).spark_fn(spark, sf_small))
         assert "Exchange" not in plan, name
