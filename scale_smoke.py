@@ -217,6 +217,68 @@ def run_ann_index(spark, m: int, dim: int) -> dict:
     }
 
 
+def run_streaming(spark, n: int) -> dict:
+    """Streaming-plane throughput, executed: drain an n-doc parquet
+    backlog through the registered continuous-cleaning shape (st09's
+    hashed-score gate, a pure map, feeding st01's watermarked windowed
+    aggregation) under trigger(availableNow). Wall time measures the
+    whole micro-batch machinery — source listing, offset tracking,
+    state store updates — not just the query plan; rows/sec at two
+    backlog sizes is the scaling claim, and the state row count stays
+    bounded by windows x buckets (NOT by n), which is what makes the
+    same pipeline viable against an unbounded stream."""
+    import tempfile
+
+    from lagoon_spark.operators.text import token_count, with_hashed_linear_score
+
+    src = tempfile.mkdtemp(prefix="lagoon_smoke_stream_")
+    (
+        make_docs(spark, n)
+        .select(
+            F.col("id").alias("doc_id"),
+            "text",
+            F.timestamp_seconds((F.col("id") % 3600).cast("double")).alias("ts"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    schema = "doc_id bigint, text string, ts timestamp"
+
+    t0 = time.time()
+    stream = spark.readStream.schema(schema).parquet(src)
+    scored = with_hashed_linear_score(stream, "text", "q").withColumn(
+        "n_tokens", token_count("text").cast("int")
+    )
+    gated = scored.filter((F.col("q") >= 0.0) & (F.col("n_tokens") >= 1))
+    agg = (
+        gated.withWatermark("ts", "120 seconds")
+        .groupBy(
+            F.window("ts", "60 seconds").alias("w"),
+            (F.col("doc_id") % 16).alias("bucket"),
+        )
+        .agg(F.count("*").alias("n_docs"), F.avg("q").alias("avg_q"))
+    )
+    query = (
+        agg.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", src + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    wall = time.time() - t0
+    prog = query.lastProgress or {}
+    state = (prog.get("stateOperators") or [{}])[0]
+    return {
+        "n": n,
+        "wall_sec": round(wall, 2),
+        "rows_per_sec": int(n / max(wall, 1e-9)),
+        "batches": (prog.get("batchId") or 0) + 1,
+        "state_rows_total": state.get("numRowsTotal"),
+    }
+
+
 # -- relational plane ---------------------------------------------------------
 
 # the slowest relational-plane registry queries (bench ordering), minus
@@ -463,6 +525,19 @@ def main() -> None:
 
     report["phases"]["ann_index"] = run_ann_index(spark, args.vectors, args.dim)
     meter.take()  # index phase accounting is its own record
+
+    sq = run_streaming(spark, args.docs // 4)
+    sf = run_streaming(spark, args.docs)
+    sratio = round(sf["wall_sec"] / max(sq["wall_sec"], 1e-9), 2)
+    report["phases"]["streaming_gate_agg"] = {
+        "quarter": sq,
+        "full": sf,
+        "wall_ratio_full_over_quarter": sratio,
+        "near_linear": sratio < 8.0,  # linear = 4
+        "state_bounded": (sf["state_rows_total"] or 0)
+        <= 16 * (3600 // 60 + 2),  # windows x buckets, never O(n)
+    }
+    meter.take()
 
     if not args.skip_relational:
         report["relational"] = relational_phase(
