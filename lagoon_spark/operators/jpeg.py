@@ -1,19 +1,23 @@
 """Pure-stdlib(+numpy) baseline JPEG codec.
 
-Implements ITU-T T.81 / ISO 10918-1 baseline sequential DCT (SOF0):
-marker parse, DQT/DHT tables, Huffman entropy decode with byte
-unstuffing and restart intervals, dequantize + zigzag + 8x8 IDCT,
-chroma upsampling, JFIF YCbCr->RGB. The encoder side covers what the
-tests and registry queries need: 8-bit grayscale or RGB, 4:4:4 or
-4:2:0, Annex K tables scaled by the usual libjpeg quality formula,
-standard Annex K Huffman tables (always emitted in DHT, so any reader
-accepts the stream and table exactness only affects foreign
-abbreviated streams, which always carry their own DHT in practice).
+Implements ITU-T T.81 / ISO 10918-1 Huffman DCT decoding for both
+baseline sequential (SOF0/1) and progressive (SOF2) streams: marker
+parse, DQT/DHT tables, entropy decode with byte unstuffing and
+restart intervals, spectral selection + successive approximation
+(EOB runs, AC refinement correction bits, non-interleaved scans),
+dequantize + zigzag + batched 8x8 IDCT, chroma upsampling, JFIF
+YCbCr->RGB. The encoder side covers what the tests and registry
+queries need: 8-bit grayscale or RGB, 4:4:4 or 4:2:0, Annex K tables
+scaled by the usual libjpeg quality formula, standard Annex K Huffman
+tables (always emitted in DHT, so any reader accepts the stream and
+table exactness only affects foreign abbreviated streams, which
+always carry their own DHT in practice).
 
-Progressive (SOF2), arithmetic coding, 12-bit precision and CMYK
-refuse loudly with ``NotImplementedError`` -- route those through PIL
-via the :func:`lagoon_spark.operators.multimodal._load_codec` seam,
-which prefers a real codec whenever one is installed.
+Arithmetic coding, lossless/hierarchical SOFs, 12-bit precision and
+CMYK refuse loudly with ``NotImplementedError`` -- route those
+through PIL via the
+:func:`lagoon_spark.operators.multimodal._load_codec` seam, which
+prefers a real codec whenever one is installed.
 
 Like the PNG/GIF/WAV codecs this is the correctness fallback, not the
 throughput path: bit-level work is Python loops, only the DCT is
@@ -202,11 +206,15 @@ def _split_entropy(blob: bytes, start: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
-    """Decode baseline JPEG bytes to ``(width, height, pixels)``.
+    """Decode baseline (SOF0/1) or progressive (SOF2) JPEG bytes to
+    ``(width, height, pixels)``.
 
     Pixels are 8-bit, grayscale for 1-component streams and
     interleaved RGB for 3-component YCbCr (the PIL ``tobytes()``
-    layout, like the other stdlib codecs).
+    layout, like the other stdlib codecs). All scans accumulate into
+    per-component coefficient grids (a baseline stream is the
+    one-scan special case: interleaved, Ss=0..63, Ah=Al=0), then one
+    batched dequantize + IDCT reconstructs the image.
     """
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -214,7 +222,9 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
     dc_tabs: dict[int, dict] = {}
     ac_tabs: dict[int, dict] = {}
     frame = None  # (H, W, [(cid, h, v, tq)])
+    grids: list[np.ndarray] | None = None
     restart_interval = 0
+    scans = 0
     i = 2
     while i + 4 <= len(blob):
         if blob[i] != 0xFF:
@@ -222,6 +232,9 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
         m = blob[i + 1]
         if m == 0xD9:  # EOI
             break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # standalone markers
+            i += 2
+            continue
         (ln,) = struct.unpack(">H", blob[i + 2 : i + 4])
         seg = blob[i + 4 : i + 2 + ln]
         i += 2 + ln
@@ -250,7 +263,7 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
                 vals = list(seg[p + 17 : p + 17 + n])
                 (ac_tabs if cls else dc_tabs)[tid] = _huff_decoder(bits, vals)
                 p += 17 + n
-        elif m == 0xC0 or m == 0xC1:  # SOF0/1: baseline(+extended) sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} (only 8)")
@@ -266,82 +279,199 @@ def decode_jpeg(blob: bytes) -> tuple[int, int, bytes]:
                 for c in range(nc)
             ]
             frame = (h, w, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            # natural-order int coefficient store, MCU-padded; int so
+            # successive-approximation refinement can use the same
+            # two's-complement bit ops the spec (and libjpeg) define
+            grids = [
+                np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int32)
+                for _cid, ch, cv, _tq in comps
+            ]
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF{m - 0xC0}); use PIL for progressive/"
-                "arithmetic/lossless streams"
+                f"non-DCT-Huffman JPEG (SOF{m - 0xC0}); use PIL for "
+                "arithmetic/lossless/hierarchical streams"
             )
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif m == 0xDA:  # SOS
-            if frame is None:
+            if frame is None or grids is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            scan = {seg[1 + 2 * c]: (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
-                    for c in range(ns)}
-            return _decode_scan(blob, i, frame, scan, qt, dc_tabs, ac_tabs,
-                                restart_interval)
+            cid_to_ci = {c[0]: ci for ci, c in enumerate(frame[2])}
+            sel = [
+                (
+                    cid_to_ci[seg[1 + 2 * c]],
+                    seg[2 + 2 * c] >> 4,
+                    seg[2 + 2 * c] & 15,
+                )
+                for c in range(ns)
+            ]
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+            i = _decode_scan_into(
+                blob, i, frame, sel, ss, se, ah, al, grids, dc_tabs,
+                ac_tabs, restart_interval,
+            )
+            scans += 1
         # APPn/COM and the rest: skipped
-    raise ValueError("JPEG ended without a scan")
+    if not scans:
+        raise ValueError("JPEG ended without a scan")
+    return _reconstruct(frame, grids, qt)
 
 
-def _decode_scan(blob, start, frame, scan, qt, dc_tabs, ac_tabs, dri):
+def _decode_block(reader, blk, zz0, ss, se, ah, al, dct, act, pred, state):
+    """Decode one block's contribution from the current scan into the
+    flat natural-order int array ``blk`` (T.81 F.2 sequential + G.2
+    progressive; the successive-approximation control flow follows
+    libjpeg's decode_mcu_AC_first/_refine, the de-facto reading of
+    the spec)."""
+    if ss == 0:  # DC band
+        if ah == 0:
+            s = reader.read_huff(dct)
+            diff = _extend(reader.read_bits(s), s) if s else 0
+            pred += diff
+            blk[zz0] = pred << al
+        elif reader.read_bit():
+            blk[zz0] = int(blk[zz0]) | (1 << al)
+    if se >= max(ss, 1):  # AC band
+        k = max(ss, 1)
+        if ah == 0:
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+            else:
+                while k <= se:
+                    rs = reader.read_huff(act)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:  # EOBn (r=0 is plain EOB)
+                            state["eobrun"] = (1 << r) - 1
+                            if r:
+                                state["eobrun"] += reader.read_bits(r)
+                            break
+                        k += 16  # ZRL
+                    else:
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC coefficient overrun")
+                        blk[ZIGZAG[k]] = _extend(reader.read_bits(s), s) << al
+                        k += 1
+        else:
+            _refine_ac(reader, blk, k, se, 1 << al, act, state)
+    return pred
+
+
+def _refine_ac(reader, blk, k, se, p1, act, state):
+    """AC successive-approximation refinement: pass correction bits to
+    already-nonzero coefficients, insert +-p1 at newly nonzero ones.
+    ``state['eobrun']`` counts blocks remaining in the EOB run
+    INCLUDING the current one (libjpeg's convention for this path)."""
+    m1 = -p1
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.read_huff(act)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r < 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.read_bits(r)
+                    break
+                # r == 15: pass over 16 zero-history coefficients
+            else:  # s is 1 by construction in refinement scans
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                z = ZIGZAG[k]
+                cur = int(blk[z])
+                if cur != 0:
+                    if reader.read_bit() and (cur & p1) == 0:
+                        blk[z] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[ZIGZAG[k]] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            cur = int(blk[z])
+            if cur != 0 and reader.read_bit() and (cur & p1) == 0:
+                blk[z] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _decode_scan_into(blob, start, frame, sel, ss, se, ah, al, grids,
+                      dc_tabs, ac_tabs, dri):
+    """Decode one scan's entropy data into the coefficient grids and
+    return the offset of the scan-terminating marker."""
     H, W, comps = frame
-    if set(scan) != {c[0] for c in comps}:
-        raise NotImplementedError("JPEG multi-scan (non-interleaved) stream")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcus_x = -(-W // (8 * hmax))
-    mcus_y = -(-H // (8 * vmax))
-    segs, _end = _split_entropy(blob, start)
-
-    # per-component coefficient block grids (MCU-padded)
-    grids = []
-    for cid, ch, cv, tq in comps:
-        grids.append(np.zeros((mcus_y * cv, mcus_x * ch, 8, 8)))
-
-    mcu = 0
-    total = mcus_x * mcus_y
+    segs, end = _split_entropy(blob, start)
     seg_iter = iter(segs)
     reader = _BitReader(next(seg_iter))
-    preds = {cid: 0 for cid, *_ in comps}
-    per_seg = dri if dri else total
-    while mcu < total:
-        if mcu and mcu % per_seg == 0 and dri:
-            reader = _BitReader(next(seg_iter))
-            preds = {cid: 0 for cid, *_ in comps}
-        my, mx = divmod(mcu, mcus_x)
-        for ci, (cid, ch, cv, tq) in enumerate(comps):
-            dct, act = dc_tabs[scan[cid][0]], ac_tabs[scan[cid][1]]
-            for by in range(cv):
-                for bx in range(ch):
-                    zz = np.zeros(64)
-                    s = reader.read_huff(dct)
-                    diff = _extend(reader.read_bits(s), s) if s else 0
-                    preds[cid] += diff
-                    zz[0] = preds[cid]
-                    k = 1
-                    while k < 64:
-                        rs = reader.read_huff(act)
-                        r, s = rs >> 4, rs & 15
-                        if s == 0:
-                            if r == 15:  # ZRL: 16 zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC coefficient overrun")
-                        zz[k] = _extend(reader.read_bits(s), s)
-                        k += 1
-                    blk = np.zeros(64)
-                    blk[ZIGZAG] = zz
-                    grids[ci][my * cv + by, mx * ch + bx] = blk.reshape(8, 8)
-        mcu += 1
+    preds = {ci: 0 for ci, *_ in sel}
+    state = {"eobrun": 0}
 
+    interleaved = len(sel) > 1
+    if interleaved:
+        mcus_x = -(-W // (8 * hmax))
+        total = mcus_x * (-(-H // (8 * vmax)))
+    else:
+        ci0, _dt, _at = sel[0]
+        _cid, ch0, cv0, _tq = comps[ci0]
+        # non-interleaved scans traverse the component's OWN block
+        # grid (no MCU padding) row-major — T.81 A.2.2
+        cw = -(-W * ch0 // hmax)
+        chh = -(-H * cv0 // vmax)
+        bw = -(-cw // 8)
+        bh = -(-chh // 8)
+        total = bw * bh
+    per_seg = dri if dri else total
+    for u in range(total):
+        if u and dri and u % per_seg == 0:
+            reader = _BitReader(next(seg_iter))
+            preds = {ci: 0 for ci, *_ in sel}
+            state["eobrun"] = 0
+        if interleaved:
+            my, mx = divmod(u, mcus_x)
+            for ci, dc_tid, ac_tid in sel:
+                _cid, ch, cv, _tq = comps[ci]
+                for by in range(cv):
+                    for bx in range(ch):
+                        blk = grids[ci][my * cv + by, mx * ch + bx]
+                        preds[ci] = _decode_block(
+                            reader, blk, 0, ss, se, ah, al,
+                            dc_tabs.get(dc_tid), ac_tabs.get(ac_tid),
+                            preds[ci], state,
+                        )
+        else:
+            ci, dc_tid, ac_tid = sel[0]
+            by, bx = divmod(u, bw)
+            blk = grids[ci][by, bx]
+            preds[ci] = _decode_block(
+                reader, blk, 0, ss, se, ah, al,
+                dc_tabs.get(dc_tid), ac_tabs.get(ac_tid), preds[ci], state,
+            )
+    return end
+
+
+def _reconstruct(frame, grids, qt):
+    H, W, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     planes = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):
-        g = grids[ci] * qt[tq]  # dequantize (broadcast over the block grid)
+        by, bx = grids[ci].shape[:2]
+        g = grids[ci].astype(np.float64).reshape(by, bx, 8, 8) * qt[tq]
         # batched IDCT over every block: f = M.T @ F @ M
         f = np.einsum("ux,rcuv,vy->rcxy", _M, g, _M) + 128.0
         by, bx = g.shape[:2]

@@ -495,17 +495,56 @@ def test_jpeg_foreign_real_bytes_vs_imageio(spark):
     assert psnr > 45 and diff.mean() < 1.0
 
 
-def test_jpeg_refusals():
-    """Progressive (SOF2), truncated, and non-JPEG bytes all refuse
-    loudly instead of mis-decoding."""
+def test_jpeg_progressive_real_bytes_vs_imageio(spark):
+    """Real progressive (SOF2) JPEGs — successive approximation, EOB
+    runs, non-interleaved AC scans — decode within rounding error of
+    Java ImageIO on every progressive sample in this container."""
     import os
+
+    import numpy as np
+
+    from lagoon_spark.operators.jpeg import decode_jpeg
+
+    candidates = [
+        _PROGRESSIVE_JPG,
+        "/usr/share/doc/nodejs/full-white-stripe.jpg",
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "multi-channel/grayscale.jpg",
+    ]
+    present = [p for p in candidates if os.path.exists(p)]
+    if not present:
+        pytest.skip("no progressive JPEG samples installed")
+    for p in present:
+        W, H, out = decode_jpeg(open(p, "rb").read())
+        row = spark.read.format("image").load(p).select("image.*").first()
+        assert (row.width, row.height) == (W, H)
+        ref = (
+            np.frombuffer(bytes(row.data), np.uint8)
+            .reshape(H, W, row.nChannels)
+            .astype(float)
+        )
+        if row.nChannels == 3:
+            ref = ref[..., ::-1]  # BGR -> RGB
+        mine = np.frombuffer(out, np.uint8).astype(float).reshape(H, W, -1)
+        if mine.shape[-1] != ref.shape[-1]:  # gray-vs-color container mix
+            mine, ref = mine.mean(-1), ref.mean(-1)
+        diff = np.abs(mine - ref)
+        psnr = 10 * np.log10(255**2 / max((diff**2).mean(), 1e-9))
+        assert psnr > 50 and diff.max() <= 4, p
+
+
+def test_jpeg_refusals():
+    """Arithmetic-coded, truncated, and non-JPEG bytes all refuse
+    loudly instead of mis-decoding."""
     import struct
 
     from lagoon_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
-    if os.path.exists(_PROGRESSIVE_JPG):
-        with pytest.raises(NotImplementedError, match="SOF2"):
-            decode_jpeg(open(_PROGRESSIVE_JPG, "rb").read())
+    # splice an arithmetic-coded SOF (SOF9) over a valid stream's SOF0
+    blob = bytearray(encode_jpeg(8, 8, bytes(64), quality=75))
+    blob[blob.index(b"\xff\xc0") + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        decode_jpeg(bytes(blob))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg at all")
     with pytest.raises((ValueError, struct.error, IndexError)):
