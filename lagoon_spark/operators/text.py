@@ -336,6 +336,109 @@ def char_entropy(col: str | Column) -> Column:
     return F.when(F.length(c) <= 0, F.lit(0.0)).otherwise(F.round(ent, 6))
 
 
+# Gopher (Rae et al. 2021, "Scaling Language Models", Table A1 — public
+# method) document-quality rules. The paper's stopword set for the
+# "contains >= 2 stopwords" rule:
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _body_words(c: Column) -> Column:
+    """Whitespace tokens of a multi-line body (space or newline split)."""
+    return F.filter(F.split(c, r"[ \n]"), lambda w: w != F.lit(""))
+
+
+def _body_lines(c: Column) -> Column:
+    return F.filter(F.split(c, "\n"), lambda x: x != F.lit(""))
+
+
+def gopher_signals(
+    col: str | Column, *, stopwords: tuple[str, ...] = GOPHER_STOPWORDS
+) -> "dict[str, Column]":
+    """The Gopher repetition-free quality signals (Rae et al. 2021,
+    Table A1), each a row-local JVM expression over a (possibly
+    multi-line) text body:
+
+    * ``n_words`` / ``mean_word_len`` — whitespace word count and mean
+      word length (paper keeps 50..100k words, mean length 3..10);
+    * ``alpha_word_frac`` — fraction of words containing an alphabetic
+      character (paper keeps >= 0.8);
+    * ``n_stopwords`` — hits from the paper's 8-word stopword set
+      (paper keeps >= 2);
+    * ``symbol_word_ratio`` — (# chars + '...' occurrences) / words
+      (paper keeps <= 0.1);
+    * ``bullet_line_frac`` / ``ellipsis_line_frac`` — fraction of
+      lines starting with a bullet ('- ' / '* ') resp. ending with
+      '...' (paper keeps <= 0.9 / <= 0.3).
+
+    All ratios are rounded to 6 decimals so both engines emit identical
+    doubles; counts are exact integers. Pure map — no shuffle, no
+    Python; composes with d18/d31's repetition signals for the full
+    Gopher rule set.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    w = _body_words(c)
+    lines = _body_lines(c)
+    nw1 = F.greatest(F.size(w), F.lit(1))
+    nl1 = F.greatest(F.size(lines), F.lit(1))
+    total_word_chars = F.aggregate(
+        w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    hash_chars = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    ellipses = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / 3
+    return {
+        "n_words": F.size(w).cast("long"),
+        "mean_word_len": F.round(total_word_chars / nw1, 6),
+        "alpha_word_frac": F.round(
+            F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) / nw1, 6
+        ),
+        "n_stopwords": F.size(
+            F.filter(w, lambda x: x.isin(*stopwords))
+        ).cast("long"),
+        "symbol_word_ratio": F.round((hash_chars + ellipses) / nw1, 6),
+        "bullet_line_frac": F.round(
+            F.size(
+                F.filter(
+                    lines,
+                    lambda x: x.startswith("- ") | x.startswith("* "),
+                )
+            )
+            / nl1,
+            6,
+        ),
+        "ellipsis_line_frac": F.round(
+            F.size(F.filter(lines, lambda x: x.endswith("..."))) / nl1, 6
+        ),
+    }
+
+
+def gopher_keep(
+    sig: "dict[str, Column]",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+) -> Column:
+    """Conjunction of the Gopher Table-A1 thresholds over
+    :func:`gopher_signals` output (defaults are the paper's)."""
+    return (
+        sig["n_words"].between(min_words, max_words)
+        & sig["mean_word_len"].between(min_mean_word_len, max_mean_word_len)
+        & (sig["alpha_word_frac"] >= min_alpha_frac)
+        & (sig["n_stopwords"] >= min_stopwords)
+        & (sig["symbol_word_ratio"] <= max_symbol_ratio)
+        & (sig["bullet_line_frac"] <= max_bullet_frac)
+        & (sig["ellipsis_line_frac"] <= max_ellipsis_frac)
+    )
+
+
 URL_PATTERN = r"(?i)https?://[^\s]+"
 
 

@@ -2289,3 +2289,108 @@ def d30(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.lm_perplexity(
         docs, "doc_id", "text", uni, bi, _D30_B1, _D30_B2
     )
+
+
+# ---------------------------------------------------------------------------
+# d32 — full Gopher document-quality rule set (Rae et al. 2021, Table A1)
+# ---------------------------------------------------------------------------
+#
+# The non-repetition half of Gopher's quality filter (d18/d31 carry the
+# repetition half): word-count and mean-word-length bounds, the
+# alphabetic-word fraction, the 8-word stopword requirement, the
+# symbol-to-word ratio, and the two line-shape rules (bullet starts,
+# ellipsis ends). The corpus has no line structure or symbols, so each
+# document plants a deterministic multi-line body — numeric words,
+# '#' runs, bullet blocks (10 lines on every 10th doc to cross the 0.9
+# threshold), ellipsis lines — with the same expression in both
+# engines; the operator then computes every signal and the conjunction
+# keep flag. Pure row-local map: no shuffle, no Python, composes with
+# d18/d31 for the complete published rule set.
+
+_D32_PLANT_SPARK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 3 = 0 THEN ' 1 22 333 4444' ELSE '' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN ' ### #' ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN repeat(concat(chr(10), '- bullet line'),"
+    "   CASE WHEN doc_id % 10 = 0 THEN 10 ELSE 2 END) ELSE '' END,"
+    " CASE WHEN doc_id % 4 = 0 THEN concat(chr(10), 'to be continued...')"
+    "   ELSE '' END)"
+)
+_D32_PLANT_DUCK = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' 1 22 333 4444' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' ### #' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN repeat(chr(10) || '- bullet line',"
+    "      CASE WHEN doc_id % 10 = 0 THEN 10 ELSE 2 END) ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'to be continued...'"
+    "      ELSE '' END"
+)
+
+_D32_MIN_WORDS = 10
+_D32_MAX_WORDS = 1000
+
+_D32_STOPS = ", ".join(f"'{s}'" for s in text.GOPHER_STOPWORDS)
+
+_D32_ORACLE = f"""
+WITH planted AS (
+  SELECT doc_id, {_D32_PLANT_DUCK} AS body FROM documents
+),
+t AS (
+  SELECT doc_id, body,
+         list_filter(string_split_regex(body, '[ \n]'), w -> w <> '') AS w,
+         list_filter(string_split(body, chr(10)), l -> l <> '') AS lines
+  FROM planted
+),
+sig AS (
+  SELECT doc_id,
+    CAST(len(w) AS BIGINT) AS n_words,
+    round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(w, x -> CAST(length(x) AS BIGINT))),
+          (a, b) -> a + b) / greatest(len(w), 1), 6) AS mean_word_len,
+    round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+          / greatest(len(w), 1), 6) AS alpha_word_frac,
+    CAST(len(list_filter(w, x -> list_contains([{_D32_STOPS}], x)))
+         AS BIGINT) AS n_stopwords,
+    round(((length(body) - length(replace(body, '#', '')))
+           + (length(body) - length(replace(body, '...', ''))) / 3)
+          / greatest(len(w), 1), 6) AS symbol_word_ratio,
+    round(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'))
+          / greatest(len(lines), 1), 6) AS bullet_line_frac,
+    round(len(list_filter(lines, l -> l LIKE '%...'))
+          / greatest(len(lines), 1), 6) AS ellipsis_line_frac
+  FROM t
+)
+SELECT *,
+       (n_words BETWEEN {_D32_MIN_WORDS} AND {_D32_MAX_WORDS})
+       AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       AND alpha_word_frac >= 0.8
+       AND n_stopwords >= 2
+       AND symbol_word_ratio <= 0.1
+       AND bullet_line_frac <= 0.9
+       AND ellipsis_line_frac <= 0.3 AS keep
+FROM sig
+"""
+
+
+@df_query(
+    "d32_gopher_quality",
+    "Full Gopher (Rae et al. 2021 Table A1) quality rule set: word/length "
+    "bounds, alphabetic-word fraction, stopword requirement, symbol ratio, "
+    "bullet/ellipsis line shapes → per-signal columns + conjunction keep "
+    "flag (row-local JVM map over a planted multi-line body).",
+    _D32_ORACLE,
+)
+def d32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", F.expr(_D32_PLANT_SPARK).alias("__body")
+    )
+    sig = text.gopher_signals("__body")
+    keep = text.gopher_keep(
+        sig, min_words=_D32_MIN_WORDS, max_words=_D32_MAX_WORDS
+    )
+    return docs.select(
+        "doc_id",
+        *[v.alias(k) for k, v in sig.items()],
+        keep.alias("keep"),
+    )
