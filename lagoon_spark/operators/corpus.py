@@ -313,6 +313,66 @@ def remove_boilerplate_lines(
     )
 
 
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    line_drop_marker: str = "javascript",
+    page_drop_markers: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """C4 page cleaning (Raffel et al. 2020, §2.2 — public method).
+
+    Line rules: keep only lines that end in a terminal punctuation
+    mark (``. ! ? "``), contain at least ``min_words_per_line`` words,
+    and do not mention ``line_drop_marker`` ("javascript" in the
+    paper). Page rules: drop any page whose lowercased body contains a
+    ``page_drop_markers`` phrase ("lorem ipsum" / a curly brace) or
+    whose cleaned text carries fewer than ``min_sentences`` sentences
+    (terminal-punctuation count — the paper's sentence heuristic).
+
+    Returns (id, n_lines, n_kept_lines, n_sentences, keep, clean_text).
+    Everything is a row-local array/string expression — a pure JVM map
+    with no shuffle and no Python, which is what a 100 TB first-pass
+    cleaner must be.
+    """
+    c = F.col(text_col)
+    lines = F.filter(F.split(c, "\n"), lambda l: l != F.lit(""))
+
+    def line_ok(l):
+        n_words = F.size(F.filter(F.split(l, " "), lambda w: w != F.lit("")))
+        term = F.lit(False)
+        for t in C4_TERMINALS:
+            term = term | l.endswith(t)
+        return (
+            term
+            & (n_words >= F.lit(min_words_per_line))
+            & ~F.contains(F.lower(l), F.lit(line_drop_marker))
+        )
+
+    kept = F.filter(lines, line_ok)
+    clean = F.array_join(kept, "\n")
+    n_sent = (
+        F.length(clean) - F.length(F.translate(clean, ".!?", ""))
+    ).cast("int")
+    page_bad = F.lit(False)
+    for m in page_drop_markers:
+        page_bad = page_bad | F.contains(F.lower(c), F.lit(m))
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        (~page_bad & (n_sent >= F.lit(min_sentences))).alias("keep"),
+        clean.alias("clean_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR importance resampling (Xie et al., "Data Selection for Language
 # Models via Importance Resampling", NeurIPS 2023 — public method).

@@ -2394,3 +2394,96 @@ def d32(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[v.alias(k) for k, v in sig.items()],
         keep.alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# d33 — C4 page cleaning (Raffel et al. 2020, §2.2)
+# ---------------------------------------------------------------------------
+#
+# The classic web-corpus first pass: line-level terminal-punctuation /
+# min-words / "javascript" rules, page-level "lorem ipsum" / curly-
+# brace / min-sentences drops. The corpus is single-line symbol-free
+# words, so each document plants a deterministic multi-line page —
+# a good first sentence, a too-short line, an unpunctuated line, and
+# (by doc_id residue) a javascript line, two extra good sentences, a
+# lorem-ipsum line, a code line with braces — the same expression in
+# both engines.
+
+_D33_PLANT_SPARK = (
+    "concat(text, '.',"
+    " chr(10), 'short line.',"
+    " chr(10), 'no terminal punctuation on this line',"
+    " CASE WHEN doc_id % 4 = 0 THEN concat(chr(10),"
+    "   'links need the javascript runtime enabled to work.') ELSE '' END,"
+    " CASE WHEN doc_id % 6 = 0 THEN concat(chr(10),"
+    "   'is this a well formed question sentence?', chr(10),"
+    "   'yes it is a well formed sentence!') ELSE '' END,"
+    " CASE WHEN doc_id % 9 = 0 THEN concat(chr(10),"
+    "   'lorem ipsum dolor sit amet.') ELSE '' END,"
+    " CASE WHEN doc_id % 11 = 0 THEN concat(chr(10),"
+    "   'function() { return; }') ELSE '' END)"
+)
+_D33_PLANT_DUCK = (
+    "text || '.'"
+    " || chr(10) || 'short line.'"
+    " || chr(10) || 'no terminal punctuation on this line'"
+    " || CASE WHEN doc_id % 4 = 0 THEN chr(10)"
+    "      || 'links need the javascript runtime enabled to work.' ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 0 THEN chr(10)"
+    "      || 'is this a well formed question sentence?' || chr(10)"
+    "      || 'yes it is a well formed sentence!' ELSE '' END"
+    " || CASE WHEN doc_id % 9 = 0 THEN chr(10)"
+    "      || 'lorem ipsum dolor sit amet.' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN chr(10)"
+    "      || 'function() { return; }' ELSE '' END"
+)
+
+_D33_ORACLE = (
+    "WITH planted AS (\n"
+    "  SELECT doc_id, " + _D33_PLANT_DUCK + " AS body FROM documents\n"
+    "),\n"
+    "t AS (\n"
+    "  SELECT doc_id, body,\n"
+    "         list_filter(string_split(body, chr(10)), l -> l <> '') AS lines\n"
+    "  FROM planted\n"
+    "),\n"
+    "k AS (\n"
+    "  SELECT doc_id, body, lines,\n"
+    "         list_filter(lines, l ->\n"
+    "           (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%\"')\n"
+    "           AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5\n"
+    "           AND NOT contains(lower(l), 'javascript')) AS kept\n"
+    "  FROM t\n"
+    "),\n"
+    "c AS (\n"
+    "  SELECT doc_id, body, lines, kept,\n"
+    "         array_to_string(kept, chr(10)) AS clean_text\n"
+    "  FROM k\n"
+    ")\n"
+    "SELECT doc_id,\n"
+    "       CAST(len(lines) AS INT) AS n_lines,\n"
+    "       CAST(len(kept) AS INT) AS n_kept_lines,\n"
+    "       CAST(length(clean_text) - length(translate(clean_text, '.!?', ''))\n"
+    "            AS INT) AS n_sentences,\n"
+    "       NOT (contains(lower(body), 'lorem ipsum') OR contains(body, '{'))\n"
+    "       AND (length(clean_text) - length(translate(clean_text, '.!?', ''))\n"
+    "            >= 3) AS keep,\n"
+    "       clean_text\n"
+    "FROM c"
+)
+
+
+@df_query(
+    "d33_c4_clean",
+    "C4 page cleaning (Raffel et al. 2020): terminal-punctuation / "
+    "min-words / javascript line rules, lorem-ipsum / curly-brace / "
+    "min-sentences page rules → kept-line reassembly + keep flag "
+    "(row-local JVM map over a planted multi-line page).",
+    _D33_ORACLE,
+)
+def d33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", F.expr(_D33_PLANT_SPARK).alias("__body")
+    )
+    return corpus.c4_clean(docs, "doc_id", "__body")
