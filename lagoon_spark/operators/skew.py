@@ -80,3 +80,47 @@ def top_frequent_keys(df: DataFrame, key: str, min_count: int) -> Column:
         .select(key)
     )
     return hot
+
+
+def capped_per_key(
+    df: DataFrame,
+    key: str,
+    order_by: "list[Column]",
+    n: int,
+    *,
+    salt: Column,
+    salt_buckets: int = 32,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Keep at most ``n`` rows per key (exact), skew-safely.
+
+    The naive plan — ``row_number() OVER (PARTITION BY key ORDER BY
+    ...) <= n`` — sorts EVERY row of a key inside one task; a hot key
+    holding 60% of a 100 TB corpus (one dominant crawl domain is the
+    canonical case) becomes a single straggler sort. This runs two
+    phases, both bounded:
+
+    1. rank within (key, salt) and keep ``n`` per salted group — the
+       hot key spreads over ``salt_buckets`` tasks, each sorting only
+       its slice and emitting ≤ n rows;
+    2. rank the ≤ ``salt_buckets * n`` survivors per key — now a
+       metadata-sized sort per key regardless of corpus size.
+
+    ``order_by`` must be a total order (unique tiebreak) for the
+    result to equal the single-window plan exactly; ``salt`` must be a
+    deterministic row expression (e.g. ``id % salt_buckets``).
+    """
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(key, "__salt").orderBy(*order_by)
+    w2 = Window.partitionBy(key).orderBy(*order_by)
+    local = (
+        df.withColumn("__salt", F.pmod(salt, F.lit(salt_buckets)))
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= n)
+    )
+    return (
+        local.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= n)
+        .drop("__salt", "__r1")
+    )

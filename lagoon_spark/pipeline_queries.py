@@ -2487,3 +2487,68 @@ def d33(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(_D33_PLANT_SPARK).alias("__body")
     )
     return corpus.c4_clean(docs, "doc_id", "__body")
+
+
+# ---------------------------------------------------------------------------
+# d34 — per-domain document cap (skew-aware two-phase top-N)
+# ---------------------------------------------------------------------------
+#
+# Crawl corpora are dominated by a few giant domains; capping documents
+# per registered domain (RefinedWeb-style content balancing) is a
+# top-N-per-key where the key is PATHOLOGICALLY skewed — the planted
+# domain map sends 60% of the corpus to one host exactly so the hot
+# key is real. The operator runs the two-phase salted cap
+# (skew.capped_per_key): no task ever sorts more than its salt slice
+# of the hot domain, survivors are metadata-sized. The oracle is the
+# semantically-equal single-window plan.
+
+_D34_DOMAIN_SPARK = (
+    "CASE WHEN doc_id % 10 < 6 THEN 'big.example.com'"
+    " ELSE concat('host', CAST(doc_id % 17 AS STRING), '.example.com') END"
+)
+_D34_DOMAIN_DUCK = (
+    "CASE WHEN doc_id % 10 < 6 THEN 'big.example.com'"
+    " ELSE 'host' || CAST(doc_id % 17 AS VARCHAR) || '.example.com' END"
+)
+_D34_CAP = 25
+
+_D34_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, n_chars, {_D34_DOMAIN_DUCK} AS domain FROM documents
+),
+r AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY n_chars DESC, doc_id) AS domain_rank
+  FROM d
+)
+SELECT doc_id, domain, CAST(domain_rank AS BIGINT) AS domain_rank
+FROM r WHERE domain_rank <= {_D34_CAP}
+"""
+
+
+@df_query(
+    "d34_domain_cap",
+    "Per-domain document cap (content balancing over a 60%-hot domain "
+    "key): exact top-25 per domain by quality via the two-phase salted "
+    "rank — no straggler sort on the hot key.",
+    _D34_ORACLE,
+)
+def d34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lagoon_spark.operators.skew import capped_per_key
+
+    register_views(spark, sf_dir)
+    d = spark.table("documents").select(
+        "doc_id", "n_chars", F.expr(_D34_DOMAIN_SPARK).alias("domain")
+    )
+    capped = capped_per_key(
+        d,
+        "domain",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        _D34_CAP,
+        salt=F.col("doc_id"),
+        rank_col="domain_rank",
+    )
+    return capped.select(
+        "doc_id", "domain", F.col("domain_rank").cast("long").alias("domain_rank")
+    )

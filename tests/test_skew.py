@@ -81,3 +81,46 @@ def test_salted_left_join(spark, skewed):
 def test_top_frequent_keys(skewed):
     hot = skew.top_frequent_keys(skewed, "k", min_count=1000).collect()
     assert [r["k"] for r in hot] == ["HOT"]
+
+
+def test_capped_per_key_matches_single_window(spark):
+    from pyspark.sql import Window
+
+    # hot key: 5k rows on one domain, tail of small domains
+    df = spark.range(6_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 6 < 5, F.lit("hot")).otherwise(
+            F.concat(F.lit("d"), (F.col("id") % 13).cast("string"))
+        ).alias("k"),
+        (F.col("id") * 37 % 1009).alias("score"),
+    )
+    order = [F.col("score").desc(), F.col("id").asc()]
+    got = {
+        (r["k"], r["id"], r["rank"])
+        for r in skew.capped_per_key(
+            df, "k", order, 7, salt=F.col("id"), salt_buckets=8
+        ).collect()
+    }
+    w = Window.partitionBy("k").orderBy(*order)
+    want = {
+        (r["k"], r["id"], r["rank"])
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 7)
+        .collect()
+    }
+    assert got == want and len(want) > 7
+
+
+def test_capped_per_key_phase1_prunes_before_global_rank(spark):
+    # the plan must carry TWO window nodes, the first partitioned on
+    # (key, salt) with a filter between them — i.e. the hot key is
+    # cut to <= buckets*n rows before any per-key global sort
+    df = spark.range(100).select(
+        F.col("id"), F.lit("hot").alias("k"), (F.col("id") % 7).alias("s")
+    )
+    capped = skew.capped_per_key(
+        df, "k", [F.col("s").asc(), F.col("id").asc()], 3, salt=F.col("id")
+    )
+    plan = capped._jdf.queryExecution().optimizedPlan().toString()
+    first_window = plan.rindex("Window")  # bottom-most = phase 1
+    assert "__salt" in plan[first_window:]
