@@ -313,6 +313,73 @@ def remove_boilerplate_lines(
     )
 
 
+_CURR_SHUF_BUCKETS = 1 << 20
+_CURR_ID_SPAN = 1 << 30
+_CURR_STAGE_SPAN = 1 << 50  # shuf * id span
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    score_col: str | Column,
+    *,
+    thresholds: "tuple[float, ...]",
+    stage_col: str = "stage",
+    pos_col: str = "curriculum_pos",
+):
+    """Curriculum ordering: quality-staged buckets, shuffled within.
+
+    ``thresholds`` are descending score cutoffs: stage 0 is
+    ``score >= thresholds[0]`` (cleanest, served first), the last
+    stage is everything below ``thresholds[-1]``. Within a stage,
+    examples are shuffled by the portable id hash (1M buckets, id
+    tiebreak) so each stage streams in a deterministic pseudo-random
+    order.
+
+    Scale design: stages come from FIXED thresholds — no global sort
+    or ntile to find quantile boundaries (compute thresholds offline
+    from d17's histogram sketch if they must be data-driven). The
+    global position folds (stage, shuffle-hash, id) into one composite
+    long and numbers it with :func:`lagoon_spark.ingest.rowid.dense_order_ix`
+    — a range-partitioned parallel sort plus a broadcast prefix-offset
+    map, never a single-task window (contrast :func:`global_shuffle`,
+    whose plain window is fine only below one executor's sort budget).
+
+    Returns ``(out_df, pinned)`` like ``dense_order_ix`` — unpersist
+    ``pinned`` after materializing. Requires ids in [0, 2^30) and at
+    most 8192 stages (composite-key bit budget).
+    """
+    from lagoon_spark.ingest.rowid import dense_order_ix
+
+    if len(thresholds) + 1 > 8192:
+        raise ValueError("too many stages for the composite key")
+    if sorted(thresholds, reverse=True) != list(thresholds):
+        raise ValueError("thresholds must be descending")
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    stage = F.lit(len(thresholds))
+    for i in range(len(thresholds) - 1, -1, -1):
+        stage = F.when(s >= F.lit(thresholds[i]), F.lit(i)).otherwise(stage)
+    shuf = id_hash(id_col) % _CURR_SHUF_BUCKETS
+    key = (
+        stage.cast("long") * F.lit(_CURR_STAGE_SPAN)
+        + shuf.cast("long") * F.lit(_CURR_ID_SPAN)
+        + F.col(id_col)
+    )
+    staged = df.withColumn(stage_col, stage.cast("int")).withColumn(
+        "__curr_key", key
+    )
+    out, pinned = dense_order_ix(staged, "__curr_key", pos_col)
+    return out.drop("__curr_key"), pinned
+
+
+def duck_curriculum_pos(id_expr: str, stage_expr: str) -> str:
+    """Oracle-side position: row_number over the identical composite order."""
+    shuf = f"({duck_id_hash(id_expr)}) % {_CURR_SHUF_BUCKETS}"
+    return (
+        f"row_number() OVER (ORDER BY {stage_expr}, {shuf}, {id_expr})"
+    )
+
+
 C4_TERMINALS = (".", "!", "?", '"')
 
 

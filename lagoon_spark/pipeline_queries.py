@@ -2552,3 +2552,58 @@ def d34(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select(
         "doc_id", "domain", F.col("domain_rank").cast("long").alias("domain_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# c09 — curriculum ordering (quality-staged, shuffled within stage)
+# ---------------------------------------------------------------------------
+#
+# The training-loader ordering pass: stage documents by a quality
+# signal (fixed thresholds — never a global quantile sort), shuffle
+# deterministically inside each stage, and assign the global serving
+# position with the engine's range-partitioned dense numbering (no
+# single-task window). Stage signal here is the stopword ratio —
+# any scalar score (d28's trained scorer in a real pipeline) slots in.
+
+_C09_T0 = 0.12
+_C09_T1 = 0.05
+
+_C09_SCORE_DUCK = (
+    "round(len(list_filter(string_split(text, ' '),"
+    " w -> list_contains(['the','a','of','and','is','to','in'], w)))"
+    " / greatest(len(list_filter(string_split(text, ' '), w -> w <> '')), 1), 6)"
+)
+
+_C09_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, {_C09_SCORE_DUCK} AS score FROM documents
+),
+st AS (
+  SELECT doc_id,
+         CASE WHEN score >= {_C09_T0} THEN 0
+              WHEN score >= {_C09_T1} THEN 1
+              ELSE 2 END AS stage
+  FROM s
+)
+SELECT doc_id, CAST(stage AS INT) AS stage,
+       CAST({{pos}} AS BIGINT) AS curriculum_pos
+FROM st
+""".replace("{pos}", corpus.duck_curriculum_pos("doc_id", "stage"))
+
+
+@df_query(
+    "c09_curriculum_order",
+    "Curriculum ordering: fixed-threshold quality stages, deterministic "
+    "in-stage shuffle, global position via range-partitioned dense "
+    "numbering (no single-task sort at any size).",
+    _C09_ORACLE,
+)
+def c09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", text.stopword_ratio("text").alias("__score")
+    )
+    out, _pinned = corpus.curriculum_order(
+        docs, "doc_id", "__score", thresholds=(_C09_T0, _C09_T1)
+    )
+    return out.select("doc_id", "stage", "curriculum_pos")
