@@ -408,6 +408,72 @@ def kmeans_fit_predict(
     return assigned.select(*keep), centroids
 
 
+def kmeans_oracle_ctes(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    dim: int,
+    prefix: str = "",
+) -> "list[str]":
+    """The unrolled Lloyd recipe as a list of DuckDB CTEs.
+
+    CTE names carry ``prefix`` so several trainers compose in one
+    query (the PQ oracle runs one per subspace); ``{prefix}a{iters}``
+    holds final (vid, cell) assignments, ``{prefix}cf{iters}`` the
+    final (cell, cv) centroid table.
+    """
+    fp = KMEANS_FP
+    p = prefix
+    zeros = "[" + ", ".join(["CAST(0.0 AS DOUBLE)"] * dim) + "]"
+    dist = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(a.v, c.cv), "
+        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))), "
+        "(acc, d) -> acc + d)"
+    )
+    ctes = [
+        f"{p}a0 AS (SELECT {id_col} AS vid, {vec_col} AS v, {id_col} % {k} AS cell FROM {table})"
+    ]
+    for it in range(1, iters + 1):
+        prev = f"{p}cf{it - 1}" if it > 1 else None
+        ctes.append(
+            f"""{p}m{it} AS (
+  SELECT cell, pos,
+         SUM(CAST(floor(CAST(x AS DOUBLE) * {fp} + 0.5) AS BIGINT)) AS s,
+         COUNT(*) AS c
+  FROM (SELECT cell, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS x FROM {p}a{it - 1})
+  GROUP BY cell, pos
+)"""
+        )
+        ctes.append(
+            f"""{p}cl{it} AS (
+  SELECT cell, list(CAST(s AS DOUBLE) / (CAST(c AS DOUBLE) * {float(fp)!r}) ORDER BY pos) AS cv
+  FROM {p}m{it} GROUP BY cell
+)"""
+        )
+        fallback = "p.cv" if prev else zeros
+        join_prev = f" LEFT JOIN {prev} p ON p.cell = r.j" if prev else ""
+        ctes.append(
+            f"""{p}cf{it} AS (
+  SELECT r.j AS cell, COALESCE(cl.cv, {fallback}) AS cv
+  FROM range(0, {k}) r(j) LEFT JOIN {p}cl{it} cl ON cl.cell = r.j{join_prev}
+)"""
+        )
+        ctes.append(
+            f"""{p}a{it} AS (
+  SELECT vid, v, cell FROM (
+    SELECT a.vid, a.v, c.cell,
+           row_number() OVER (PARTITION BY a.vid ORDER BY {dist} ASC, c.cell ASC) AS rn
+    FROM (SELECT vid, v FROM {p}a0) a CROSS JOIN {p}cf{it} c
+  ) WHERE rn = 1
+)"""
+        )
+    return ctes
+
+
 def kmeans_oracle_sql(
     table: str,
     id_col: str,
@@ -418,51 +484,7 @@ def kmeans_oracle_sql(
     dim: int,
 ) -> str:
     """The identical unrolled Lloyd recipe as DuckDB SQL."""
-    fp = KMEANS_FP
-    zeros = "[" + ", ".join(["CAST(0.0 AS DOUBLE)"] * dim) + "]"
-    dist = (
-        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        "list_transform(list_zip(a.v, c.cv), "
-        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2]))), "
-        "(acc, d) -> acc + d)"
-    )
-    ctes = [
-        f"a0 AS (SELECT {id_col} AS vid, {vec_col} AS v, {id_col} % {k} AS cell FROM {table})"
-    ]
-    for it in range(1, iters + 1):
-        prev = f"cf{it - 1}" if it > 1 else None
-        ctes.append(
-            f"""m{it} AS (
-  SELECT cell, pos,
-         SUM(CAST(floor(CAST(x AS DOUBLE) * {fp} + 0.5) AS BIGINT)) AS s,
-         COUNT(*) AS c
-  FROM (SELECT cell, unnest(range(1, len(v) + 1)) AS pos, unnest(v) AS x FROM a{it - 1})
-  GROUP BY cell, pos
-)"""
-        )
-        ctes.append(
-            f"""cl{it} AS (
-  SELECT cell, list(CAST(s AS DOUBLE) / (CAST(c AS DOUBLE) * {float(fp)!r}) ORDER BY pos) AS cv
-  FROM m{it} GROUP BY cell
-)"""
-        )
-        fallback = "p.cv" if prev else zeros
-        join_prev = f" LEFT JOIN {prev} p ON p.cell = r.j" if prev else ""
-        ctes.append(
-            f"""cf{it} AS (
-  SELECT r.j AS cell, COALESCE(cl.cv, {fallback}) AS cv
-  FROM range(0, {k}) r(j) LEFT JOIN cl{it} cl ON cl.cell = r.j{join_prev}
-)"""
-        )
-        ctes.append(
-            f"""a{it} AS (
-  SELECT vid, v, cell FROM (
-    SELECT a.vid, a.v, c.cell,
-           row_number() OVER (PARTITION BY a.vid ORDER BY {dist} ASC, c.cell ASC) AS rn
-    FROM (SELECT vid, v FROM a0) a CROSS JOIN cf{it} c
-  ) WHERE rn = 1
-)"""
-        )
+    ctes = kmeans_oracle_ctes(table, id_col, vec_col, k=k, iters=iters, dim=dim)
     body = ",\n".join(ctes)
     return f"WITH {body}\nSELECT vid AS {id_col}, CAST(cell AS BIGINT) AS cell FROM a{iters}"
 
@@ -794,3 +816,165 @@ def multiprobe_buckets(
         ],
     )
     return df.withColumn(out_col, F.explode(probes))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011 — public method)
+# ---------------------------------------------------------------------------
+
+
+def pq_fit_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    dim: int,
+) -> "tuple[DataFrame, list[list[list[float]]]]":
+    """Train per-subspace codebooks and encode every vector to m codes.
+
+    The vector splits into ``m`` contiguous subspaces; each runs the
+    engine-deterministic Lloyd trainer (:func:`kmeans_fit_predict`) on
+    its slice, so codebooks are bit-identical across engines and runs.
+    Returns ``(codes_df(id, codes array<int>), codebooks[m][k][dim/m])``.
+
+    Scale shape: training is ``m × iters`` map-side-combinable
+    (cell, dim) aggregations — never a pairwise anything; encoding is
+    row-local against broadcast centroid literals. The win is storage:
+    ``m`` small ints replace ``dim`` doubles (64-dim float64 → 4 bytes
+    is 128×), which is what lets a 100 TB embedding corpus keep its
+    searchable form in cluster memory. Codes compose with the IVF
+    index (coarse cell + PQ residual is the classic IVFADC layout).
+    """
+    sub, rem = divmod(dim, m)
+    if rem:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    codes = None
+    books: "list[list[list[float]]]" = []
+    for j in range(m):
+        sliced = df.select(
+            id_col, F.slice(F.col(vec_col), j * sub + 1, sub).alias("__sub")
+        )
+        assigned, cents = kmeans_fit_predict(
+            sliced, id_col, "__sub", k=k, iters=iters, dim=sub,
+            out_col=f"__code{j}",
+        )
+        books.append(cents)
+        codes = assigned if codes is None else codes.join(assigned, id_col)
+    out = codes.select(
+        id_col,
+        F.array(*[F.col(f"__code{j}").cast("int") for j in range(m)]).alias(
+            "codes"
+        ),
+    )
+    return out, books
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    id_col: str,
+    books: "list[list[list[float]]]",
+    query: "list[float]",
+    *,
+    topk: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes.
+
+    The query stays full-precision: per subspace, its distance to each
+    of the k centroids folds into an m×k lookup table (driver-side —
+    a few hundred doubles), and every row's approximate distance is m
+    ``element_at`` lookups summed in subspace order. A pure map over
+    the 4-byte codes column + TakeOrderedAndProject — the scan never
+    touches the original vectors.
+    """
+    m = len(books)
+    sub = len(query) // m
+    dist = None
+    for j, book in enumerate(books):
+        qs = [float(x) for x in query[j * sub : (j + 1) * sub]]
+        table = []
+        for cent in book:
+            s = 0.0
+            for i in range(sub):
+                d = qs[i] - cent[i]
+                s = s + d * d
+            table.append(s)
+        arr = F.array(*[F.lit(v).cast("double") for v in table])
+        term = F.element_at(arr, F.col("codes").getItem(j).cast("int") + F.lit(1))
+        dist = term if dist is None else dist + term
+    from pyspark.sql import Window
+
+    top = (
+        codes_df.select(F.col(id_col), "codes", dist.alias("__dist"))
+        .orderBy(F.col("__dist").asc(), F.col(id_col).asc())
+        .limit(topk)
+    )
+    w = Window.orderBy(F.col("__dist").asc(), F.col(id_col).asc())
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select(
+            id_col,
+            "codes",
+            F.round("__dist", 6).alias("adc_dist"),
+            "rnk",
+        )
+    )
+
+
+def pq_adc_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    dim: int,
+    query_id: int = 0,
+    topk: int = 10,
+) -> str:
+    """DuckDB mirror of pq_fit_encode + pq_adc_topk: per-subspace
+    Lloyd chains (prefixed CTEs), the same ADC lookup sums in the same
+    subspace order, the same (dist, id) tiebreak."""
+    sub = dim // m
+    ctes: "list[str]" = []
+    for j in range(m):
+        src = (
+            f"(SELECT {id_col}, {vec_col}[{j * sub + 1}:{(j + 1) * sub}] AS sub"
+            f" FROM {table}) pq{j}src"
+        )
+        ctes += kmeans_oracle_ctes(
+            src, id_col, "sub", k=k, iters=iters, dim=sub, prefix=f"s{j}_"
+        )
+    ctes.append(
+        f"q AS (SELECT {vec_col} AS qv FROM {table} WHERE {id_col} = {query_id})"
+    )
+    for j in range(m):
+        lo = j * sub
+        dexpr = (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, {sub} + 1), "
+            f"i -> (CAST(qv[{lo} + i] AS DOUBLE) - cv[i])"
+            f" * (CAST(qv[{lo} + i] AS DOUBLE) - cv[i]))), (a, b) -> a + b)"
+        )
+        ctes.append(
+            f"dt{j} AS (SELECT cell, {dexpr} AS d FROM s{j}_cf{iters} CROSS JOIN q)"
+        )
+    id_joins = " ".join(
+        f"JOIN s{j}_a{iters} s{j}a ON s{j}a.vid = s0a.vid" for j in range(1, m)
+    )
+    dt_joins = " ".join(f"JOIN dt{j} ON dt{j}.cell = s{j}a.cell" for j in range(m))
+    codes = ", ".join(f"CAST(s{j}a.cell AS INT)" for j in range(m))
+    dsum = " + ".join(f"dt{j}.d" for j in range(m))
+    body = ",\n".join(ctes)
+    return f"""WITH {body},
+d AS (
+  SELECT s0a.vid, [{codes}] AS codes, {dsum} AS dist
+  FROM s0_a{iters} s0a {id_joins} {dt_joins}
+)
+SELECT vid AS {id_col}, codes, round(dist, 6) AS adc_dist,
+       CAST(row_number() OVER (ORDER BY dist, vid) AS BIGINT) AS rnk
+FROM d ORDER BY dist, vid LIMIT {topk}"""

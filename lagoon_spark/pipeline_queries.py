@@ -2607,3 +2607,50 @@ def c09(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "__score", thresholds=(_C09_T0, _C09_T1)
     )
     return out.select("doc_id", "stage", "curriculum_pos")
+
+
+# ---------------------------------------------------------------------------
+# s13 — product quantization + asymmetric-distance top-k (IVFADC's PQ half)
+# ---------------------------------------------------------------------------
+#
+# Jégou et al. 2011: per-subspace deterministic Lloyd codebooks, every
+# vector compressed to m small codes (64-dim float64 → 4 bytes here:
+# 128×), queries ranked by table-lookup ADC sums without ever touching
+# the original vectors. The oracle re-runs the full per-subspace
+# trainer chains (prefixed CTE stacks) and the identical lookup fold.
+
+_S13_M = 4
+_S13_K = 16
+_S13_ITERS = 2
+_S13_TOPK = 10
+
+
+def _s13_oracle() -> str:
+    from lagoon_spark.operators.similarity import pq_adc_oracle_sql
+
+    return pq_adc_oracle_sql(
+        "embeddings", "vec_id", "embedding",
+        m=_S13_M, k=_S13_K, iters=_S13_ITERS, dim=64,
+        query_id=0, topk=_S13_TOPK,
+    )
+
+
+@df_query(
+    "s13_pq_adc_topk",
+    "Product quantization (Jégou et al. 2011): per-subspace deterministic "
+    "codebooks compress vectors 128×, then asymmetric-distance top-k runs "
+    "as m broadcast table lookups over the codes column — the memory side "
+    "of web-scale ANN.",
+    _s13_oracle(),
+)
+def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lagoon_spark.operators.similarity import pq_adc_topk, pq_fit_encode
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    codes, books = pq_fit_encode(
+        emb, "vec_id", "embedding", m=_S13_M, k=_S13_K, iters=_S13_ITERS,
+        dim=64,
+    )
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return pq_adc_topk(codes, "vec_id", books, list(query), topk=_S13_TOPK)
