@@ -183,3 +183,38 @@ def test_media_roundtrips_are_map_only(spark, sf_small):
     ):
         plan = _plan(get_query(name).spark_fn(spark, sf_small))
         assert "Exchange" not in plan, name
+
+
+def test_gopher_and_c4_cleaners_are_map_only(spark, sf_small):
+    """d32/d33 are the 100 TB first-pass cleaners: row-local JVM
+    expressions, no shuffle, no Python worker."""
+    for name in ("d32_gopher_quality", "d33_c4_clean"):
+        plan = _plan(get_query(name).spark_fn(spark, sf_small))
+        assert "Exchange" not in plan, name
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+
+
+def test_domain_cap_never_sorts_a_key_in_one_task(spark, sf_small):
+    """d34's two-phase cap: the bottom-most window partitions on
+    (domain, salt) — the hot domain is spread before any rank — and
+    no single-partition exchange appears anywhere."""
+    plan = _plan(get_query("d34_domain_cap").spark_fn(spark, sf_small))
+    assert "SinglePartition" not in plan
+    bottom_window = plan.rindex("Window")
+    assert "__salt" in plan[bottom_window:]
+
+
+def test_curriculum_order_no_single_partition_exchange(spark, sf_small):
+    """c09's global position rides range-partitioned dense numbering,
+    never a one-task global window."""
+    plan = _plan(get_query("c09_curriculum_order").spark_fn(spark, sf_small))
+    assert "SinglePartition" not in plan
+
+
+def test_pq_adc_scan_reads_codes_not_vectors(spark, sf_small):
+    """s13's ranking scan: ADC distances come from broadcast lookup
+    tables over the codes column — a TakeOrderedAndProject with no
+    Python stage and no join against the raw vector column."""
+    plan = _plan(get_query("s13_pq_adc_topk").spark_fn(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
