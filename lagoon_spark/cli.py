@@ -174,6 +174,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--column", required=True)
     p.add_argument("-k", type=int, default=64, dest="cells")
     p.add_argument("--iters", type=int, default=2)
+    p.add_argument("--pq-m", type=int, default=None, dest="pq_m",
+                   help="enable IVFADC: product-quantize residuals into M codes")
+    p.add_argument("--pq-k", type=int, default=16, dest="pq_k")
+    p.add_argument("--pq-iters", type=int, default=2, dest="pq_iters")
 
     p = sub.add_parser(
         "ann-search", help="Approximate nearest neighbors via the IVF index"
@@ -571,6 +575,9 @@ class _Cli:
             self.args.column,
             k=self.args.cells,
             iters=self.args.iters,
+            pq_m=self.args.pq_m,
+            pq_k=self.args.pq_k,
+            pq_iters=self.args.pq_iters,
         )
         print(_json.dumps(meta))
 

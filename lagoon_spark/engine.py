@@ -1256,6 +1256,9 @@ class Lagoon:
         k: int = 64,
         iters: int = 2,
         version: int | None = None,
+        pq_m: int | None = None,
+        pq_k: int = 16,
+        pq_iters: int = 2,
     ) -> dict:
         """Train and persist an IVF index over an embedding column
         (JSON ``array<double>`` text): deterministic k-means centroids
@@ -1273,7 +1276,17 @@ class Lagoon:
         a probe reads exactly ``nprobe`` cell directories (partition
         pruning) and never re-scans — or re-parses — the source table
         (round-7 verdict fix; previously each query paid a whole-corpus
-        pass)."""
+        pass).
+
+        With ``pq_m`` set the index is IVFADC (Jégou et al. 2011):
+        coarse-cell RESIDUALS are product-quantized into ``pq_m``
+        codes per vector (per-subspace deterministic Lloyd codebooks,
+        ``pq_k`` entries each), written as a separate ``codes``
+        artifact partitioned by cell alongside the full-precision
+        ``assignments``. A search then ADC-shortlists over the codes
+        (≈dim·8/pq_m× less probe I/O — 64-dim float64 at pq_m=4 reads
+        ~1/64th the bytes) and exact-re-ranks only the shortlist rows
+        from the vector partitions."""
         import json as _json
 
         info = self.catalog.get_source(name, version)
@@ -1300,11 +1313,15 @@ class Lagoon:
         # (k x input-partitions tiny files, and probe-time listing cost
         # scales with file count); after it each cell is one file per
         # writer that owns it -> ~k files total, sized by cell
+        # vectors sorted by ix inside each cell file: the IVFADC
+        # re-rank reads these partitions with an `ix IN (shortlist)`
+        # filter, and sorted row groups let parquet stats prune to the
+        # few groups holding the shortlist
         assigns.select("ix", "__vec", "cell").repartition(
             F.col("cell")
-        ).write.partitionBy("cell").mode("overwrite").parquet(
-            os.path.join(idx_dir, "assignments")
-        )
+        ).sortWithinPartitions("ix").write.partitionBy("cell").mode(
+            "overwrite"
+        ).parquet(os.path.join(idx_dir, "assignments"))
         meta = {
             "source_ix": info.ix,
             "column": phys,
@@ -1315,6 +1332,43 @@ class Lagoon:
             # source-table-free (format 2)
             "format": 2,
         }
+        if pq_m:
+            from lagoon_spark.operators.similarity import pq_fit_encode
+
+            residuals = assigns.join(F.broadcast(cent_df), "cell").select(
+                "ix",
+                "cell",
+                F.zip_with(
+                    "__vec", "centroid", lambda x, y: x - y
+                ).alias("__res"),
+            )
+            codes_df, books = pq_fit_encode(
+                residuals, "ix", "__res", m=pq_m, k=pq_k, iters=pq_iters,
+                dim=dim,
+            )
+            (
+                residuals.select("ix", "cell")
+                .join(codes_df, "ix")
+                .repartition(F.col("cell"))
+                .sortWithinPartitions("ix")
+                .write.partitionBy("cell")
+                .mode("overwrite")
+                .parquet(os.path.join(idx_dir, "codes"))
+            )
+            book_rows = [
+                (j, c, [float(x) for x in books[j][c]])
+                for j in range(pq_m)
+                for c in range(pq_k)
+            ]
+            self.spark.createDataFrame(
+                book_rows, "subspace int, code int, centroid array<double>"
+            ).write.mode("overwrite").parquet(
+                os.path.join(idx_dir, "codebooks")
+            )
+            meta.update(
+                {"format": 3, "pq_m": pq_m, "pq_k": pq_k,
+                 "pq_iters": pq_iters}
+            )
         with open(os.path.join(idx_dir, "meta.json"), "w") as fh:
             _json.dump(meta, fh)
         return meta
@@ -1328,6 +1382,8 @@ class Lagoon:
         topk: int = 10,
         nprobe: int = 4,
         version: int | None = None,
+        rerank_factor: int = 4,
+        use_pq: bool | None = None,
     ) -> DataFrame:
         """Approximate nearest neighbors against a persisted IVF index:
         pick the query's ``nprobe`` nearest centroids (k-row
@@ -1339,7 +1395,17 @@ class Lagoon:
         cosine re-rank, top-k — (ix, cosine), a TakeOrderedAndProject.
         Raises KeyError if no index was built for this version.
         Format-1 indexes (no vectors stored) fall back to the corpus
-        join."""
+        join.
+
+        On an IVFADC index (``build_ann_index(pq_m=...)``, format 3)
+        the probe runs the two-stage pipeline: ADC-shortlist
+        ``topk * rerank_factor`` candidates from the 4-byte codes
+        partitions (per-probed-cell residual distance tables — nprobe
+        × pq_m × pq_k doubles of driver math — then pq_m broadcast
+        lookups per row), and exact-cosine re-rank only the shortlist
+        rows read back from the sorted vector partitions with an
+        ``ix IN`` row-group-pruned scan. ``use_pq=False`` forces the
+        full-precision cell scan on a format-3 index."""
         import math
 
         info = self.catalog.get_source(name, version)
@@ -1370,6 +1436,10 @@ class Lagoon:
                 f"no ANN index for {name!r} v{info.version} column "
                 f"{column!r}; run build_ann_index first{hint}"
             )
+        import json as _json
+
+        with open(os.path.join(idx_dir, "meta.json")) as fh:
+            meta = _json.load(fh)
         cents = self.spark.read.parquet(
             os.path.join(idx_dir, "centroids")
         ).collect()  # k rows — metadata-sized by construction
@@ -1385,36 +1455,131 @@ class Lagoon:
             cents, key=lambda r: (-cos(query_vec, r["centroid"]), r["cell"])
         )
         probe = [int(r["cell"]) for r in ranked[:nprobe]]
-        ass_root = os.path.join(idx_dir, "assignments")
-        # list ONLY the probed cell directories: spark.read on the root
-        # would enumerate all k partition dirs before pruning, so probe
-        # latency would grow with k even though the I/O doesn't. An
-        # absent dir is an empty cell - contributes no candidates.
-        probe_dirs = [
-            d
-            for c in probe
-            if os.path.isdir(d := os.path.join(ass_root, f"cell={c}"))
-        ]
-        if probe_dirs:
-            assigns = (
-                self.spark.read.option("basePath", ass_root)
-                .parquet(*probe_dirs)
-                .filter(F.col("cell").isin(probe))
-            )
-        else:  # every probed cell empty (tiny corpus / stale index)
-            assigns = self.spark.read.parquet(ass_root).filter(
+
+        def _read_cells(root: str) -> DataFrame:
+            # list ONLY the probed cell directories: spark.read on the
+            # root would enumerate all k partition dirs before pruning,
+            # so probe latency would grow with k even though the I/O
+            # doesn't. An absent dir is an empty cell - contributes no
+            # candidates.
+            dirs = [
+                d
+                for c in probe
+                if os.path.isdir(d := os.path.join(root, f"cell={c}"))
+            ]
+            if dirs:
+                return (
+                    self.spark.read.option("basePath", root)
+                    .parquet(*dirs)
+                    .filter(F.col("cell").isin(probe))
+                )
+            # every probed cell empty (tiny corpus / stale index)
+            return self.spark.read.parquet(root).filter(
                 F.col("cell").isin(probe)
             )
-        if "__vec" in assigns.columns:  # format 2: self-contained
-            candidates = assigns
-        else:  # format-1 artifact: vectors still live in the source
-            candidates = self._ann_vectors(info, phys).join(assigns, "ix")
+
         from lagoon_spark.operators.similarity import cosine_topk
 
+        ass_root = os.path.join(idx_dir, "assignments")
         qdf = self.spark.createDataFrame(
             [([float(x) for x in query_vec],)], "__vec array<double>"
         )
+        shortlist_ids: list[int] | None = None
+        if meta.get("format") == 3 and use_pq is not False:
+            shortlist_ids = self._pq_shortlist(
+                idx_dir, meta, probe, ranked, query_vec,
+                limit=topk * rerank_factor,
+            )
+        assigns = _read_cells(ass_root)
+        if "__vec" in assigns.columns:  # format 2/3: self-contained
+            candidates = assigns
+        else:  # format-1 artifact: vectors still live in the source
+            candidates = self._ann_vectors(info, phys).join(assigns, "ix")
+        if shortlist_ids is not None:
+            # IN-literal filter pushes down to the sorted vector
+            # row groups — the re-rank reads a few groups, not the cells
+            candidates = candidates.filter(F.col("ix").isin(shortlist_ids))
         return cosine_topk(candidates, "ix", "__vec", qdf, k=topk)
+
+    def _pq_shortlist(
+        self,
+        idx_dir: str,
+        meta: dict,
+        probe: list[int],
+        ranked_cents,
+        query_vec: list[float],
+        *,
+        limit: int,
+    ) -> list[int]:
+        """ADC stage of an IVFADC probe: shortlist candidate row ids
+        from the 4-byte codes partitions.
+
+        Per probed cell the query's RESIDUAL against that cell's coarse
+        centroid folds into pq_m × pq_k squared-distance lookup tables
+        (driver math over metadata-sized state); each code row costs
+        pq_m ``element_at`` lookups summed JVM-side. The returned id
+        list is ``limit`` rows — metadata-sized — and becomes the
+        pushed-down re-rank filter."""
+        m = int(meta["pq_m"])
+        pq_k = int(meta["pq_k"])
+        dim = int(meta["dim"])
+        sub = dim // m
+        books = self.spark.read.parquet(
+            os.path.join(idx_dir, "codebooks")
+        ).collect()  # m*k rows — metadata-sized
+        book = {}
+        for r in books:
+            book[(int(r["subspace"]), int(r["code"]))] = list(r["centroid"])
+        cent_by_cell = {
+            int(r["cell"]): list(r["centroid"]) for r in ranked_cents
+        }
+        dist = None
+        for cell in probe:
+            cvec = cent_by_cell[cell]
+            qres = [float(query_vec[i]) - cvec[i] for i in range(dim)]
+            cell_dist = None
+            for j in range(m):
+                qs = qres[j * sub : (j + 1) * sub]
+                table = []
+                for c in range(pq_k):
+                    bc = book[(j, c)]
+                    s = 0.0
+                    for i in range(sub):
+                        d = qs[i] - bc[i]
+                        s += d * d
+                    table.append(s)
+                arr = F.array(*[F.lit(v).cast("double") for v in table])
+                term = F.element_at(
+                    arr, F.col("codes").getItem(j).cast("int") + F.lit(1)
+                )
+                cell_dist = term if cell_dist is None else cell_dist + term
+            branch = F.when(F.col("cell") == F.lit(cell), cell_dist)
+            dist = branch if dist is None else dist.when(
+                F.col("cell") == F.lit(cell), cell_dist
+            )
+        codes_root = os.path.join(idx_dir, "codes")
+        dirs = [
+            d
+            for c in probe
+            if os.path.isdir(d := os.path.join(codes_root, f"cell={c}"))
+        ]
+        if dirs:
+            codes = (
+                self.spark.read.option("basePath", codes_root)
+                .parquet(*dirs)
+                .filter(F.col("cell").isin(probe))
+            )
+        else:
+            codes = self.spark.read.parquet(codes_root).filter(
+                F.col("cell").isin(probe)
+            )
+        rows = (
+            codes.select("ix", dist.alias("__adc"))
+            .orderBy(F.col("__adc").asc(), F.col("ix").asc())
+            .limit(limit)
+            .collect()
+        )
+        return [int(r["ix"]) for r in rows]
 
     # -- content maintenance: near-dup dedup as a new version ----------------
 
@@ -1548,6 +1713,9 @@ class Lagoon:
                     k=m["k"],
                     iters=m["iters"],
                     version=new_info.version,
+                    pq_m=m.get("pq_m"),
+                    pq_k=m.get("pq_k", 16),
+                    pq_iters=m.get("pq_iters", 2),
                 )
         return new_info
 

@@ -954,3 +954,83 @@ def test_parquet_and_csv_ingest_agree_on_typed_values(lagoon, tmp_path):
     va = [tuple(r) for r in lagoon.sql(q.format("diff_csv_v1_typed")).collect()]
     vb = [tuple(r) for r in lagoon.sql(q.format("diff_pq_v1_typed")).collect()]
     assert va == vb == rows
+
+
+def test_ann_index_ivfadc_pq(lagoon, tmp_path):
+    """IVFADC (format 3): PQ codes shortlist from the codes partitions,
+    exact re-rank over only the shortlist ids, same answers as the
+    full-precision probe; use_pq=False forces the format-2 path."""
+    import json as _json
+
+    # 3 tight clusters of 8 vectors in 4-d
+    vecs = []
+    for cx, base in enumerate(([1.0, 0.0, 0.0, 0.0],
+                               [0.0, 1.0, 0.0, 0.0],
+                               [0.0, 0.0, 1.0, 0.0])):
+        for i in range(8):
+            vecs.append([b + (0.01 * i if b else 0.002 * i) for b in base])
+    p = tmp_path / "pq.json"
+    p.write_text("\n".join(_json.dumps(v) for v in vecs) + "\n")
+    lagoon.ingest(str(p), "pq", file_type="json")
+
+    meta = lagoon.build_ann_index(
+        "pq", "data", k=3, iters=2, pq_m=2, pq_k=4, pq_iters=2
+    )
+    assert meta["format"] == 3 and meta["pq_m"] == 2
+    import os
+
+    idx_root = os.path.join(lagoon.warehouse, "index")
+    idx_dir = next(
+        os.path.join(idx_root, d) for d in os.listdir(idx_root)
+        if d.startswith("ivf_")
+    )
+    assert os.path.isdir(os.path.join(idx_dir, "codes"))
+    assert os.path.isdir(os.path.join(idx_dir, "codebooks"))
+
+    q = [1.0, 0.01, 0.0, 0.0]
+    adc = lagoon.ann_search("pq", "data", q, topk=3, nprobe=1)
+    full = lagoon.ann_search("pq", "data", q, topk=3, nprobe=1, use_pq=False)
+    assert [r["ix"] for r in adc.collect()] == [r["ix"] for r in full.collect()]
+    # the ADC answer is the x-cluster (ix 1..8), exact-cosine ordered
+    assert set(r["ix"] for r in adc.collect()) <= set(range(1, 9))
+
+    # re-rank scan carries the pushed ix-IN filter: the executed plan's
+    # data filter mentions ix, and the scanned files are index cells
+    qe = adc._jdf.queryExecution()
+    plan_text = qe.executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "ix" in plan_text and "PartitionFilters" in plan_text
+    files = adc.inputFiles()
+    assert files and all("assignments" in f for f in files)
+
+    # a probe over all cells still ranks everything it needs
+    wide = lagoon.ann_search("pq", "data", q, topk=5, nprobe=3,
+                             rerank_factor=8)
+    assert len(wide.collect()) == 5
+
+
+def test_ann_index_ivfadc_reindex_preserves_pq(lagoon, tmp_path):
+    """dedup_source(reindex=True) rebuilds an IVFADC index WITH its
+    PQ parameters (not silently downgraded to format 2)."""
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [
+        (base + "one", "[1.0, 0.0, 0.0, 0.0]"),
+        (base + "one", "[0.9, 0.1, 0.0, 0.0]"),
+        ("entirely different text about other things altogether ok",
+         "[0.0, 0.0, 1.0, 0.0]"),
+    ]
+    p = tmp_path / "dvq.csv"
+    p.write_text(
+        "txt,vec\n" + "\n".join(f'{t},"{v}"' for t, v in rows) + "\n"
+    )
+    lagoon.ingest(str(p), "dvq")
+    lagoon.build_ann_index("dvq", "vec", k=2, iters=1, pq_m=2, pq_k=2)
+    info2 = lagoon.dedup_source("dvq", "txt", min_matches=6, reindex=True)
+    metas = lagoon._ann_metas_for_ix(
+        lagoon.catalog.get_source("dvq", info2.version).ix
+    )
+    assert metas and metas[0]["format"] == 3 and metas[0]["pq_m"] == 2
+    res = lagoon.ann_search(
+        "dvq", "vec", [1.0, 0.0, 0.0, 0.0], topk=2, nprobe=2,
+        version=info2.version,
+    )
+    assert res.count() == 2
