@@ -1,0 +1,160 @@
+"""Link-graph operators: PageRank over the (domain) link graph.
+
+Crawl pipelines weight documents by the authority of their source
+domain (PageRank / harmonic centrality over the host graph — the
+public Common Crawl ranking methodology). This is the canonical
+ITERATIVE fixpoint on Spark: each iteration is one edge-scale join +
+one map-side-combinable aggregate, state is pinned between iterations
+(``checkpointing.pin``) so the lineage never re-derives the whole
+chain, and every floating sum accumulates FIXED-POINT integers
+(``floor(x * 2^40 + 0.5)`` as BIGINT — associative, so shuffle order
+cannot change a rank), the same trick as the k-means trainer. The
+DuckDB oracle unrolls the identical recipe, so ranks hash-match
+bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_FP = 1 << 40
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    *,
+    iters: int = 3,
+    damping: float = 0.85,
+    out_col: str = "pagerank",
+) -> DataFrame:
+    """PageRank over a directed edge list (multi-edges = weight).
+
+    * nodes = distinct src ∪ dst; initial rank 1/N;
+    * edge weight = multiplicity / source out-degree;
+    * dangling mass (nodes with no outlinks) redistributes uniformly;
+    * rank' = (1-d)/N + d · (Σ in-rank·w + dangling/N).
+
+    Scale shape: per iteration ONE (src)-keyed join edge×rank and one
+    (dst)-keyed fixed-point aggregate — both shuffles on graph keys,
+    never on pairs; N and the dangling mass ride one-row broadcast
+    frames (no driver round-trip in the loop); state is
+    ``localCheckpoint``-pinned. Hot (celebrity) dst keys partial-
+    aggregate map-side because the sum is a plain BIGINT SUM.
+    """
+    from lagoon_spark.checkpointing import pin
+
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d").alias("node")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).alias("__n"))  # one-row frame
+    # weight: multiplicity / out-degree, exact ints → one double division
+    cnt = e.groupBy("__s", "__d").agg(F.count(F.lit(1)).alias("__c"))
+    outd = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__o"))
+    ew = cnt.join(outd, "__s").select(
+        "__s", "__d", (F.col("__c") / F.col("__o")).alias("__w")
+    )
+    srcs = e.select(F.col("__s").alias("node")).distinct()
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("__pr")
+    )
+    fp = F.lit(float(PR_FP))
+    for _ in range(iters):
+        dang = (
+            pr.join(srcs, "node", "left_anti")
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.floor(F.col("__pr") * fp + F.lit(0.5)).cast("long")
+                    ),
+                    F.lit(0).cast("long"),
+                ).alias("__dangfp")
+            )
+        )
+        contrib = (
+            ew.join(pr, ew["__s"] == pr["node"])
+            .select(
+                F.col("__d").alias("node"),
+                F.floor(F.col("__pr") * F.col("__w") * fp + F.lit(0.5))
+                .cast("long")
+                .alias("__cfp"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__cfp").alias("__cfp"))
+        )
+        pr = pin(
+            nodes.crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dang))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(0.15) / F.col("__n")
+                    + F.lit(0.85)
+                    * (
+                        F.coalesce(F.col("__cfp"), F.lit(0)).cast("double")
+                        / fp
+                        + (F.col("__dangfp").cast("double") / fp)
+                        / F.col("__n")
+                    )
+                ).alias("__pr"),
+            ),
+            eager=False,
+        )
+    return pr.select("node", F.round("__pr", 9).alias(out_col))
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    *,
+    iters: int = 3,
+    final_select: str | None = None,
+) -> str:
+    """The identical unrolled recipe as DuckDB SQL. ``edges_sql`` must
+    yield (src, dst) rows; damping is pinned at the 0.15/0.85 literals
+    the Spark side uses."""
+    fp = float(PR_FP)
+    ctes = [
+        f"e AS ({edges_sql})",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM e UNION SELECT dst FROM e))",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "cnt AS (SELECT src, dst, COUNT(*) AS c FROM e GROUP BY src, dst)",
+        "outd AS (SELECT src, COUNT(*) AS o FROM e GROUP BY src)",
+        "ew AS (SELECT cnt.src, cnt.dst, cnt.c / outd.o AS w"
+        " FROM cnt JOIN outd ON outd.src = cnt.src)",
+        "srcs AS (SELECT DISTINCT src FROM e)",
+        "pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)",
+    ]
+    for t in range(1, iters + 1):
+        p = f"pr{t - 1}"
+        ctes.append(
+            f"d{t} AS (SELECT COALESCE(CAST(SUM(CAST(floor(pr * {fp!r} + 0.5)"
+            f" AS BIGINT)) AS BIGINT), 0) AS dangfp"
+            f" FROM {p} LEFT JOIN srcs ON {p}.node = srcs.src"
+            " WHERE srcs.src IS NULL)"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT dst AS node,"
+            f" CAST(SUM(CAST(floor(pr * w * {fp!r} + 0.5) AS BIGINT))"
+            f" AS BIGINT) AS cfp"
+            f" FROM ew JOIN {p} ON {p}.node = ew.src GROUP BY dst)"
+        )
+        ctes.append(
+            f"pr{t} AS (SELECT nodes.node,"
+            f" 0.15 / nn.n + 0.85 * (CAST(COALESCE(c{t}.cfp, 0) AS DOUBLE)"
+            f" / {fp!r}"
+            f" + (CAST(d{t}.dangfp AS DOUBLE) / {fp!r}) / nn.n) AS pr"
+            f" FROM nodes CROSS JOIN nn CROSS JOIN d{t}"
+            f" LEFT JOIN c{t} ON c{t}.node = nodes.node)"
+        )
+    body = ",\n".join(ctes)
+    tail = final_select or (
+        f"SELECT node, round(pr, 9) AS pagerank FROM pr{iters}"
+    )
+    return f"WITH {body}\n{tail}"

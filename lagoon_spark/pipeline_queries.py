@@ -2654,3 +2654,57 @@ def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return pq_adc_topk(codes, "vec_id", books, list(query), topk=_S13_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# d35 — domain-graph PageRank (authority weighting for crawl corpora)
+# ---------------------------------------------------------------------------
+#
+# The Common Crawl-style host ranking: documents plant two outlinks
+# each (deterministic domain residues; 6 dst-only domains exercise the
+# dangling-mass redistribution), and PageRank runs its iterative
+# fixpoint with FIXED-POINT integer rank sums so both engines emit
+# bit-identical doubles — the same associativity trick as the k-means
+# trainer. The oracle unrolls the identical 3 iterations.
+
+_D35_EDGES_DUCK = """
+SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+       'h' || CAST((doc_id * 7 + 1) % 29 AS VARCHAR) AS dst
+FROM documents
+UNION ALL
+SELECT 'h' || CAST(doc_id % 23 AS VARCHAR) AS src,
+       'h' || CAST((doc_id * 13 + 5) % 29 AS VARCHAR) AS dst
+FROM documents
+"""
+
+
+def _d35_oracle() -> str:
+    from lagoon_spark.operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_D35_EDGES_DUCK, iters=3)
+
+
+@df_query(
+    "d35_domain_pagerank",
+    "PageRank over the planted domain link graph (authority weighting "
+    "for crawl corpora): 3 fixed-point iterations — one edge join + one "
+    "map-side-combinable aggregate each, dangling mass via a one-row "
+    "broadcast, state pinned between rounds.",
+    _d35_oracle(),
+)
+def d35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lagoon_spark.operators.graph import pagerank
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    e1 = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((F.col("doc_id") * 7 + 1) % 29).cast("string")).alias("dst"),
+    )
+    e2 = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((F.col("doc_id") * 13 + 5) % 29).cast("string")).alias("dst"),
+    )
+    return pagerank(e1.unionAll(e2), "src", "dst", iters=3).select(
+        F.col("node"), F.col("pagerank")
+    )
