@@ -555,3 +555,83 @@ def m09(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(encode, "doc_id long, content binary")
     )
     return mm.decode_images(imgs, "doc_id", "content", media_type="image/jpeg")
+
+
+# ---------------------------------------------------------------------------
+# m10 — audio frame features over REAL decoded WAV samples
+# ---------------------------------------------------------------------------
+#
+# Beyond m07's container metadata: decode the planted PCM back to the
+# SAMPLE VALUES and compute per-8-sample-frame RMS / peak / mean-|x|
+# with exact integer energy sums — the oracle predicts every feature
+# from the text characters (pcm bytes are the utf-8 text, ASCII here,
+# so sample k = ascii(c_2k) + 256*ascii(c_2k+1), zero-padded). This
+# checks the decoded WAVEFORM itself, not just digests.
+
+_M10_FRAME = 8
+
+_M10_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, doc_id % 50 + 4 AS n, text FROM documents
+),
+s AS (
+  SELECT doc_id,
+         list_transform(range(0, n), k ->
+           (CASE WHEN 2*k+1 <= length(text)
+                 THEN ascii(substr(text, CAST(2*k+1 AS INT), 1)) ELSE 0 END)
+           + 256 * (CASE WHEN 2*k+2 <= length(text)
+                 THEN ascii(substr(text, CAST(2*k+2 AS INT), 1)) ELSE 0 END)
+         ) AS samples
+  FROM p
+),
+w AS (
+  SELECT doc_id, f.i AS frame_no,
+         samples[f.i*{_M10_FRAME}+1 :
+                 least((f.i+1)*{_M10_FRAME}, len(samples))] AS win
+  FROM s, UNNEST(range(0, CAST(ceil(len(samples) / {float(_M10_FRAME)})
+                               AS BIGINT))) AS f(i)
+)
+SELECT doc_id AS id, CAST(frame_no AS INT) AS frame_no,
+       CAST(len(win) AS INT) AS n_samples,
+       round(sqrt(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(win, x -> CAST(x AS BIGINT) * x)),
+             (a, b) -> a + b) / len(win)), 6) AS rms,
+       CAST(list_aggregate(list_transform(win, x -> abs(x)), 'max')
+            AS INT) AS peak,
+       round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(win, x -> CAST(abs(x) AS BIGINT))),
+             (a, b) -> a + b) / len(win), 6) AS mean_abs
+FROM w
+"""
+
+
+@df_query(
+    "m10_audio_frame_features",
+    "Per-frame RMS/peak/mean-amplitude over REAL decoded WAV samples: "
+    "stdlib PCM decode to sample arrays (Arrow seam), then pure-JVM "
+    "exact-integer frame energy math — the waveform itself is "
+    "oracle-checked, not a digest.",
+    _M10_ORACLE,
+)
+def m10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    register_views(spark, sf_dir)
+
+    def encode(batches):
+        for pdf in batches:
+            blobs = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = int(doc_id) % 50 + 4
+                rate = 8000 + int(doc_id) % 8 * 1000
+                pcm = (text or "").encode("utf-8")[: 2 * n].ljust(2 * n, b"\x00")
+                blobs.append(_encode_wav_pcm16(rate, pcm))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    wavs = (
+        spark.table("documents")
+        .select("doc_id", "text")
+        .mapInPandas(encode, "doc_id long, content binary")
+    )
+    samples = mm.decode_audio_samples(wavs, "doc_id", "content")
+    return mm.audio_frame_features(samples, frame=_M10_FRAME)

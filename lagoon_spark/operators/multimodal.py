@@ -543,6 +543,81 @@ def decode_audio(
     return df.select(id_col, content_col).mapInPandas(decode, AUDIO_SCHEMA)
 
 
+def decode_audio_samples(
+    df: DataFrame, id_col: str, content_col: str
+) -> DataFrame:
+    """Decode 16-bit mono PCM WAV to the SAMPLE VALUES themselves
+    (``array<int>``), not just metadata — the input to signal-level
+    feature extraction. Python touches only the codec (Arrow-batched
+    map, the sanctioned seam); all downstream feature math stays
+    JVM-side (:func:`audio_frame_features`). Other bit depths /
+    channel layouts should route through a real audio library behind
+    the same signature."""
+    import struct as _struct
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, sams = [], [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                _nf, rate, pcm = _decode_wav(bytes(blob))
+                n = len(pcm) // 2
+                sams.append(list(_struct.unpack(f"<{n}h", pcm[: 2 * n])))
+                ids.append(i)
+                rates.append(rate)
+            yield pd.DataFrame(
+                {"id": ids, "sample_rate": rates, "samples": sams}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        decode, "id long, sample_rate int, samples array<int>"
+    )
+
+
+def audio_frame_features(
+    samples_df: DataFrame,
+    *,
+    frame: int = 8,
+    id_col: str = "id",
+    samples_col: str = "samples",
+) -> DataFrame:
+    """Per-frame RMS / peak / mean-absolute-amplitude over a decoded
+    sample array — the first stage of any audio quality/VAD filter.
+
+    Pure JVM array math (no Python): windows come from a
+    transform+slice, the energy sums accumulate exact BIGINT squares
+    (16-bit samples → each square < 2^30, any frame length fits), and
+    the only doubles are one division and one sqrt per frame — so the
+    values are engine-exact and the whole stage is a row-local map
+    that explodes to (row × frames)."""
+    s = F.col(samples_col)
+    nwin = F.ceil(F.size(s) / F.lit(float(frame))).cast("int")
+    windows = F.transform(
+        F.sequence(F.lit(0), nwin - 1),
+        lambda f: F.slice(s, f * frame + 1, frame),
+    )
+    exploded = samples_df.select(
+        F.col(id_col), F.posexplode(windows).alias("frame_no", "__w")
+    )
+    w = F.col("__w")
+    n = F.size(w)
+    sumsq = F.aggregate(
+        w, F.lit(0).cast("long"), lambda a, x: a + x.cast("long") * x
+    )
+    sumabs = F.aggregate(
+        w, F.lit(0).cast("long"), lambda a, x: a + F.abs(x).cast("long")
+    )
+    return exploded.select(
+        id_col,
+        F.col("frame_no").cast("int").alias("frame_no"),
+        n.cast("int").alias("n_samples"),
+        F.round(F.sqrt(sumsq / n), 6).alias("rms"),
+        F.aggregate(
+            w, F.lit(0), lambda a, x: F.greatest(a, F.abs(x))
+        ).cast("int").alias("peak"),
+        F.round(sumabs / n, 6).alias("mean_abs"),
+    )
+
+
 GIF_SCHEMA = StructType(
     [
         StructField("id", LongType()),
