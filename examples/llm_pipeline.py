@@ -72,8 +72,40 @@ def main() -> None:
     final = scored.join(picked.select("doc_id"), "doc_id")
     print(f"after DSIR selection: {final.count()}")
 
-    # 5. pack into fixed-budget training bins (deterministic order)
-    packed = corpus.pack_token_offsets(final, "doc_id", "text", budget=512)
+    # 5. structural gates from the crawl side: full Gopher + C4 rules
+    #    (map-only) and a skew-safe per-domain cap over a planted
+    #    domain key (60% of docs on one host — the hot-key shape)
+    from lagoon_spark.operators.skew import capped_per_key
+
+    sig = text.gopher_signals("text")
+    gated = final.filter(
+        text.gopher_keep(sig, min_words=5, max_words=100_000,
+                         min_stopwords=0, min_alpha_frac=0.5)
+    )
+    domain = F.when(F.col("doc_id") % 10 < 6, F.lit("big.example.com")).otherwise(
+        F.concat(F.lit("host"), (F.col("doc_id") % 17).cast("string"))
+    )
+    capped = capped_per_key(
+        gated.withColumn("domain", domain), "domain",
+        [F.length("text").desc(), F.col("doc_id").asc()], 25,
+        salt=F.col("doc_id"),
+    )
+    print(f"after Gopher gate + domain cap: {capped.count()}")
+
+    # 6. curriculum: stage by quality, shuffle within, number globally
+    #    with the range-partitioned dense rank (no single-task sort)
+    ordered, _pinned = corpus.curriculum_order(
+        capped.select("doc_id", "text", "quality"), "doc_id", "quality",
+        thresholds=(0.6, 0.45),
+    )
+    stages = ordered.groupBy("stage").count().orderBy("stage").collect()
+    print("curriculum stages: "
+          + ", ".join(f"s{r['stage']}={r['count']}" for r in stages))
+
+    # 7. pack into fixed-budget training bins (deterministic order)
+    packed = corpus.pack_token_offsets(
+        ordered.select("doc_id", "text"), "doc_id", "text", budget=512
+    )
     n_bins = packed.agg(F.countDistinct("bin_id")).collect()[0][0]
     print(f"packed into {n_bins} bins of 512 tokens")
     packed.orderBy("tok_offset").show(5)

@@ -10,7 +10,8 @@ index at demo scale:
    installed) and verify the round trip;
 3. ingest an embedding corpus, build the persisted IVF ANN index, run
    a probe search (reads only nprobe cell directories — never the
-   source table);
+   source table), then rebuild it as IVFADC (residual PQ codes) and
+   probe through the ADC-shortlist + exact-re-rank path;
 4. dedup the corpus into a survivor version with ``reindex=True`` so
    the new version is searchable immediately.
 
@@ -68,6 +69,17 @@ def main() -> None:
     hits = eng.ann_search("vectors", "data", query_vec, topk=3, nprobe=1)
     print(f"ANN: index dim={meta['dim']} k={meta['k']}; top-3 for row 1:")
     for r in hits.collect():
+        print(f"   ix={r['ix']} cosine={r['cosine']:.6f}")
+
+    # -- 3b. IVFADC: residual PQ codes in the index -----------------------
+    meta3 = eng.build_ann_index(
+        "vectors", "data", k=4, iters=2, pq_m=4, pq_k=8
+    )
+    adc_hits = eng.ann_search("vectors", "data", query_vec, topk=3, nprobe=1)
+    print(f"IVFADC: format={meta3['format']} pq_m={meta3['pq_m']} — "
+          "ADC shortlist over 4-byte codes, exact re-rank of the "
+          "shortlist only:")
+    for r in adc_hits.collect():
         print(f"   ix={r['ix']} cosine={r['cosine']:.6f}")
 
     # -- 4. content maintenance keeps the index lifecycle coherent --------

@@ -145,7 +145,7 @@ def c04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _C05_ORACLE = f"""
 SELECT doc_id,
-       CAST(row_number() OVER (ORDER BY {corpus.duck_id_hash('doc_id')}, doc_id) AS INTEGER)
+       CAST(row_number() OVER (ORDER BY {corpus.duck_id_hash('doc_id')}, doc_id) AS BIGINT)
          AS shuffle_pos
 FROM documents
 """

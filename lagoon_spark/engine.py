@@ -1335,9 +1335,30 @@ class Lagoon:
         if pq_m:
             from lagoon_spark.operators.similarity import pq_fit_encode
 
-            residuals = assigns.join(F.broadcast(cent_df), "cell").select(
+            # read the assignments BACK from the artifact just written:
+            # deriving residuals from the live `assigns` lineage would
+            # re-execute the whole coarse-k-means chain once per PQ
+            # subspace iteration (measured 10x build blowup at 100k
+            # vectors); the parquet read makes every PQ pass a cheap
+            # columnar scan
+            stored = self.spark.read.parquet(
+                os.path.join(idx_dir, "assignments")
+            )
+            residuals = stored.join(F.broadcast(cent_df), "cell").select(
                 "ix",
                 "cell",
+                # exact vector norm rides WITH the codes: the ADC
+                # shortlist scores approx-cosine = (q·c_cell +
+                # Σ_j <q_j, book_j[code_j]>) / ‖v‖ — quantization
+                # touches only the numerator, so the shortlist metric
+                # is the same cosine the exact re-rank uses (an
+                # L2-ADC shortlist under a cosine contract mis-ranks
+                # unnormalized corpora wholesale)
+                F.sqrt(
+                    F.aggregate(
+                        F.col("__vec"), F.lit(0.0), lambda a, x: a + x * x
+                    )
+                ).alias("__norm"),
                 F.zip_with(
                     "__vec", "centroid", lambda x, y: x - y
                 ).alias("__res"),
@@ -1347,7 +1368,7 @@ class Lagoon:
                 dim=dim,
             )
             (
-                residuals.select("ix", "cell")
+                residuals.select("ix", "cell", "__norm")
                 .join(codes_df, "ix")
                 .repartition(F.col("cell"))
                 .sortWithinPartitions("ix")
@@ -1440,6 +1461,11 @@ class Lagoon:
 
         with open(os.path.join(idx_dir, "meta.json")) as fh:
             meta = _json.load(fh)
+        # a rebuilt index reuses the same directories: drop any cached
+        # file listings/footers for them, or a session that searched
+        # the PREVIOUS build silently reads stale artifacts (measured:
+        # recall numbers off by 10x in a rebuild-then-search session)
+        self.spark.catalog.refreshByPath(idx_dir)
         cents = self.spark.read.parquet(
             os.path.join(idx_dir, "centroids")
         ).collect()  # k rows — metadata-sized by construction
@@ -1512,14 +1538,18 @@ class Lagoon:
         limit: int,
     ) -> list[int]:
         """ADC stage of an IVFADC probe: shortlist candidate row ids
-        from the 4-byte codes partitions.
+        from the codes partitions, by APPROXIMATE COSINE.
 
-        Per probed cell the query's RESIDUAL against that cell's coarse
-        centroid folds into pq_m × pq_k squared-distance lookup tables
-        (driver math over metadata-sized state); each code row costs
-        pq_m ``element_at`` lookups summed JVM-side. The returned id
-        list is ``limit`` rows — metadata-sized — and becomes the
-        pushed-down re-rank filter."""
+        ``cos(q, v) ≈ (q·c_cell + Σ_j <q_j, book_j[code_j]>) / (‖q‖‖v‖)``
+        — the asymmetric inner product against the PQ-reconstructed
+        vector (coarse centroid + coded residual) over the EXACT norm
+        stored beside the codes; ``‖q‖`` is constant per query and
+        drops out of the ordering. Per probed cell the q·c_cell scalar
+        and the pq_m × pq_k dot-product tables are driver math over
+        metadata-sized state; each code row costs pq_m ``element_at``
+        lookups summed JVM-side. The returned id list is ``limit``
+        rows — metadata-sized — and becomes the pushed-down re-rank
+        filter."""
         m = int(meta["pq_m"])
         pq_k = int(meta["pq_k"])
         dim = int(meta["dim"])
@@ -1533,30 +1563,34 @@ class Lagoon:
         cent_by_cell = {
             int(r["cell"]): list(r["centroid"]) for r in ranked_cents
         }
-        dist = None
+        q = [float(x) for x in query_vec]
+        num = None
         for cell in probe:
             cvec = cent_by_cell[cell]
-            qres = [float(query_vec[i]) - cvec[i] for i in range(dim)]
-            cell_dist = None
+            qdotc = 0.0
+            for i in range(dim):
+                qdotc += q[i] * cvec[i]
+            cell_num = F.lit(qdotc).cast("double")
             for j in range(m):
-                qs = qres[j * sub : (j + 1) * sub]
+                qs = q[j * sub : (j + 1) * sub]
                 table = []
                 for c in range(pq_k):
                     bc = book[(j, c)]
                     s = 0.0
                     for i in range(sub):
-                        d = qs[i] - bc[i]
-                        s += d * d
+                        s += qs[i] * bc[i]
                     table.append(s)
                 arr = F.array(*[F.lit(v).cast("double") for v in table])
-                term = F.element_at(
+                cell_num = cell_num + F.element_at(
                     arr, F.col("codes").getItem(j).cast("int") + F.lit(1)
                 )
-                cell_dist = term if cell_dist is None else cell_dist + term
-            branch = F.when(F.col("cell") == F.lit(cell), cell_dist)
-            dist = branch if dist is None else dist.when(
-                F.col("cell") == F.lit(cell), cell_dist
+            branch = F.when(F.col("cell") == F.lit(cell), cell_num)
+            num = branch if num is None else num.when(
+                F.col("cell") == F.lit(cell), cell_num
             )
+        score = F.when(F.col("__norm") > 0, num / F.col("__norm")).otherwise(
+            F.lit(-1e300)
+        )
         codes_root = os.path.join(idx_dir, "codes")
         dirs = [
             d
@@ -1574,8 +1608,8 @@ class Lagoon:
                 F.col("cell").isin(probe)
             )
         rows = (
-            codes.select("ix", dist.alias("__adc"))
-            .orderBy(F.col("__adc").asc(), F.col("ix").asc())
+            codes.select("ix", score.alias("__adc"))
+            .orderBy(F.col("__adc").desc(), F.col("ix").asc())
             .limit(limit)
             .collect()
         )

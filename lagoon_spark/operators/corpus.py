@@ -134,14 +134,23 @@ def chunk_tokens(
 def global_shuffle(df: DataFrame, id_col: str, pos_col: str = "shuffle_pos") -> DataFrame:
     """Deterministic global shuffle: total order by hash(id).
 
-    One range-partitioned sort (Spark samples split points, then each
-    partition sorts locally) — the standard distributed shuffle for
-    training-example ordering. row_number over the full order runs on
-    the sort's own partitioning; determinism comes from the (hash, id)
-    tiebreak being a total order.
+    The position comes from the engine's range-partitioned dense
+    numbering (``rowid.dense_order_ix``): a parallel sampled-boundary
+    sort over the composite (hash, id) key plus a broadcast
+    prefix-offset map — never the single-task window a plain global
+    ``row_number`` compiles to (a one-reducer sort is the classic
+    100 TB shuffle trap). Determinism comes from the (hash, id)
+    composite being a total order; ids must fit 31 bits.
     """
-    w = Window.orderBy(id_hash(id_col).asc(), F.col(id_col).asc())
-    return df.withColumn(pos_col, F.row_number().over(w))
+    key = id_hash(id_col) * F.lit(1 << 31) + F.col(id_col)
+    out, _pinned = _dense_order(df.withColumn("__gs_key", key), "__gs_key", pos_col)
+    return out.drop("__gs_key")
+
+
+def _dense_order(df: DataFrame, order_col: str, out_col: str):
+    from lagoon_spark.ingest.rowid import dense_order_ix
+
+    return dense_order_ix(df, order_col, out_col)
 
 
 def pack_token_offsets(

@@ -627,3 +627,35 @@ def test_hashed_linear_score_two_million_bins(spark):
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert len(plan) < 200_000
     assert elapsed < 120  # analysis doesn't blow up super-linearly
+
+
+def test_pq_encode_shapes_and_self_query(spark):
+    from lagoon_spark.operators.similarity import pq_adc_topk, pq_fit_encode
+
+    # 3 well-separated clusters in 8-d so PQ codes separate them
+    rows = []
+    for cx, base in enumerate(([1.0] * 4 + [0.0] * 4,
+                               [0.0] * 4 + [1.0] * 4)):
+        for i in range(6):
+            rows.append((cx * 6 + i, [b * (1.0 + 0.01 * i) for b in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes, books = pq_fit_encode(df, "vec_id", "embedding", m=2, k=4, iters=2, dim=8)
+    got = codes.collect()
+    assert len(got) == 12
+    assert all(len(r["codes"]) == 2 for r in got)
+    assert len(books) == 2 and len(books[0]) == 4 and len(books[0][0]) == 4
+
+    # querying with a cluster-0 vector ranks cluster-0 rows first
+    top = pq_adc_topk(codes, "vec_id", books, [1.0] * 4 + [0.0] * 4, topk=6).collect()
+    assert {r["vec_id"] for r in top} == set(range(6))
+    assert [r["rnk"] for r in top] == [1, 2, 3, 4, 5, 6]
+
+
+def test_pq_fit_rejects_indivisible_dim(spark):
+    import pytest as _pytest
+
+    from lagoon_spark.operators.similarity import pq_fit_encode
+
+    df = spark.createDataFrame([(1, [1.0] * 7)], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_fit_encode(df, "vec_id", "embedding", m=2, k=2, iters=1, dim=7)

@@ -190,3 +190,106 @@ def test_extract_urls_order_and_case(spark):
         "http://a.com/x",
         "HTTPS://B.org/#z",
     ]
+
+
+# --- Gopher / C4 cleaners: python-reference fuzz --------------------------
+
+
+def _py_gopher(body, stops=("the", "be", "to", "of", "and", "that", "have", "with")):
+    import re as _re
+
+    w = [x for x in _re.split(r"[ \n]", body) if x]
+    lines = [x for x in body.split("\n") if x]
+    nw1 = max(len(w), 1)
+    nl1 = max(len(lines), 1)
+    hashes = body.count("#")
+    ells = (len(body) - len(body.replace("...", ""))) / 3
+    return {
+        "n_words": len(w),
+        "mean_word_len": round(sum(len(x) for x in w) / nw1, 6),
+        "alpha_word_frac": round(
+            sum(1 for x in w if _re.search("[a-z]", x)) / nw1, 6
+        ),
+        "n_stopwords": sum(1 for x in w if x in stops),
+        "symbol_word_ratio": round((hashes + ells) / nw1, 6),
+        "bullet_line_frac": round(
+            sum(1 for x in lines if x.startswith(("- ", "* "))) / nl1, 6
+        ),
+        "ellipsis_line_frac": round(
+            sum(1 for x in lines if x.endswith("...")) / nl1, 6
+        ),
+    }
+
+
+def _py_c4(body):
+    lines = [x for x in body.split("\n") if x]
+    kept = [
+        l
+        for l in lines
+        if l.endswith((".", "!", "?", '"'))
+        and len([w for w in l.split(" ") if w]) >= 5
+        and "javascript" not in l.lower()
+    ]
+    clean = "\n".join(kept)
+    n_sent = sum(clean.count(c) for c in ".!?")
+    bad = "lorem ipsum" in body.lower() or "{" in body.lower()
+    return {
+        "n_lines": len(lines),
+        "n_kept_lines": len(kept),
+        "n_sentences": n_sent,
+        "keep": (not bad) and n_sent >= 3,
+        "clean_text": clean,
+    }
+
+
+def test_gopher_and_c4_match_python_reference_on_fuzzed_bodies(spark):
+    """Randomized multi-line bodies (bullets, ellipses, symbols, short
+    and unpunctuated lines, lorem ipsum, braces, unicode) — the Spark
+    JVM expressions must agree with a direct python implementation."""
+    import random
+
+    rng = random.Random(7)
+    frags = [
+        "the quick brown fox jumps over it.",
+        "- bullet item one",
+        "* starred item",
+        "to be continued...",
+        "short.",
+        "no terminal punctuation here",
+        "lorem ipsum dolor sit amet.",
+        "function() { return; }",
+        "numbers 123 456 789 here too.",
+        "### ## #",
+        "is that a question with many words inside?",
+        'he said "quoted words are fine too."',
+        "éléphant café touché.",
+        "the of and with that have be to.",
+    ]
+    bodies = []
+    for i in range(60):
+        n = rng.randint(1, 7)
+        bodies.append("\n".join(rng.choice(frags) for _ in range(n)))
+    bodies += ["", " ", "\n\n", "...", "#"]
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(bodies)], "id long, body string"
+    )
+
+    sig = text.gopher_signals("body")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id", *[c.alias(k) for k, c in sig.items()]
+        ).collect()
+    }
+    for i, b in enumerate(bodies):
+        want = _py_gopher(b)
+        for k, v in want.items():
+            assert got[i][k] == v, (i, k, got[i][k], v, b)
+
+    from lagoon_spark.operators.corpus import c4_clean
+
+    got4 = {r["id"]: r for r in c4_clean(df, "id", "body").collect()}
+    for i, b in enumerate(bodies):
+        want = _py_c4(b)
+        for k, v in want.items():
+            assert got4[i][k] == v, (i, k, got4[i][k], v, b)
