@@ -23,3 +23,35 @@ D27_FPS = (
 # losslessly and order-pinned folds hash-match)
 D28_F = 64
 D28_WEIGHTS = [((i * 37 + 11) % 129 - 64) / 64 for i in range(D28_F)]
+
+
+# planted multi-line page body shared by d33 / st10 (same expression
+# in both engines)
+D33_PLANT_SPARK = (
+    "concat(text, '.',"
+    " chr(10), 'short line.',"
+    " chr(10), 'no terminal punctuation on this line',"
+    " CASE WHEN doc_id % 4 = 0 THEN concat(chr(10),"
+    "   'links need the javascript runtime enabled to work.') ELSE '' END,"
+    " CASE WHEN doc_id % 6 = 0 THEN concat(chr(10),"
+    "   'is this a well formed question sentence?', chr(10),"
+    "   'yes it is a well formed sentence!') ELSE '' END,"
+    " CASE WHEN doc_id % 9 = 0 THEN concat(chr(10),"
+    "   'lorem ipsum dolor sit amet.') ELSE '' END,"
+    " CASE WHEN doc_id % 11 = 0 THEN concat(chr(10),"
+    "   'function() { return; }') ELSE '' END)"
+)
+D33_PLANT_DUCK = (
+    "text || '.'"
+    " || chr(10) || 'short line.'"
+    " || chr(10) || 'no terminal punctuation on this line'"
+    " || CASE WHEN doc_id % 4 = 0 THEN chr(10)"
+    "      || 'links need the javascript runtime enabled to work.' ELSE '' END"
+    " || CASE WHEN doc_id % 6 = 0 THEN chr(10)"
+    "      || 'is this a well formed question sentence?' || chr(10)"
+    "      || 'yes it is a well formed sentence!' ELSE '' END"
+    " || CASE WHEN doc_id % 9 = 0 THEN chr(10)"
+    "      || 'lorem ipsum dolor sit amet.' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN chr(10)"
+    "      || 'function() { return; }' ELSE '' END"
+)

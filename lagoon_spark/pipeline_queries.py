@@ -2409,33 +2409,9 @@ def d32(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lorem-ipsum line, a code line with braces — the same expression in
 # both engines.
 
-_D33_PLANT_SPARK = (
-    "concat(text, '.',"
-    " chr(10), 'short line.',"
-    " chr(10), 'no terminal punctuation on this line',"
-    " CASE WHEN doc_id % 4 = 0 THEN concat(chr(10),"
-    "   'links need the javascript runtime enabled to work.') ELSE '' END,"
-    " CASE WHEN doc_id % 6 = 0 THEN concat(chr(10),"
-    "   'is this a well formed question sentence?', chr(10),"
-    "   'yes it is a well formed sentence!') ELSE '' END,"
-    " CASE WHEN doc_id % 9 = 0 THEN concat(chr(10),"
-    "   'lorem ipsum dolor sit amet.') ELSE '' END,"
-    " CASE WHEN doc_id % 11 = 0 THEN concat(chr(10),"
-    "   'function() { return; }') ELSE '' END)"
-)
-_D33_PLANT_DUCK = (
-    "text || '.'"
-    " || chr(10) || 'short line.'"
-    " || chr(10) || 'no terminal punctuation on this line'"
-    " || CASE WHEN doc_id % 4 = 0 THEN chr(10)"
-    "      || 'links need the javascript runtime enabled to work.' ELSE '' END"
-    " || CASE WHEN doc_id % 6 = 0 THEN chr(10)"
-    "      || 'is this a well formed question sentence?' || chr(10)"
-    "      || 'yes it is a well formed sentence!' ELSE '' END"
-    " || CASE WHEN doc_id % 9 = 0 THEN chr(10)"
-    "      || 'lorem ipsum dolor sit amet.' ELSE '' END"
-    " || CASE WHEN doc_id % 11 = 0 THEN chr(10)"
-    "      || 'function() { return; }' ELSE '' END"
+from lagoon_spark.oracle_fragments import (
+    D33_PLANT_DUCK as _D33_PLANT_DUCK,
+    D33_PLANT_SPARK as _D33_PLANT_SPARK,
 )
 
 _D33_ORACLE = (

@@ -492,3 +492,43 @@ def quality_gate(
         & (F.col("n_tokens") >= min_tokens)
         & (F.col("n_tokens") <= max_tokens)
     )
+
+
+def clean_gate(
+    docs: DataFrame,
+    text_col: str,
+    *,
+    id_col: str = "doc_id",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Continuous structural-cleaning gate: C4 page cleaning (line
+    rules + page drops) feeding the Gopher quality rules over the
+    CLEANED text, as ONE row-local plan — like :func:`quality_gate`,
+    it has no window, no state and no shuffle, so the identical plan
+    runs batch (oracle-checkable) or ``readStream → writeStream``
+    under any trigger. Returns per-document structural counters, the
+    C4 page verdict, and the conjunction keep flag.
+
+    This is the first-pass crawl cleaner run continuously over a
+    landing zone: at 100 TB it executes at scan speed on whatever
+    partitioning the source delivers."""
+    from lagoon_spark.operators.corpus import c4_clean
+    from lagoon_spark.operators.text import gopher_keep, gopher_signals
+
+    cleaned = c4_clean(docs, id_col, text_col)
+    sig = gopher_signals(F.col("clean_text"))
+    keep = F.col("keep") & gopher_keep(
+        sig,
+        min_words=min_words,
+        max_words=max_words,
+        min_stopwords=min_stopwords,
+    )
+    return cleaned.select(
+        id_col,
+        "n_kept_lines",
+        F.length("clean_text").cast("int").alias("clean_len"),
+        F.col("keep").alias("c4_keep"),
+        keep.alias("keep"),
+    )

@@ -308,3 +308,111 @@ def st09(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_tokens=_ST09_MIN_TOK,
         max_tokens=_ST09_MAX_TOK,
     )
+
+
+# ---------------------------------------------------------------------------
+# st10 — continuous structural-cleaning gate (C4 → Gopher, stream == batch)
+# ---------------------------------------------------------------------------
+#
+# The crawl first pass run continuously: C4 line/page rules produce the
+# cleaned text, the Gopher rule set judges the CLEANED text, one
+# row-local plan shared by batch and readStream deployments. Planted
+# multi-line bodies reuse d33's expression; the oracle composes both
+# rule sets over the same clean_text.
+
+_ST10_MIN_WORDS = 10
+_ST10_MAX_WORDS = 1000
+
+
+def _st10_oracle() -> str:
+    import lagoon_spark.operators.text as _text
+    from lagoon_spark.oracle_fragments import D33_PLANT_DUCK as _D33_PLANT_DUCK
+
+    _D32_STOPS = ", ".join(f"'{s}'" for s in _text.GOPHER_STOPWORDS)
+
+    return f"""
+WITH planted AS (
+  SELECT doc_id, {_D33_PLANT_DUCK} AS body FROM documents
+),
+t AS (
+  SELECT doc_id, body,
+         list_filter(string_split(body, chr(10)), l -> l <> '') AS lines
+  FROM planted
+),
+k AS (
+  SELECT doc_id, body,
+         list_filter(lines, l ->
+           (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+           AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 5
+           AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM t
+),
+c AS (
+  SELECT doc_id, body, kept,
+         array_to_string(kept, chr(10)) AS clean_text
+  FROM k
+),
+g AS (
+  SELECT doc_id, body, kept, clean_text,
+         list_filter(string_split_regex(clean_text, '[ \n]'), w -> w <> '') AS w,
+         list_filter(string_split(clean_text, chr(10)), l -> l <> '') AS ls
+  FROM c
+),
+sig AS (
+  SELECT doc_id,
+    CAST(len(kept) AS INT) AS n_kept_lines,
+    CAST(length(clean_text) AS INT) AS clean_len,
+    NOT (contains(lower(body), 'lorem ipsum') OR contains(body, '{{'))
+      AND (length(clean_text) - length(translate(clean_text, '.!?', '')) >= 3)
+      AS c4_keep,
+    CAST(len(w) AS BIGINT) AS n_words,
+    round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(w, x -> CAST(length(x) AS BIGINT))),
+          (a, b) -> a + b) / greatest(len(w), 1), 6) AS mean_word_len,
+    round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+          / greatest(len(w), 1), 6) AS alpha_word_frac,
+    CAST(len(list_filter(w, x -> list_contains([{_D32_STOPS}], x)))
+         AS BIGINT) AS n_stopwords,
+    round(((length(clean_text) - length(replace(clean_text, '#', '')))
+           + (length(clean_text) - length(replace(clean_text, '...', ''))) / 3)
+          / greatest(len(w), 1), 6) AS symbol_word_ratio,
+    round(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %'))
+          / greatest(len(ls), 1), 6) AS bullet_line_frac,
+    round(len(list_filter(ls, l -> l LIKE '%...'))
+          / greatest(len(ls), 1), 6) AS ellipsis_line_frac
+  FROM g
+)
+SELECT doc_id, n_kept_lines, clean_len, c4_keep,
+       c4_keep
+       AND (n_words BETWEEN {_ST10_MIN_WORDS} AND {_ST10_MAX_WORDS})
+       AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       AND alpha_word_frac >= 0.8
+       AND n_stopwords >= 2
+       AND symbol_word_ratio <= 0.1
+       AND bullet_line_frac <= 0.9
+       AND ellipsis_line_frac <= 0.3 AS keep
+FROM sig
+"""
+
+
+@df_query(
+    "st10_stream_clean_gate",
+    "Continuous structural cleaning: C4 line/page rules producing the "
+    "cleaned text, Gopher rules judging the CLEANED text — one row-local "
+    "plan (no state, no shuffle) shared by batch and streaming "
+    "deployments.",
+    _st10_oracle(),
+)
+def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from lagoon_spark.oracle_fragments import D33_PLANT_SPARK as _D33_PLANT_SPARK
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id", F.expr(_D33_PLANT_SPARK).alias("__body")
+    )
+    return ops.clean_gate(
+        docs, "__body",
+        min_words=_ST10_MIN_WORDS, max_words=_ST10_MAX_WORDS,
+    )

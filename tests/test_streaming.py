@@ -272,3 +272,28 @@ def test_quality_gate_broadcast_weights_stream_matches_batch(spark, sf_small):
     cols = ["doc_id", "quality_score", "n_tokens"]
     assert _rows(got, cols) == _rows(batch, cols)
     assert got.count() > 0
+
+
+def test_clean_gate_stream_matches_batch(spark, sf_small):
+    """st10: the C4→Gopher structural cleaning gate is one row-local
+    plan — the streaming run must emit exactly the batch result."""
+    register_views(spark, sf_small)
+    from pyspark.sql import functions as F
+
+    from lagoon_spark.oracle_fragments import D33_PLANT_SPARK as _D33_PLANT_SPARK
+
+    def planted(df):
+        return df.select("doc_id", F.expr(_D33_PLANT_SPARK).alias("__body"))
+
+    batch = ops.clean_gate(planted(spark.table("documents")), "__body",
+                           min_words=10, max_words=1000)
+    stream = ops.clean_gate(
+        planted(ops.read_documents_stream(spark, sf_small)), "__body",
+        min_words=10, max_words=1000,
+    )
+    _run_stream(stream, "cgate", "append")
+    got = spark.table("cgate")
+    cols = ["doc_id", "n_kept_lines", "clean_len", "c4_keep", "keep"]
+    assert _rows(got, cols) == _rows(batch, cols)
+    kept = got.filter("keep").count()
+    assert 0 < kept < got.count()  # both verdicts represented
