@@ -68,6 +68,37 @@ def _punct_ratio_sql(puncts: str = ".,!?;:") -> str:
     )
 
 
+def _gopher_keep_sql() -> str:
+    """text.gopher_signals + gopher_keep as one SQL expression (Rae et
+    al. 2021 Table A1; word bounds are call arguments, the other
+    thresholds are the paper's). transform(array(x), v -> …)[0] is the
+    pure-expression "let" used throughout this module."""
+    from lagoon_spark.operators.text import GOPHER_STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    words = "filter(split(t, '[ \\n]'), x -> x <> '')"
+    lines = "filter(split(t, '\\n'), x -> x <> '')"
+    return (
+        f"transform(array({words}), w -> "
+        f"transform(array({lines}), ls -> "
+        " size(w) BETWEEN min_words AND max_words"
+        " AND round(aggregate(w, CAST(0 AS BIGINT),"
+        "   (a, x) -> a + length(x)) / greatest(size(w), 1), 6)"
+        "   BETWEEN 3.0 AND 10.0"
+        " AND round(size(filter(w, x -> x rlike '[a-z]'))"
+        "   / greatest(size(w), 1), 6) >= 0.8"
+        f" AND size(filter(w, x -> x IN ({stops}))) >= 2"
+        " AND round(((length(t) - length(replace(t, '#', '')))"
+        "   + (length(t) - length(replace(t, '...', ''))) / 3)"
+        "   / greatest(size(w), 1), 6) <= 0.1"
+        " AND round(size(filter(ls, l -> l LIKE '- %' OR l LIKE '* %'))"
+        "   / greatest(size(ls), 1), 6) <= 0.9"
+        " AND round(size(filter(ls, l -> l LIKE '%...'))"
+        "   / greatest(size(ls), 1), 6) <= 0.3"
+        ")[0])[0]"
+    )
+
+
 def _defs() -> list[tuple[str, str, str, str]]:
     """(name, arg signature, return type, body expression)."""
     stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -141,6 +172,38 @@ def _defs() -> list[tuple[str, str, str, str]]:
             f"CASE WHEN size({_TOKS}) = 0 THEN CAST(array() AS ARRAY<BIGINT>) "
             f"ELSE transform(array(array_distinct({word_fp})), "
             f"fps -> array({minhash_mins}))[0] END",
+        ),
+        (
+            "lagoon_c4_clean",
+            "t STRING",
+            "STRING",
+            # corpus.c4_clean's kept-line reassembly (Raffel et al. 2020)
+            "concat_ws('\\n', filter(filter(split(t, '\\n'), l -> l <> ''),"
+            " l -> (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?'"
+            "       OR l LIKE '%\"')"
+            " AND size(filter(split(l, ' '), w -> w <> '')) >= 5"
+            " AND NOT contains(lower(l), 'javascript')))",
+        ),
+        (
+            "lagoon_c4_keep",
+            "t STRING",
+            "BOOLEAN",
+            # page verdict over the cleaned text (same rules as above)
+            "transform(array("
+            "concat_ws('\\n', filter(filter(split(t, '\\n'), l -> l <> ''),"
+            " l -> (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?'"
+            "       OR l LIKE '%\"')"
+            " AND size(filter(split(l, ' '), w -> w <> '')) >= 5"
+            " AND NOT contains(lower(l), 'javascript')))"
+            "), c -> NOT (contains(lower(t), 'lorem ipsum')"
+            " OR contains(t, '{'))"
+            " AND (length(c) - length(translate(c, '.!?', '')) >= 3))[0]",
+        ),
+        (
+            "lagoon_gopher_keep",
+            "t STRING, min_words BIGINT, max_words BIGINT",
+            "BOOLEAN",
+            _gopher_keep_sql(),
         ),
         (
             "lagoon_dup_trigram_frac",

@@ -92,3 +92,51 @@ def test_denied_user_cannot_reach_text_udfs(lagoon, tmp_path):
             f"SELECT lagoon_token_count(body) FROM {info.view_name}",
             user="mallory",
         )
+
+
+def test_c4_and_gopher_sql_match_dataframe(spark):
+    """lagoon_c4_clean / lagoon_c4_keep / lagoon_gopher_keep must agree
+    with the operator-library columns on multi-line bodies."""
+    from pyspark.sql import functions as F
+
+    from lagoon_spark.operators.corpus import c4_clean
+    from lagoon_spark.operators.text import gopher_keep, gopher_signals
+
+    bodies = [
+        "the quick brown fox jumps over the dog.\nshort.\nno punct here",
+        "lorem ipsum dolor sit amet.\na good long sentence with words here.",
+        "a good long sentence with many fine words.\n"
+        "is this a second good sentence right here?\n"
+        "yes it is a third good sentence here!",
+        "function() { return; }\nthe code page is dropped entirely.",
+        "- bullet one\n- bullet two\nthe only real sentence is this one.",
+        "to be continued...\nanother fine sentence with the many words.",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(bodies)], "id long, t string"
+    )
+    from lagoon_spark.functions.text_sql import register_text_sql_functions
+
+    df.createOrReplaceTempView("bodies_sql_test")
+    register_text_sql_functions(spark)
+    got = {
+        r["id"]: r
+        for r in spark.sql(
+            "SELECT id, lagoon_c4_clean(t) AS c, lagoon_c4_keep(t) AS k, "
+            "lagoon_gopher_keep(t, 5, 1000) AS g FROM bodies_sql_test"
+        ).collect()
+    }
+    cleaned = {r["id"]: r for r in c4_clean(df, "id", "t").collect()}
+    sig = gopher_signals("t")
+    gk = {
+        r["id"]: r["g"]
+        for r in df.select(
+            "id",
+            gopher_keep(sig, min_words=5, max_words=1000).alias("g"),
+        ).collect()
+    }
+    for i in range(len(bodies)):
+        assert got[i]["c"] == cleaned[i]["clean_text"], i
+        assert got[i]["k"] == cleaned[i]["keep"], i
+        assert got[i]["g"] == gk[i], i
