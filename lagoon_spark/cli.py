@@ -201,6 +201,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reindex", action="store_true",
                    help="rebuild the parent version's ANN indexes on the survivors")
 
+    p = sub.add_parser(
+        "clean-source",
+        help="Write a new version keeping only rows that pass the "
+        "C4/Gopher structural cleaning rules",
+    )
+    p.add_argument("name", metavar="NAME")
+    p.add_argument("--column", required=True, help="text column to gate on")
+    p.add_argument("--rules", choices=["c4", "gopher", "both"], default="both")
+    p.add_argument("--min-words", type=int, default=10, dest="min_words")
+    p.add_argument("--max-words", type=int, default=100_000, dest="max_words")
+    p.add_argument("--reindex", action="store_true",
+                   help="rebuild the parent version's ANN indexes on the survivors")
+
     p = sub.add_parser("compact", help="Compact all versions of a source")
     p.add_argument("name", metavar="NAME")
 
@@ -600,6 +613,17 @@ class _Cli:
             self.args.column,
             quality_column=self.args.quality_column,
             min_matches=self.args.min_matches,
+            reindex=self.args.reindex,
+        )
+        print(_pretty(info))
+
+    def cmd_clean_source(self):
+        info = self.engine.clean_source(
+            self.args.name,
+            self.args.column,
+            rules=self.args.rules,
+            min_words=self.args.min_words,
+            max_words=self.args.max_words,
             reindex=self.args.reindex,
         )
         print(_pretty(info))

@@ -1700,12 +1700,38 @@ class Lagoon:
         keep = marked.filter(F.col("is_canonical")).select(
             F.col("ix").alias("__ord")
         )
+        return self._materialize_survivors(
+            name,
+            info,
+            src,
+            keep,
+            description=f"near-dup survivors of {name} v{info.version}",
+            reindex=reindex,
+        )
+
+    def _materialize_survivors(
+        self,
+        name: str,
+        info: "SourceInfo",
+        src: DataFrame,
+        keep: DataFrame,
+        *,
+        description: str,
+        reindex: bool,
+    ) -> SourceInfo:
+        """Shared content-maintenance tail: land the ``keep`` rows
+        (a one-column ``__ord`` frame of surviving parent ixs) as an
+        ordinary NEW VERSION — dense re-numbered in original order,
+        parent types copied verbatim, parent auto-deprecated, one
+        delete restores, optional ANN reindex over the survivors."""
+        from lagoon_spark.ingest.rowid import dense_order_ix
+
         rows = src.withColumnRenamed("ix", "__ord").join(keep, "__ord")
         numbered, pinned = dense_order_ix(rows, "__ord")
         ix, _version, table_name, _view = self.catalog.new_source(
             name,
             url=info.url,
-            description=f"near-dup survivors of {name} v{info.version}",
+            description=description,
             added_by=self.user,
             created=None,
             fmt=info.format,
@@ -1752,6 +1778,77 @@ class Lagoon:
                     pq_iters=m.get("pq_iters", 2),
                 )
         return new_info
+
+    def clean_source(
+        self,
+        name: str,
+        text_column: str,
+        *,
+        rules: str = "both",
+        min_words: int = 10,
+        max_words: int = 100_000,
+        min_stopwords: int = 2,
+        reindex: bool = False,
+    ) -> SourceInfo:
+        """Materialize a NEW VERSION keeping only the rows whose
+        ``text_column`` passes the structural cleaning rules —
+        ``rules`` picks C4 page cleaning (``"c4"``), the Gopher
+        document-quality rule set (``"gopher"``), or the C4→Gopher
+        composition over the cleaned text (``"both"``, the st10
+        shape). The same content-maintenance contract as
+        :meth:`dedup_source`: survivors keep their columns and parent
+        types, get dense new row ids in original order, the parent
+        auto-deprecates and one delete restores it; ``reindex=True``
+        rebuilds the parent's ANN indexes (with their PQ parameters)
+        over the survivors. The gate itself is a pure row-local map —
+        at 100 TB this version write is scan+filter speed."""
+        if rules not in ("c4", "gopher", "both"):
+            raise ValueError(f"unknown rules {rules!r}")
+        with self.catalog.writer_lock():
+            from lagoon_spark import security as _sec
+            from lagoon_spark.operators.corpus import c4_clean
+            from lagoon_spark.operators.text import (
+                gopher_keep,
+                gopher_signals,
+            )
+
+            self._check_can_add_version(name, _sec)
+            info = self.catalog.get_source(name)
+            phys, _h, _t = self.catalog.get_column(info.ix, text_column)
+            src = self._source_frame(info, typed=False)
+            docs = src.select("ix", F.col(phys).alias("__txt"))
+            gate_kw = dict(
+                min_words=min_words,
+                max_words=max_words,
+                min_stopwords=min_stopwords,
+            )
+            if rules == "gopher":
+                keep_col = gopher_keep(gopher_signals("__txt"), **gate_kw)
+                marked = docs.select("ix", keep_col.alias("__keep"))
+            else:
+                cleaned = c4_clean(docs, "ix", "__txt")
+                if rules == "c4":
+                    marked = cleaned.select("ix", F.col("keep").alias("__keep"))
+                else:
+                    g = gopher_keep(
+                        gopher_signals(F.col("clean_text")), **gate_kw
+                    )
+                    marked = cleaned.select(
+                        "ix", (F.col("keep") & g).alias("__keep")
+                    )
+            keep = marked.filter(F.col("__keep")).select(
+                F.col("ix").alias("__ord")
+            )
+            return self._materialize_survivors(
+                name,
+                info,
+                src,
+                keep,
+                description=(
+                    f"cleaning survivors ({rules}) of {name} v{info.version}"
+                ),
+                reindex=reindex,
+            )
 
     # -- compaction (A24) ----------------------------------------------------
 

@@ -1034,3 +1034,36 @@ def test_ann_index_ivfadc_reindex_preserves_pq(lagoon, tmp_path):
         version=info2.version,
     )
     assert res.count() == 2
+
+
+def test_clean_source_materializes_survivor_version(lagoon, tmp_path):
+    """clean_source: structural-cleaning survivors land as an ordinary
+    new version under the dedup_source contract (dense ix, parent
+    types kept, auto-deprecate, delete restores)."""
+    good = ("the quick brown fox jumps over the lazy dog and runs on. "
+            "it is a fine day with the sun out and the work done.")
+    rows = [
+        good,                                   # passes gopher
+        "short",                                # too few words
+        "### ### ### ### ### ### ### ### ### ### ### ###",  # symbols
+        good + " again today with more of the fine words to read.",
+    ]
+    p = tmp_path / "cs.csv"
+    p.write_text("txt\n" + "\n".join(rows) + "\n")
+    lagoon.ingest(str(p), "cs")
+
+    info2 = lagoon.clean_source("cs", "txt", rules="gopher", min_words=5)
+    assert info2.version == 2
+    assert info2.row_count == 2  # the two good docs survive
+    kept = lagoon.spark.table(info2.view_name).orderBy("ix").collect()
+    assert [r["ix"] for r in kept] == [1, 2]  # dense renumbering
+    assert lagoon.catalog.get_source("cs", 1).deprecated  # parent
+
+    # c4 mode gates on sentence structure: only the doc carrying
+    # three terminal-punctuation sentences survives
+    info3 = lagoon.clean_source("cs", "txt", rules="c4")
+    assert info3.row_count == 1
+
+    # delete restores the previous state
+    lagoon.delete_source(info3)
+    assert lagoon.catalog.get_source("cs").version == 2
