@@ -328,3 +328,52 @@ def c07(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.select(
         "doc_id", "split", "chunk_idx", "n_chunk_tokens", "chunk_text"
     )
+
+
+# ---------------------------------------------------------------------------
+# c10 — temperature-scaled source mixing (p^alpha sampling)
+# ---------------------------------------------------------------------------
+#
+# The multilingual-pretraining mixing rule (sampling ∝ p_s^alpha)
+# realized as deterministic per-source keep rates; rates are rounded
+# to 6 decimals before the integer threshold so both engines' pow()
+# agree on every membership decision.
+
+_C10_ALPHA = 0.3
+_C10_GRAN = 1_000_000
+
+_C10_ORACLE = f"""
+WITH cnt AS (SELECT source, COUNT(*) AS sc FROM documents GROUP BY source),
+tot AS (SELECT SUM(sc) AS total_docs FROM cnt),
+x AS (SELECT source, sc,
+             pow(CAST(sc AS DOUBLE) / total_docs, {_C10_ALPHA - 1.0!r}) AS xv
+      FROM cnt CROSS JOIN tot),
+mx AS (SELECT MAX(xv) AS mxv FROM x),
+r AS (SELECT source, sc,
+             CAST(floor(round(xv / mxv, 6) * {_C10_GRAN} + 0.5) AS BIGINT)
+               AS ppm
+      FROM x CROSS JOIN mx)
+SELECT d.source,
+       r.ppm AS keep_rate_ppm,
+       CAST(r.sc AS BIGINT) AS n_total,
+       SUM(CASE WHEN ({corpus.duck_id_hash('d.doc_id')}) % {_C10_GRAN} < r.ppm
+                THEN 1 ELSE 0 END) AS n_kept
+FROM documents d JOIN r USING (source)
+GROUP BY d.source, r.ppm, r.sc
+"""
+
+
+@df_query(
+    "c10_temperature_mix",
+    "Temperature-scaled source sampling (p^0.3): per-source keep rates "
+    "from the tempered distribution (smallest source keeps all), "
+    "membership by portable hash — the multilingual mixing knob as a "
+    "broadcast rate table + one report aggregate.",
+    _C10_ORACLE,
+)
+def c10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "source")
+    return corpus.temperature_mix(
+        docs, "doc_id", "source", alpha=_C10_ALPHA, granularity=_C10_GRAN
+    )

@@ -322,6 +322,65 @@ def remove_boilerplate_lines(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    *,
+    alpha: float = 0.3,
+    granularity: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled multinomial source sampling (the multilingual
+    pretraining mixing rule — sampling probabilities ∝ p_s^α, α<1
+    up-weights small sources; public method, e.g. Conneau & Lample
+    2019, mT5). Realized as deterministic per-source KEEP RATES: r_s =
+    p_s^(α-1) / max_t p_t^(α-1) (the smallest source keeps everything,
+    larger sources subsample toward the tempered distribution), with
+    the portable id hash deciding membership at ``granularity``
+    resolution. Returns a per-source report (rate, totals, kept).
+
+    Scale shape: the rate table is one row per source (metadata-sized,
+    broadcast); membership is a row-local hash compare; the only
+    corpus-scale shuffle is the per-source count/report aggregate
+    (map-side combinable). Rates are rounded to 6 decimals BEFORE the
+    integer threshold so both engines' ``pow`` agree bit-for-bit on
+    the comparison.
+    """
+    # the rate table is one row per source — unpartitioned windows
+    # over it are metadata-sized, never a data-scale single-task sort
+    w = Window.partitionBy()
+    n = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    x = n.select(
+        source_col,
+        "__n",
+        F.pow(
+            F.col("__n") / F.sum("__n").over(w), F.lit(alpha - 1.0)
+        ).alias("__x"),
+    )
+    rates = x.select(
+        source_col,
+        "__n",
+        F.floor(
+            F.round(F.col("__x") / F.max("__x").over(w), 6) * granularity
+            + F.lit(0.5)
+        ).cast("long").alias("__ppm"),
+    )
+    kept = (
+        id_hash(id_col) % granularity < F.col("__ppm")
+    ).cast("long")
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .groupBy(source_col, "__ppm", "__n")
+        .agg(F.sum(kept).alias("n_kept"))
+        .select(
+            source_col,
+            F.col("__ppm").alias("keep_rate_ppm"),
+            F.col("__n").cast("long").alias("n_total"),
+            "n_kept",
+        )
+    )
+
+
 _CURR_SHUF_BUCKETS = 1 << 20
 _CURR_ID_SPAN = 1 << 30
 _CURR_STAGE_SPAN = 1 << 50  # shuf * id span
