@@ -635,3 +635,81 @@ def m10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     samples = mm.decode_audio_samples(wavs, "doc_id", "content")
     return mm.audio_frame_features(samples, frame=_M10_FRAME)
+
+
+# ---------------------------------------------------------------------------
+# m11 — REAL video (AVI/MJPEG) frame sampling
+# ---------------------------------------------------------------------------
+#
+# The video plane on real container bytes with zero codec libraries:
+# each document becomes an AVI whose MJPEG frames are m09's lossless
+# solid-block JPEGs (frame f, block b pixel = (doc_id*31+b*17+f*7)%256),
+# decode walks the RIFF tree and runs the stdlib JPEG codec per '00dc'
+# chunk, and the operator samples every 2nd frame — so the DuckDB twin
+# predicts the sampled pixel stream in closed form. Arrow-batched pure
+# map both directions.
+
+_M11_ORACLE = """
+SELECT doc_id AS id,
+       CAST(doc_id % 4 + 2 AS INTEGER) AS n_frames,
+       CAST(ceil((doc_id % 4 + 2) / 2.0) AS INTEGER) AS n_sampled,
+       CAST(8 * (doc_id % 3 + 1) AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       md5(array_to_string(
+         list_transform(
+           list_filter(range(0, doc_id % 4 + 2), f -> f % 2 = 0),
+           f -> repeat(
+                  array_to_string(
+                    list_transform(range(0, doc_id % 3 + 1),
+                      b -> repeat(lpad(upper(hex(
+                             (doc_id * 31 + b * 17 + f * 7) % 256)),
+                           2, '0'), 8)),
+                    ''),
+                  8)),
+         '')) AS frames_digest
+FROM documents
+"""
+
+
+@df_query(
+    "m11_video_frames",
+    "Real video frame sampling: AVI/MJPEG containers built from lossless "
+    "solid-block JPEGs, RIFF walk + stdlib JPEG decode per frame, every "
+    "2nd frame sampled — the multimodal video stage on real bytes, "
+    "closed-form oracle.",
+    _M11_ORACLE,
+)
+def m11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    register_views(spark, sf_dir)
+
+    def encode(batches):
+        from lagoon_spark.operators.jpeg import encode_jpeg
+
+        for pdf in batches:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                nb = int(doc_id) % 3 + 1
+                nf = int(doc_id) % 4 + 2
+                frames = []
+                for f in range(nf):
+                    px = bytearray()
+                    for _row in range(8):
+                        for b in range(nb):
+                            px += bytes(
+                                [(int(doc_id) * 31 + b * 17 + f * 7) % 256]
+                            ) * 8
+                    frames.append(
+                        encode_jpeg(8 * nb, 8, bytes(px), quality=75,
+                                    restart_interval=2)
+                    )
+                blobs.append(mm.encode_avi_mjpeg(8 * nb, 8, frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
+
+    vids = (
+        spark.table("documents")
+        .select("doc_id")
+        .mapInPandas(encode, "doc_id long, content binary")
+    )
+    return mm.decode_video_frames(vids, "doc_id", "content", every=2)

@@ -663,6 +663,150 @@ def decode_gif_frames(df: DataFrame, id_col: str, content_col: str) -> DataFrame
     return df.select(id_col, content_col).mapInPandas(decode, GIF_SCHEMA)
 
 
+def encode_avi_mjpeg(
+    width: int, height: int, frames: "list[bytes]", fps: int = 10
+) -> bytes:
+    """Minimal AVI (RIFF) writer for an MJPEG stream: one '00dc' chunk
+    per JPEG frame, standard avih/strh/strf headers and an idx1 index
+    so any AVI reader accepts the output — the video twin of the GIF/
+    WAV/PNG fixture encoders (container per the public AVI RIFF spec;
+    no codec library)."""
+    import struct as _struct
+
+    def chunk(cc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return cc + _struct.pack("<I", len(data)) + data + pad
+
+    def lst(cc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", cc + data)
+
+    max_sz = max((len(f) for f in frames), default=0)
+    avih = _struct.pack(
+        "<10I",
+        1_000_000 // fps,  # microseconds per frame
+        max_sz * fps,      # max bytes/sec (approximate)
+        0, 0x10,           # padding, flags (HASINDEX)
+        len(frames), 0, 1, max_sz, width, height,
+    ) + b"\x00" * 16
+    strh = (
+        b"vids" + b"MJPG"
+        + _struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0,
+                       len(frames), max_sz, 0xFFFFFFFF, 0)
+        + _struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = _struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_chunks = []
+    offsets = []
+    pos = 4  # after 'movi' fourcc
+    for f in frames:
+        offsets.append(pos)
+        c = chunk(b"00dc", f)
+        movi_chunks.append(c)
+        pos += len(c)
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx1 = chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + _struct.pack("<III", 0x10, off, len(f))
+            for off, f in zip(offsets, frames)
+        ),
+    )
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def _decode_avi_mjpeg(blob: bytes) -> "tuple[int, int, list[bytes]]":
+    """Parse an AVI container and decode every MJPEG frame through the
+    stdlib JPEG codec. Returns (width, height, [frame_pixels...])."""
+    import struct as _struct
+
+    from lagoon_spark.operators.jpeg import decode_jpeg
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    width = height = None
+    frames: "list[bytes]" = []
+
+    def walk(data: bytes) -> None:
+        nonlocal width, height
+        pos = 0
+        while pos + 8 <= len(data):
+            cc = data[pos : pos + 4]
+            (length,) = _struct.unpack("<I", data[pos + 4 : pos + 8])
+            payload = data[pos + 8 : pos + 8 + length]
+            pos += 8 + length + (length & 1)
+            if cc == b"LIST":
+                walk(payload[4:])
+            elif cc == b"avih":
+                width, height = _struct.unpack("<II", payload[32:40])
+            elif cc in (b"00dc", b"00db") and payload:
+                w, h, px = decode_jpeg(payload)
+                frames.append(px)
+
+    walk(blob[12:])
+    if width is None:
+        raise ValueError("AVI missing avih header")
+    return int(width), int(height), frames
+
+
+def decode_video_frames(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    *,
+    every: int = 1,
+) -> DataFrame:
+    """Decode real AVI/MJPEG video bytes and sample every ``every``-th
+    frame — the frame-sampling stage of a multimodal training pipeline
+    on REAL container bytes (AVI walk + the stdlib JPEG codec; a
+    production deployment swaps in PyAV behind the same signature).
+    Arrow-batched pure map; the digest covers the sampled frames'
+    concatenated pixels, so it pins the decode end to end."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, nf, ns, ws, hs, digs = [], [], [], [], [], []
+            for i, blob in zip(pdf[id_col], pdf[content_col]):
+                w, h, frames = _decode_avi_mjpeg(bytes(blob))
+                sampled = frames[::every]
+                ids.append(i)
+                nf.append(len(frames))
+                ns.append(len(sampled))
+                ws.append(w)
+                hs.append(h)
+                digs.append(
+                    hashlib.md5(
+                        b"".join(sampled).hex().upper().encode()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "n_frames": nf,
+                    "n_sampled": ns,
+                    "width": ws,
+                    "height": hs,
+                    "frames_digest": digs,
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        decode,
+        "id long, n_frames int, n_sampled int, width int, height int,"
+        " frames_digest string",
+    )
+
+
 def resize_fake_images(
     df: DataFrame, id_col: str, content_col: str, scale_num: int, scale_den: int
 ) -> DataFrame:

@@ -562,3 +562,39 @@ def test_jpeg_codec_seam(spark):
     out = mm.decode_images(df, "id", "content", media_type="image/jpeg").collect()[0]
     assert (out["width"], out["height"]) == (16, 8)
     assert out["payload_bytes"] == 128
+
+
+def test_avi_mjpeg_roundtrip_and_sampling(spark):
+    """AVI/MJPEG: container round-trip is lossless on solid-block
+    frames, the sampler takes every k-th frame, and malformed
+    containers refuse loudly."""
+    import pytest as _pytest
+
+    from lagoon_spark.operators.jpeg import encode_jpeg
+    from lagoon_spark.operators.multimodal import (
+        _decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    def frame(val, nb=2):
+        px = bytearray()
+        for _row in range(8):
+            for b in range(nb):
+                px += bytes([(val + b * 17) % 256]) * 8
+        return encode_jpeg(8 * nb, 8, bytes(px), quality=75)
+
+    frames = [frame(v) for v in (10, 60, 110, 160, 210)]
+    avi = encode_avi_mjpeg(16, 8, frames, fps=5)
+    w, h, decoded = _decode_avi_mjpeg(avi)
+    assert (w, h, len(decoded)) == (16, 8, 5)
+    for v, px in zip((10, 60, 110, 160, 210), decoded):
+        exp = bytes()
+        for _row in range(8):
+            for b in range(2):
+                exp += bytes([(v + b * 17) % 256]) * 8
+        assert px == exp  # losslessly recovered through the container
+
+    with _pytest.raises(ValueError, match="RIFF/AVI"):
+        _decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
+    with _pytest.raises(ValueError, match="avih"):
+        _decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00AVI ")
