@@ -532,3 +532,58 @@ def clean_gate(
         F.col("keep").alias("c4_keep"),
         keep.alias("keep"),
     )
+
+
+def signature_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 16,
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Online near-duplicate dedup by MinHash SIGNATURE equality — the
+    d04/d05 signature-collapse tier run continuously: a document whose
+    full 16-hash signature was already seen is a near-duplicate (the
+    highest-precision LSH tier, one band of 16 rows) and is dropped.
+
+    Batch: min-id survivor per signature (the oracle-checkable twin).
+    Streaming: ``dropDuplicatesWithinWatermark`` on the signature key —
+    one survivor per signature, but WHICH member survives is
+    first-arrival (arbitrary inside a micro-batch), so cross-mode
+    parity is defined on the signature set, not survivor ids —
+    ONE stateful operator whose state holds a hash per distinct
+    signature inside the watermark horizon, so state is bounded by the
+    arrival rate × horizon, never by corpus size. The signature itself
+    is a row-local JVM fold (no Python), so the stream runs at map
+    speed between state lookups; ``ts_col``/``watermark`` are required
+    on the stream path.
+    """
+    from pyspark.sql import Window as W
+
+    from lagoon_spark.operators.dedup import minhash_signature
+
+    sigs = minhash_signature(
+        docs, text_col, num_hashes=num_hashes, method="portable"
+    )
+    keyed = sigs.withColumn(
+        "sig_key",
+        F.array_join(
+            F.transform(F.col("minhash"), lambda x: x.cast("string")), "_"
+        ),
+    )
+    if keyed.isStreaming:
+        if not (ts_col and watermark):
+            raise ValueError("streaming signature_dedup needs ts_col + watermark")
+        return (
+            keyed.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["sig_key"])
+            .select(id_col, "sig_key")
+        )
+    w = W.partitionBy("sig_key").orderBy(id_col)
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "sig_key")
+    )

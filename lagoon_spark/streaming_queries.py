@@ -416,3 +416,45 @@ def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "__body",
         min_words=_ST10_MIN_WORDS, max_words=_ST10_MAX_WORDS,
     )
+
+
+# ---------------------------------------------------------------------------
+# st11 — streaming near-dup dedup by MinHash signature (one stateful op)
+# ---------------------------------------------------------------------------
+
+def _st11_oracle() -> str:
+    from lagoon_spark.operators.dedup import minhash_seeds
+
+    from lagoon_spark.oracle_fragments import D27_FPS
+
+    mod = 1_000_000_007
+    sig_items = ", ".join(
+        f"CAST(list_min(list_transform(f, x -> (x % {mod} * {a} + {b}) % {mod})) AS VARCHAR)"
+        for a, b in minhash_seeds(16)
+    )
+    return f"""
+WITH fps AS (
+  SELECT doc_id, list_distinct({D27_FPS}) AS f FROM documents
+),
+k AS (
+  SELECT doc_id, array_to_string([{sig_items}], '_') AS sig_key FROM fps
+)
+SELECT doc_id, sig_key FROM (
+  SELECT doc_id, sig_key,
+         row_number() OVER (PARTITION BY sig_key ORDER BY doc_id) AS rn
+  FROM k
+) WHERE rn = 1
+"""
+
+
+@df_query(
+    "st11_stream_signature_dedup",
+    "Online near-dup dedup: 16-hash MinHash signature equality (the "
+    "highest-precision LSH tier) as one watermark-bounded stateful "
+    "dropDuplicates — signature is a row-local JVM fold; batch twin "
+    "keeps the min-id survivor per signature.",
+    _st11_oracle(),
+)
+def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return ops.signature_dedup(spark.table("documents"))

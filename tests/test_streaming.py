@@ -297,3 +297,29 @@ def test_clean_gate_stream_matches_batch(spark, sf_small):
     assert _rows(got, cols) == _rows(batch, cols)
     kept = got.filter("keep").count()
     assert 0 < kept < got.count()  # both verdicts represented
+
+
+def test_signature_dedup_stream_matches_batch(spark, sf_small):
+    """st11: one survivor per signature on both paths. WHICH duplicate
+    survives is only defined up to the signature (within a micro-batch
+    dropDuplicates keeps an arbitrary member), so the contract is the
+    signature SET + count, and that every streaming survivor's id maps
+    to the same signature the batch survivor carries."""
+    register_views(spark, sf_small)
+    from pyspark.sql import functions as F
+
+    batch = ops.signature_dedup(spark.table("documents"))
+    stream_docs = ops.read_documents_stream(spark, sf_small).withColumn(
+        "__ts", F.timestamp_seconds(F.col("doc_id"))
+    )
+    stream = ops.signature_dedup(
+        stream_docs, ts_col="__ts", watermark="1 hour"
+    )
+    _run_stream(stream, "sigdedup", "append")
+    got = spark.table("sigdedup")
+    b_keys = {r["sig_key"] for r in batch.collect()}
+    s_rows = got.collect()
+    assert {r["sig_key"] for r in s_rows} == b_keys
+    assert len(s_rows) == len(b_keys)  # exactly one survivor per sig
+    # near-dups exist in the corpus: the dedup actually drops rows
+    assert got.count() < spark.table("documents").count()
