@@ -51,15 +51,19 @@ def pagerank(
         e.select(F.col("__s").alias("node"))
         .union(e.select(F.col("__d").alias("node")))
         .distinct()
+        .persist()
     )
     nn = nodes.agg(F.count(F.lit(1)).alias("__n"))  # one-row frame
     # weight: multiplicity / out-degree, exact ints → one double division
     cnt = e.groupBy("__s", "__d").agg(F.count(F.lit(1)).alias("__c"))
     outd = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__o"))
+    # loop-invariant frames persist once: every iteration's plan
+    # references ew/nodes/srcs, and without a cache each reference
+    # recomputes the whole derivation from the raw edges
     ew = cnt.join(outd, "__s").select(
         "__s", "__d", (F.col("__c") / F.col("__o")).alias("__w")
-    )
-    srcs = e.select(F.col("__s").alias("node")).distinct()
+    ).persist()
+    srcs = e.select(F.col("__s").alias("node")).distinct().persist()
     pr = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("__pr")
     )
