@@ -102,13 +102,16 @@ def main() -> None:
     print("curriculum stages: "
           + ", ".join(f"s{r['stage']}={r['count']}" for r in stages))
 
-    # 7. pack into fixed-budget training bins (deterministic order)
+    # 7. pack into fixed-budget training bins IN CURRICULUM ORDER —
+    #    the serving order computed in step 6 decides the bin layout
     packed = corpus.pack_token_offsets(
-        ordered.select("doc_id", "text"), "doc_id", "text", budget=512
+        ordered.select("doc_id", "text", "curriculum_pos"),
+        "doc_id", "text", budget=512, order_col="curriculum_pos",
     )
     n_bins = packed.agg(F.countDistinct("bin_id")).collect()[0][0]
     print(f"packed into {n_bins} bins of 512 tokens")
     packed.orderBy("tok_offset").show(5)
+    _pinned.unpersist()
     spark.stop()
 
 

@@ -159,7 +159,8 @@ FROM documents
 def c05(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = spark.table("documents").select("doc_id")
-    return corpus.global_shuffle(docs, "doc_id")
+    out, _pinned = corpus.global_shuffle(docs, "doc_id")
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1297,6 +1297,12 @@ class Lagoon:
         if first is None:
             raise ValueError(f"no parseable vectors in {name}.{column}")
         dim = int(first["d"])
+        # validate BEFORE any artifact write: a mid-build failure after
+        # assignments were overwritten would leave the previous
+        # meta.json describing the new files (and stale codes) — a
+        # silently wrong index rather than a loud error
+        if pq_m and dim % pq_m:
+            raise ValueError(f"dim {dim} not divisible by pq_m {pq_m}")
         from lagoon_spark.operators.similarity import kmeans_fit_predict
 
         assigns, centroids = kmeans_fit_predict(
@@ -1390,6 +1396,15 @@ class Lagoon:
                 {"format": 3, "pq_m": pq_m, "pq_k": pq_k,
                  "pq_iters": pq_iters}
             )
+        else:
+            # a format-2 rebuild over a previous IVFADC index must not
+            # leave orphaned codes/codebooks beside a format-2 meta
+            import shutil as _shutil
+
+            for stale in ("codes", "codebooks"):
+                p = os.path.join(idx_dir, stale)
+                if os.path.isdir(p):
+                    _shutil.rmtree(p)
         with open(os.path.join(idx_dir, "meta.json"), "w") as fh:
             _json.dump(meta, fh)
         return meta

@@ -85,9 +85,9 @@ def _gopher_keep_sql() -> str:
         " AND round(aggregate(w, CAST(0 AS BIGINT),"
         "   (a, x) -> a + length(x)) / greatest(size(w), 1), 6)"
         "   BETWEEN 3.0 AND 10.0"
-        " AND round(size(filter(w, x -> x rlike '[a-z]'))"
+        " AND round(size(filter(w, x -> lower(x) rlike '[a-z]'))"
         "   / greatest(size(w), 1), 6) >= 0.8"
-        f" AND size(filter(w, x -> x IN ({stops}))) >= 2"
+        f" AND size(filter(w, x -> lower(x) IN ({stops}))) >= 2"
         " AND round(((length(t) - length(replace(t, '#', '')))"
         "   + (length(t) - length(replace(t, '...', ''))) / 3)"
         "   / greatest(size(w), 1), 6) <= 0.1"
@@ -188,7 +188,11 @@ def _defs() -> list[tuple[str, str, str, str]]:
             "lagoon_c4_keep",
             "t STRING",
             "BOOLEAN",
-            # page verdict over the cleaned text (same rules as above)
+            # page verdict over the cleaned text. The kept-line filter
+            # is REPEATED from lagoon_c4_clean because SQL-UDF bodies
+            # cannot call other SQL UDFs (same constraint the
+            # lagoon_minhash16 "let" works around); the parity test
+            # pins both against corpus.c4_clean so drift fails loudly
             "transform(array("
             "concat_ws('\\n', filter(filter(split(t, '\\n'), l -> l <> ''),"
             " l -> (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?'"

@@ -131,7 +131,7 @@ def chunk_tokens(
     )
 
 
-def global_shuffle(df: DataFrame, id_col: str, pos_col: str = "shuffle_pos") -> DataFrame:
+def global_shuffle(df: DataFrame, id_col: str, pos_col: str = "shuffle_pos"):
     """Deterministic global shuffle: total order by hash(id).
 
     The position comes from the engine's range-partitioned dense
@@ -140,11 +140,28 @@ def global_shuffle(df: DataFrame, id_col: str, pos_col: str = "shuffle_pos") -> 
     prefix-offset map — never the single-task window a plain global
     ``row_number`` compiles to (a one-reducer sort is the classic
     100 TB shuffle trap). Determinism comes from the (hash, id)
-    composite being a total order; ids must fit 31 bits.
+    composite being a total order; ids must fit 31 bits — larger ids
+    raise at run time instead of silently corrupting the order.
+
+    Returns ``(out_df, pinned)`` like ``dense_order_ix``; unpersist
+    ``pinned`` after materializing ``out_df`` to free the checkpoint.
     """
+    key = _guarded_key(
+        id_col, 1 << 31, "global_shuffle requires ids in [0, 2^31)"
+    )
+    out, pinned = _dense_order(
+        df.withColumn("__gs_key", key), "__gs_key", pos_col
+    )
+    return out.drop("__gs_key"), pinned
+
+
+def _guarded_key(id_col: str, bound: int, msg: str):
+    """hash<<31 + id composite, raising row-locally on out-of-range
+    ids (the old window implementation accepted any id; the dense
+    numbering must not silently reorder or collide instead)."""
+    ok = (F.col(id_col) >= 0) & (F.col(id_col) < F.lit(bound))
     key = id_hash(id_col) * F.lit(1 << 31) + F.col(id_col)
-    out, _pinned = _dense_order(df.withColumn("__gs_key", key), "__gs_key", pos_col)
-    return out.drop("__gs_key")
+    return F.when(ok, key).otherwise(F.raise_error(F.lit(msg)))
 
 
 def _dense_order(df: DataFrame, order_col: str, out_col: str):
@@ -158,6 +175,7 @@ def pack_token_offsets(
     id_col: str,
     text_col: str,
     budget: int = 1024,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Concatenation packing: assign each document a global token offset
     and a fixed-budget bin id, in deterministic shuffled order.
@@ -166,16 +184,24 @@ def pack_token_offsets(
     build fixed-length training sequences: tok_offset = running sum of
     token counts over the shuffled order; bin = tok_offset // budget.
     One global sort + a running-sum window over the same order.
+    ``order_col`` replaces the default (hash, id) order — pass a
+    curriculum position to pack in curriculum order (must be a total
+    order, e.g. ``curriculum_order``'s dense output).
     """
-    w = Window.orderBy(id_hash(id_col).asc(), F.col(id_col).asc()).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    if order_col is not None:
+        order = Window.orderBy(F.col(order_col).asc())
+    else:
+        order = Window.orderBy(id_hash(id_col).asc(), F.col(id_col).asc())
+    w = order.rowsBetween(Window.unboundedPreceding, -1)
+    carry = [F.col(order_col)] if order_col is not None else []
     out = df.select(
-        F.col(id_col), token_count(text_col).cast("long").alias("n_tokens")
+        F.col(id_col), *carry,
+        token_count(text_col).cast("long").alias("n_tokens"),
     ).withColumn("tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
-    return out.withColumn(
+    out = out.withColumn(
         "bin_id", (F.col("tok_offset") / budget).cast("long")
     )
+    return out.drop(order_col) if order_col is not None else out
 
 
 def token_budget_sample(
@@ -432,6 +458,10 @@ def curriculum_order(
         stage.cast("long") * F.lit(_CURR_STAGE_SPAN)
         + shuf.cast("long") * F.lit(_CURR_ID_SPAN)
         + F.col(id_col)
+    )
+    ok = (F.col(id_col) >= 0) & (F.col(id_col) < F.lit(_CURR_ID_SPAN))
+    key = F.when(ok, key).otherwise(
+        F.raise_error(F.lit("curriculum_order requires ids in [0, 2^30)"))
     )
     staged = df.withColumn(stage_col, stage.cast("int")).withColumn(
         "__curr_key", key

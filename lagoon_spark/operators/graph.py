@@ -98,8 +98,8 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(0.15) / F.col("__n")
-                    + F.lit(0.85)
+                    F.lit(1.0 - damping) / F.col("__n")
+                    + F.lit(damping)
                     * (
                         F.coalesce(F.col("__cfp"), F.lit(0)).cast("double")
                         / fp
@@ -110,18 +110,25 @@ def pagerank(
             ),
             eager=False,
         )
-    return pr.select("node", F.round("__pr", 9).alias(out_col))
+    # materialize the node-scale result once, then free the persisted
+    # loop invariants — callers get a pinned frame with no cache debt;
+    # intermediate lazy checkpoints are GC-reclaimed by ContextCleaner
+    out = pin(pr.select("node", F.round("__pr", 9).alias(out_col)))
+    for invariant in (nodes, ew, srcs):
+        invariant.unpersist()
+    return out
 
 
 def pagerank_oracle_sql(
     edges_sql: str,
     *,
     iters: int = 3,
+    damping: float = 0.85,
     final_select: str | None = None,
 ) -> str:
     """The identical unrolled recipe as DuckDB SQL. ``edges_sql`` must
-    yield (src, dst) rows; damping is pinned at the 0.15/0.85 literals
-    the Spark side uses."""
+    yield (src, dst) rows; ``damping`` literals are rendered with repr
+    so both engines parse the identical doubles."""
     fp = float(PR_FP)
     ctes = [
         f"e AS ({edges_sql})",
@@ -151,7 +158,8 @@ def pagerank_oracle_sql(
         )
         ctes.append(
             f"pr{t} AS (SELECT nodes.node,"
-            f" 0.15 / nn.n + 0.85 * (CAST(COALESCE(c{t}.cfp, 0) AS DOUBLE)"
+            f" {1.0 - damping!r} / nn.n"
+            f" + {damping!r} * (CAST(COALESCE(c{t}.cfp, 0) AS DOUBLE)"
             f" / {fp!r}"
             f" + (CAST(d{t}.dangfp AS DOUBLE) / {fp!r}) / nn.n) AS pr"
             f" FROM nodes CROSS JOIN nn CROSS JOIN d{t}"

@@ -591,9 +591,13 @@ def audio_frame_features(
     that explodes to (row × frames)."""
     s = F.col(samples_col)
     nwin = F.ceil(F.size(s) / F.lit(float(frame))).cast("int")
-    windows = F.transform(
-        F.sequence(F.lit(0), nwin - 1),
-        lambda f: F.slice(s, f * frame + 1, frame),
+    # sequence(0, -1) counts DOWN in Spark ([0, -1], not empty) — an
+    # empty sample array would otherwise emit two garbage NaN frames
+    windows = F.when(nwin <= 0, F.array().cast("array<array<int>>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), nwin - 1),
+            lambda f: F.slice(s, f * frame + 1, frame),
+        )
     )
     exploded = samples_df.select(
         F.col(id_col), F.posexplode(windows).alias("frame_no", "__w")
@@ -770,6 +774,8 @@ def decode_video_frames(
     production deployment swaps in PyAV behind the same signature).
     Arrow-batched pure map; the digest covers the sampled frames'
     concatenated pixels, so it pins the decode end to end."""
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib

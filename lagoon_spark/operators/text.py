@@ -391,10 +391,10 @@ def gopher_signals(
         "n_words": F.size(w).cast("long"),
         "mean_word_len": F.round(total_word_chars / nw1, 6),
         "alpha_word_frac": F.round(
-            F.size(F.filter(w, lambda x: x.rlike("[a-z]"))) / nw1, 6
+            F.size(F.filter(w, lambda x: F.lower(x).rlike("[a-z]"))) / nw1, 6
         ),
         "n_stopwords": F.size(
-            F.filter(w, lambda x: x.isin(*stopwords))
+            F.filter(w, lambda x: F.lower(x).isin(*stopwords))
         ).cast("long"),
         "symbol_word_ratio": F.round((hash_chars + ellipses) / nw1, 6),
         "bullet_line_frac": F.round(

@@ -2347,9 +2347,9 @@ sig AS (
     round(list_reduce(list_prepend(CAST(0 AS BIGINT),
             list_transform(w, x -> CAST(length(x) AS BIGINT))),
           (a, b) -> a + b) / greatest(len(w), 1), 6) AS mean_word_len,
-    round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+    round(len(list_filter(w, x -> regexp_matches(lower(x), '[a-z]')))
           / greatest(len(w), 1), 6) AS alpha_word_frac,
-    CAST(len(list_filter(w, x -> list_contains([{_D32_STOPS}], x)))
+    CAST(len(list_filter(w, x -> list_contains([{_D32_STOPS}], lower(x))))
          AS BIGINT) AS n_stopwords,
     round(((length(body) - length(replace(body, '#', '')))
            + (length(body) - length(replace(body, '...', ''))) / 3)

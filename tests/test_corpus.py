@@ -60,7 +60,7 @@ def test_chunks_reconstruct_document(spark, sf_small):
 def test_global_shuffle_is_a_permutation(spark, sf_small):
     docs = _docs(spark, sf_small).select("doc_id")
     n = docs.count()
-    out = corpus.global_shuffle(docs, "doc_id")
+    out, _pinned = corpus.global_shuffle(docs, "doc_id")
     agg = out.agg(
         F.countDistinct("shuffle_pos").alias("d"),
         F.min("shuffle_pos").alias("lo"),

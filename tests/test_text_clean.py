@@ -208,9 +208,9 @@ def _py_gopher(body, stops=("the", "be", "to", "of", "and", "that", "have", "wit
         "n_words": len(w),
         "mean_word_len": round(sum(len(x) for x in w) / nw1, 6),
         "alpha_word_frac": round(
-            sum(1 for x in w if _re.search("[a-z]", x)) / nw1, 6
+            sum(1 for x in w if _re.search("[a-z]", x.lower())) / nw1, 6
         ),
-        "n_stopwords": sum(1 for x in w if x in stops),
+        "n_stopwords": sum(1 for x in w if x.lower() in stops),
         "symbol_word_ratio": round((hashes + ells) / nw1, 6),
         "bullet_line_frac": round(
             sum(1 for x in lines if x.startswith(("- ", "* "))) / nl1, 6
@@ -262,6 +262,7 @@ def test_gopher_and_c4_match_python_reference_on_fuzzed_bodies(spark):
         "### ## #",
         "is that a question with many words inside?",
         'he said "quoted words are fine too."',
+        "THE LOUD HEADING WITH The Mixed Case.",
         "éléphant café touché.",
         "the of and with that have be to.",
     ]
