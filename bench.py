@@ -92,6 +92,20 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # relational split (round-7 verdict ask #8): q01–q50 are the query-
+    # engine surface; the rest (d/s/m/c/st extension queries) include
+    # codec-bound media lanes whose Python-decode cost masks relational
+    # drift. Report both so engine regressions stay visible.
+    def _qnum(name: str) -> int | None:
+        head = name.split("_", 1)[0]
+        if head.startswith("q") and head[1:].isdigit():
+            return int(head[1:])
+        return None
+
+    total_relational = round(
+        sum(v for k, v in timings.items() if (n := _qnum(k)) and n <= 50), 3
+    )
+
     # -- normalization vs the previous round (round-7 verdict ask #4) --------
     # This host is shared: raw totals drift ±30% with neighbor load, but
     # the fixed CPU probe drifts WITH them, so value/calib_sec is the
@@ -99,6 +113,9 @@ def main() -> None:
     # BENCH_r{N}.json's parsed line (its calib_sec anchors that round).
     here = os.path.dirname(os.path.abspath(__file__))
     value_norm = round(total / calib, 3) if calib else None
+    value_norm_relational = (
+        round(total_relational / calib, 3) if calib else None
+    )
     prev, prev_name = None, None
     import glob as _glob
     import re as _re
@@ -136,6 +153,8 @@ def main() -> None:
         json.dump({"metric": "total_query_wall_sec", "value": total,
                    "unit": "sec", "queries": timings, "sf": sf_dir,
                    "calib_sec": calib, "value_norm": value_norm,
+                   "total_relational_sec": total_relational,
+                   "value_norm_relational": value_norm_relational,
                    "norm_ratio_vs_prev": norm_ratio,
                    "prev_bench": prev_name,
                    "queries_norm_ratio_vs_prev": per_query_norm_ratio,
@@ -161,6 +180,9 @@ def main() -> None:
                 # the load-normalized headline: compare THIS across
                 # rounds, never raw totals (shared-host drift ±30%)
                 "value_norm": value_norm,
+                # q01–q50 only: the query-engine surface, free of the
+                # Python-codec media tax (verdict r7 ask #8)
+                "value_norm_relational": value_norm_relational,
                 "norm_ratio_vs_prev": norm_ratio,
                 # top 8 only — the stdout line must fit the driver's
                 # ~2 KB tail capture; the full set is in bench_full.json

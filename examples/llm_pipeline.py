@@ -104,13 +104,14 @@ def main() -> None:
 
     # 7. pack into fixed-budget training bins IN CURRICULUM ORDER —
     #    the serving order computed in step 6 decides the bin layout
-    packed = corpus.pack_token_offsets(
+    packed, _pack_pinned = corpus.pack_token_offsets(
         ordered.select("doc_id", "text", "curriculum_pos"),
         "doc_id", "text", budget=512, order_col="curriculum_pos",
     )
     n_bins = packed.agg(F.countDistinct("bin_id")).collect()[0][0]
     print(f"packed into {n_bins} bins of 512 tokens")
     packed.orderBy("tok_offset").show(5)
+    _pack_pinned.unpersist()
     _pinned.unpersist()
     spark.stop()
 

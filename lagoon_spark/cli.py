@@ -178,6 +178,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable IVFADC: product-quantize residuals into M codes")
     p.add_argument("--pq-k", type=int, default=16, dest="pq_k")
     p.add_argument("--pq-iters", type=int, default=2, dest="pq_iters")
+    p.add_argument("--include-columns", default=None, dest="include_columns",
+                   help="comma-separated metadata columns baked into the "
+                   "cell partitions for filtered (hybrid) search")
 
     p = sub.add_parser(
         "ann-search", help="Approximate nearest neighbors via the IVF index"
@@ -187,6 +190,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vector", required=True, help='JSON array, e.g. "[0.1, 0.9]"')
     p.add_argument("--topk", type=int, default=10)
     p.add_argument("--nprobe", type=int, default=4)
+    p.add_argument("--where", default=None,
+                   help="row-local SQL predicate applied before the top-k "
+                   "(hybrid search), e.g. \"lang = 'de'\"")
 
     p = sub.add_parser(
         "dedup-source",
@@ -591,6 +597,11 @@ class _Cli:
             pq_m=self.args.pq_m,
             pq_k=self.args.pq_k,
             pq_iters=self.args.pq_iters,
+            include_columns=(
+                [c.strip() for c in self.args.include_columns.split(",")]
+                if self.args.include_columns
+                else None
+            ),
         )
         print(_json.dumps(meta))
 
@@ -603,6 +614,7 @@ class _Cli:
             _json.loads(self.args.vector),
             topk=self.args.topk,
             nprobe=self.args.nprobe,
+            where=self.args.where,
         )
         for r in res.collect():
             print(f"{r['ix']}\t{r['cosine']}")

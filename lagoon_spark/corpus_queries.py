@@ -191,7 +191,8 @@ FROM t
 def c06(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = spark.table("documents").select("doc_id", "text")
-    return corpus.pack_token_offsets(docs, "doc_id", "text", budget=1024)
+    out, _pinned = corpus.pack_token_offsets(docs, "doc_id", "text", budget=1024)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -357,8 +358,8 @@ r AS (SELECT source, sc,
 SELECT d.source,
        r.ppm AS keep_rate_ppm,
        CAST(r.sc AS BIGINT) AS n_total,
-       SUM(CASE WHEN ({corpus.duck_id_hash('d.doc_id')}) % {_C10_GRAN} < r.ppm
-                THEN 1 ELSE 0 END) AS n_kept
+       CAST(SUM(CASE WHEN ({corpus.duck_id_hash('d.doc_id')}) % {_C10_GRAN} < r.ppm
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM documents d JOIN r USING (source)
 GROUP BY d.source, r.ppm, r.sc
 """

@@ -1259,6 +1259,7 @@ class Lagoon:
         pq_m: int | None = None,
         pq_k: int = 16,
         pq_iters: int = 2,
+        include_columns: "list[str] | None" = None,
     ) -> dict:
         """Train and persist an IVF index over an embedding column
         (JSON ``array<double>`` text): deterministic k-means centroids
@@ -1286,12 +1287,27 @@ class Lagoon:
         ``assignments``. A search then ADC-shortlists over the codes
         (≈dim·8/pq_m× less probe I/O — 64-dim float64 at pq_m=4 reads
         ~1/64th the bytes) and exact-re-ranks only the shortlist rows
-        from the vector partitions."""
+        from the vector partitions.
+
+        ``include_columns`` copies the named (typed, when available)
+        metadata columns INTO the index's cell partitions — and into
+        the PQ codes partitions — so :meth:`ann_search`'s ``where``
+        predicate evaluates inside the probed cells with zero source-
+        table I/O (hybrid/filtered vector search: language, license,
+        date filters at 100 TB must not force a corpus scan)."""
         import json as _json
 
         info = self.catalog.get_source(name, version)
         self._ann_read_check(info)
         phys, _h, _t = self.catalog.get_column(info.ix, column)
+        inc: "list[tuple[str, str]]" = []  # (exposed name, phys col)
+        for c in include_columns or []:
+            c_phys, c_name, _ct = self.catalog.get_column(info.ix, c)
+            if c_phys == phys:
+                raise ValueError(
+                    "include_columns must not contain the vector column"
+                )
+            inc.append((c_name, c_phys))
         vecs = self._ann_vectors(info, phys)
         first = vecs.select(F.size("__vec").alias("d")).first()
         if first is None:
@@ -1308,6 +1324,19 @@ class Lagoon:
         assigns, centroids = kmeans_fit_predict(
             vecs, "ix", "__vec", k=k, iters=iters, dim=dim, keep_vec=True
         )
+        inc_names = [n for n, _p in inc]
+        if inc:
+            # metadata rides INTO the cell partitions (typed values when
+            # the typed table exists, so numeric/date predicates compare
+            # natively) — one ix-keyed join at build time buys every
+            # later filtered probe its zero-source-I/O contract
+            meta_src = self._source_frame(
+                info, typed=bool(info.typed_table_name)
+            )
+            meta_df = meta_src.select(
+                "ix", *[F.col(p).alias(n) for n, p in inc]
+            )
+            assigns = assigns.join(meta_df, "ix")
         idx_dir = self._ann_index_dir(info, phys)
         cent_df = self.spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
@@ -1323,7 +1352,7 @@ class Lagoon:
         # re-rank reads these partitions with an `ix IN (shortlist)`
         # filter, and sorted row groups let parquet stats prune to the
         # few groups holding the shortlist
-        assigns.select("ix", "__vec", "cell").repartition(
+        assigns.select("ix", "__vec", "cell", *inc_names).repartition(
             F.col("cell")
         ).sortWithinPartitions("ix").write.partitionBy("cell").mode(
             "overwrite"
@@ -1337,6 +1366,7 @@ class Lagoon:
             # vectors live in the index's cell partitions — search is
             # source-table-free (format 2)
             "format": 2,
+            "include_columns": inc_names,
         }
         if pq_m:
             from lagoon_spark.operators.similarity import pq_fit_encode
@@ -1353,6 +1383,7 @@ class Lagoon:
             residuals = stored.join(F.broadcast(cent_df), "cell").select(
                 "ix",
                 "cell",
+                *inc_names,
                 # exact vector norm rides WITH the codes: the ADC
                 # shortlist scores approx-cosine = (q·c_cell +
                 # Σ_j <q_j, book_j[code_j]>) / ‖v‖ — quantization
@@ -1374,7 +1405,10 @@ class Lagoon:
                 dim=dim,
             )
             (
-                residuals.select("ix", "cell", "__norm")
+                # include columns ride in the codes partitions too, so
+                # a filtered IVFADC probe's ADC shortlist already honors
+                # the predicate — no over-fetch needed on this path
+                residuals.select("ix", "cell", "__norm", *inc_names)
                 .join(codes_df, "ix")
                 .repartition(F.col("cell"))
                 .sortWithinPartitions("ix")
@@ -1420,6 +1454,8 @@ class Lagoon:
         version: int | None = None,
         rerank_factor: int = 4,
         use_pq: bool | None = None,
+        where: str | None = None,
+        overfetch: int = 4,
     ) -> DataFrame:
         """Approximate nearest neighbors against a persisted IVF index:
         pick the query's ``nprobe`` nearest centroids (k-row
@@ -1441,7 +1477,27 @@ class Lagoon:
         lookups per row), and exact-cosine re-rank only the shortlist
         rows read back from the sorted vector partitions with an
         ``ix IN`` row-group-pruned scan. ``use_pq=False`` forces the
-        full-precision cell scan on a format-3 index."""
+        full-precision cell scan on a format-3 index.
+
+        ``where`` is a hybrid-search predicate (a row-local SQL boolean
+        expression, e.g. ``"lang = 'de' AND year >= 2020"``) applied
+        BEFORE the top-k, so the result is the top-k *of the matching
+        rows* — post-filtering a plain top-k under-retrieves. Two
+        tiers:
+
+        * every referenced column was baked into the index
+          (``build_ann_index(include_columns=[...])``) → the predicate
+          evaluates inside the probed cell partitions (and inside the
+          PQ codes scan on format 3): pushed to the parquet scan, zero
+          source-table I/O — the 100 TB path;
+        * otherwise → fallback: the source table is scanned ONCE with
+          the predicate (column-pruned to ix + predicate columns) and
+          the matching ``ix`` set semi-joins the candidates; on a
+          format-3 index the ADC shortlist cannot see the predicate,
+          so it over-fetches ``overfetch``× before the semi-join.
+
+        Subqueries in ``where`` are rejected (fail closed): the
+        predicate must be row-local."""
         import math
 
         info = self.catalog.get_source(name, version)
@@ -1525,21 +1581,80 @@ class Lagoon:
         qdf = self.spark.createDataFrame(
             [([float(x) for x in query_vec],)], "__vec array<double>"
         )
+        assigns = _read_cells(ass_root)
+
+        where_expr = None
+        where_in_index = False
+        match_ix: DataFrame | None = None
+        if where is not None:
+            import re as _re
+
+            from pyspark.errors import AnalysisException
+
+            # fail closed: the predicate must be row-local — a scalar/
+            # EXISTS/IN subquery would smuggle reads of other tables
+            # past the per-source read gate this search already passed
+            if _re.search(r"\(\s*select\b", where, _re.IGNORECASE):
+                raise ValueError(
+                    "ann_search where= must be a row-local predicate "
+                    "(subqueries are not allowed)"
+                )
+            where_expr = F.expr(where)
+            try:
+                assigns.filter(where_expr).schema  # force analysis
+                where_in_index = True
+            except AnalysisException:
+                # predicate references columns not baked into the index
+                # (build_ann_index(include_columns=...)): fall back to
+                # one column-pruned pass over the source's predicate
+                # columns; the matching ix set semi-joins the candidates
+                phys_cols = [c[0] for c in info.columns]
+                names = [c[1] for c in info.columns]
+                src = self._source_frame(
+                    info, typed=bool(info.typed_table_name)
+                )
+                fr = src.select(
+                    "ix",
+                    *[
+                        F.col(p).alias(h)
+                        for p, h in zip(phys_cols, names)
+                    ],
+                )
+                match_ix = fr.filter(where_expr).select("ix")
+
         shortlist_ids: list[int] | None = None
         if meta.get("format") == 3 and use_pq is not False:
+            # an unfilterable shortlist (predicate not in the codes)
+            # over-fetches so enough survivors remain after the
+            # semi-join to fill topk
+            limit = topk * rerank_factor
+            if where_expr is not None and not where_in_index:
+                limit *= max(1, overfetch)
             shortlist_ids = self._pq_shortlist(
                 idx_dir, meta, probe, ranked, query_vec,
-                limit=topk * rerank_factor,
+                limit=limit,
+                where_expr=where_expr if where_in_index else None,
             )
-        assigns = _read_cells(ass_root)
         if "__vec" in assigns.columns:  # format 2/3: self-contained
             candidates = assigns
         else:  # format-1 artifact: vectors still live in the source
             candidates = self._ann_vectors(info, phys).join(assigns, "ix")
+        if where_expr is not None:
+            if where_in_index:
+                # lands in the probed-cell parquet scan (pushed filter)
+                candidates = candidates.filter(where_expr)
+            else:
+                candidates = candidates.join(match_ix, "ix", "semi")
         if shortlist_ids is not None:
             # IN-literal filter pushes down to the sorted vector
-            # row groups — the re-rank reads a few groups, not the cells
-            candidates = candidates.filter(F.col("ix").isin(shortlist_ids))
+            # row groups — the re-rank reads a few groups, not the cells.
+            # An empty shortlist (all probed cells empty) means zero
+            # candidates — make that explicit rather than `IN ()`
+            candidates = (
+                candidates.filter(F.col("ix").isin(shortlist_ids))
+                if shortlist_ids
+                else candidates.filter(F.lit(False))
+            )
         return cosine_topk(candidates, "ix", "__vec", qdf, k=topk)
 
     def _pq_shortlist(
@@ -1551,6 +1666,7 @@ class Lagoon:
         query_vec: list[float],
         *,
         limit: int,
+        where_expr=None,
     ) -> list[int]:
         """ADC stage of an IVFADC probe: shortlist candidate row ids
         from the codes partitions, by APPROXIMATE COSINE.
@@ -1607,6 +1723,17 @@ class Lagoon:
             F.lit(-1e300)
         )
         codes_root = os.path.join(idx_dir, "codes")
+        if not os.path.isdir(codes_root):
+            # meta says format 3 (PQ) but the codes artifact is gone —
+            # a partially deleted/corrupt index. Fail loudly instead of
+            # surfacing an opaque parquet AnalysisException (or, worse,
+            # a silently empty shortlist).
+            raise RuntimeError(
+                f"ANN index at {idx_dir} is corrupt: metadata declares "
+                "PQ codes (format 3) but the codes/ directory is "
+                "missing; rebuild the index (create_ann_index or "
+                "dedup_source(reindex=True))"
+            )
         dirs = [
             d
             for c in probe
@@ -1619,9 +1746,15 @@ class Lagoon:
                 .filter(F.col("cell").isin(probe))
             )
         else:
-            codes = self.spark.read.parquet(codes_root).filter(
-                F.col("cell").isin(probe)
-            )
+            # probed cells were all empty at build time (no cell dirs):
+            # an empty shortlist is the *correct* answer — no candidates
+            # live in the probed cells
+            return []
+        if where_expr is not None:
+            # hybrid search: include columns ride in the codes
+            # partitions, so the shortlist itself honors the predicate
+            # (no over-fetch, no post-filter under-retrieval)
+            codes = codes.filter(where_expr)
         rows = (
             codes.select("ix", score.alias("__adc"))
             .orderBy(F.col("__adc").desc(), F.col("ix").asc())
@@ -1791,6 +1924,7 @@ class Lagoon:
                     pq_m=m.get("pq_m"),
                     pq_k=m.get("pq_k", 16),
                     pq_iters=m.get("pq_iters", 2),
+                    include_columns=m.get("include_columns") or None,
                 )
         return new_info
 

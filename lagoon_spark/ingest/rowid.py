@@ -122,3 +122,62 @@ def dense_order_ix(df: DataFrame, order_col: str, out_col: str = "ix"):
         out_col, (off_map[F.col("__pid")] + F.row_number().over(local_w)).cast("long")
     ).drop("__pid")
     return out, ranged
+
+
+def dense_prefix_sum(
+    df: DataFrame, order_col: str, value_col: str, out_col: str = "prefix"
+):
+    """Exclusive prefix sum of ``value_col`` over the total order of
+    ``order_col`` (values must be unique) without a single-task window.
+
+    Same two-phase scheme as :func:`dense_order_ix`: range-partition on
+    the order column (parallel sampled-boundary shuffle), collect the
+    metadata-sized per-partition value totals, broadcast them as prefix
+    offsets, then run the running-sum window *inside* each range
+    partition. A naive ``SUM() OVER (ORDER BY …)`` compiles to one
+    unpartitioned window task — the classic 100 TB sort trap this
+    avoids. The frame is checkpoint-pinned for the same
+    resample-boundary reason as ``dense_order_ix``.
+
+    Returns ``(out_df, pinned)``; unpersist ``pinned`` after
+    materializing ``out_df``.
+    """
+    from pyspark.sql import Window as W
+
+    from lagoon_spark.checkpointing import pin
+
+    ranged = pin(
+        df.repartitionByRange(F.col(order_col)).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+    )
+    sums = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(F.col(value_col).cast("long")).alias("__s"))
+        .collect()
+    )  # one row per partition — metadata-sized
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(sums, key=lambda r: r["__pid"]):
+        offsets[int(row["__pid"])] = acc
+        acc += int(row["__s"] or 0)
+    if not offsets:  # zero rows
+        return (
+            ranged.withColumn(out_col, F.lit(0).cast("long")).drop("__pid"),
+            ranged,
+        )
+    off_map = F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+    )
+    local_w = (
+        W.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    running = F.coalesce(
+        F.sum(F.col(value_col).cast("long")).over(local_w), F.lit(0)
+    )
+    out = ranged.withColumn(
+        out_col, (off_map[F.col("__pid")] + running).cast("long")
+    ).drop("__pid")
+    return out, ranged

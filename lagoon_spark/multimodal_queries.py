@@ -303,7 +303,14 @@ FROM documents
 
 def _encode_wav_pcm16(rate: int, pcm: bytes) -> bytes:
     """Minimal stdlib WAV encoder (mono 16-bit PCM): the data-gen half
-    of the m07 round-trip; any audio tool accepts its output."""
+    of the m07 round-trip; any audio tool accepts its output.
+
+    PARITY INVARIANT (m07): the caller plants ``text.encode('utf-8')``
+    bytes as PCM and the DuckDB twin predicts them with
+    ``hex(encode(text))`` — byte-for-byte identical only while the
+    text is ASCII (true of the generated corpora; verified in the m10
+    lane, which additionally forces ascii-replace so its *sample-value*
+    oracle stays exact even on non-ASCII input)."""
     import struct as _struct
 
     hdr = _struct.pack(
@@ -564,11 +571,23 @@ def m09(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Beyond m07's container metadata: decode the planted PCM back to the
 # SAMPLE VALUES and compute per-8-sample-frame RMS / peak / mean-|x|
 # with exact integer energy sums — the oracle predicts every feature
-# from the text characters (pcm bytes are the utf-8 text, ASCII here,
-# so sample k = ascii(c_2k) + 256*ascii(c_2k+1), zero-padded). This
-# checks the decoded WAVEFORM itself, not just digests.
+# from the text characters. The planting encoder uses
+# ``text.encode('ascii', 'replace')`` (one '?' byte per non-ASCII
+# character), so byte k == character k always, and the oracle clamps
+# codepoints > 127 to 63 ('?') to match — parity holds even if the
+# corpus ever grows non-ASCII text. Sample k = b_2k + 256*b_2k+1,
+# zero-padded. This checks the decoded WAVEFORM itself, not digests.
 
 _M10_FRAME = 8
+
+# ascii codepoint of character j (1-based), with the encoder's
+# 'replace' rule applied: non-ASCII → '?' (63); past-the-end → 0
+_M10_BYTE = (
+    "(CASE WHEN {j} > length(text) THEN 0 "
+    "WHEN ascii(substr(text, CAST({j} AS INT), 1)) > 127 THEN 63 "
+    "WHEN ascii(substr(text, CAST({j} AS INT), 1)) < 0 THEN 63 "
+    "ELSE ascii(substr(text, CAST({j} AS INT), 1)) END)"
+)
 
 _M10_ORACLE = f"""
 WITH p AS (
@@ -577,10 +596,8 @@ WITH p AS (
 s AS (
   SELECT doc_id,
          list_transform(range(0, n), k ->
-           (CASE WHEN 2*k+1 <= length(text)
-                 THEN ascii(substr(text, CAST(2*k+1 AS INT), 1)) ELSE 0 END)
-           + 256 * (CASE WHEN 2*k+2 <= length(text)
-                 THEN ascii(substr(text, CAST(2*k+2 AS INT), 1)) ELSE 0 END)
+           {_M10_BYTE.format(j='2*k+1')}
+           + 256 * {_M10_BYTE.format(j='2*k+2')}
          ) AS samples
   FROM p
 ),
@@ -624,7 +641,10 @@ def m10(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 n = int(doc_id) % 50 + 4
                 rate = 8000 + int(doc_id) % 8 * 1000
-                pcm = (text or "").encode("utf-8")[: 2 * n].ljust(2 * n, b"\x00")
+                # ascii-replace (not utf-8): keeps byte k == char k so
+                # the oracle's per-character clamp predicts every byte
+                pcm = (text or "").encode("ascii", "replace")[: 2 * n]
+                pcm = pcm.ljust(2 * n, b"\x00")
                 blobs.append(_encode_wav_pcm16(rate, pcm))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 

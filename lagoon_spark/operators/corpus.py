@@ -176,32 +176,52 @@ def pack_token_offsets(
     text_col: str,
     budget: int = 1024,
     order_col: str | None = None,
-) -> DataFrame:
+):
     """Concatenation packing: assign each document a global token offset
     and a fixed-budget bin id, in deterministic shuffled order.
 
     This is the "concat then cut every `budget` tokens" packing used to
     build fixed-length training sequences: tok_offset = running sum of
     token counts over the shuffled order; bin = tok_offset // budget.
-    One global sort + a running-sum window over the same order.
     ``order_col`` replaces the default (hash, id) order — pass a
     curriculum position to pack in curriculum order (must be a total
     order, e.g. ``curriculum_order``'s dense output).
+
+    Scale design: the running sum rides
+    :func:`lagoon_spark.ingest.rowid.dense_prefix_sum` — a
+    range-partitioned parallel sort, per-partition running sums, and a
+    broadcast prefix-offset map — never the unpartitioned window a
+    naive ``SUM() OVER (ORDER BY …)`` compiles to (a one-task global
+    sort, the same trap ``global_shuffle``/``curriculum_order``
+    avoid). Default order requires ids in [0, 2^31) (the composite-key
+    guard shared with :func:`global_shuffle`).
+
+    Returns ``(out_df, pinned)`` like ``dense_order_ix``; unpersist
+    ``pinned`` after materializing ``out_df``.
     """
-    if order_col is not None:
-        order = Window.orderBy(F.col(order_col).asc())
-    else:
-        order = Window.orderBy(id_hash(id_col).asc(), F.col(id_col).asc())
-    w = order.rowsBetween(Window.unboundedPreceding, -1)
+    from lagoon_spark.ingest.rowid import dense_prefix_sum
+
     carry = [F.col(order_col)] if order_col is not None else []
-    out = df.select(
+    base = df.select(
         F.col(id_col), *carry,
         token_count(text_col).cast("long").alias("n_tokens"),
-    ).withColumn("tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    )
+    if order_col is not None:
+        key_name = order_col
+    else:
+        key_name = "__pack_key"
+        base = base.withColumn(
+            key_name,
+            _guarded_key(
+                id_col, 1 << 31,
+                "pack_token_offsets requires ids in [0, 2^31)",
+            ),
+        )
+    out, pinned = dense_prefix_sum(base, key_name, "n_tokens", "tok_offset")
     out = out.withColumn(
         "bin_id", (F.col("tok_offset") / budget).cast("long")
-    )
-    return out.drop(order_col) if order_col is not None else out
+    ).drop(key_name)
+    return out, pinned
 
 
 def token_budget_sample(
@@ -436,8 +456,9 @@ def curriculum_order(
     global position folds (stage, shuffle-hash, id) into one composite
     long and numbers it with :func:`lagoon_spark.ingest.rowid.dense_order_ix`
     — a range-partitioned parallel sort plus a broadcast prefix-offset
-    map, never a single-task window (contrast :func:`global_shuffle`,
-    whose plain window is fine only below one executor's sort budget).
+    map, never a single-task window. :func:`global_shuffle` numbers its
+    (hash, id) key with the same ``dense_order_ix`` scheme — the two
+    operators share one scale story.
 
     Returns ``(out_df, pinned)`` like ``dense_order_ix`` — unpersist
     ``pinned`` after materializing. Requires ids in [0, 2^30) and at

@@ -74,7 +74,7 @@ def test_global_shuffle_is_a_permutation(spark, sf_small):
 
 def test_packing_offsets_are_contiguous(spark, sf_small):
     docs = _docs(spark, sf_small).select("doc_id", "text")
-    out = corpus.pack_token_offsets(docs, "doc_id", "text", budget=256)
+    out, _pinned = corpus.pack_token_offsets(docs, "doc_id", "text", budget=256)
     # offsets sorted by (hash, id) are a prefix-sum: next offset ==
     # previous offset + previous n_tokens
     rows = out.withColumn("h", corpus.id_hash("doc_id")).orderBy("h", "doc_id").collect()

@@ -790,6 +790,120 @@ def test_ann_index_build_and_search(lagoon, tmp_path):
         mallory.ann_search("emb", "data", [1.0, 0.0])
 
 
+def test_ann_hybrid_filtered_search(lagoon, tmp_path):
+    """Round-8: hybrid (metadata-filtered) ANN search. The predicate is
+    applied BEFORE the top-k — inside the probed cell partitions when
+    the column was baked in with include_columns (zero source I/O,
+    plan-asserted), via a column-pruned source semi-join otherwise —
+    so the result is the top-k OF THE MATCHING ROWS, not a post-
+    filtered under-retrieval."""
+    import math
+
+    # 12 vectors: even rows hug the x-axis, odd rows the y-axis; lang
+    # 'de' on every third row — selective enough that a post-filtered
+    # top-3 would under-retrieve
+    rows = []
+    for i in range(12):
+        vec = [1.0, i * 0.01] if i % 2 == 0 else [i * 0.01, 1.0]
+        lang = "de" if i % 3 == 0 else "en"
+        rows.append((lang, f"doc number {i}", vec))
+    p = tmp_path / "hyb.csv"
+    p.write_text(
+        "lang,txt,vec\n"
+        + "\n".join(f'{l},{t},"[{v[0]}, {v[1]}]"' for l, t, v in rows)
+        + "\n"
+    )
+    lagoon.ingest(str(p), "hyb")
+    meta = lagoon.build_ann_index(
+        "hyb", "vec", k=2, iters=2, include_columns=["lang"]
+    )
+    assert meta["include_columns"] == ["lang"]
+
+    q = [1.0, 0.05]
+
+    def brute_filtered(pred, k):
+        """Exact filtered top-k, straight cosine math over the rows."""
+
+        def cos(a, b):
+            num = sum(x * y for x, y in zip(a, b))
+            den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+                sum(y * y for y in b)
+            )
+            return num / den
+        scored = [
+            (i + 1, cos(v, q))
+            for i, (l, t, v) in enumerate(rows)
+            if pred(l, t)
+        ]
+        scored.sort(key=lambda s: (-round(s[1], 9), s[0]))
+        return [ix for ix, _ in scored[:k]]
+
+    # index-resident predicate: all cells probed → exact filtered top-k
+    res = lagoon.ann_search(
+        "hyb", "vec", q, topk=3, nprobe=2, where="lang = 'de'"
+    )
+    got = [r["ix"] for r in res.collect()]
+    assert got == brute_filtered(lambda l, t: l == "de", 3)
+
+    # the filter lands in the INDEX scan: source never touched, and the
+    # lang predicate is pushed to the probed-cell parquet scan
+    info = lagoon.catalog.get_source("hyb", 1)
+    plan_text = (
+        res._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert info.table_name not in plan_text
+    scans = [
+        ln for ln in plan_text.splitlines() if "FileScan parquet" in ln
+    ]
+    assert len(scans) == 1 and "lang" in scans[0].split("PushedFilters")[1]
+
+    # fallback: predicate over a column NOT in the index — still the
+    # exact filtered top-k, via the source semi-join
+    res2 = lagoon.ann_search(
+        "hyb", "vec", q, topk=3, nprobe=2,
+        where="txt IN ('doc number 0', 'doc number 4', 'doc number 8')",
+    )
+    got2 = [r["ix"] for r in res2.collect()]
+    assert got2 == brute_filtered(
+        lambda l, t: t in ("doc number 0", "doc number 4", "doc number 8"), 3
+    )
+
+    # no matches → empty result, no error
+    assert lagoon.ann_search(
+        "hyb", "vec", q, topk=3, nprobe=2, where="lang = 'xx'"
+    ).count() == 0
+
+    # subqueries are rejected (fail closed — row-local predicates only)
+    with pytest.raises(ValueError, match="row-local"):
+        lagoon.ann_search(
+            "hyb", "vec", q, topk=3,
+            where="lang IN (SELECT lang FROM somewhere)",
+        )
+
+    # IVFADC tier: the codes partitions carry the include column, so
+    # the ADC shortlist itself honors the predicate; results match the
+    # full-precision filtered probe
+    lagoon.build_ann_index(
+        "hyb", "vec", k=2, iters=2, pq_m=2, pq_k=4,
+        include_columns=["lang"],
+    )
+    adc = lagoon.ann_search(
+        "hyb", "vec", q, topk=3, nprobe=2, where="lang = 'de'"
+    )
+    full = lagoon.ann_search(
+        "hyb", "vec", q, topk=3, nprobe=2, where="lang = 'de'",
+        use_pq=False,
+    )
+    assert {r["ix"] for r in adc.collect()} == {
+        r["ix"] for r in full.collect()
+    }
+    # and the empty-match case survives the PQ path too
+    assert lagoon.ann_search(
+        "hyb", "vec", q, topk=3, nprobe=2, where="lang = 'xx'"
+    ).count() == 0
+
+
 def test_ann_index_lifecycle_under_dedup_source(lagoon, tmp_path):
     """Round-7 verdict #6: content maintenance mints new versions that
     don't inherit the parent's per-version ANN index — ann_search must
