@@ -123,17 +123,46 @@ class Lagoon:
         if source_identifier is not None:
             hits = self.catalog.find_by_tag(f"SUID:{source_identifier}")
             if hits:
-                found = self.catalog.get_source_by_ix(hits[0])
-                if not (
-                    _sec.is_admin(self.user)
-                    or found.added_by == self.user
-                    or _sec.can_read(self.catalog, self.user, found.ix)
-                ):
-                    raise _sec.PermissionDenied(
-                        f"{self.user!r} may not read the existing source for "
-                        f"identifier {source_identifier!r}"
+                src_rows = self.catalog.load("sources")
+                row = src_rows[src_rows["ix"] == hits[0]]
+                pending_hit = (
+                    len(row) > 0
+                    and "pending" in row.columns
+                    and bool(row.iloc[0]["pending"])
+                )
+                if not len(row) or pending_hit:
+                    # the identifier points at crash debris: a writer
+                    # died between the SUID tag and the commit (or the
+                    # row was swept, stranding the tag). We hold the
+                    # writer lock — sweep it and ingest fresh, or a
+                    # replayed stream file would return an INVISIBLE
+                    # version and its data would be lost
+                    self._rollback_ingest(
+                        hits[0],
+                        *(
+                            [row.iloc[0]["table_name"], f"typed{hits[0]}"]
+                            if len(row)
+                            else []
+                        ),
                     )
-                return found
+                    # delete_source drops the row's tags; a stranded tag
+                    # with NO row needs the explicit untag or every
+                    # later probe of this identifier re-enters here
+                    self.catalog.untag(
+                        hits[0], f"SUID:{source_identifier}"
+                    )
+                else:
+                    found = self.catalog.get_source_by_ix(hits[0])
+                    if not (
+                        _sec.is_admin(self.user)
+                        or found.added_by == self.user
+                        or _sec.can_read(self.catalog, self.user, found.ix)
+                    ):
+                        raise _sec.PermissionDenied(
+                            f"{self.user!r} may not read the existing "
+                            f"source for identifier {source_identifier!r}"
+                        )
+                    return found
 
         # A28 enforcement (the reference's security suite scenario):
         # a NEW dataset name needs the CREATE capability; a new VERSION
@@ -271,6 +300,13 @@ class Lagoon:
             _sec.set_public(
                 self.catalog, info.ix, True, level="update", actor=_sec.SYSTEM
             )
+        # COMMIT LAST: the version becomes visible only after its tags
+        # (incl. the SUID idempotency key) and ACL rows exist — a writer
+        # interrupted anywhere above leaves invisible debris, never a
+        # visible version whose missing SUID tag lets a streaming replay
+        # mint a duplicate (measured: the versions-mode soak's restart
+        # raced exactly the finalize→tag window)
+        self.catalog.finalize_source(info.ix)
         out = self.catalog.get_source_by_ix(info.ix)
         emit({"event": "done", "ix": out.ix, "version": out.version, "rows": out.row_count})
         return out
@@ -349,6 +385,7 @@ class Lagoon:
                 ix, row_count=row_count,
                 typed_table_name=typed_table, typed_view_name=typed_view,
             )
+            # NOT finalized here: _ingest_locked commits after tags/ACLs
         except BaseException:
             self._rollback_ingest(ix, table_name, f"typed{ix}")
             raise
@@ -456,6 +493,7 @@ class Lagoon:
                 ix, row_count=row_count,
                 typed_table_name=typed_table, typed_view_name=typed_view,
             )
+            # NOT finalized here: _ingest_locked commits after tags/ACLs
         except BaseException:
             self._rollback_ingest(ix, table_name, f"typed{ix}")
             raise
@@ -537,6 +575,7 @@ class Lagoon:
             self.catalog.update_source(
                 ix, row_count=row_count, json_type=jsontype.render(jt)
             )
+            # NOT finalized here: _ingest_locked commits after tags/ACLs
         except BaseException as e:
             self._rollback_ingest(ix, table_name)
             # unwrap the worker-side splitter error to the same clean
@@ -615,7 +654,9 @@ class Lagoon:
 
         from pyspark.errors import AnalysisException
 
-        sources = self.catalog.load("sources")
+        from lagoon_spark.catalog import _visible
+
+        sources = _visible(self.catalog.load("sources"))
         for _, row in sources.iterrows():
             try:
                 self.register_views(self.catalog.get_source_by_ix(int(row["ix"])))
@@ -941,6 +982,41 @@ class Lagoon:
                         import shutil
 
                         shutil.rmtree(os.path.join(idx_root, d))
+        # pending catalog rows are crash debris IF no writer is live:
+        # the writer lock arbitrates — a live ingest holds it, so a
+        # successful immediate acquisition proves any pending row's
+        # writer died mid-ingest. Swept row-by-row via delete_source
+        # (same cleanup as a handled rollback).
+        if "pending" in sources.columns and bool(
+            sources["pending"].fillna(False).astype(bool).any()
+        ):
+            try:
+                with self.catalog.writer_lock(timeout=0.2):
+                    # re-read UNDER the lock (acquisition drops the
+                    # cache): a writer may have committed its row
+                    # between our snapshot and the lock — deleting a
+                    # just-committed version would be a lost ingest
+                    fresh = self.catalog.load("sources")
+                    stale = fresh[
+                        fresh["pending"].fillna(False).astype(bool)
+                    ]
+                    for _, row in stale.iterrows():
+                        orphans.append(f"pending:{row['table_name']}")
+                        if not dry_run:
+                            for t in (
+                                row["table_name"],
+                                row["typed_table_name"],
+                            ):
+                                if not isinstance(t, str):
+                                    continue
+                                p = os.path.join(data_dir, t)
+                                if os.path.exists(p):
+                                    import shutil
+
+                                    shutil.rmtree(p)
+                            self.catalog.delete_source(int(row["ix"]))
+            except TimeoutError:
+                pass  # a writer is live — its row is not debris
         return orphans
 
     # -- SQL passthrough (A21/A22) ------------------------------------------
@@ -951,7 +1027,9 @@ class Lagoon:
         (`Verified.hs:844-854`)."""
         import pandas as pd
 
-        sources = self.catalog.load("sources")
+        from lagoon_spark.catalog import _visible
+
+        sources = _visible(self.catalog.load("sources"))
         names = self.catalog.load("sourcenames").rename(columns={"ix": "sourcename_ix"})
         src = sources.merge(names, on="sourcename_ix", how="left")[
             [
@@ -1173,11 +1251,10 @@ class Lagoon:
         naming, and versioning semantics to (`runtests.sh:107-118`,
         `dbinfo.expected`).
         """
-        sources = self.catalog.load("sources")
-        infos = [
-            self.catalog.get_source_by_ix(int(row["ix"]))
-            for _, row in sources.iterrows()
-        ]
+        # bulk info build: the per-ix path re-filters sourcecolumns and
+        # tags per row — O(N²) for a whole-catalog dump (measured
+        # 16.9 s at 10k versions, CATALOG_SCALE_r8); all_infos is linear
+        infos = self.catalog.all_infos()
         out = []
         for i in sorted(infos, key=lambda s: (s.name, s.version)):
             lines = [
@@ -1675,12 +1752,13 @@ class Lagoon:
         — the asymmetric inner product against the PQ-reconstructed
         vector (coarse centroid + coded residual) over the EXACT norm
         stored beside the codes; ``‖q‖`` is constant per query and
-        drops out of the ordering. Per probed cell the q·c_cell scalar
-        and the pq_m × pq_k dot-product tables are driver math over
-        metadata-sized state; each code row costs pq_m ``element_at``
-        lookups summed JVM-side. The returned id list is ``limit``
-        rows — metadata-sized — and becomes the pushed-down re-rank
-        filter."""
+        drops out of the ordering. Driver math per query: ONE set of
+        pq_m × pq_k dot-product tables (cell-independent — codebooks
+        quantize residuals globally) plus nprobe q·c_cell scalars in a
+        map literal; each code row costs one map lookup + pq_m
+        ``element_at`` lookups summed JVM-side, so the expression is
+        flat in nprobe. The returned id list is ``limit`` rows —
+        metadata-sized — and becomes the pushed-down re-rank filter."""
         m = int(meta["pq_m"])
         pq_k = int(meta["pq_k"])
         dim = int(meta["dim"])
@@ -1695,29 +1773,29 @@ class Lagoon:
             int(r["cell"]): list(r["centroid"]) for r in ranked_cents
         }
         q = [float(x) for x in query_vec]
-        num = None
+        # the per-subspace ADC tables <q_j, book_j[c]> are CELL-
+        # INDEPENDENT (codebooks are global over residuals); only the
+        # q·c_cell scalar varies per probed cell, so it rides a map
+        # literal keyed by cell and the tables appear ONCE. The round-8
+        # smoke measured the previous chained per-cell CASE (which
+        # duplicated all m·k tables per cell) at 14 s/probe for
+        # nprobe=16 — pure expression-build + codegen cost; this form
+        # is O(m·k + nprobe) literals, flat in nprobe.
+        qdotc_entries: list = []
         for cell in probe:
             cvec = cent_by_cell[cell]
-            qdotc = 0.0
-            for i in range(dim):
-                qdotc += q[i] * cvec[i]
-            cell_num = F.lit(qdotc).cast("double")
-            for j in range(m):
-                qs = q[j * sub : (j + 1) * sub]
-                table = []
-                for c in range(pq_k):
-                    bc = book[(j, c)]
-                    s = 0.0
-                    for i in range(sub):
-                        s += qs[i] * bc[i]
-                    table.append(s)
-                arr = F.array(*[F.lit(v).cast("double") for v in table])
-                cell_num = cell_num + F.element_at(
-                    arr, F.col("codes").getItem(j).cast("int") + F.lit(1)
-                )
-            branch = F.when(F.col("cell") == F.lit(cell), cell_num)
-            num = branch if num is None else num.when(
-                F.col("cell") == F.lit(cell), cell_num
+            qdotc = sum(q[i] * cvec[i] for i in range(dim))
+            qdotc_entries += [F.lit(cell), F.lit(float(qdotc)).cast("double")]
+        num = F.create_map(*qdotc_entries)[F.col("cell").cast("int")]
+        for j in range(m):
+            qs = q[j * sub : (j + 1) * sub]
+            table = [
+                sum(qs[i] * book[(j, c)][i] for i in range(sub))
+                for c in range(pq_k)
+            ]
+            arr = F.array(*[F.lit(float(v)).cast("double") for v in table])
+            num = num + F.element_at(
+                arr, F.col("codes").getItem(j).cast("int") + F.lit(1)
             )
         score = F.when(F.col("__norm") > 0, num / F.col("__norm")).otherwise(
             F.lit(-1e300)
@@ -1895,6 +1973,7 @@ class Lagoon:
             self.catalog.update_source(
                 ix, row_count=row_count, json_type=info.json_type
             )
+            self.catalog.finalize_source(ix)  # commit: version visible
         except BaseException:
             self._rollback_ingest(ix, table_name)
             raise
@@ -2295,6 +2374,7 @@ class Lagoon:
                 ],
             )
             self.catalog.update_source(ix, row_count=row_count)
+            self.catalog.finalize_source(ix)  # commit: version visible
         except BaseException:
             self._rollback_ingest(ix, table_name)
             raise

@@ -891,6 +891,215 @@ def delete_key_sql(operand_sql: str, key: str) -> str:
     )
 
 
+def delete_key_dynamic_sql(operand_sql: str, key_sql: str) -> str:
+    """SQL text for ``<expr> - <dynamic key expr>``, pure JVM (round-8
+    verdict #5 — the modifier twin of `contains_dynamic_sql`). The key
+    expression's SQL type picks the Postgres operator at runtime via
+    ``typeof()``: integer family → array index deletion (object → the
+    same loud error as the pandas tier and PG); string → object-key /
+    string-element deletion; any other key type raise_errors — loud,
+    never silently wrong, the same fail-closed policy as the
+    containment depth guard. Operand and key are let-bound through one
+    single-element ``transform`` so a chained operand inlines once."""
+    d, k = "x.d", "x.k"
+    m = f"from_json({d}, 'map<string,variant>')"
+    arr = f"from_json({d}, 'array<variant>')"
+    obj = f"json_object_keys({d}) IS NOT NULL"
+    ks = f"CAST({k} AS STRING)"
+    ki = f"try_cast({k} AS INT)"
+    entries = f"filter(map_entries({m}), e -> e.key <> {ks})"
+    # array string-element removal compares the DECODED string (escapes
+    # can't diverge); the LIKE guard keeps numbers from coercing
+    str_arr = (
+        f"to_json(filter({arr}, e -> NOT (to_json(e) LIKE '\"%' "
+        f"AND try_variant_get(e, '$', 'string') = {ks})))"
+    )
+    idx = f"(CASE WHEN {ki} >= 0 THEN {ki} ELSE size({arr}) + {ki} END)"
+    kept = f"filter({arr}, (e, i) -> i <> {idx})"
+    in_range = f"({idx} >= 0 AND {idx} < size({arr}))"
+    unchanged = f"to_json(try_parse_json({d}))"
+    body = (
+        f"CASE WHEN {d} IS NULL OR {k} IS NULL "
+        f"OR try_parse_json({d}) IS NULL THEN CAST(NULL AS STRING) "
+        f"WHEN typeof({k}) IN ('tinyint', 'smallint', 'int', 'bigint') THEN "
+        f"CASE WHEN {obj} THEN CAST(raise_error("
+        f"'cannot delete from object using integer index') AS STRING) "
+        f"WHEN {arr} IS NOT NULL THEN "
+        f"to_json(CASE WHEN {in_range} THEN {kept} ELSE {arr} END) "
+        f"ELSE {unchanged} END "
+        f"WHEN typeof({k}) = 'string' THEN "
+        f"CASE WHEN {obj} THEN {_sorted_obj_sql(entries)} "
+        f"WHEN {arr} IS NOT NULL THEN {str_arr} "
+        f"ELSE {unchanged} END "
+        f"ELSE CAST(raise_error(concat('jsonb_delete_key: unsupported "
+        f"dynamic key type ', typeof({k}), "
+        f"'; use a string key or an integer index')) AS STRING) END"
+    )
+    return (
+        f"element_at(transform(array(named_struct("
+        f"'d', CAST(({operand_sql}) AS STRING), 'k', ({key_sql}))), "
+        f"x -> {body}), 1)"
+    )
+
+
+def concat_dynamic_sql(operand_sql: str, other_sql: str) -> str:
+    """SQL text for ``<expr> || <dynamic expr>``, pure JVM, full PG
+    shape semantics: object || object → shallow merge (right wins,
+    sorted-canonical); anything else → array-promote both sides and
+    concatenate; NULL / invalid either side → NULL. The merge is
+    shallow by definition, so no depth guard is needed; values
+    re-serialize through the variant writer (the documented
+    canonicalization caveat every JVM modifier tier shares)."""
+    d, o = "x.d", "x.o"
+    md = f"from_json({d}, 'map<string,variant>')"
+    mo = f"from_json({o}, 'map<string,variant>')"
+    ad = f"from_json({d}, 'array<variant>')"
+    ao = f"from_json({o}, 'array<variant>')"
+    entries = (
+        f"concat(filter(map_entries({md}), "
+        f"e -> NOT map_contains_key({mo}, e.key)), map_entries({mo}))"
+    )
+    larr = f"coalesce({ad}, array(try_parse_json({d})))"
+    rarr = f"coalesce({ao}, array(try_parse_json({o})))"
+    body = (
+        f"CASE WHEN {d} IS NULL OR {o} IS NULL "
+        f"OR try_parse_json({d}) IS NULL OR try_parse_json({o}) IS NULL "
+        f"THEN CAST(NULL AS STRING) "
+        f"WHEN json_object_keys({d}) IS NOT NULL "
+        f"AND json_object_keys({o}) IS NOT NULL "
+        f"THEN {_sorted_obj_sql(entries)} "
+        f"ELSE to_json(concat({larr}, {rarr})) END"
+    )
+    return (
+        f"element_at(transform(array(named_struct("
+        f"'d', CAST(({operand_sql}) AS STRING), "
+        f"'o', CAST(({other_sql}) AS STRING))), x -> {body}), 1)"
+    )
+
+
+#: dynamic #- paths unroll to this many segments; longer runtime paths
+#: raise_error (the object/array rebuild doubles the expression text
+#: per level, so the cap is tighter than the containment unroll)
+JSONB_PATH_DYNAMIC_DEPTH = 3
+
+
+def delete_path_dynamic_sql(operand_sql: str, path_sql: str) -> str:
+    """SQL text for ``<expr> #- <dynamic path expr>``, pure JVM, for
+    SIMPLE runtime paths: the Postgres ``'{a,b,0}'`` array-literal form
+    with unquoted segments, walked to ``JSONB_PATH_DYNAMIC_DEPTH``
+    levels. Unquoted numeric segments are array indexes (``_parse_pg_path``
+    parity); a numeric segment against an object — or a key segment
+    against an array — leaves the document unchanged, like the pandas
+    tier and PG. Quoted/escaped segments, the ``'["a",0]'`` JSON form,
+    and paths longer than the unroll raise_error: loud, never silently
+    wrong (the containment depth-guard policy)."""
+    depth = JSONB_PATH_DYNAMIC_DEPTH
+    d, p, g = "x.d", "x.p", "g"
+    seg_is_int = "({s} RLIKE '^-?[0-9]+$')"
+
+    def canonical(sub: str) -> str:
+        m = f"from_json(({sub}), 'map<string,variant>')"
+        arr = f"from_json(({sub}), 'array<variant>')"
+        return (
+            f"CASE WHEN json_object_keys(({sub})) IS NOT NULL "
+            f"THEN {_sorted_obj_sql(f'map_entries({m})')} "
+            f"WHEN {arr} IS NOT NULL THEN to_json({arr}) "
+            f"ELSE to_json(try_parse_json(({sub}))) END"
+        )
+
+    def level(sub: str, lvl: int) -> str:
+        if lvl >= depth:
+            return (
+                f"CAST(raise_error('jsonb #- : dynamic path length "
+                f"exceeds the JVM tier depth ({depth}); use a constant "
+                f"path or raise JSONB_PATH_DYNAMIC_DEPTH') AS STRING)"
+            )
+        m = f"from_json(({sub}), 'map<string,variant>')"
+        arr = f"from_json(({sub}), 'array<variant>')"
+        obj = f"json_object_keys(({sub})) IS NOT NULL"
+        seg = f"element_at({g}, {lvl + 1})"
+        is_int = seg_is_int.format(s=seg)
+        ki = f"try_cast({seg} AS INT)"
+        idx = f"(CASE WHEN {ki} >= 0 THEN {ki} ELSE size({arr}) + {ki} END)"
+        e, i = f"e{lvl}", f"i{lvl}"
+        unchanged = f"to_json(try_parse_json(({sub})))"
+        can_obj = _sorted_obj_sql(f"map_entries({m})")
+        # last segment: delete here
+        last_entries = (
+            f"filter(map_entries({m}), {e} -> {e}.key <> {seg})"
+        )
+        kept = f"filter({arr}, ({e}, {i}) -> {i} <> {idx})"
+        in_range = f"({idx} >= 0 AND {idx} < size({arr}))"
+        last = (
+            f"CASE WHEN {obj} THEN "
+            f"(CASE WHEN {is_int} THEN {can_obj} "
+            f"ELSE {_sorted_obj_sql(last_entries)} END) "
+            f"WHEN {arr} IS NOT NULL THEN "
+            f"(CASE WHEN {is_int} THEN "
+            f"to_json(CASE WHEN {in_range} THEN {kept} ELSE {arr} END) "
+            f"ELSE to_json({arr}) END) "
+            f"ELSE {unchanged} END"
+        )
+        # intermediate segment: rebuild the matched child in place
+        inner_obj = level(f"to_json({e}.value)", lvl + 1)
+        inner_arr = level(f"to_json({e})", lvl + 1)
+        rebuilt_obj = (
+            f"transform(map_entries({m}), {e} -> "
+            f"CASE WHEN {e}.key = {seg} THEN named_struct("
+            f"'key', {e}.key, 'value', parse_json({inner_obj})) "
+            f"ELSE {e} END)"
+        )
+        rebuilt_arr = (
+            f"transform({arr}, ({e}, {i}) -> "
+            f"CASE WHEN {i} = {idx} THEN parse_json({inner_arr}) "
+            f"ELSE {e} END)"
+        )
+        inter = (
+            f"CASE WHEN {obj} THEN "
+            f"(CASE WHEN {is_int} THEN {can_obj} "
+            f"ELSE {_sorted_obj_sql(rebuilt_obj)} END) "
+            f"WHEN {arr} IS NOT NULL THEN "
+            f"(CASE WHEN {is_int} THEN to_json({rebuilt_arr}) "
+            f"ELSE to_json({arr}) END) "
+            f"ELSE {unchanged} END"
+        )
+        return (
+            f"(CASE WHEN size({g}) = {lvl + 1} THEN {last} "
+            f"ELSE {inter} END)"
+        )
+
+    # segments: lenient '{...}' strip, comma split, trim, drop empties
+    # (mirrors _parse_pg_path's skip of empty segments); quotes and
+    # backslashes are detected via chr() so no literal-escaping games
+    bad = (
+        f"(contains({p}, chr(34)) OR contains({p}, chr(92)) "
+        f"OR startswith({p}, '['))"
+    )
+    inner = (
+        f"CASE WHEN startswith({p}, '{{') AND endswith({p}, '}}') "
+        f"THEN substring({p}, 2, length({p}) - 2) ELSE {p} END"
+    )
+    segs = (
+        f"filter(transform(split({inner}, ','), s -> trim(s)), "
+        f"s -> s <> '')"
+    )
+    body = (
+        f"CASE WHEN {d} IS NULL OR {p} IS NULL "
+        f"OR try_parse_json({d}) IS NULL THEN CAST(NULL AS STRING) "
+        f"WHEN {bad} THEN CAST(raise_error('jsonb #- : quoted/escaped "
+        f"or JSON-form dynamic paths are not JVM-compilable; use a "
+        f"constant path') AS STRING) "
+        f"ELSE element_at(transform(array({segs}), {g} -> "
+        f"CASE WHEN size({g}) = 0 THEN {canonical(d)} "
+        f"ELSE {level(d, 0)} END), 1) END"
+    )
+    return (
+        f"element_at(transform(array(named_struct("
+        f"'d', CAST(({operand_sql}) AS STRING), "
+        f"'p', trim(CAST(({path_sql}) AS STRING)))), x -> {body}), 1)"
+    )
+
+
 def _stable_const(v) -> bool:
     """True when a constant right-side value renders identically through
     Python json and Spark's variant writer. Integral floats are the
@@ -1042,15 +1251,22 @@ def rewrite_jsonb_sql(sql: str) -> str:
     * ``jsonb_delete_path(<expr>, '<path literal>')`` → the recursive
       in-place rebuild (`delete_path_sql`);
     * ``jsonb_concat(<expr>, '<object literal>')`` → the full-shape
-      merge/append expression (`concat_obj_sql`).
+      merge/append expression (`concat_obj_sql`);
+    * (round 8) ``jsonb_delete_key/jsonb_delete_path/jsonb_concat
+      (<expr>, <DYNAMIC expr>)`` → typeof-dispatched / depth-bounded
+      variant expressions (`delete_key_dynamic_sql`,
+      `delete_path_dynamic_sql`, `concat_dynamic_sql`); the cases a
+      bounded JVM expression cannot express — non-string/int dynamic
+      keys, quoted or over-deep dynamic paths — raise_error rather
+      than answer silently wrong, the containment depth-guard policy.
 
     Operand expressions are rewritten recursively, so a modifier CHAIN
     (``jsonb_concat(jsonb_delete_key(doc, 'k'), '{...}')``) compiles
     end-to-end with no Python worker stage. Everything else passes
-    through verbatim — dynamic MODIFIER arguments, over-deep constant
-    containment shapes, and modifier constants whose rendering differs
-    between Python json and the variant writer stay on the pandas
-    tier.
+    through verbatim — over-deep constant containment shapes and
+    modifier constants whose rendering differs between Python json and
+    the variant writer (array/scalar/integral-float ``||`` constants)
+    stay on the pandas tier.
 
     Rendering caveat (same as the DataFrame ``object_only`` tier): the
     JVM modifiers re-serialize through Spark's variant writer — sorted
@@ -1195,16 +1411,29 @@ def rewrite_jsonb_sql(sql: str) -> str:
                     replacement = _exists_chain_sql(
                         operand, keys, "AND" if fname == "jsonb_exists_all" else "OR"
                     )
-        elif len(args) == 2 and fname in ("jsonb_contains", "jsonb_contained"):
+        elif len(args) == 2 and fname in (
+            "jsonb_contains",
+            "jsonb_contained",
+            "jsonb_delete_key",
+            "jsonb_delete_path",
+            "jsonb_concat",
+        ):
             # DYNAMIC right side (column / expression): the unrolled
-            # variant containment (round-7 verdict #7) — both operands
-            # may themselves be rewritable jsonb chains
+            # variant containment (round-7 verdict #7) and, round-8
+            # verdict #5, the modifier family — both operands may
+            # themselves be rewritable jsonb chains
             operand = rewrite_jsonb_sql(args[0])
             other = rewrite_jsonb_sql(args[1])
             if fname == "jsonb_contains":
                 replacement = contains_dynamic_sql(operand, other)
-            else:  # col <@ hay  ==  contains(hay, col)
+            elif fname == "jsonb_contained":  # col <@ hay == contains(hay, col)
                 replacement = contains_dynamic_sql(other, operand)
+            elif fname == "jsonb_delete_key":
+                replacement = delete_key_dynamic_sql(operand, other)
+            elif fname == "jsonb_delete_path":
+                replacement = delete_path_dynamic_sql(operand, other)
+            else:
+                replacement = concat_dynamic_sql(operand, other)
         if replacement is None:
             out.append(sql[i : m.start() + 1])
             i = m.start() + 1

@@ -412,6 +412,8 @@ class StreamIngestor:
             st.json_type = jsontype.render(merged)
             catalog.set_columns(st.ix, [("c1", "data", ColumnType.JSON.value)])
             catalog.update_source(st.ix, row_count=total, json_type=st.json_type)
+            if first_batch:  # commit: the appended source becomes visible
+                catalog.finalize_source(st.ix)
             st.row_count = total
             st.last_batch = batch_id
             os.makedirs(os.path.dirname(self._state_path), exist_ok=True)
@@ -542,6 +544,8 @@ class StreamIngestor:
                 typed_table_name=f"typed{st.ix}",
                 typed_view_name=f"{view_name}_typed",
             )
+            if first_batch:  # commit: the appended source becomes visible
+                catalog.finalize_source(st.ix)
             st.ranks = new_ranks
             st.lens = new_lens
             st.width = new_width

@@ -30,6 +30,7 @@ def _populate(catalog: Catalog, n: int = 300) -> None:
         if i % 10 == 0:
             catalog.tag(ix, "decade")
         catalog.update_source(ix, row_count=i)
+        catalog.finalize_source(ix)  # commit — mirrors every ingest path
 
 
 def test_search_filters_at_population(tmp_path):

@@ -1,0 +1,193 @@
+"""Crash safety for the writer plane (round-8 verdict #4).
+
+The flock serializes LIVE writers; these lanes prove the warehouse
+survives a DEAD one. A subprocess ingest is SIGKILLed at the named
+kill point — after the data write and the catalog row/column updates,
+before the commit (``finalize_source``) — and the warehouse must then
+be (a) fully readable, (b) free of any visible partial version, and
+(c) cleanly re-ingestable; vacuum sweeps the invisible debris. The
+reference gets all of this from Postgres: each ingest is one
+transaction (`Ingest.hs`) and torn pages are WAL's problem. The
+library-world equivalents under test: the ``pending`` visibility
+latch (catalog.py new_source/finalize_source) and the
+write-temp-then-rename atomic catalog save.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+_CHILD = """
+import sys
+import time
+
+import lagoon_spark.catalog as cat
+
+
+def _hang(self, ix):
+    # the kill point: data written, catalog rows/columns updated,
+    # commit NOT yet run — exactly "between the data write and the
+    # catalog parquet rewrite" (the round-8 verdict's named window)
+    print("KILLPOINT", flush=True)
+    time.sleep(600)
+
+
+cat.Catalog.finalize_source = _hang
+
+from pyspark.sql import SparkSession
+
+from lagoon_spark.engine import Lagoon
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("crash_child")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+eng = Lagoon(spark, sys.argv[1], user="crash")
+eng.init_db()
+eng.ingest(sys.argv[2], "victim")
+"""
+
+
+def test_kill9_mid_ingest_leaves_no_partial_version(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    csv = tmp_path / "data.csv"
+    csv.write_text("a,b\n" + "\n".join(f"{i},x{i}" for i in range(50)) + "\n")
+    script = tmp_path / "child.py"
+    script.write_text(_CHILD)
+
+    import lagoon_spark
+
+    repo_root = os.path.dirname(os.path.dirname(lagoon_spark.__file__))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, str(script), wh, str(csv)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+        env=env,
+    )
+    try:
+        # wait for the child to reach the kill point, then kill -9
+        reached = False
+        deadline = time.time() + 180
+        for line in proc.stdout:  # pragma: no branch
+            if "KILLPOINT" in line:
+                reached = True
+                break
+            if time.time() > deadline:
+                raise AssertionError("child never reached the kill point")
+        assert reached, "child exited before the kill point"
+        os.kill(proc.pid, signal.SIGKILL)
+        proc.wait(30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    from lagoon_spark.catalog import Catalog
+    from lagoon_spark.engine import Lagoon
+
+    # (a) every catalog table is readable — no torn parquet
+    cat = Catalog(wh)
+    for t in ("sources", "sourcenames", "sourcecolumns", "tags", "users"):
+        cat.load(t)
+
+    # (b) the half-ingested version is INVISIBLE: not the latest, not a
+    # version, not a search hit, not in the golden dump
+    with pytest.raises(KeyError):
+        cat.get_source("victim")
+    assert cat.versions("victim") == []
+    _page, total = cat.search(name_contains="victim")
+    assert total == 0
+    # ...but the debris row exists on disk (pending), awaiting vacuum
+    raw = cat.load("sources")
+    assert len(raw) == 1 and bool(raw.iloc[0]["pending"])
+
+    # (c) a re-run ingests cleanly into the same warehouse
+    eng = Lagoon(spark, wh, user="crash")
+    info = eng.ingest(str(csv), "victim")
+    assert info.row_count == 50
+    assert eng.catalog.get_source("victim").ix == info.ix
+    # the golden dump shows exactly ONE victim block — the committed one
+    assert eng.dump_db_info().count("victim (version") == 1
+
+    # vacuum (admin) sweeps the pending debris — catalog row and its
+    # data directories — and leaves the committed re-run untouched
+    admin = Lagoon(spark, wh, user="admin")
+    swept = admin.vacuum()
+    assert any(s.startswith("pending:") for s in swept)
+    left = admin.catalog.load("sources")
+    assert len(left) == 1 and not bool(left.iloc[0]["pending"])
+    assert admin.catalog.get_source("victim").row_count == 50
+
+
+def test_vacuum_skips_pending_row_of_live_writer(lagoon):
+    """A pending row whose writer still HOLDS the lock is an in-flight
+    ingest, not debris — vacuum must leave it alone. The live writer is
+    a SEPARATE Catalog instance (its flock contends with the vacuuming
+    engine's, like a second process would)."""
+    from lagoon_spark.catalog import Catalog
+
+    lagoon.user = "admin"
+    other = Catalog(lagoon.warehouse)
+    with other.writer_lock():
+        other.new_source(
+            "inflight", url=None, description=None, added_by="admin",
+            created=None, fmt="tabular",
+        )
+        # the sweep needs the lock; the live writer holds it → skip
+        swept_while_live = [
+            s for s in lagoon.vacuum() if s.startswith("pending:")
+        ]
+    assert swept_while_live == []
+    # writer gone (lock released) → same row is debris
+    assert any(s.startswith("pending:") for s in lagoon.vacuum())
+
+
+def test_atomic_catalog_save_survives_torn_write(tmp_path, monkeypatch):
+    """A writer dying INSIDE the parquet write must leave the previous
+    table intact: save() writes a temp file and os.replace()s it, so
+    readers see old-or-new, never a truncated file."""
+    import pandas as pd
+
+    from lagoon_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.init_db()
+    cat.new_source(
+        "keepme", url=None, description=None, added_by="x",
+        created=None, fmt="tabular",
+    )
+    cat.finalize_source(1)
+
+    real = pd.DataFrame.to_parquet
+
+    def torn(self, path, *a, **kw):
+        real(self, path, *a, **kw)  # temp file fully written...
+        with open(path, "r+b") as fh:  # ...then truncated mid-flush
+            fh.truncate(10)
+        raise OSError("simulated torn write / disk full")
+
+    monkeypatch.setattr(pd.DataFrame, "to_parquet", torn)
+    with pytest.raises(OSError, match="torn"):
+        cat.update_source(1, row_count=99)
+    monkeypatch.undo()
+
+    fresh = Catalog(str(tmp_path / "wh"))
+    row = fresh.load("sources")
+    assert len(row) == 1 and int(row.iloc[0]["row_count"]) == 0  # old state
+    assert fresh.get_source("keepme").name == "keepme"
+    # and no temp debris is left beside the table
+    leftovers = [
+        f for f in os.listdir(fresh.dir) if ".tmp." in f
+    ]
+    assert leftovers == []

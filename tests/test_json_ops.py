@@ -551,12 +551,15 @@ def test_sql_rewrite_concat_gates(spark):
         "SELECT jsonb_concat(js, '[1]') FROM t",
         "SELECT jsonb_concat(js, '7') FROM t",
         'SELECT jsonb_concat(js, \'{"a": 1.0}\') FROM t',
-        "SELECT jsonb_concat(js, other_col) FROM t",
     ):
         assert j.rewrite_jsonb_sql(sql) == sql
     # non-integral floats are rendering-stable and DO rewrite
     assert "jsonb_concat" not in j.rewrite_jsonb_sql(
         'SELECT jsonb_concat(js, \'{"a": 1.5}\') FROM t'
+    )
+    # round 8: a DYNAMIC right side rewrites too (concat_dynamic_sql)
+    assert "jsonb_concat" not in j.rewrite_jsonb_sql(
+        "SELECT jsonb_concat(js, other_col) FROM t"
     )
 
 
@@ -710,10 +713,10 @@ def test_sql_rewrite_delete_path_full_shape_parity(spark, path):
 
 
 def test_sql_rewrite_delete_path_gates():
-    # dynamic paths stay on the pandas tier
-    assert j.rewrite_jsonb_sql(
-        "SELECT jsonb_delete_path(js, other_col) FROM t"
-    ) == "SELECT jsonb_delete_path(js, other_col) FROM t"
+    # round 8: dynamic paths rewrite to the depth-bounded JVM walk
+    # (quoted/over-deep runtime paths raise_error inside it)
+    out = j.rewrite_jsonb_sql("SELECT jsonb_delete_path(js, other_col) FROM t")
+    assert "jsonb_delete_path(" not in out.lower()
 
 
 # -- seeded fuzz: the rewrite tier against the pandas tier --------------------
@@ -943,3 +946,163 @@ def test_sql_rewrite_fuzz_parity_with_pandas_tier(spark):
             if jvm[i] != pandas_tier[i]
         }
         assert not diffs, (call, dict(list(diffs.items())[:3]))
+
+
+def test_sql_rewrite_dynamic_modifiers_parity(spark):
+    """Round-8 verdict #5: jsonb_delete_key / jsonb_delete_path /
+    jsonb_concat with COLUMN arguments compile to typeof-dispatched /
+    depth-bounded variant expressions — EvalPython-free plans agreeing
+    cell-for-cell with the pandas tier on seeded random documents ×
+    randomized dynamic keys, simple paths, and operands."""
+    import json as _json
+    import random
+
+    rng = random.Random(20260815)
+    rows = []
+    for i in range(120):
+        doc = _rand_json(rng)  # ASCII / non-integral floats (tier caveat)
+        dumped = _json.dumps(doc, ensure_ascii=True)
+        if isinstance(doc, dict) and doc and rng.random() < 0.7:
+            key = rng.choice(list(doc))  # often a real key
+        else:
+            key = "".join(
+                rng.choice("abcxyz_") for _ in range(rng.randint(1, 4))
+            )
+        # a simple-form path that often walks real structure
+        segs: list[str] = []
+        node = doc
+        for _ in range(rng.randint(0, 3)):
+            if isinstance(node, dict) and node and rng.random() < 0.8:
+                s = rng.choice(list(node))
+                node = node[s]
+                segs.append(s)  # _rand_json keys are [a-z_]+ — path-safe
+            elif isinstance(node, list) and node and rng.random() < 0.8:
+                ix = rng.randrange(len(node))
+                node = node[ix]
+                segs.append(str(ix))
+            else:
+                segs.append(rng.choice(["zz", "3"]))
+                break
+        pth = "{" + ",".join(segs) + "}"
+        other = _json.dumps(_rand_json(rng), ensure_ascii=True)
+        rows.append((i, dumped, key, pth, other))
+    rows += [
+        (900, None, "k", "{a}", "{}"),
+        (901, "{}", None, None, None),
+        (902, "not json", "k", "{a}", "{}"),
+        (903, '{"a": 1}', "a", "{}", "not json"),
+        (904, '["a", "b", 3]', "a", "{1}", "[1, 2]"),
+        (905, "7", "x", "{0}", "8"),
+        (906, '{"a": {"b": [0, 5]}}', "a", "{a,b,1}", '{"a": "w"}'),
+    ]
+    spark.createDataFrame(
+        rows, "id long, js string, k string, pth string, oth string"
+    ).createOrReplaceTempView("dynmod")
+    j.register_sql_functions(spark)
+    raw = (
+        "SELECT id, jsonb_delete_key(js, k) AS dk, "
+        "jsonb_delete_path(js, pth) AS dp, "
+        "jsonb_concat(js, oth) AS cc FROM dynmod"
+    )
+    rewritten = j.rewrite_jsonb_sql(raw)
+    assert rewritten != raw
+    for name in ("jsonb_delete_key", "jsonb_delete_path", "jsonb_concat"):
+        # the raise_error diagnostics legitimately NAME the function;
+        # what must be gone is the pandas-UDF CALL syntax
+        assert f"{name}(" not in rewritten.lower()
+    df = spark.sql(rewritten)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # column-argument modifiers, pure JVM
+    jvm = {r["id"]: (r["dk"], r["dp"], r["cc"]) for r in df.collect()}
+    pandas_tier = {
+        r["id"]: (r["dk"], r["dp"], r["cc"])
+        for r in spark.sql(raw).collect()
+    }
+    diffs = {
+        i: (jvm[i], pandas_tier[i]) for i in jvm if jvm[i] != pandas_tier[i]
+    }
+    assert not diffs, dict(list(diffs.items())[:3])
+
+
+def test_sql_rewrite_dynamic_int_key_and_guards(spark):
+    """The dynamic-modifier tier's typed dispatch and fail-closed
+    guards: integer key columns index-delete on arrays (pandas
+    parity), object + integer key raises the PG error, unsupported key
+    types raise, quoted and over-deep dynamic paths raise — loud,
+    never silently wrong."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    j.register_sql_functions(spark)
+    rows = [
+        (1, '["a", "b", "c"]', 1),
+        (2, '["a"]', -1),
+        (3, '["a"]', 7),  # out of range: unchanged
+        (4, "7", 0),  # scalar: unchanged canonical
+    ]
+    spark.createDataFrame(
+        rows, "id long, js string, ki int"
+    ).createOrReplaceTempView("dynik")
+    raw = "SELECT id, jsonb_delete_key(js, ki) AS v FROM dynik"
+    rewritten = j.rewrite_jsonb_sql(raw)
+    assert rewritten != raw and "jsonb_delete_key(" not in rewritten.lower()
+    jvm = {r["id"]: r["v"] for r in spark.sql(rewritten).collect()}
+    assert jvm == {1: '["a","c"]', 2: "[]", 3: '["a"]', 4: "7"}
+    assert jvm == {r["id"]: r["v"] for r in spark.sql(raw).collect()}
+    # NULL key / NULL doc → NULL (JVM tier; the pandas tier's nullable
+    # int Series decays to float, so this lane is JVM-only by design)
+    spark.createDataFrame(
+        [(1, '["a"]', None), (2, None, 0)], "id long, js string, ki int"
+    ).createOrReplaceTempView("dyniknull")
+    got = {
+        r["id"]: r["v"]
+        for r in spark.sql(
+            j.rewrite_jsonb_sql(
+                "SELECT id, jsonb_delete_key(js, ki) AS v FROM dyniknull"
+            )
+        ).collect()
+    }
+    assert got == {1: None, 2: None}
+
+    # object + integer key: the PG error, raised loudly JVM-side
+    spark.createDataFrame(
+        [(1, '{"a": 1}', 0)], "id long, js string, ki int"
+    ).createOrReplaceTempView("dynikobj")
+    with pytest.raises(SparkRuntimeException, match="integer index"):
+        spark.sql(
+            j.rewrite_jsonb_sql(
+                "SELECT jsonb_delete_key(js, ki) AS v FROM dynikobj"
+            )
+        ).collect()
+
+    # unsupported dynamic key type (double): fail closed
+    spark.createDataFrame(
+        [(1, '{"a": 1}', 1.5)], "id long, js string, kd double"
+    ).createOrReplaceTempView("dynikdbl")
+    with pytest.raises(SparkRuntimeException, match="unsupported dynamic key"):
+        spark.sql(
+            j.rewrite_jsonb_sql(
+                "SELECT jsonb_delete_key(js, kd) AS v FROM dynikdbl"
+            )
+        ).collect()
+
+    # dynamic path guards: quoted segments raise; an over-deep path
+    # raises only when the walk is STILL ALIVE at the unroll floor —
+    # a shallow document exits earlier (absent path → unchanged, both
+    # tiers agree), so the deep lane plants a document deep enough
+    spark.createDataFrame(
+        [
+            (1, '{"a": 1}', '{"q,uoted"}'),
+            (2, '{"a": {"b": {"c": {"d": 1}}}}', "{a,b,c,d}"),
+        ],
+        "id long, js string, pth string",
+    ).createOrReplaceTempView("dynpbad")
+    rw = j.rewrite_jsonb_sql(
+        "SELECT jsonb_delete_path(js, pth) AS v FROM dynpbad WHERE id = 1"
+    )
+    with pytest.raises(SparkRuntimeException, match="quoted/escaped"):
+        spark.sql(rw).collect()
+    rw = j.rewrite_jsonb_sql(
+        "SELECT jsonb_delete_path(js, pth) AS v FROM dynpbad WHERE id = 2"
+    )
+    with pytest.raises(SparkRuntimeException, match="exceeds the JVM tier"):
+        spark.sql(rw).collect()
