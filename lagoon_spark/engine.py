@@ -1677,10 +1677,21 @@ class Lagoon:
                     "(subqueries are not allowed)"
                 )
             where_expr = F.expr(where)
-            try:
-                assigns.filter(where_expr).schema  # force analysis
-                where_in_index = True
-            except AnalysisException:
+            # tier dispatch by the predicate's column references: all
+            # index-resident → filter inside the probed cells. Parsed
+            # statically (not try/analyze — Spark 4 noisily ERROR-logs
+            # every failed analysis even when caught).
+            refs = self._expr_column_refs(where)
+            avail = {c.lower() for c in assigns.columns}
+            if refs is not None:
+                where_in_index = all(r.lower() in avail for r in refs)
+            else:  # parser seam unavailable: probe by analysis
+                try:
+                    assigns.filter(where_expr).schema
+                    where_in_index = True
+                except AnalysisException:
+                    where_in_index = False
+            if not where_in_index:
                 # predicate references columns not baked into the index
                 # (build_ann_index(include_columns=...)): fall back to
                 # one column-pruned pass over the source's predicate
@@ -1733,6 +1744,26 @@ class Lagoon:
                 else candidates.filter(F.lit(False))
             )
         return cosine_topk(candidates, "ix", "__vec", qdf, k=topk)
+
+    def _expr_column_refs(self, sql_expr: str) -> "set[str] | None":
+        """Column names a SQL boolean expression references, via the
+        session's Catalyst parser (UnresolvedAttribute references of
+        the parsed tree — struct paths report their base name). None
+        when the py4j seam is unavailable (caller probes by analysis
+        instead)."""
+        try:
+            je = (
+                self.spark._jsparkSession.sessionState()
+                .sqlParser()
+                .parseExpression(sql_expr)
+            )
+            names: set[str] = set()
+            it = je.references().iterator()
+            while it.hasNext():
+                names.add(str(it.next().name()).split(".")[0])
+            return names
+        except Exception:
+            return None
 
     def _pq_shortlist(
         self,
