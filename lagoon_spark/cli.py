@@ -183,6 +183,14 @@ def build_parser() -> argparse.ArgumentParser:
                    "cell partitions for filtered (hybrid) search")
 
     p = sub.add_parser(
+        "extend-ann-index",
+        help="Incrementally index rows appended since the last "
+        "build/extend (existing centroids/codebooks; no retrain)",
+    )
+    p.add_argument("name", metavar="NAME")
+    p.add_argument("--column", required=True)
+
+    p = sub.add_parser(
         "ann-search", help="Approximate nearest neighbors via the IVF index"
     )
     p.add_argument("name", metavar="NAME")
@@ -602,6 +610,14 @@ class _Cli:
                 if self.args.include_columns
                 else None
             ),
+        )
+        print(_json.dumps(meta))
+
+    def cmd_extend_ann_index(self):
+        import json as _json
+
+        meta = self.engine.extend_ann_index(
+            self.args.name, self.args.column
         )
         print(_json.dumps(meta))
 

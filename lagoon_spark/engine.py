@@ -1434,6 +1434,10 @@ class Lagoon:
         ).sortWithinPartitions("ix").write.partitionBy("cell").mode(
             "overwrite"
         ).parquet(os.path.join(idx_dir, "assignments"))
+        # row watermark for incremental extension: rows with ix beyond
+        # this were not seen by this build (streaming append grows a
+        # source in place; extend_ann_index indexes just the delta)
+        hi = vecs.agg(F.max("ix")).collect()[0][0]
         meta = {
             "source_ix": info.ix,
             "column": phys,
@@ -1444,6 +1448,7 @@ class Lagoon:
             # source-table-free (format 2)
             "format": 2,
             "include_columns": inc_names,
+            "indexed_through": int(hi) if hi is not None else 0,
         }
         if pq_m:
             from lagoon_spark.operators.similarity import pq_fit_encode
@@ -1516,8 +1521,156 @@ class Lagoon:
                 p = os.path.join(idx_dir, stale)
                 if os.path.isdir(p):
                     _shutil.rmtree(p)
-        with open(os.path.join(idx_dir, "meta.json"), "w") as fh:
-            _json.dump(meta, fh)
+        self._write_ann_meta(idx_dir, meta)
+        return meta
+
+    def _write_ann_meta(self, idx_dir: str, meta: dict) -> None:
+        """Atomic meta.json write (temp + os.replace): a writer dying
+        mid-write must never leave a truncated meta beside intact
+        artifacts — same discipline as catalog saves."""
+        import json as _json
+
+        p = os.path.join(idx_dir, "meta.json")
+        tmp = p + f".tmp.{os.getpid()}"
+        try:
+            with open(tmp, "w") as fh:
+                _json.dump(meta, fh)
+            os.replace(tmp, p)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def extend_ann_index(
+        self, name: str, column: str, *, version: int | None = None
+    ) -> dict:
+        """Incrementally index rows appended since the last
+        build/extend (streaming ``append`` mode grows a source in
+        place; a 100 TB index must not pay a full retrain per batch).
+
+        New rows (``ix`` past the meta's ``indexed_through`` watermark)
+        are assigned to the EXISTING centroids (row-local, no training
+        aggregates) and appended into the cell partition directories;
+        on an IVFADC index their residual codes are encoded against
+        the EXISTING codebooks and appended to the codes partitions —
+        old and new rows must rank in one codebook space. Metadata
+        include-columns ride along as at build time.
+
+        Quantizer drift is the documented trade: centroids and
+        codebooks stay frozen, so if the appended distribution shifts,
+        cells grow unbalanced and probe recall decays — rebuild with
+        :meth:`build_ann_index` periodically (the streaming pipeline's
+        compaction moment). Returns the updated meta; no-op when
+        nothing new arrived."""
+        import json as _json
+
+        info = self.catalog.get_source(name, version)
+        self._ann_read_check(info)
+        phys, _h, _t = self.catalog.get_column(info.ix, column)
+        idx_dir = self._ann_index_dir(info, phys)
+        mpath = os.path.join(idx_dir, "meta.json")
+        if not os.path.exists(mpath):
+            raise KeyError(
+                f"no ANN index for {name!r} v{info.version} column "
+                f"{column!r}; run build_ann_index first"
+            )
+        with open(mpath) as fh:
+            meta = _json.load(fh)
+        if meta.get("format", 1) < 2:
+            raise ValueError(
+                "format-1 indexes store no vectors; rebuild with "
+                "build_ann_index before extending"
+            )
+        if "indexed_through" in meta:
+            watermark = int(meta["indexed_through"])
+        else:
+            # pre-watermark artifact: recover it from the stored rows
+            # (one columnar ix scan) — extending must never re-index
+            # rows the build already holds
+            wm = (
+                self.spark.read.parquet(os.path.join(idx_dir, "assignments"))
+                .agg(F.max("ix"))
+                .collect()[0][0]
+            )
+            watermark = int(wm) if wm is not None else 0
+        vecs = self._ann_vectors(info, phys).filter(F.col("ix") > watermark)
+        hi = vecs.agg(F.max("ix")).collect()[0][0]
+        if hi is None:
+            return meta  # nothing new — idempotent no-op
+        from lagoon_spark.operators.similarity import ivf_assign, pq_encode
+
+        cents = self.spark.read.parquet(
+            os.path.join(idx_dir, "centroids")
+        ).collect()
+        centroids = [
+            list(r["centroid"])
+            for r in sorted(cents, key=lambda r: int(r["cell"]))
+        ]
+        assigns = ivf_assign(vecs, "__vec", centroids, out_col="cell")
+        inc_names = list(meta.get("include_columns") or [])
+        if inc_names:
+            inc_pairs = [
+                (n, self.catalog.get_column(info.ix, n)[0]) for n in inc_names
+            ]
+            meta_src = self._source_frame(
+                info, typed=bool(info.typed_table_name)
+            )
+            assigns = assigns.join(
+                meta_src.select(
+                    "ix", *[F.col(p).alias(n) for n, p in inc_pairs]
+                ),
+                "ix",
+            )
+        (
+            assigns.select("ix", "__vec", "cell", *inc_names)
+            .repartition(F.col("cell"))
+            .sortWithinPartitions("ix")
+            .write.partitionBy("cell")
+            .mode("append")
+            .parquet(os.path.join(idx_dir, "assignments"))
+        )
+        if meta.get("format") == 3:
+            cent_df = self.spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+                "cell int, centroid array<double>",
+            )
+            books_rows = self.spark.read.parquet(
+                os.path.join(idx_dir, "codebooks")
+            ).collect()
+            pq_m, pq_k = int(meta["pq_m"]), int(meta["pq_k"])
+            books: "list[list[list[float]]]" = [
+                [None] * pq_k for _ in range(pq_m)
+            ]
+            for r in books_rows:
+                books[int(r["subspace"])][int(r["code"])] = list(r["centroid"])
+            residuals = assigns.join(F.broadcast(cent_df), "cell").select(
+                "ix",
+                "cell",
+                *inc_names,
+                F.sqrt(
+                    F.aggregate(
+                        F.col("__vec"), F.lit(0.0), lambda a, x: a + x * x
+                    )
+                ).alias("__norm"),
+                F.zip_with("__vec", "centroid", lambda x, y: x - y).alias(
+                    "__res"
+                ),
+            )
+            codes_df = pq_encode(residuals, "ix", "__res", books)
+            (
+                residuals.select("ix", "cell", "__norm", *inc_names)
+                .join(codes_df, "ix")
+                .repartition(F.col("cell"))
+                .sortWithinPartitions("ix")
+                .write.partitionBy("cell")
+                .mode("append")
+                .parquet(os.path.join(idx_dir, "codes"))
+            )
+        meta["indexed_through"] = int(hi)
+        meta["extensions"] = int(meta.get("extensions", 0)) + 1
+        self._write_ann_meta(idx_dir, meta)
+        # a session that searched the pre-extension artifact must not
+        # serve stale file listings
+        self.spark.catalog.refreshByPath(idx_dir)
         return meta
 
     def ann_search(
@@ -1744,6 +1897,157 @@ class Lagoon:
                 else candidates.filter(F.lit(False))
             )
         return cosine_topk(candidates, "ix", "__vec", qdf, k=topk)
+
+    def ann_search_batch(
+        self,
+        name: str,
+        column: str,
+        query_vecs: "list[list[float]]",
+        *,
+        topk: int = 10,
+        nprobe: int = 4,
+        version: int | None = None,
+        where: str | None = None,
+    ) -> DataFrame:
+        """Batched ANN: N query vectors answered by ONE Spark job.
+
+        Per-query probing costs a fixed driver+scheduling overhead
+        (centroid ranking is trivial; the job round-trip is not), so a
+        retrieval pipeline issuing thousands of queries must batch.
+        The driver ranks centroids per query (N × k small math), the
+        UNION of probed cell directories is read ONCE (partition
+        pruning — still never the source table), the query block
+        crosses the plan as one broadcast N-row frame carrying each
+        query's probe list, and the per-query top-k is a window
+        PARTITIONED BY query id — parallel, never a single-task sort.
+        Returns (query_id, ix, cosine, rank), query_id = position in
+        ``query_vecs``.
+
+        ``where`` behaves exactly as in :meth:`ann_search` (evaluated
+        inside the cells when index-resident, source semi-join
+        otherwise). The batch path always re-ranks full-precision
+        vectors: with the cell scan amortized across queries, the ADC
+        shortlist's per-query driver round-trips would dominate — PQ's
+        win here is storage, not probe I/O."""
+        import math
+
+        if not query_vecs:
+            raise ValueError("query_vecs is empty")
+        info = self.catalog.get_source(name, version)
+        self._ann_read_check(info)
+        phys, _h, _t = self.catalog.get_column(info.ix, column)
+        idx_dir = self._ann_index_dir(info, phys)
+        if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+            raise KeyError(
+                f"no ANN index for {name!r} v{info.version} column "
+                f"{column!r}; run build_ann_index first"
+            )
+        self.spark.catalog.refreshByPath(idx_dir)
+        cents = self.spark.read.parquet(
+            os.path.join(idx_dir, "centroids")
+        ).collect()
+
+        def cos(a, b) -> float:
+            num = sum(x * y for x, y in zip(a, b))
+            den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+                sum(y * y for y in b)
+            )
+            return num / den if den else -1.0
+
+        probe_sets: "list[list[int]]" = []
+        for qv in query_vecs:
+            ranked = sorted(
+                cents, key=lambda r: (-cos(qv, r["centroid"]), r["cell"])
+            )
+            probe_sets.append([int(r["cell"]) for r in ranked[:nprobe]])
+        union = sorted({c for s in probe_sets for c in s})
+
+        ass_root = os.path.join(idx_dir, "assignments")
+        dirs = [
+            d
+            for c in union
+            if os.path.isdir(d := os.path.join(ass_root, f"cell={c}"))
+        ]
+        if dirs:
+            assigns = (
+                self.spark.read.option("basePath", ass_root)
+                .parquet(*dirs)
+                .filter(F.col("cell").isin(union))
+            )
+        else:
+            assigns = self.spark.read.parquet(ass_root).filter(
+                F.col("cell").isin(union)
+            )
+        if "__vec" in assigns.columns:  # format 2/3: self-contained
+            candidates = assigns
+        else:  # format-1 artifact: vectors still live in the source
+            candidates = self._ann_vectors(info, phys).join(assigns, "ix")
+
+        if where is not None:
+            import re as _re
+
+            from pyspark.errors import AnalysisException
+
+            if _re.search(r"\(\s*select\b", where, _re.IGNORECASE):
+                raise ValueError(
+                    "ann_search_batch where= must be a row-local "
+                    "predicate (subqueries are not allowed)"
+                )
+            where_expr = F.expr(where)
+            refs = self._expr_column_refs(where)
+            avail = {c.lower() for c in assigns.columns}
+            if refs is not None:
+                in_index = all(r.lower() in avail for r in refs)
+            else:
+                try:
+                    assigns.filter(where_expr).schema
+                    in_index = True
+                except AnalysisException:
+                    in_index = False
+            if in_index:
+                candidates = candidates.filter(where_expr)
+            else:
+                phys_cols = [c[0] for c in info.columns]
+                names = [c[1] for c in info.columns]
+                src = self._source_frame(
+                    info, typed=bool(info.typed_table_name)
+                )
+                fr = src.select(
+                    "ix",
+                    *[F.col(p).alias(h) for p, h in zip(phys_cols, names)],
+                )
+                candidates = candidates.join(
+                    fr.filter(where_expr).select("ix"), "ix", "semi"
+                )
+
+        from pyspark.sql import Window as W
+
+        from lagoon_spark.operators.similarity import cosine_to
+
+        qdf = self.spark.createDataFrame(
+            [
+                (i, [float(x) for x in qv], probe_sets[i])
+                for i, qv in enumerate(query_vecs)
+            ],
+            "query_id int, __qvec array<double>, __cells array<int>",
+        )
+        # each candidate row matches only the queries whose probe list
+        # holds its cell — a broadcast theta join over the tiny query
+        # block, never a full cross product against the corpus
+        joined = candidates.join(
+            F.broadcast(qdf), F.expr("array_contains(__cells, cell)")
+        )
+        scored = joined.select(
+            "query_id",
+            "ix",
+            F.round(cosine_to("__vec", "__qvec"), 9).alias("cosine"),
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("ix").asc()
+        )
+        return scored.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        ).filter(F.col("rank") <= topk)
 
     def _expr_column_refs(self, sql_expr: str) -> "set[str] | None":
         """Column names a SQL boolean expression references, via the

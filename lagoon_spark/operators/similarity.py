@@ -873,6 +873,40 @@ def pq_fit_encode(
     return out, books
 
 
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    books: "list[list[list[float]]]",
+) -> DataFrame:
+    """Encode vectors to m codes against FIXED codebooks — the encode
+    half of :func:`pq_fit_encode`. Incremental index extension MUST
+    reuse the original books: old and new codes must rank in the same
+    codebook space, or the ADC tables would score them inconsistently.
+    Row-local per subspace (the same ``ivf_assign`` tiers), no
+    training aggregates."""
+    m = len(books)
+    sub = len(books[0][0])
+    codes = None
+    for j in range(m):
+        sliced = df.select(
+            id_col, F.slice(F.col(vec_col), j * sub + 1, sub).alias("__sub")
+        )
+        assigned = ivf_assign(
+            sliced,
+            "__sub",
+            [[float(x) for x in c] for c in books[j]],
+            out_col=f"__code{j}",
+        ).select(id_col, f"__code{j}")
+        codes = assigned if codes is None else codes.join(assigned, id_col)
+    return codes.select(
+        id_col,
+        F.array(*[F.col(f"__code{j}").cast("int") for j in range(m)]).alias(
+            "codes"
+        ),
+    )
+
+
 def pq_adc_topk(
     codes_df: DataFrame,
     id_col: str,

@@ -904,6 +904,111 @@ def test_ann_hybrid_filtered_search(lagoon, tmp_path):
     ).count() == 0
 
 
+def test_ann_search_batch_matches_single(lagoon, tmp_path):
+    """Round-8: N queries in ONE job — union of probed cells read once,
+    broadcast query block, per-query top-k via a window partitioned by
+    query id. Must agree row-for-row with N individual probes, honor
+    the where= predicate, and never scan the source table."""
+    rows = []
+    for i in range(12):
+        vec = [1.0, i * 0.01] if i % 2 == 0 else [i * 0.01, 1.0]
+        rows.append(("de" if i % 3 == 0 else "en", vec))
+    p = tmp_path / "bat.csv"
+    p.write_text(
+        "lang,vec\n"
+        + "\n".join(f'{l},"[{v[0]}, {v[1]}]"' for l, v in rows)
+        + "\n"
+    )
+    lagoon.ingest(str(p), "bat")
+    lagoon.build_ann_index("bat", "vec", k=2, iters=2, include_columns=["lang"])
+
+    queries = [[1.0, 0.05], [0.05, 1.0]]
+    batch = lagoon.ann_search_batch("bat", "vec", queries, topk=3, nprobe=2)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["ix"], r["cosine"]))
+    for qid, qv in enumerate(queries):
+        single = lagoon.ann_search("bat", "vec", qv, topk=3, nprobe=2).collect()
+        expect = [(i + 1, r["ix"], r["cosine"]) for i, r in enumerate(single)]
+        assert sorted(got[qid]) == expect, qid
+
+    # the batch plan never touches the source table
+    info = lagoon.catalog.get_source("bat", 1)
+    plan = (
+        batch._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert info.table_name not in plan
+
+    # where= filters before the per-query top-k, like the single path
+    fbatch = lagoon.ann_search_batch(
+        "bat", "vec", queries, topk=3, nprobe=2, where="lang = 'de'"
+    )
+    for r in fbatch.collect():
+        assert (r["ix"] - 1) % 3 == 0  # ix is 1-based; 'de' rows are i%3==0
+    fgot = {}
+    for r in fbatch.collect():
+        fgot.setdefault(r["query_id"], []).append((r["rank"], r["ix"]))
+    fsingle = lagoon.ann_search(
+        "bat", "vec", queries[0], topk=3, nprobe=2, where="lang = 'de'"
+    ).collect()
+    assert sorted(fgot[0]) == [
+        (i + 1, r["ix"]) for i, r in enumerate(fsingle)
+    ]
+
+
+def test_ann_index_incremental_extension(lagoon, tmp_path):
+    """Round-8: a streaming-append-grown source extends its persisted
+    index incrementally — new rows assigned to the EXISTING centroids
+    (and PQ-coded against the EXISTING codebooks) and appended into the
+    cell partitions, no retrain; idempotent no-op when nothing new."""
+    import json as _json
+
+    inbox = tmp_path / "vin"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "vckpt")
+
+    def drop(fname: str, vecs):
+        (inbox / fname).write_text(
+            "\n".join(_json.dumps(v) for v in vecs) + "\n"
+        )
+
+    ing = lagoon.ingest_stream(
+        str(inbox), "grow", checkpoint_dir=ckpt, mode="append",
+        file_type="json",
+    )
+    drop("b1.jsonl", [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.1, 0.9]])
+    ing.run_available()
+    meta = lagoon.build_ann_index("grow", "data", k=2, iters=2, pq_m=2, pq_k=4)
+    assert meta["indexed_through"] == 4 and meta["format"] == 3
+
+    # more rows arrive; the index does not see them until extended
+    drop("b2.jsonl", [[0.98, 0.02], [0.02, 0.98]])
+    ing.run_available()
+    assert lagoon.catalog.get_source("grow").row_count == 6
+    pre = {r["ix"] for r in lagoon.ann_search(
+        "grow", "data", [1.0, 0.0], topk=6, nprobe=2, use_pq=False
+    ).collect()}
+    assert pre == {1, 2, 3, 4}
+
+    meta2 = lagoon.extend_ann_index("grow", "data")
+    assert meta2["indexed_through"] == 6 and meta2["extensions"] == 1
+    # the new x-axis row (ix 5) now ranks for an x-axis query — through
+    # BOTH the full-precision path and the ADC shortlist (its codes
+    # were appended in the same codebook space)
+    for use_pq in (False, True):
+        post = lagoon.ann_search(
+            "grow", "data", [1.0, 0.0], topk=6, nprobe=2, use_pq=use_pq
+        ).collect()
+        assert {r["ix"] for r in post} == {1, 2, 3, 4, 5, 6}
+    top = lagoon.ann_search("grow", "data", [0.98, 0.02], topk=1, nprobe=1)
+    assert top.collect()[0]["ix"] == 5
+
+    # idempotent: nothing new → same meta back, no extension counted
+    meta3 = lagoon.extend_ann_index("grow", "data")
+    assert meta3["extensions"] == 1 and meta3["indexed_through"] == 6
+
+
 def test_ann_index_lifecycle_under_dedup_source(lagoon, tmp_path):
     """Round-7 verdict #6: content maintenance mints new versions that
     don't inherit the parent's per-version ANN index — ann_search must
