@@ -436,6 +436,73 @@ def run_ann_recall(spark, m: int, dim: int) -> dict:
     }
 
 
+def run_ann_batch(spark, m: int, dim: int, nq: int = 20) -> dict:
+    """Round-8 late: the batched-probe payoff, measured. N single
+    probes each pay a job round-trip + their own cell scan; one
+    ann_search_batch reads the UNION of probed cells once and windows
+    per-query top-k. Records wall for N sequential probes vs one
+    batch, and asserts identical answer sets."""
+    import math as _math
+    import os
+    import tempfile
+
+    from lagoon_spark.engine import Lagoon
+
+    wh = tempfile.mkdtemp(prefix="lagoon_smoke_batch_")
+    eng = Lagoon(spark, wh, user="smoke")
+    eng.init_db()
+    src = os.path.join(wh, "bvecs.parquet")
+    make_clustered_vectors(spark, m, dim).select(
+        F.to_json("embedding").alias("vec")
+    ).repartition(32).write.mode("overwrite").parquet(src)
+    eng.ingest(src, "batchvecs")
+    k = max(64, int(_math.sqrt(m)))
+    eng.build_ann_index("batchvecs", "vec", k=k, iters=2)
+    info = eng.catalog.get_source("batchvecs")
+    phys, _h, _t = eng.catalog.get_column(info.ix, "vec")
+    corpus = eng._ann_vectors(info, phys)
+    qixs = [1 + i * (m // nq) for i in range(nq)]
+    queries = [
+        list(r["__vec"])
+        for r in corpus.filter(F.col("ix").isin(qixs)).collect()
+    ]
+    # warm both paths, untimed
+    eng.ann_search("batchvecs", "vec", queries[0], topk=10, nprobe=4).collect()
+    eng.ann_search_batch(
+        "batchvecs", "vec", queries[:2], topk=10, nprobe=4
+    ).collect()
+
+    t0 = time.time()
+    singles = {}
+    for i, qv in enumerate(queries):
+        singles[i] = {
+            r["ix"]
+            for r in eng.ann_search(
+                "batchvecs", "vec", qv, topk=10, nprobe=4
+            ).collect()
+        }
+    sequential_sec = time.time() - t0
+    t0 = time.time()
+    rows = eng.ann_search_batch(
+        "batchvecs", "vec", queries, topk=10, nprobe=4
+    ).collect()
+    batch_sec = time.time() - t0
+    got: dict[int, set] = {}
+    for r in rows:
+        got.setdefault(int(r["query_id"]), set()).add(int(r["ix"]))
+    return {
+        "m": m,
+        "dim": dim,
+        "k": k,
+        "n_queries": nq,
+        "nprobe": 4,
+        "sequential_sec": round(sequential_sec, 2),
+        "batch_sec": round(batch_sec, 2),
+        "batch_speedup": round(sequential_sec / max(batch_sec, 1e-9), 2),
+        "answers_identical": got == singles,
+    }
+
+
 def run_media(spark, n: int, cores: int) -> dict:
     """Round-8 verdict #2: the media plane's cost, measured. Encode
     real JPEG / WAV / AVI-MJPEG blobs once (untimed, persisted), then
@@ -825,6 +892,8 @@ def main() -> None:
     ap.add_argument("--skip-dedup", action="store_true")
     ap.add_argument("--skip-ann-index", action="store_true")
     ap.add_argument("--skip-streaming", action="store_true")
+    ap.add_argument("--batch-vectors", type=int, default=250_000)
+    ap.add_argument("--skip-batch", action="store_true")
     ap.add_argument("--out", default="SCALE_SMOKE_r8.json")
     args = ap.parse_args()
 
@@ -901,6 +970,11 @@ def main() -> None:
     if not args.skip_recall:
         report["phases"]["ann_recall"] = run_ann_recall(
             spark, args.recall_vectors, args.recall_dim
+        )
+        meter.take()
+    if not args.skip_batch:
+        report["phases"]["ann_batch"] = run_ann_batch(
+            spark, args.batch_vectors, args.recall_dim
         )
         meter.take()
     if not args.skip_media:
