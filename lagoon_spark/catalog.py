@@ -654,6 +654,22 @@ class Catalog:
         mine = _visible(sources[sources["sourcename_ix"] == int(hit.iloc[0]["ix"])])
         return sorted(int(v) for v in mine["version"])
 
+    def _bulk_info_maps(self) -> "tuple[dict, dict]":
+        """(cols_by_ix, tags_by_ix): one grouping pass over the
+        sourcecolumns/tags frames — the shared prefetch behind
+        all_infos and big search pages."""
+        sc = self.load("sourcecolumns")
+        cols_by_ix: dict[int, list] = {}
+        for _, r in sc.iterrows():
+            cols_by_ix.setdefault(int(r["source_ix"]), []).append(
+                (r["column_name"], r["header"], r["type"])
+            )
+        tags = self.load("tags")
+        tags_by_ix: dict[int, list] = {}
+        for _, r in tags.iterrows():
+            tags_by_ix.setdefault(int(r["source_ix"]), []).append(r["tag"])
+        return cols_by_ix, tags_by_ix
+
     def all_infos(self) -> list[SourceInfo]:
         """Every committed version as SourceInfo, built in BULK: one
         pass over sourcecolumns/tags grouped by source_ix instead of a
@@ -663,16 +679,7 @@ class Catalog:
         sources = _visible(self.load("sources"))
         names = self.load("sourcenames")
         name_by_ix = dict(zip(names["ix"], names["name"]))
-        sc = self.load("sourcecolumns")
-        cols_by_ix: dict[int, list] = {}
-        for _, r in sc.iterrows():
-            cols_by_ix.setdefault(int(r["source_ix"]), []).append(
-                (r["column_name"], r["header"], r["type"])
-            )
-        tags = self.load("tags")
-        tags_by_ix: dict[int, list[str]] = {}
-        for _, r in tags.iterrows():
-            tags_by_ix.setdefault(int(r["source_ix"]), []).append(r["tag"])
+        cols_by_ix, tags_by_ix = self._bulk_info_maps()
         return [
             self._info_prefetched(
                 row,
@@ -833,16 +840,7 @@ class Catalog:
             # whole sourcecolumns/tags frames — O(page × catalog); one
             # grouping pass is linear (the dump_db_info lesson,
             # CATALOG_SCALE_r8)
-            sc = self.load("sourcecolumns")
-            cols_by_ix: dict[int, list] = {}
-            for _, r in sc.iterrows():
-                cols_by_ix.setdefault(int(r["source_ix"]), []).append(
-                    (r["column_name"], r["header"], r["type"])
-                )
-            tg = self.load("tags")
-            tags_by_ix: dict[int, list] = {}
-            for _, r in tg.iterrows():
-                tags_by_ix.setdefault(int(r["source_ix"]), []).append(r["tag"])
+            cols_by_ix, tags_by_ix = self._bulk_info_maps()
             infos = [
                 self._info_prefetched(
                     r,

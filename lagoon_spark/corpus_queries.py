@@ -191,6 +191,10 @@ FROM t
 def c06(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = spark.table("documents").select("doc_id", "text")
+    # the pinned frame must outlive the caller's collect (unpersisting
+    # early would resample the range boundaries under the numbering);
+    # once the returned DF is collected and dropped, ContextCleaner
+    # reclaims the (metadata-sized) checkpoint blocks
     out, _pinned = corpus.pack_token_offsets(docs, "doc_id", "text", budget=1024)
     return out
 

@@ -1436,8 +1436,15 @@ class Lagoon:
         ).parquet(os.path.join(idx_dir, "assignments"))
         # row watermark for incremental extension: rows with ix beyond
         # this were not seen by this build (streaming append grows a
-        # source in place; extend_ann_index indexes just the delta)
-        hi = vecs.agg(F.max("ix")).collect()[0][0]
+        # source in place; extend_ann_index indexes just the delta).
+        # Read from the JUST-WRITTEN assignments — a columnar ix-only
+        # scan of the index artifact, not another full source pass
+        # through the from_json parse
+        hi = (
+            self.spark.read.parquet(os.path.join(idx_dir, "assignments"))
+            .agg(F.max("ix"))
+            .collect()[0][0]
+        )
         meta = {
             "source_ix": info.ix,
             "column": phys,
@@ -1560,7 +1567,15 @@ class Lagoon:
         cells grow unbalanced and probe recall decays — rebuild with
         :meth:`build_ann_index` periodically (the streaming pipeline's
         compaction moment). Returns the updated meta; no-op when
-        nothing new arrived."""
+        nothing new arrived.
+
+        CRASH-IDEMPOTENT: every watermark is derived from the
+        ARTIFACTS themselves (max ix of the assignments, max ix of the
+        codes), never from meta alone — a writer killed between the
+        assignments append, the codes append, and the meta write
+        resumes exactly where each artifact left off on the next call,
+        appending each row at most once (meta's ``indexed_through`` is
+        informational)."""
         import json as _json
 
         info = self.catalog.get_source(name, version)
@@ -1580,22 +1595,16 @@ class Lagoon:
                 "format-1 indexes store no vectors; rebuild with "
                 "build_ann_index before extending"
             )
-        if "indexed_through" in meta:
-            watermark = int(meta["indexed_through"])
-        else:
-            # pre-watermark artifact: recover it from the stored rows
-            # (one columnar ix scan) — extending must never re-index
-            # rows the build already holds
-            wm = (
-                self.spark.read.parquet(os.path.join(idx_dir, "assignments"))
-                .agg(F.max("ix"))
-                .collect()[0][0]
+        self.spark.catalog.refreshByPath(idx_dir)
+        ass_root = os.path.join(idx_dir, "assignments")
+
+        def _max_ix(root: str) -> int:
+            v = (
+                self.spark.read.parquet(root).agg(F.max("ix")).collect()[0][0]
             )
-            watermark = int(wm) if wm is not None else 0
-        vecs = self._ann_vectors(info, phys).filter(F.col("ix") > watermark)
-        hi = vecs.agg(F.max("ix")).collect()[0][0]
-        if hi is None:
-            return meta  # nothing new — idempotent no-op
+            return int(v) if v is not None else 0
+
+        watermark = _max_ix(ass_root)
         from lagoon_spark.operators.similarity import ivf_assign, pq_encode
 
         cents = self.spark.read.parquet(
@@ -1605,67 +1614,102 @@ class Lagoon:
             list(r["centroid"])
             for r in sorted(cents, key=lambda r: int(r["cell"]))
         ]
-        assigns = ivf_assign(vecs, "__vec", centroids, out_col="cell")
         inc_names = list(meta.get("include_columns") or [])
-        if inc_names:
+
+        def _with_includes(df: DataFrame) -> DataFrame:
+            if not inc_names:
+                return df
             inc_pairs = [
                 (n, self.catalog.get_column(info.ix, n)[0]) for n in inc_names
             ]
             meta_src = self._source_frame(
                 info, typed=bool(info.typed_table_name)
             )
-            assigns = assigns.join(
+            return df.join(
                 meta_src.select(
                     "ix", *[F.col(p).alias(n) for n, p in inc_pairs]
                 ),
                 "ix",
             )
-        (
-            assigns.select("ix", "__vec", "cell", *inc_names)
-            .repartition(F.col("cell"))
-            .sortWithinPartitions("ix")
-            .write.partitionBy("cell")
-            .mode("append")
-            .parquet(os.path.join(idx_dir, "assignments"))
-        )
-        if meta.get("format") == 3:
-            cent_df = self.spark.createDataFrame(
-                [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-                "cell int, centroid array<double>",
+
+        vecs = self._ann_vectors(info, phys).filter(F.col("ix") > watermark)
+        hi = vecs.agg(F.max("ix")).collect()[0][0]
+        appended = hi is not None
+        if appended:
+            assigns = _with_includes(
+                ivf_assign(vecs, "__vec", centroids, out_col="cell")
             )
-            books_rows = self.spark.read.parquet(
-                os.path.join(idx_dir, "codebooks")
-            ).collect()
-            pq_m, pq_k = int(meta["pq_m"]), int(meta["pq_k"])
-            books: "list[list[list[float]]]" = [
-                [None] * pq_k for _ in range(pq_m)
-            ]
-            for r in books_rows:
-                books[int(r["subspace"])][int(r["code"])] = list(r["centroid"])
-            residuals = assigns.join(F.broadcast(cent_df), "cell").select(
-                "ix",
-                "cell",
-                *inc_names,
-                F.sqrt(
-                    F.aggregate(
-                        F.col("__vec"), F.lit(0.0), lambda a, x: a + x * x
-                    )
-                ).alias("__norm"),
-                F.zip_with("__vec", "centroid", lambda x, y: x - y).alias(
-                    "__res"
-                ),
-            )
-            codes_df = pq_encode(residuals, "ix", "__res", books)
             (
-                residuals.select("ix", "cell", "__norm", *inc_names)
-                .join(codes_df, "ix")
+                assigns.select("ix", "__vec", "cell", *inc_names)
                 .repartition(F.col("cell"))
                 .sortWithinPartitions("ix")
                 .write.partitionBy("cell")
                 .mode("append")
-                .parquet(os.path.join(idx_dir, "codes"))
+                .parquet(ass_root)
             )
-        meta["indexed_through"] = int(hi)
+            self.spark.catalog.refreshByPath(ass_root)
+
+        healed = False
+        if meta.get("format") == 3:
+            # codes reconcile against the assignments high-water mark:
+            # covers both this call's append and a previous extend
+            # killed between its two appends
+            codes_root = os.path.join(idx_dir, "codes")
+            wm_codes = _max_ix(codes_root) if os.path.isdir(codes_root) else 0
+            target = max(watermark, int(hi) if hi is not None else 0)
+            if wm_codes < target:
+                healed = wm_codes < watermark  # pre-existing lag
+                lag = (
+                    self.spark.read.parquet(ass_root)
+                    .filter(F.col("ix") > wm_codes)
+                    .select("ix", "__vec", "cell", *inc_names)
+                )
+                cent_df = self.spark.createDataFrame(
+                    [
+                        (i, [float(x) for x in c])
+                        for i, c in enumerate(centroids)
+                    ],
+                    "cell int, centroid array<double>",
+                )
+                books_rows = self.spark.read.parquet(
+                    os.path.join(idx_dir, "codebooks")
+                ).collect()
+                pq_m, pq_k = int(meta["pq_m"]), int(meta["pq_k"])
+                books: "list[list[list[float]]]" = [
+                    [None] * pq_k for _ in range(pq_m)
+                ]
+                for r in books_rows:
+                    books[int(r["subspace"])][int(r["code"])] = list(
+                        r["centroid"]
+                    )
+                residuals = lag.join(F.broadcast(cent_df), "cell").select(
+                    "ix",
+                    "cell",
+                    *inc_names,
+                    F.sqrt(
+                        F.aggregate(
+                            F.col("__vec"), F.lit(0.0), lambda a, x: a + x * x
+                        )
+                    ).alias("__norm"),
+                    F.zip_with("__vec", "centroid", lambda x, y: x - y).alias(
+                        "__res"
+                    ),
+                )
+                codes_df = pq_encode(residuals, "ix", "__res", books)
+                (
+                    residuals.select("ix", "cell", "__norm", *inc_names)
+                    .join(codes_df, "ix")
+                    .repartition(F.col("cell"))
+                    .sortWithinPartitions("ix")
+                    .write.partitionBy("cell")
+                    .mode("append")
+                    .parquet(codes_root)
+                )
+        if not appended and not healed:
+            return meta  # nothing new anywhere — idempotent no-op
+        meta["indexed_through"] = max(
+            watermark, int(hi) if hi is not None else 0
+        )
         meta["extensions"] = int(meta.get("extensions", 0)) + 1
         self._write_ann_meta(idx_dir, meta)
         # a session that searched the pre-extension artifact must not
@@ -1728,8 +1772,6 @@ class Lagoon:
 
         Subqueries in ``where`` are rejected (fail closed): the
         predicate must be row-local."""
-        import math
-
         info = self.catalog.get_source(name, version)
         self._ann_read_check(info)
         phys, _h, _t = self.catalog.get_column(info.ix, column)
@@ -1770,18 +1812,7 @@ class Lagoon:
         cents = self.spark.read.parquet(
             os.path.join(idx_dir, "centroids")
         ).collect()  # k rows — metadata-sized by construction
-
-        def cos(a: list[float], b: list[float]) -> float:
-            num = sum(x * y for x, y in zip(a, b))
-            den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
-                sum(y * y for y in b)
-            )
-            return num / den if den else -1.0
-
-        ranked = sorted(
-            cents, key=lambda r: (-cos(query_vec, r["centroid"]), r["cell"])
-        )
-        probe = [int(r["cell"]) for r in ranked[:nprobe]]
+        probe = self._rank_probe_cells(cents, query_vec, nprobe)
 
         def _read_cells(root: str) -> DataFrame:
             # list ONLY the probed cell directories: spark.read on the
@@ -1812,56 +1843,9 @@ class Lagoon:
             [([float(x) for x in query_vec],)], "__vec array<double>"
         )
         assigns = _read_cells(ass_root)
-
-        where_expr = None
-        where_in_index = False
-        match_ix: DataFrame | None = None
-        if where is not None:
-            import re as _re
-
-            from pyspark.errors import AnalysisException
-
-            # fail closed: the predicate must be row-local — a scalar/
-            # EXISTS/IN subquery would smuggle reads of other tables
-            # past the per-source read gate this search already passed
-            if _re.search(r"\(\s*select\b", where, _re.IGNORECASE):
-                raise ValueError(
-                    "ann_search where= must be a row-local predicate "
-                    "(subqueries are not allowed)"
-                )
-            where_expr = F.expr(where)
-            # tier dispatch by the predicate's column references: all
-            # index-resident → filter inside the probed cells. Parsed
-            # statically (not try/analyze — Spark 4 noisily ERROR-logs
-            # every failed analysis even when caught).
-            refs = self._expr_column_refs(where)
-            avail = {c.lower() for c in assigns.columns}
-            if refs is not None:
-                where_in_index = all(r.lower() in avail for r in refs)
-            else:  # parser seam unavailable: probe by analysis
-                try:
-                    assigns.filter(where_expr).schema
-                    where_in_index = True
-                except AnalysisException:
-                    where_in_index = False
-            if not where_in_index:
-                # predicate references columns not baked into the index
-                # (build_ann_index(include_columns=...)): fall back to
-                # one column-pruned pass over the source's predicate
-                # columns; the matching ix set semi-joins the candidates
-                phys_cols = [c[0] for c in info.columns]
-                names = [c[1] for c in info.columns]
-                src = self._source_frame(
-                    info, typed=bool(info.typed_table_name)
-                )
-                fr = src.select(
-                    "ix",
-                    *[
-                        F.col(p).alias(h)
-                        for p, h in zip(phys_cols, names)
-                    ],
-                )
-                match_ix = fr.filter(where_expr).select("ix")
+        where_expr, where_in_index, match_ix = self._where_tier(
+            info, assigns, where
+        )
 
         shortlist_ids: list[int] | None = None
         if meta.get("format") == 3 and use_pq is not False:
@@ -1872,7 +1856,7 @@ class Lagoon:
             if where_expr is not None and not where_in_index:
                 limit *= max(1, overfetch)
             shortlist_ids = self._pq_shortlist(
-                idx_dir, meta, probe, ranked, query_vec,
+                idx_dir, meta, probe, cents, query_vec,
                 limit=limit,
                 where_expr=where_expr if where_in_index else None,
             )
@@ -1929,8 +1913,6 @@ class Lagoon:
         vectors: with the cell scan amortized across queries, the ADC
         shortlist's per-query driver round-trips would dominate — PQ's
         win here is storage, not probe I/O."""
-        import math
-
         if not query_vecs:
             raise ValueError("query_vecs is empty")
         info = self.catalog.get_source(name, version)
@@ -1946,20 +1928,9 @@ class Lagoon:
         cents = self.spark.read.parquet(
             os.path.join(idx_dir, "centroids")
         ).collect()
-
-        def cos(a, b) -> float:
-            num = sum(x * y for x, y in zip(a, b))
-            den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
-                sum(y * y for y in b)
-            )
-            return num / den if den else -1.0
-
-        probe_sets: "list[list[int]]" = []
-        for qv in query_vecs:
-            ranked = sorted(
-                cents, key=lambda r: (-cos(qv, r["centroid"]), r["cell"])
-            )
-            probe_sets.append([int(r["cell"]) for r in ranked[:nprobe]])
+        probe_sets = [
+            self._rank_probe_cells(cents, qv, nprobe) for qv in query_vecs
+        ]
         union = sorted({c for s in probe_sets for c in s})
 
         ass_root = os.path.join(idx_dir, "assignments")
@@ -1983,42 +1954,14 @@ class Lagoon:
         else:  # format-1 artifact: vectors still live in the source
             candidates = self._ann_vectors(info, phys).join(assigns, "ix")
 
-        if where is not None:
-            import re as _re
-
-            from pyspark.errors import AnalysisException
-
-            if _re.search(r"\(\s*select\b", where, _re.IGNORECASE):
-                raise ValueError(
-                    "ann_search_batch where= must be a row-local "
-                    "predicate (subqueries are not allowed)"
-                )
-            where_expr = F.expr(where)
-            refs = self._expr_column_refs(where)
-            avail = {c.lower() for c in assigns.columns}
-            if refs is not None:
-                in_index = all(r.lower() in avail for r in refs)
-            else:
-                try:
-                    assigns.filter(where_expr).schema
-                    in_index = True
-                except AnalysisException:
-                    in_index = False
+        where_expr, in_index, match_ix = self._where_tier(
+            info, assigns, where
+        )
+        if where_expr is not None:
             if in_index:
                 candidates = candidates.filter(where_expr)
             else:
-                phys_cols = [c[0] for c in info.columns]
-                names = [c[1] for c in info.columns]
-                src = self._source_frame(
-                    info, typed=bool(info.typed_table_name)
-                )
-                fr = src.select(
-                    "ix",
-                    *[F.col(p).alias(h) for p, h in zip(phys_cols, names)],
-                )
-                candidates = candidates.join(
-                    fr.filter(where_expr).select("ix"), "ix", "semi"
-                )
+                candidates = candidates.join(match_ix, "ix", "semi")
 
         from pyspark.sql import Window as W
 
@@ -2048,6 +1991,72 @@ class Lagoon:
         return scored.withColumn(
             "rank", F.row_number().over(w).cast("long")
         ).filter(F.col("rank") <= topk)
+
+    def _rank_probe_cells(
+        self, cents, query_vec: "list[float]", nprobe: int
+    ) -> "list[int]":
+        """The query's ``nprobe`` nearest centroids by cosine (driver
+        math over the k-row centroid table; ties break to the lowest
+        cell) — shared by the single and batched probe paths."""
+        import math
+
+        def cos(a: "list[float]", b: "list[float]") -> float:
+            num = sum(x * y for x, y in zip(a, b))
+            den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+                sum(y * y for y in b)
+            )
+            return num / den if den else -1.0
+
+        ranked = sorted(
+            cents, key=lambda r: (-cos(query_vec, r["centroid"]), r["cell"])
+        )
+        return [int(r["cell"]) for r in ranked[:nprobe]]
+
+    def _where_tier(self, info, assigns: DataFrame, where: "str | None"):
+        """The hybrid-search ``where=`` contract, shared by the single
+        and batched paths: returns ``(where_expr, in_index, match_ix)``.
+        Rejects subqueries (fail closed), dispatches by the predicate's
+        parsed column references (index-resident → filter inside the
+        cells; otherwise one column-pruned source pass whose matching
+        ix set semi-joins the candidates)."""
+        if where is None:
+            return None, False, None
+        import re as _re
+
+        from pyspark.errors import AnalysisException
+
+        # fail closed: the predicate must be row-local — a scalar/
+        # EXISTS/IN subquery would smuggle reads of other tables past
+        # the per-source read gate the search already passed
+        if _re.search(r"\(\s*select\b", where, _re.IGNORECASE):
+            raise ValueError(
+                "ann_search where= must be a row-local predicate "
+                "(subqueries are not allowed)"
+            )
+        where_expr = F.expr(where)
+        # dispatch statically by parsed references (not try/analyze —
+        # Spark 4 noisily ERROR-logs every failed analysis even caught)
+        refs = self._expr_column_refs(where)
+        avail = {c.lower() for c in assigns.columns}
+        if refs is not None:
+            in_index = all(r.lower() in avail for r in refs)
+        else:  # parser seam unavailable: probe by analysis
+            try:
+                assigns.filter(where_expr).schema
+                in_index = True
+            except AnalysisException:
+                in_index = False
+        match_ix = None
+        if not in_index:
+            phys_cols = [c[0] for c in info.columns]
+            names = [c[1] for c in info.columns]
+            src = self._source_frame(info, typed=bool(info.typed_table_name))
+            fr = src.select(
+                "ix",
+                *[F.col(p).alias(h) for p, h in zip(phys_cols, names)],
+            )
+            match_ix = fr.filter(where_expr).select("ix")
+        return where_expr, in_index, match_ix
 
     def _expr_column_refs(self, sql_expr: str) -> "set[str] | None":
         """Column names a SQL boolean expression references, via the
@@ -2144,7 +2153,7 @@ class Lagoon:
             raise RuntimeError(
                 f"ANN index at {idx_dir} is corrupt: metadata declares "
                 "PQ codes (format 3) but the codes/ directory is "
-                "missing; rebuild the index (create_ann_index or "
+                "missing; rebuild the index (build_ann_index or "
                 "dedup_source(reindex=True))"
             )
         dirs = [

@@ -1382,7 +1382,9 @@ def rewrite_jsonb_sql(sql: str) -> str:
                         )
             elif fname == "jsonb_delete_key":
                 # the literal IS the key (not JSON); integer-index
-                # deletes arrive as numeric literals and stay pandas
+                # deletes arrive as numeric literals and fall through
+                # to the DYNAMIC branch below (typeof dispatches them
+                # to index semantics on the JVM tier)
                 replacement = delete_key_sql(operand, lit)
             elif fname == "jsonb_delete_path":
                 try:

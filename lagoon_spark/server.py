@@ -630,7 +630,12 @@ def _make_handler(srv: LagoonServer):
             self._json(int(hit.iloc[0]["ix"]))
 
         def _sn_sources(self, snix):
-            s = self.eng.catalog.load("sources")
+            from lagoon_spark.catalog import _visible
+
+            # committed versions only: an in-flight (or crashed)
+            # ingest's pending row must not resolve over the wire —
+            # same invariant as get_source/versions/search
+            s = _visible(self.eng.catalog.load("sources"))
             return s[s["sourcename_ix"] == int(snix)]
 
         def source_version(self, snix):

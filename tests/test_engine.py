@@ -1009,6 +1009,64 @@ def test_ann_index_incremental_extension(lagoon, tmp_path):
     assert meta3["extensions"] == 1 and meta3["indexed_through"] == 6
 
 
+def test_ann_extend_crash_between_appends_heals(lagoon, tmp_path, monkeypatch):
+    """extend_ann_index killed between the assignments append and the
+    codes append must NOT double-index on retry: watermarks derive
+    from the artifacts, so the next call appends nothing twice and
+    back-fills the lagging codes."""
+    import json as _json
+
+    import lagoon_spark.operators.similarity as _sim
+
+    inbox = tmp_path / "hin"
+    inbox.mkdir()
+    ing = lagoon.ingest_stream(
+        str(inbox), "heal", checkpoint_dir=str(tmp_path / "hckpt"),
+        mode="append", file_type="json",
+    )
+    (inbox / "b1.jsonl").write_text(
+        "\n".join(_json.dumps(v) for v in
+                  [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.1, 0.9]]) + "\n"
+    )
+    ing.run_available()
+    lagoon.build_ann_index("heal", "data", k=2, iters=2, pq_m=2, pq_k=4)
+    (inbox / "b2.jsonl").write_text(
+        "\n".join(_json.dumps(v) for v in [[0.98, 0.02], [0.02, 0.98]]) + "\n"
+    )
+    ing.run_available()
+
+    # crash the extension between its two appends
+    real = _sim.pq_encode
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before the codes append")
+
+    monkeypatch.setattr(_sim, "pq_encode", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        lagoon.extend_ann_index("heal", "data")
+    monkeypatch.setattr(_sim, "pq_encode", real)
+
+    # retry: nothing double-indexed, codes back-filled, searches whole
+    meta = lagoon.extend_ann_index("heal", "data")
+    assert meta["indexed_through"] == 6
+    info = lagoon.catalog.get_source("heal")
+    phys, _h, _t = lagoon.catalog.get_column(info.ix, "data")
+    idx = lagoon._ann_index_dir(info, phys)
+    import os as _os
+
+    for artifact in ("assignments", "codes"):
+        df = lagoon.spark.read.parquet(_os.path.join(idx, artifact))
+        assert df.count() == 6 and df.select("ix").distinct().count() == 6
+    for use_pq in (False, True):
+        got = lagoon.ann_search(
+            "heal", "data", [1.0, 0.0], topk=6, nprobe=2, use_pq=use_pq
+        ).collect()
+        assert {r["ix"] for r in got} == {1, 2, 3, 4, 5, 6}
+    # and a further retry is a clean no-op
+    again = lagoon.extend_ann_index("heal", "data")
+    assert again["extensions"] == meta["extensions"]
+
+
 def test_ann_index_lifecycle_under_dedup_source(lagoon, tmp_path):
     """Round-7 verdict #6: content maintenance mints new versions that
     don't inherit the parent's per-version ANN index — ann_search must
