@@ -1009,6 +1009,44 @@ def test_ann_index_incremental_extension(lagoon, tmp_path):
     assert meta3["extensions"] == 1 and meta3["indexed_through"] == 6
 
 
+def test_ann_extend_carries_include_columns(lagoon, tmp_path):
+    """Extension keeps the hybrid-search contract: the appended rows'
+    include-columns land in the cell (and codes) partitions, so a
+    filtered search over the extended index still needs zero source
+    I/O and sees the new rows."""
+    # tabular append (include-columns need real metadata columns;
+    # JSON append sources expose only the single 'data' column)
+    inbox2 = tmp_path / "iin2"
+    inbox2.mkdir()
+    ing2 = lagoon.ingest_stream(
+        str(inbox2), "hgrow2", checkpoint_dir=str(tmp_path / "ickpt2"),
+        mode="append",
+    )
+    (inbox2 / "b1.csv").write_text(
+        'lang,vec\nen,"[1.0, 0.0]"\nde,"[0.9, 0.1]"\n'
+        'en,"[0.0, 1.0]"\nde,"[0.1, 0.9]"\n'
+    )
+    ing2.run_available()
+    lagoon.build_ann_index(
+        "hgrow2", "vec", k=2, iters=2, include_columns=["lang"]
+    )
+    (inbox2 / "b2.csv").write_text('lang,vec\nde,"[0.98, 0.02]"\n')
+    ing2.run_available()
+    lagoon.extend_ann_index("hgrow2", "vec")
+    res = lagoon.ann_search(
+        "hgrow2", "vec", [1.0, 0.0], topk=2, nprobe=2, where="lang = 'de'"
+    )
+    got = [r["ix"] for r in res.collect()]
+    assert got and got[0] == 5  # the appended 'de' row wins
+    # and the filtered probe still never scans the source table
+    info = lagoon.catalog.get_source("hgrow2")
+    plan = (
+        res._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert info.table_name not in plan
+
+
 def test_ann_extend_crash_between_appends_heals(lagoon, tmp_path, monkeypatch):
     """extend_ann_index killed between the assignments append and the
     codes append must NOT double-index on retry: watermarks derive
