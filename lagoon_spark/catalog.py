@@ -115,6 +115,20 @@ def _visible(sources: pd.DataFrame) -> pd.DataFrame:
 CATALOG_VERSION = 5
 
 
+def _atomic_to_parquet(df: pd.DataFrame, path: str) -> None:
+    """write-temp-then-``os.replace``: the same crash discipline as
+    :meth:`Catalog.save`, for writers that bypass the cache (the
+    migration chain). A process killed mid-migration must leave the
+    old table intact, never a truncated parquet."""
+    tmp = path + f".tmp.{os.getpid()}"
+    try:
+        df.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
 def _migrate_1_to_2(cat: "Catalog") -> None:
     """v1 → v2: schema-reconcile each catalog table — add any column the
     current layout has that the stored file lacks (with type-appropriate
@@ -135,7 +149,7 @@ def _migrate_1_to_2(cat: "Catalog") -> None:
                 changed = True
         if changed:
             df = df[[c for c in spec] + [c for c in df.columns if c not in spec]]
-            df.to_parquet(p, index=False)
+            _atomic_to_parquet(df, p)
 
 
 def _migrate_2_to_3(cat: "Catalog") -> None:
@@ -160,7 +174,7 @@ def _migrate_2_to_3(cat: "Catalog") -> None:
         else creators.get(row["ix"])
         for _, row in names.iterrows()
     ]
-    names.to_parquet(p, index=False)
+    _atomic_to_parquet(names, p)
 
 
 def _migrate_3_to_4(cat: "Catalog") -> None:
@@ -192,7 +206,7 @@ def _migrate_3_to_4(cat: "Catalog") -> None:
                 .last()
                 .drop(columns=["__rank"])
             )
-            g.to_parquet(gp, index=False)
+            _atomic_to_parquet(g, gp)
 
     pp = os.path.join(cat.dir, "public_sources.parquet")
     if os.path.exists(pp):
@@ -207,7 +221,7 @@ def _migrate_3_to_4(cat: "Catalog") -> None:
                 .last()
                 .drop(columns=["__rank"])
             )
-            p.to_parquet(pp, index=False)
+            _atomic_to_parquet(p, pp)
 
 
 # v4 → v5 reuses the generic schema reconcile: it adds the new

@@ -136,7 +136,29 @@ class Lagoon:
                     # row was swept, stranding the tag). We hold the
                     # writer lock — sweep it and ingest fresh, or a
                     # replayed stream file would return an INVISIBLE
-                    # version and its data would be lost
+                    # version and its data would be lost.
+                    # The sweep is DESTRUCTIVE (data-dir rmtree +
+                    # catalog delete), so it is gated like vacuum: only
+                    # the debris owner or an admin may trigger it —
+                    # otherwise any ingest-capable user could destroy
+                    # another writer's in-flight row by probing its
+                    # source_identifier. Foreign debris stays for
+                    # vacuum / the owner's retry.
+                    debris_owner = (
+                        str(row.iloc[0]["added_by"])
+                        if len(row) and "added_by" in row.columns
+                        else None
+                    )
+                    if debris_owner is not None and not (
+                        _sec.is_admin(self.user)
+                        or debris_owner == self.user
+                    ):
+                        raise _sec.PermissionDenied(
+                            f"identifier {source_identifier!r} is held "
+                            f"by a crashed ingest owned by "
+                            f"{debris_owner!r}; ask them to retry or an "
+                            "admin to vacuum"
+                        )
                     self._rollback_ingest(
                         hits[0],
                         *(
@@ -1378,11 +1400,23 @@ class Lagoon:
         self._ann_read_check(info)
         phys, _h, _t = self.catalog.get_column(info.ix, column)
         inc: "list[tuple[str, str]]" = []  # (exposed name, phys col)
+        # names the index artifact claims for itself: an included
+        # column exposed under one of these would collide with the
+        # select("ix","__vec","cell",...) projection / ix-keyed joins
+        # and surface as an opaque ambiguous-column AnalysisException
+        # at build or extend time — reject loudly instead
+        _RESERVED = {"ix", "cell", "__vec", "__norm", "codes", "query_id"}
         for c in include_columns or []:
             c_phys, c_name, _ct = self.catalog.get_column(info.ix, c)
             if c_phys == phys:
                 raise ValueError(
                     "include_columns must not contain the vector column"
+                )
+            if c_name.lower() in _RESERVED:
+                raise ValueError(
+                    f"include_columns name {c_name!r} collides with a "
+                    f"reserved ANN index column ({sorted(_RESERVED)}); "
+                    "rename the column before indexing"
                 )
             inc.append((c_name, c_phys))
         vecs = self._ann_vectors(info, phys)
@@ -2027,8 +2061,24 @@ class Lagoon:
 
         # fail closed: the predicate must be row-local — a scalar/
         # EXISTS/IN subquery would smuggle reads of other tables past
-        # the per-source read gate the search already passed
-        if _re.search(r"\(\s*select\b", where, _re.IGNORECASE):
+        # the per-source read gate the search already passed (filter
+        # resolves subqueries against the SHARED session's temp views,
+        # so `ix IN (SELECT ...)` would probe datasets this caller has
+        # no read grant on). Detection is STRUCTURAL — parse the
+        # expression and walk the tree for subquery nodes — because a
+        # textual scan is comment-defeatable: `IN (/**/SELECT ...)`
+        # slips past a `\(\s*select` regex. Only when the parser seam
+        # itself is unavailable do we fall back to comment-stripped
+        # regex screening.
+        has_sub = self._expr_has_subquery(where)
+        if has_sub is None:  # py4j seam unavailable: textual fallback
+            stripped = _re.sub(r"/\*.*?\*/", " ", where, flags=_re.DOTALL)
+            stripped = _re.sub(r"--[^\n]*", " ", stripped)
+            has_sub = bool(
+                _re.search(r"\(\s*select\b", stripped, _re.IGNORECASE)
+                or _re.search(r"\bexists\s*\(", stripped, _re.IGNORECASE)
+            )
+        if has_sub:
             raise ValueError(
                 "ann_search where= must be a row-local predicate "
                 "(subqueries are not allowed)"
@@ -2057,6 +2107,55 @@ class Lagoon:
             )
             match_ix = fr.filter(where_expr).select("ix")
         return where_expr, in_index, match_ix
+
+    def _expr_has_subquery(self, sql_expr: str) -> "bool | None":
+        """True iff the parsed expression tree contains ANY subquery
+        node (ScalarSubquery / ListQuery / Exists / InSubquery / …),
+        walking the Catalyst tree via the py4j seam. Unparseable
+        expressions report True (fail closed — a later ``F.expr`` will
+        raise the real parse error); a broken seam reports None so the
+        caller can apply its textual fallback."""
+        try:
+            je = (
+                self.spark._jsparkSession.sessionState()
+                .sqlParser()
+                .parseExpression(sql_expr)
+            )
+        except Exception as exc:
+            # distinguish "expression doesn't parse" (fail closed:
+            # treat as containing a subquery; F.expr will surface the
+            # parse error) from "seam missing" (None → textual screen)
+            if type(exc).__name__ == "ParseException" or "ParseException" in str(
+                type(exc)
+            ):
+                return True
+            try:
+                # seam health probe: if a trivial expression parses,
+                # the seam works and the failure above was a parse error
+                self.spark._jsparkSession.sessionState().sqlParser().parseExpression(
+                    "1"
+                )
+                return True
+            except Exception:
+                return None
+
+        def walk(node) -> bool:
+            name = node.getClass().getSimpleName()
+            if (
+                "Subquery" in name
+                or name in ("Exists", "ListQuery", "InSubquery")
+            ):
+                return True
+            ch = node.children()
+            for i in range(ch.size()):
+                if walk(ch.apply(i)):
+                    return True
+            return False
+
+        try:
+            return walk(je)
+        except Exception:
+            return None
 
     def _expr_column_refs(self, sql_expr: str) -> "set[str] | None":
         """Column names a SQL boolean expression references, via the

@@ -28,8 +28,19 @@ Two narrow scans, no shuffle, no sort.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Above this many (file, partition) groups the offset state rides a
+# broadcast-joined DataFrame instead of two create_map literals: a
+# 100k-shard source would otherwise put ~200k map entries INTO THE
+# PLAN TREE — driver memory, plan-serialization, and codegen all scale
+# with plan size, at exactly the sharded-ingest shape where group
+# count explodes. (Same literal-vs-broadcast tiering as
+# text.with_hashed_linear_score.) Env-tunable for tests.
+_MAP_LITERAL_MAX = int(os.environ.get("LAGOON_IX_MAP_LITERAL_MAX", "1000"))
 
 
 def with_ix(df: DataFrame, ix_col: str = "ix") -> DataFrame:
@@ -63,6 +74,21 @@ def with_ix(df: DataFrame, ix_col: str = "ix") -> DataFrame:
         return tagged.withColumn(ix_col, F.lit(0).cast("long")).drop(
             "__mid", "__pid", "__file"
         )
+    if len(offsets) > _MAP_LITERAL_MAX:
+        # broadcast-join tier: the offsets live in a k-row DataFrame
+        # broadcast to every task (no shuffle of the data side, same
+        # as the map literal) and the plan stays O(1) in group count
+        off_df = df.sparkSession.createDataFrame(
+            [(f, int(p), int(m), int(off)) for f, p, m, off in offsets],
+            "__file string, __pid int, __min long, __off long",
+        )
+        joined = tagged.join(F.broadcast(off_df), ["__file", "__pid"])
+        ix = (
+            F.col("__off") + (F.col("__mid") - F.col("__min")) + 1
+        ).cast("long")
+        # join-with-using reorders columns (keys first) — restore the
+        # caller's column order, ix last, like the literal tier
+        return joined.withColumn(ix_col, ix).select(*df.columns, ix_col)
     key = F.concat_ws("#", F.col("__file"), F.col("__pid").cast("string"))
     base_map = F.create_map(
         *[F.lit(x) for f, p, _m, off in offsets for x in (f"{f}#{p}", off)]

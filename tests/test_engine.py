@@ -880,6 +880,20 @@ def test_ann_hybrid_filtered_search(lagoon, tmp_path):
             "hyb", "vec", q, topk=3,
             where="lang IN (SELECT lang FROM somewhere)",
         )
+    # ... and the detection is STRUCTURAL, not textual: a comment (or
+    # EXISTS/scalar spelling) between the paren and SELECT defeated the
+    # old regex, letting `IN (SELECT …)` probe ANY temp view in the
+    # shared session past the per-source read gate (round-8 advice,
+    # high). Every spelling must die before the filter resolves.
+    for smuggle in (
+        "ix IN (/**/SELECT ix FROM somewhere)",
+        "ix IN (-- c\nSELECT ix FROM somewhere)",
+        "EXISTS (SELECT 1 FROM somewhere)",
+        "lang = (SELECT max(lang) FROM somewhere)",
+        "ix > (/* */ SELECT min(ix) FROM somewhere)",
+    ):
+        with pytest.raises(ValueError, match="row-local"):
+            lagoon.ann_search("hyb", "vec", q, topk=3, where=smuggle)
 
     # IVFADC tier: the codes partitions carry the include column, so
     # the ADC shortlist itself honors the predicate; results match the
@@ -1382,3 +1396,24 @@ def test_clean_source_materializes_survivor_version(lagoon, tmp_path):
     # delete restores the previous state
     lagoon.delete_source(info3)
     assert lagoon.catalog.get_source("cs").version == 2
+
+
+def test_ann_include_columns_reserved_names_rejected(lagoon, tmp_path):
+    """An included column whose exposed name collides with a reserved
+    index column (ix/cell/__vec/__norm/codes/query_id) would fail
+    build or extend with an opaque ambiguous-column AnalysisException;
+    the build must refuse loudly instead (round-8 advice, low)."""
+    p = tmp_path / "resv.csv"
+    p.write_text(
+        "cell,vec\n" + "\n".join(f'c{i},"[1.0, {i}.0]"' for i in range(4)) + "\n"
+    )
+    lagoon.ingest(str(p), "resv")
+    with pytest.raises(ValueError, match="reserved"):
+        lagoon.build_ann_index(
+            "resv", "vec", k=2, iters=1, include_columns=["cell"]
+        )
+    # the vector column itself keeps its own specific refusal
+    with pytest.raises(ValueError, match="vector column"):
+        lagoon.build_ann_index(
+            "resv", "vec", k=2, iters=1, include_columns=["vec"]
+        )

@@ -278,3 +278,41 @@ def test_delete_requires_manage(world, tmp_path):
     # admin can always delete
     info2 = world["bob"].ingest(_csv(tmp_path, "del2.csv"), "bobdel2")
     world[ADMIN].delete_source(info2)
+
+
+def test_suid_debris_sweep_is_owner_gated(world, tmp_path):
+    """The crash-debris sweep on a SUID probe is DESTRUCTIVE (data-dir
+    rmtree + catalog delete), so it is gated like vacuum: only the
+    debris owner or an admin may trigger it. Round-8 advice: any
+    ingest-capable user could previously destroy another writer's
+    in-flight row just by probing its source_identifier."""
+    cat = world[ADMIN].catalog
+    # fabricate bob's crash debris: a pending row carrying the SUID tag
+    # (a writer killed between the tag and the commit)
+    ix, _v, _t, _vw = cat.new_source(
+        name="bob_wip", url=None, description=None, added_by="bob",
+        created=None, fmt="tabular",
+    )
+    cat.tag(ix, "SUID:CRASH9")
+
+    # alice probing the identifier must NOT sweep bob's debris
+    with pytest.raises(PermissionDenied, match="crashed ingest"):
+        world["alice"].ingest(
+            _csv(tmp_path, "probe.csv"), "alice_ds",
+            source_identifier="CRASH9",
+        )
+    raw = cat.load("sources")
+    assert len(raw[raw["ix"] == ix]) == 1  # debris intact
+
+    # bob's own retry sweeps his debris and ingests fresh
+    got = world["bob"].ingest(
+        _csv(tmp_path, "retry.csv"), "bob_wip", source_identifier="CRASH9"
+    )
+    assert got.row_count == 2
+    # the pending debris is gone — the only row left under this ix (the
+    # sweep freed it for reallocation) is the COMMITTED retry
+    raw = cat.load("sources")
+    hit = raw[raw["ix"] == got.ix]
+    assert len(hit) == 1 and not bool(hit.iloc[0]["pending"])
+    assert not len(raw[raw["pending"].fillna(False).astype(bool)])
+    assert cat.get_source("bob_wip").ix == got.ix

@@ -77,3 +77,57 @@ def test_with_ix_on_zero_row_frame(spark):
     out = with_ix(df)
     assert out.columns == ["a", "b", "ix"]
     assert out.count() == 0
+
+
+def test_with_ix_join_tier_matches_literal_tier(spark, tmp_path, monkeypatch):
+    """Past _MAP_LITERAL_MAX groups the offsets ride a broadcast-joined
+    frame instead of create_map literals; the numbering contract (ix
+    1..N in filename-major order, original column order preserved)
+    must be bit-identical across the two tiers."""
+    from lagoon_spark.ingest import rowid
+
+    d = tmp_path / "tier_shards"
+    d.mkdir()
+    for i in range(12):
+        rows = "\n".join(f"{i}-{j}" for j in range(3))
+        (d / f"p-{i:03d}.csv").write_text(rows + "\n")
+    df = spark.read.schema("v string").csv(str(d))
+
+    literal = {
+        r["v"]: r["ix"] for r in rowid.with_ix(df).collect()
+    }
+    monkeypatch.setattr(rowid, "_MAP_LITERAL_MAX", 0)
+    joined_df = rowid.with_ix(df)
+    assert joined_df.columns == ["v", "ix"]
+    joined = {r["v"]: r["ix"] for r in joined_df.collect()}
+    assert joined == literal
+    assert sorted(joined.values()) == list(range(1, 37))
+    # filename-major: every row of p-000 numbers before any of p-001
+    assert max(joined[f"0-{j}"] for j in range(3)) < min(
+        joined[f"1-{j}"] for j in range(3)
+    )
+
+
+def test_with_ix_10k_shards_plan_stays_small(spark, tmp_path):
+    """The 100 TB sharded-ingest shape: 10k input files. The offset
+    state must NOT land in the plan tree as a 20k-entry map literal
+    (driver/plan bloat growing with shard count) — above the threshold
+    it broadcasts, so the optimized plan stays O(1) in group count."""
+    from lagoon_spark.ingest.rowid import with_ix
+
+    d = tmp_path / "many_shards"
+    d.mkdir()
+    for i in range(10_000):
+        (d / f"s-{i:05d}.csv").write_text(f"{i}\n")
+    df = spark.read.schema("v string").csv(str(d))
+    out = with_ix(df)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # a create_map literal tier at 10k groups would be >1 MB of plan
+    assert len(plan) < 100_000, f"plan blew up to {len(plan)} chars"
+    stats = out.selectExpr(
+        "count(*) AS n", "min(ix) AS lo", "max(ix) AS hi",
+        "count(DISTINCT ix) AS d"
+    ).collect()[0]
+    assert (stats["n"], stats["lo"], stats["hi"], stats["d"]) == (
+        10_000, 1, 10_000, 10_000
+    )
