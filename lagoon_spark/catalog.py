@@ -129,6 +129,14 @@ def _atomic_to_parquet(df: pd.DataFrame, path: str) -> None:
             os.unlink(tmp)
 
 
+def _json_scalar(v):
+    """JSON default hook for WAL lines: numpy scalars → Python."""
+    item = getattr(v, "item", None)
+    if callable(item):
+        return v.item()
+    return str(v)
+
+
 def _migrate_1_to_2(cat: "Catalog") -> None:
     """v1 → v2: schema-reconcile each catalog table — add any column the
     current layout has that the stored file lacks (with type-appropriate
@@ -240,6 +248,10 @@ class Catalog:
         self.warehouse = warehouse
         self.dir = os.path.join(warehouse, "catalog")
         self._cache: dict[str, pd.DataFrame] = {}
+        # WAL bookkeeping: last sequence number per table (base
+        # watermark ∨ last log line) and current log length
+        self._seq: dict[str, int] = {}
+        self._log_lines: dict[str, int] = {}
         # bumped on every write through THIS instance; state_token()
         # is the cross-instance (warehouse-state) change signal
         self.mutation_count = 0
@@ -367,41 +379,180 @@ class Catalog:
         except FileNotFoundError:
             return "empty"
         for e in entries:
-            if e.name.endswith(".parquet"):
+            if e.name.endswith(".parquet") or e.name.endswith(".log.jsonl"):
                 st = e.stat()
                 h.update(f"{e.name}:{st.st_mtime_ns}:{st.st_size};".encode())
         return h.hexdigest()
 
     def refresh(self) -> None:
-        """Drop the in-memory table cache so the next load() re-reads
-        parquet — required after detecting an external write."""
+        """Drop the in-memory table cache (and WAL bookkeeping) so the
+        next load() re-reads parquet + log — required after detecting
+        an external write."""
         self._cache.clear()
+        self._seq.clear()
+        self._log_lines.clear()
+
+    # -- write-ahead log ------------------------------------------------------
+    #
+    # Per-ingest full-parquet rewrites are O(#sources) each — measured
+    # 28→73 ms/ingest from 1k→10k sources, O(n²) cumulative (round-8
+    # verdict #6). Hot-path mutations (new version, row-count update,
+    # finalize, tag, column set) therefore append ONE fsynced JSONL
+    # line to ``<table>.log.jsonl`` instead; the base parquet carries
+    # the sequence number of the last op it includes in its footer
+    # metadata (atomic with the data via os.replace), and load() replays
+    # only lines PAST that watermark — so a compaction or full save
+    # racing a crash can never double-apply or lose an op. Ops are
+    # row-keyed upserts / predicate updates / deletes; a multi-op "tx"
+    # line applies atomically (one line, one fsync). The log compacts
+    # back into the base every COMPACT_EVERY ops, under the writer lock
+    # like every other mutation.
+
+    COMPACT_EVERY = 512
+    _SEQ_META = b"lagoon_applied_seq"
+
+    def _log_path(self, table: str) -> str:
+        return os.path.join(self.dir, f"{table}.log.jsonl")
+
+    def _ensure_seq(self, table: str) -> int:
+        """The table's current sequence number — max of the base's
+        applied watermark and any log line — loading it from disk if
+        this instance hasn't touched the table yet. save() MUST stamp
+        a watermark ≥ every existing log line, or a crash between its
+        base replace and log unlink would replay those lines onto a
+        state that already (or no longer) reflects them."""
+        if table not in self._seq:
+            self.load(table)
+        return self._seq.get(table, 0)
+
+    @staticmethod
+    def _mask(df: pd.DataFrame, where: dict) -> "pd.Series":
+        m = pd.Series(True, index=df.index)
+        for c, v in where.items():
+            m &= df[c] == v
+        return m
+
+    def _apply_op(self, df: pd.DataFrame, op: dict) -> pd.DataFrame:
+        kind = op["op"]
+        if kind == "tx":
+            for sub in op["ops"]:
+                df = self._apply_op(df, sub)
+            return df
+        if kind == "up":
+            pk = op["pk"]
+            for row in op["rows"]:
+                idx = (
+                    df.index[self._mask(df, {c: row[c] for c in pk})]
+                    if len(df)
+                    else []
+                )
+                if len(idx):
+                    for k, v in row.items():
+                        df.loc[idx, k] = v
+                else:
+                    df = pd.concat(
+                        [df, pd.DataFrame([row])], ignore_index=True
+                    )
+            return df
+        if kind == "set":
+            idx = df.index[self._mask(df, op["where"])] if len(df) else []
+            for k, v in op["fields"].items():
+                df.loc[idx, k] = v
+            return df
+        if kind == "del":
+            if not len(df):
+                return df
+            return df[~self._mask(df, op["where"])].reset_index(drop=True)
+        raise ValueError(f"unknown catalog log op {kind!r}")
+
+    def _log_op(self, table: str, op: dict) -> None:
+        """Apply ``op`` to the cached frame and append it to the
+        table's WAL (one fsynced line = one atomic mutation)."""
+        import json as _json
+
+        df = self._apply_op(self.load(table), op)
+        self._cache[table] = df
+        os.makedirs(self.dir, exist_ok=True)
+        seq = self._seq.get(table, 0) + 1
+        op = {"seq": seq, **op}
+        with open(self._log_path(table), "a") as fh:
+            fh.write(_json.dumps(op, default=_json_scalar) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        self._seq[table] = seq
+        self._log_lines[table] = self._log_lines.get(table, 0) + 1
+        self.mutation_count += 1
+        if self._log_lines[table] >= self.COMPACT_EVERY:
+            self.save(table, df)  # compaction: base absorbs the log
+
+    def _read_base(self, table: str) -> "tuple[pd.DataFrame, int]":
+        p = self._path(table)
+        if not os.path.exists(p):
+            return self._empty(table), 0
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(p)
+        md = t.schema.metadata or {}
+        seq = int(md.get(self._SEQ_META, b"0"))
+        return t.to_pandas(), seq
 
     def load(self, table: str) -> pd.DataFrame:
         if table not in self._cache:
-            p = self._path(table)
-            self._cache[table] = (
-                pd.read_parquet(p) if os.path.exists(p) else self._empty(table)
-            )
+            import json as _json
+
+            df, applied = self._read_base(table)
+            seq, lines = applied, 0
+            lp = self._log_path(table)
+            if os.path.exists(lp):
+                with open(lp) as fh:
+                    for line in fh:
+                        try:
+                            op = _json.loads(line)
+                        except ValueError:
+                            break  # torn tail line from a killed writer
+                        lines += 1
+                        if op["seq"] > applied:
+                            df = self._apply_op(df, op)
+                        seq = max(seq, op["seq"])
+            self._cache[table] = df
+            self._seq[table] = seq
+            self._log_lines[table] = lines
         return self._cache[table]
 
     def save(self, table: str, df: pd.DataFrame) -> None:
         os.makedirs(self.dir, exist_ok=True)
+        seq = self._ensure_seq(table)
         self._cache[table] = df.reset_index(drop=True)
         # write-temp-then-rename: a writer killed mid-write (OOM,
         # kill -9, node loss) must never leave a truncated parquet
         # where a catalog table used to be — os.replace is atomic on
         # POSIX, so readers see the old table or the new one, nothing
         # in between (round-8 crash-safety; the reference gets this
-        # from Postgres WAL)
+        # from Postgres WAL). The applied-seq watermark rides in the
+        # SAME file, so the WAL replay boundary moves atomically with
+        # the data: a crash between this replace and the log unlink
+        # replays nothing twice (stale lines are below the watermark).
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         p = self._path(table)
         tmp = p + f".tmp.{os.getpid()}"
         try:
-            self._cache[table].to_parquet(tmp, index=False)
+            t = pa.Table.from_pandas(
+                self._cache[table], preserve_index=False
+            )
+            t = t.replace_schema_metadata(
+                {**(t.schema.metadata or {}), self._SEQ_META: str(seq).encode()}
+            )
+            pq.write_table(t, tmp)
             os.replace(tmp, p)
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+        lp = self._log_path(table)
+        if os.path.exists(lp):
+            os.unlink(lp)
+        self._log_lines[table] = 0
         self.mutation_count += 1
 
     def init_db(self, reset: bool = False) -> None:
@@ -484,17 +635,15 @@ class Catalog:
             sn_ix = int(hit.iloc[0]["ix"])
         else:
             sn_ix = int(names["ix"].max()) + 1 if len(names) else 1
-            self.save(
+            self._log_op(
                 "sourcenames",
-                pd.concat(
-                    [
-                        names,
-                        pd.DataFrame(
-                            [{"ix": sn_ix, "name": name, "created_by": added_by}]
-                        ),
+                {
+                    "op": "up",
+                    "pk": ["ix"],
+                    "rows": [
+                        {"ix": sn_ix, "name": name, "created_by": added_by}
                     ],
-                    ignore_index=True,
-                ),
+                },
             )
         # version numbers continue from the last COMMITTED version:
         # counting a crashed writer's pending debris would leave a gap
@@ -529,17 +678,17 @@ class Catalog:
             # (crash-safe: a killed writer leaves only invisible debris)
             "pending": True,
         }
-        self.save("sources", pd.concat([sources, pd.DataFrame([row])], ignore_index=True))
+        self._log_op("sources", {"op": "up", "pk": ["ix"], "rows": [row]})
         return ix, version, f"t{ix}", view_name
 
     def update_source(self, ix: int, **fields) -> None:
         sources = self.load("sources")
-        idx = sources.index[sources["ix"] == ix]
-        if not len(idx):
+        if not len(sources.index[sources["ix"] == ix]):
             raise KeyError(f"no source ix={ix}")
-        for k, v in fields.items():
-            sources.loc[idx, k] = v
-        self.save("sources", sources)
+        self._log_op(
+            "sources",
+            {"op": "set", "where": {"ix": int(ix)}, "fields": dict(fields)},
+        )
 
     def finalize_source(self, ix: int) -> None:
         """Commit a version minted by :meth:`new_source`: clear the
@@ -554,46 +703,70 @@ class Catalog:
         if not len(idx):
             raise KeyError(f"no source ix={ix}")
         row = sources.loc[idx[0]]
+        ops = []
         prev = sources[
             (sources["sourcename_ix"] == row["sourcename_ix"])
             & (sources["version"] == int(row["version"]) - 1)
         ]
-        if len(prev):
-            sources.loc[prev.index, "deprecated"] = True
-        sources.loc[idx, "pending"] = False
-        self.save("sources", sources)
+        for pix in prev["ix"]:
+            ops.append(
+                {
+                    "op": "set",
+                    "where": {"ix": int(pix)},
+                    "fields": {"deprecated": True},
+                }
+            )
+        ops.append(
+            {
+                "op": "set",
+                "where": {"ix": int(ix)},
+                "fields": {"pending": False},
+            }
+        )
+        # one WAL line = one fsync = both mutations commit atomically:
+        # no window where old and new version both read as current
+        self._log_op("sources", {"op": "tx", "ops": ops})
 
     def set_deprecated(self, ix: int, deprecated: bool = True) -> None:
         self.update_source(ix, deprecated=deprecated)
 
     def set_columns(self, ix: int, cols: list[tuple[str, str, str]]) -> None:
-        sc = self.load("sourcecolumns")
-        sc = sc[sc["source_ix"] != ix]
-        add = pd.DataFrame(
-            [
-                {"source_ix": ix, "column_name": c, "header": h, "type": t}
-                for c, h, t in cols
-            ]
+        rows = [
+            {"source_ix": int(ix), "column_name": c, "header": h, "type": t}
+            for c, h, t in cols
+        ]
+        self._log_op(
+            "sourcecolumns",
+            {
+                "op": "tx",
+                "ops": [
+                    {"op": "del", "where": {"source_ix": int(ix)}},
+                    {
+                        "op": "up",
+                        "pk": ["source_ix", "column_name"],
+                        "rows": rows,
+                    },
+                ],
+            },
         )
-        self.save("sourcecolumns", pd.concat([sc, add], ignore_index=True))
 
     # -- tags (A16, A17) ----------------------------------------------------
 
     def tag(self, ix: int, tag: str) -> None:
         tags = self.load("tags")
         if not len(tags[(tags["source_ix"] == ix) & (tags["tag"] == tag)]):
-            self.save(
+            self._log_op(
                 "tags",
-                pd.concat(
-                    [tags, pd.DataFrame([{"source_ix": ix, "tag": tag}])],
-                    ignore_index=True,
-                ),
+                {
+                    "op": "up",
+                    "pk": ["source_ix", "tag"],
+                    "rows": [{"source_ix": int(ix), "tag": tag}],
+                },
             )
 
     def untag(self, ix: int, tag: str) -> None:
-        tags = self.load("tags")
-        self.save(
-            "tags", tags[~((tags["source_ix"] == ix) & (tags["tag"] == tag))]
+        self._log_op(
+            "tags", {"op": "del", "where": {"source_ix": int(ix), "tag": tag}}
         )
 
     def get_column(self, ix: int, column: str) -> tuple[str, str, str]:

@@ -266,10 +266,14 @@ def run_ann_index(spark, m: int, dim: int) -> dict:
 
     codes_bytes = du(os.path.join(idx_dir, "codes"))
     vector_bytes = du(os.path.join(idx_dir, "assignments"))
-    eng.ann_search("smokevecs", "data", queries[0], topk=10, nprobe=4).collect()
+    eng.ann_search(
+        "smokevecs", "data", queries[0], topk=10, nprobe=4, use_pq=True
+    ).collect()
     t0 = time.time()
     for qv in queries:
-        eng.ann_search("smokevecs", "data", qv, topk=10, nprobe=4).collect()
+        eng.ann_search(
+            "smokevecs", "data", qv, topk=10, nprobe=4, use_pq=True
+        ).collect()
     pq_probe_sec = (time.time() - t0) / len(queries)
     def _recall(rf: int) -> "tuple[float, float]":
         """(set recall, cosine-quality ratio) of the ADC pipeline vs
@@ -283,10 +287,10 @@ def run_ann_index(spark, m: int, dim: int) -> dict:
         for qv in queries:
             adc = eng.ann_search(
                 "smokevecs", "data", qv, topk=10, nprobe=4,
-                rerank_factor=rf,
+                use_pq=True, rerank_factor=rf,
             ).collect()
             full = eng.ann_search(
-                "smokevecs", "data", qv, topk=10, nprobe=4, use_pq=False
+                "smokevecs", "data", qv, topk=10, nprobe=4
             ).collect()
             a_ids = {r["ix"] for r in adc}
             f_ids = {r["ix"] for r in full}

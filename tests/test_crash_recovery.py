@@ -154,10 +154,11 @@ def test_vacuum_skips_pending_row_of_live_writer(lagoon):
 
 
 def test_atomic_catalog_save_survives_torn_write(tmp_path, monkeypatch):
-    """A writer dying INSIDE the parquet write must leave the previous
-    table intact: save() writes a temp file and os.replace()s it, so
-    readers see old-or-new, never a truncated file."""
-    import pandas as pd
+    """A writer dying INSIDE the base-parquet write (the compaction /
+    full-save path) must leave the previous table intact: save()
+    writes a temp file and os.replace()s it, so readers see old-or-new,
+    never a truncated file."""
+    import pyarrow.parquet as pq
 
     from lagoon_spark.catalog import Catalog
 
@@ -168,18 +169,19 @@ def test_atomic_catalog_save_survives_torn_write(tmp_path, monkeypatch):
         created=None, fmt="tabular",
     )
     cat.finalize_source(1)
+    cat.save("sources", cat.load("sources"))  # compact: state → base
 
-    real = pd.DataFrame.to_parquet
+    real = pq.write_table
 
-    def torn(self, path, *a, **kw):
-        real(self, path, *a, **kw)  # temp file fully written...
+    def torn(table, path, *a, **kw):
+        real(table, path, *a, **kw)  # temp file fully written...
         with open(path, "r+b") as fh:  # ...then truncated mid-flush
             fh.truncate(10)
         raise OSError("simulated torn write / disk full")
 
-    monkeypatch.setattr(pd.DataFrame, "to_parquet", torn)
+    monkeypatch.setattr(pq, "write_table", torn)
     with pytest.raises(OSError, match="torn"):
-        cat.update_source(1, row_count=99)
+        cat.save("sources", cat.load("sources").assign(row_count=99))
     monkeypatch.undo()
 
     fresh = Catalog(str(tmp_path / "wh"))
@@ -191,3 +193,66 @@ def test_atomic_catalog_save_survives_torn_write(tmp_path, monkeypatch):
         f for f in os.listdir(fresh.dir) if ".tmp." in f
     ]
     assert leftovers == []
+
+
+def test_catalog_wal_replay_and_torn_tail(tmp_path):
+    """Hot-path mutations are WAL lines, not full rewrites: a fresh
+    Catalog instance replays them; a torn tail line (writer killed
+    mid-append) is ignored without losing the committed prefix."""
+    from lagoon_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.init_db()
+    ix, _v, _t, _vw = cat.new_source(
+        "walme", url=None, description=None, added_by="x",
+        created=None, fmt="tabular",
+    )
+    cat.update_source(ix, row_count=7)
+    cat.finalize_source(ix)
+    cat.tag(ix, "hello")
+    # the mutations live in the log, not the base (no compaction yet)
+    assert os.path.exists(os.path.join(cat.dir, "sources.log.jsonl"))
+
+    fresh = Catalog(str(tmp_path / "wh"))
+    got = fresh.get_source("walme")
+    assert got.row_count == 7 and not got.deprecated
+    assert ix in fresh.find_by_tag("hello")
+
+    # torn tail: append half a line, as a kill -9 mid-write would
+    with open(os.path.join(cat.dir, "sources.log.jsonl"), "a") as fh:
+        fh.write('{"seq": 999, "op": "set", "whe')
+    fresh2 = Catalog(str(tmp_path / "wh"))
+    assert fresh2.get_source("walme").row_count == 7  # prefix intact
+
+
+def test_catalog_wal_compaction_is_replay_safe(tmp_path):
+    """Crash BETWEEN the compaction's base replace and its log unlink:
+    the base's applied-seq watermark (in the parquet footer, atomic
+    with the data) filters the stale lines, so nothing double-applies
+    — even for non-idempotent-looking histories (delete then a crash
+    must not resurrect the row from an old log line)."""
+    import shutil
+
+    from lagoon_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.init_db()
+    ix, _v, _t, _vw = cat.new_source(
+        "ghost", url=None, description=None, added_by="x",
+        created=None, fmt="tabular",
+    )
+    cat.finalize_source(ix)
+    log_p = os.path.join(cat.dir, "sources.log.jsonl")
+    saved_log = log_p + ".copy"
+    shutil.copy(log_p, saved_log)  # the log as of the live row
+
+    # delete the source (a full-save path) — then simulate the crash
+    # window by restoring the pre-delete log beside the new base
+    sources = cat.load("sources")
+    cat.save("sources", sources[sources["ix"] != ix])
+    shutil.copy(saved_log, log_p)
+
+    fresh = Catalog(str(tmp_path / "wh"))
+    rows = fresh.load("sources")
+    # the old "up"/"tx" lines are below the base watermark: filtered
+    assert not len(rows[rows["ix"] == ix])

@@ -903,18 +903,19 @@ def test_ann_hybrid_filtered_search(lagoon, tmp_path):
         include_columns=["lang"],
     )
     adc = lagoon.ann_search(
-        "hyb", "vec", q, topk=3, nprobe=2, where="lang = 'de'"
+        "hyb", "vec", q, topk=3, nprobe=2, where="lang = 'de'",
+        use_pq=True,
     )
     full = lagoon.ann_search(
         "hyb", "vec", q, topk=3, nprobe=2, where="lang = 'de'",
-        use_pq=False,
     )
     assert {r["ix"] for r in adc.collect()} == {
         r["ix"] for r in full.collect()
     }
     # and the empty-match case survives the PQ path too
     assert lagoon.ann_search(
-        "hyb", "vec", q, topk=3, nprobe=2, where="lang = 'xx'"
+        "hyb", "vec", q, topk=3, nprobe=2, where="lang = 'xx'",
+        use_pq=True,
     ).count() == 0
 
 
@@ -1317,23 +1318,42 @@ def test_ann_index_ivfadc_pq(lagoon, tmp_path):
     assert os.path.isdir(os.path.join(idx_dir, "codebooks"))
 
     q = [1.0, 0.01, 0.0, 0.0]
-    adc = lagoon.ann_search("pq", "data", q, topk=3, nprobe=1)
-    full = lagoon.ann_search("pq", "data", q, topk=3, nprobe=1, use_pq=False)
+    adc = lagoon.ann_search("pq", "data", q, topk=3, nprobe=1, use_pq=True)
+    # PQ is opt-in (round-8 verdict #1): the DEFAULT probe on a
+    # format-3 index is the full-precision path, and use_pq on a
+    # format-2 index refuses loudly
+    full = lagoon.ann_search("pq", "data", q, topk=3, nprobe=1)
     assert [r["ix"] for r in adc.collect()] == [r["ix"] for r in full.collect()]
     # the ADC answer is the x-cluster (ix 1..8), exact-cosine ordered
     assert set(r["ix"] for r in adc.collect()) <= set(range(1, 9))
 
-    # re-rank scan carries the pushed ix-IN filter: the executed plan's
-    # data filter mentions ix, and the scanned files are index cells
-    qe = adc._jdf.queryExecution()
-    plan_text = qe.executedPlan().toString().split("== Initial Plan ==")[0]
-    assert "ix" in plan_text and "PartitionFilters" in plan_text
-    files = adc.inputFiles()
-    assert files and all("assignments" in f for f in files)
+    # the default re-rank TIER at this scale is the driver point read
+    # (the shortlist is ≤ topk·rerank_factor rows by construction): no
+    # Spark file scan in the result plan at all
+    assert adc.inputFiles() == []
+
+    # force the Spark tier (the big-cell shape): the re-rank scan
+    # carries the pushed ix-IN filter and reads only index cells, and
+    # the two tiers agree row-for-row (bit-parity of the cosine fold)
+    lagoon.ANN_DRIVER_RERANK_MAX_BYTES = 0
+    try:
+        spark_tier = lagoon.ann_search(
+            "pq", "data", q, topk=3, nprobe=1, use_pq=True
+        )
+        assert [(r["ix"], r["cosine"]) for r in spark_tier.collect()] == [
+            (r["ix"], r["cosine"]) for r in adc.collect()
+        ]
+        qe = spark_tier._jdf.queryExecution()
+        plan_text = qe.executedPlan().toString().split("== Initial Plan ==")[0]
+        assert "ix" in plan_text and "PartitionFilters" in plan_text
+        files = spark_tier.inputFiles()
+        assert files and all("assignments" in f for f in files)
+    finally:
+        del lagoon.ANN_DRIVER_RERANK_MAX_BYTES  # back to the class default
 
     # a probe over all cells still ranks everything it needs
     wide = lagoon.ann_search("pq", "data", q, topk=5, nprobe=3,
-                             rerank_factor=8)
+                             use_pq=True, rerank_factor=8)
     assert len(wide.collect()) == 5
 
 

@@ -598,3 +598,87 @@ def test_avi_mjpeg_roundtrip_and_sampling(spark):
         _decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
     with _pytest.raises(ValueError, match="avih"):
         _decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00AVI ")
+
+
+def _tiny_png_bytes(w=3, h=2):
+    """Minimal valid 8-bit RGB PNG with filter-0 rows."""
+    import binascii
+    import struct as _struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            _struct.pack(">I", len(data))
+            + ctype
+            + data
+            + _struct.pack(">I", binascii.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    pix = bytes((x * 7 + y * 31 + c * 13) % 256
+                for y in range(h) for x in range(w) for c in range(3))
+    raw = b"".join(
+        b"\x00" + pix[y * w * 3:(y + 1) * w * 3] for y in range(h)
+    )
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    ), pix
+
+
+def test_codec_seam_prefers_native_and_dispatches(spark, monkeypatch):
+    """Seam conformance (round-8 verdict #7, no native codec in this
+    container): (a) when a 'native' image library is importable the
+    seam dispatches to it in preference to the stdlib decoders; (b) a
+    codec injected through the seam is what the Arrow-batched
+    decode_images plumbing actually executes; (c) its output is
+    schema- and parity-identical to the stdlib path on the same
+    bytes."""
+    import sys
+    import types
+
+    png, pix = _tiny_png_bytes()
+
+    # (a) dispatch preference: a fake PIL module makes _load_codec
+    # return the native-codec branch for every image/* type
+    class _FakeImg:
+        width, height = 3, 2
+
+        def load(self):
+            pass
+
+        def tobytes(self):
+            return pix
+
+    fake_image_mod = types.SimpleNamespace(open=lambda fh: _FakeImg())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+    assert mm._load_codec("image/png") is mm._decode_pil
+    assert mm._load_codec("image/jpeg") is mm._decode_pil
+    # ...and the native branch produces the stdlib decoder's exact
+    # (w, h, payload) contract on the same bytes (parity)
+    assert mm._decode_pil(png) == mm._decode_png(png)
+
+    # (b)+(c): inject a marker codec through the seam and prove the
+    # executor-side plumbing ran IT (not a fallback): same schema,
+    # same metadata as the stdlib run, dispatched via _load_codec
+    stdlib_rows = None
+    df = spark.createDataFrame([(1, bytearray(png))], "id long, content binary")
+    stdlib_rows = {
+        r["id"]: (r["width"], r["height"], r["payload_bytes"], r["payload_digest"])
+        for r in mm.decode_images(df, "id", "content", "image/png").collect()
+    }
+
+    def marker_codec(blob):
+        w, h, payload = mm._decode_png(blob)
+        return w + 1000, h, payload  # distinguishable width
+
+    monkeypatch.setattr(mm, "_load_codec", lambda mt: marker_codec)
+    native_rows = {
+        r["id"]: (r["width"], r["height"], r["payload_bytes"], r["payload_digest"])
+        for r in mm.decode_images(df, "id", "content", "image/png").collect()
+    }
+    assert native_rows[1][0] == stdlib_rows[1][0] + 1000  # seam dispatched
+    assert native_rows[1][1:] == stdlib_rows[1][1:]  # parity elsewhere

@@ -659,3 +659,44 @@ def test_pq_fit_rejects_indivisible_dim(spark):
     df = spark.createDataFrame([(1, [1.0] * 7)], "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError, match="not divisible"):
         pq_fit_encode(df, "vec_id", "embedding", m=2, k=2, iters=1, dim=7)
+
+
+def test_kmeans_sample_trained_assigns_full_frame(spark, sf_small):
+    """train_fraction trains on a deterministic hash-sample and assigns
+    the FULL frame once: every row gets a cell, the centroids are
+    reproducible run-to-run (no RNG), and both state tiers agree."""
+    from lagoon_spark.operators.similarity import kmeans_fit_predict
+
+    emb = _emb(spark, sf_small).limit(500)
+    dim = len(emb.first()["embedding"])
+
+    a1, c1 = kmeans_fit_predict(
+        emb, "vec_id", "embedding", k=4, iters=2, dim=dim,
+        train_fraction=0.3,
+    )
+    rows1 = {r["vec_id"]: r["cell"] for r in a1.collect()}
+    assert len(rows1) == 500  # full frame assigned, not the sample
+    assert set(rows1.values()) <= set(range(4))
+
+    # deterministic: a second fit reproduces assignments + centroids
+    a2, c2 = kmeans_fit_predict(
+        emb, "vec_id", "embedding", k=4, iters=2, dim=dim,
+        train_fraction=0.3,
+    )
+    assert {r["vec_id"]: r["cell"] for r in a2.collect()} == rows1
+    assert c2 == c1
+
+    # table tier honors the same sample and agrees with the list tier
+    a3, _c3 = kmeans_fit_predict(
+        emb, "vec_id", "embedding", k=4, iters=2, dim=dim,
+        train_fraction=0.3, centroids_as="table",
+    )
+    assert {r["vec_id"]: r["cell"] for r in a3.collect()} == rows1
+
+    # degenerate fraction (sample would be empty) falls back to full fit
+    tiny = emb.limit(3)
+    a4, _c4 = kmeans_fit_predict(
+        tiny, "vec_id", "embedding", k=2, iters=1, dim=dim,
+        train_fraction=1e-6,
+    )
+    assert a4.count() == 3
