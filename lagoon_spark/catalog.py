@@ -408,7 +408,13 @@ class Catalog:
     # back into the base every COMPACT_EVERY ops, under the writer lock
     # like every other mutation.
 
-    COMPACT_EVERY = 512
+    # Compaction cadence balances two costs: per-ingest write
+    # amplification (one full-table rewrite per COMPACT_EVERY ops —
+    # ~40 ms/128 ≈ 0.3 ms/op amortized at 10k sources) against
+    # cold-open replay length (a fresh process replays ≤ COMPACT_EVERY
+    # lines per table; measured ~3 ms/op, so 128 keeps cold opens
+    # under ~0.5 s at any population).
+    COMPACT_EVERY = 128
     _SEQ_META = b"lagoon_applied_seq"
 
     def _log_path(self, table: str) -> str:
@@ -496,12 +502,68 @@ class Catalog:
         seq = int(md.get(self._SEQ_META, b"0"))
         return t.to_pandas(), seq
 
+    def _replay_ops(self, df: pd.DataFrame, ops: "list[dict]") -> pd.DataFrame:
+        """Bulk-apply a replay batch. Appended rows buffer in a Python
+        tail list and concat ONCE — per-op ``pd.concat`` rebuilds the
+        whole frame (O(ops·n): measured ~2 s to cold-open a 10k-source
+        warehouse with a ~1.2k-line log). Updates and deletes apply to
+        the frame vectorized and to the tail dicts directly; semantics
+        are identical to :meth:`_apply_op` op-by-op."""
+        tail: "list[dict]" = []
+
+        def flat(ops):
+            for op in ops:
+                if op["op"] == "tx":
+                    yield from op["ops"]
+                else:
+                    yield op
+
+        def matches(rec: dict, where: dict) -> bool:
+            return all(rec.get(c) == v for c, v in where.items())
+
+        for op in flat(ops):
+            kind = op["op"]
+            if kind == "up":
+                pk = op["pk"]
+                for row in op["rows"]:
+                    key = {c: row[c] for c in pk}
+                    idx = df.index[self._mask(df, key)] if len(df) else []
+                    if len(idx):
+                        for k, v in row.items():
+                            df.loc[idx, k] = v
+                        continue
+                    hit = next(
+                        (r for r in tail if matches(r, key)), None
+                    )
+                    if hit is not None:
+                        hit.update(row)
+                    else:
+                        tail.append(dict(row))
+            elif kind == "set":
+                idx = df.index[self._mask(df, op["where"])] if len(df) else []
+                for k, v in op["fields"].items():
+                    df.loc[idx, k] = v
+                for r in tail:
+                    if matches(r, op["where"]):
+                        r.update(op["fields"])
+            elif kind == "del":
+                if len(df):
+                    df = df[~self._mask(df, op["where"])]
+                tail = [r for r in tail if not matches(r, op["where"])]
+            else:
+                raise ValueError(f"unknown catalog log op {kind!r}")
+        if tail:
+            df = pd.concat(
+                [df, pd.DataFrame(tail)], ignore_index=True
+            )
+        return df.reset_index(drop=True)
+
     def load(self, table: str) -> pd.DataFrame:
         if table not in self._cache:
             import json as _json
 
             df, applied = self._read_base(table)
-            seq, lines = applied, 0
+            seq, lines, pending = applied, 0, []
             lp = self._log_path(table)
             if os.path.exists(lp):
                 with open(lp) as fh:
@@ -512,8 +574,10 @@ class Catalog:
                             break  # torn tail line from a killed writer
                         lines += 1
                         if op["seq"] > applied:
-                            df = self._apply_op(df, op)
+                            pending.append(op)
                         seq = max(seq, op["seq"])
+            if pending:
+                df = self._replay_ops(df, pending)
             self._cache[table] = df
             self._seq[table] = seq
             self._log_lines[table] = lines

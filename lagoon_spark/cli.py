@@ -201,6 +201,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--where", default=None,
                    help="row-local SQL predicate applied before the top-k "
                    "(hybrid search), e.g. \"lang = 'de'\"")
+    p.add_argument("--use-pq", action="store_true",
+                   help="ADC shortlist over the PQ codes (format-3 "
+                   "index): dim*8/pq_m x less probe I/O, approximate "
+                   "recall (rerank-factor is the recall lever)")
+    p.add_argument("--rerank-factor", type=int, default=16)
 
     p = sub.add_parser(
         "dedup-source",
@@ -631,6 +636,8 @@ class _Cli:
             topk=self.args.topk,
             nprobe=self.args.nprobe,
             where=self.args.where,
+            use_pq=self.args.use_pq,
+            rerank_factor=self.args.rerank_factor,
         )
         for r in res.collect():
             print(f"{r['ix']}\t{r['cosine']}")

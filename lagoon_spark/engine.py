@@ -65,6 +65,7 @@ class Lagoon:
         # k-row centroid table is immutable between (re)builds, so
         # repeated probes must not pay a Spark job each to re-collect it
         self._cent_cache: dict[str, tuple] = {}
+        self._book_cache: dict[str, tuple] = {}
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -1742,6 +1743,15 @@ class Lagoon:
         hit = self._cent_cache.get(idx_dir)
         if hit and hit[0] == key:
             return hit[1]
+        # the index changed (or is new to this session): drop any
+        # cached file listings/footers for its directories, or a
+        # session that searched the PREVIOUS build silently reads
+        # stale artifacts (measured: recall off by 10x in a
+        # rebuild-then-search session). Doing this HERE — not on every
+        # probe — lets Spark's FileStatusCache work across repeated
+        # probes of an unchanged index (measured ~0.2 s/probe of
+        # re-listing + footer decode saved on both probe paths).
+        self.spark.catalog.refreshByPath(idx_dir)
         cents = self.spark.read.parquet(
             os.path.join(idx_dir, "centroids")
         ).collect()  # k rows — metadata-sized by construction
@@ -2053,11 +2063,9 @@ class Lagoon:
 
         with open(os.path.join(idx_dir, "meta.json")) as fh:
             meta = _json.load(fh)
-        # a rebuilt index reuses the same directories: drop any cached
-        # file listings/footers for them, or a session that searched
-        # the PREVIOUS build silently reads stale artifacts (measured:
-        # recall numbers off by 10x in a rebuild-then-search session)
-        self.spark.catalog.refreshByPath(idx_dir)
+        # staleness handling (rebuild reuses the same directories)
+        # lives in _ann_centroids: it refreshes Spark's listing caches
+        # exactly when the meta identity changes, never per probe
         cents = self._ann_centroids(idx_dir)
         probe = self._rank_probe_cells(cents, query_vec, nprobe)
 
@@ -2086,12 +2094,18 @@ class Lagoon:
         from lagoon_spark.operators.similarity import cosine_topk
 
         ass_root = os.path.join(idx_dir, "assignments")
-        qdf = self.spark.createDataFrame(
-            [([float(x) for x in query_vec],)], "__vec array<double>"
-        )
-        assigns = _read_cells(ass_root)
+        # the cell frame is built LAZILY: a driver-tier ADC probe never
+        # touches it, and even CONSTRUCTING it pays a footer/schema
+        # py4j round-trip per probe
+        _assigns_cache: "list[DataFrame]" = []
+
+        def assigns_df() -> DataFrame:
+            if not _assigns_cache:
+                _assigns_cache.append(_read_cells(ass_root))
+            return _assigns_cache[0]
+
         where_expr, where_in_index, match_ix = self._where_tier(
-            info, assigns, where
+            info, assigns_df() if where is not None else None, where
         )
 
         shortlist_ids: list[int] | None = None
@@ -2135,10 +2149,15 @@ class Lagoon:
                     return self._pq_rerank_driver(
                         idx_dir, shortlist, query_vec, topk
                     )
-        if "__vec" in assigns.columns:  # format 2/3: self-contained
-            candidates = assigns
+        qdf = self.spark.createDataFrame(
+            [([float(x) for x in query_vec],)], "__vec array<double>"
+        )
+        if "__vec" in assigns_df().columns:  # format 2/3: self-contained
+            candidates = assigns_df()
         else:  # format-1 artifact: vectors still live in the source
-            candidates = self._ann_vectors(info, phys).join(assigns, "ix")
+            candidates = self._ann_vectors(info, phys).join(
+                assigns_df(), "ix"
+            )
         if where_expr is not None:
             if where_in_index:
                 # lands in the probed-cell parquet scan (pushed filter)
@@ -2199,7 +2218,6 @@ class Lagoon:
                 f"no ANN index for {name!r} v{info.version} column "
                 f"{column!r}; run build_ann_index first"
             )
-        self.spark.catalog.refreshByPath(idx_dir)
         cents = self._ann_centroids(idx_dir)
         probe_sets = [
             self._rank_probe_cells(cents, qv, nprobe) for qv in query_vecs
@@ -2422,6 +2440,23 @@ class Lagoon:
     # the Spark IN-pushdown job instead.
     ANN_DRIVER_RERANK_MAX_BYTES = 256 << 20
 
+    def _ann_codebooks(self, idx_dir: str) -> list:
+        """The IVFADC codebook rows, driver-cached on meta.json
+        identity like :meth:`_ann_centroids` — immutable between
+        (re)builds, and collecting them per probe was one Spark job of
+        pure scheduling per query."""
+        mpath = os.path.join(idx_dir, "meta.json")
+        st = os.stat(mpath)
+        key = (st.st_mtime_ns, st.st_size)
+        hit = self._book_cache.get(idx_dir)
+        if hit and hit[0] == key:
+            return hit[1]
+        books = self.spark.read.parquet(
+            os.path.join(idx_dir, "codebooks")
+        ).collect()  # m*k rows — metadata-sized
+        self._book_cache[idx_dir] = (key, books)
+        return books
+
     def _pq_rerank_driver(
         self,
         idx_dir: str,
@@ -2447,9 +2482,27 @@ class Lagoon:
         import decimal
         import math
 
-        schema = "ix bigint, cosine double"
+        def _values_df(rows: "list[tuple[int, float]]") -> DataFrame:
+            # a VALUES LocalRelation, NOT createDataFrame: the latter
+            # parallelizes into an RDD, so the caller's .collect()
+            # launches a real Spark job — measured 0.55 s to fetch ten
+            # driver-resident rows, half the probe budget. VALUES
+            # collects driver-only (LocalTableScan).
+            if not rows:
+                return self.spark.sql(
+                    "SELECT * FROM (VALUES (CAST(0 AS BIGINT), "
+                    "CAST(0.0 AS DOUBLE))) AS t(ix, cosine) LIMIT 0"
+                )
+            vals = ",".join(
+                f"(CAST({ix} AS BIGINT), CAST({cos!r} AS DOUBLE))"
+                for ix, cos in rows
+            )
+            return self.spark.sql(
+                f"SELECT * FROM (VALUES {vals}) AS t(ix, cosine)"
+            )
+
         if not shortlist:
-            return self.spark.createDataFrame([], schema)
+            return _values_df([])
         import pyarrow.dataset as ds
 
         want = {int(ix) for ix, _c in shortlist}
@@ -2463,7 +2516,7 @@ class Lagoon:
                     if f.endswith(".parquet") and not f.startswith((".", "_"))
                 ]
         if not files:
-            return self.spark.createDataFrame([], schema)
+            return _values_df([])
         tbl = ds.dataset(files, format="parquet").to_table(
             columns=["ix", "__vec"],
             filter=ds.field("ix").isin(sorted(want)),
@@ -2485,7 +2538,7 @@ class Lagoon:
             )
             out.append((int(ix), cos))
         out.sort(key=lambda r: (-r[1], r[0]))
-        return self.spark.createDataFrame(out[:topk], schema)
+        return _values_df(out[:topk])
 
     def _pq_shortlist(
         self,
@@ -2516,9 +2569,7 @@ class Lagoon:
         pq_k = int(meta["pq_k"])
         dim = int(meta["dim"])
         sub = dim // m
-        books = self.spark.read.parquet(
-            os.path.join(idx_dir, "codebooks")
-        ).collect()  # m*k rows — metadata-sized
+        books = self._ann_codebooks(idx_dir)  # m*k rows, driver-cached
         book = {}
         for r in books:
             book[(int(r["subspace"]), int(r["code"]))] = list(r["centroid"])

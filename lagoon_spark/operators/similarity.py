@@ -219,8 +219,50 @@ def ivf_assign(
 
     ``array_position`` of the min takes the FIRST match in both tiers,
     so ties break toward the lowest cell id.
+
+    A third tier covers DRIVER-KNOWN centroid lists past the literal
+    ceiling: **numpy** (Arrow-batched ``mapInPandas``, argmin over
+    ``|c|² − 2·X·Cᵀ`` — the ``|x|²`` term is row-constant and drops
+    out of the argmin). Catalyst's higher-order functions evaluate
+    INTERPRETED per element, so the k=1000 coarse assignment of an ANN
+    build paid ~64 GFLOPs of boxed arithmetic (measured: the dominant
+    cost of a 1M×64 build); BLAS does the same matmul in seconds.
+    ``argmin`` keeps first-match tie semantics (lowest cell id). Row
+    chunks bound the (rows × k) score matrix to ~2M doubles.
     """
     is_list = not isinstance(centroids, DataFrame)
+    if is_list and len(centroids) > IVF_LITERAL_MAX_K:
+        import numpy as np
+
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        C = np.asarray(centroids, dtype="float64")  # (k, dim)
+        Cn = (C * C).sum(axis=1)
+        # NOT df.schema.add(...): StructType.add mutates in place, and
+        # df.schema hands back the DataFrame's CACHED instance
+        schema = StructType(
+            list(df.schema.fields) + [StructField(out_col, IntegerType())]
+        )
+        chunk = max(1, 2_000_000 // max(C.shape[0], 1))
+
+        def assign(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = _np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+                cells = _np.empty(len(pdf), dtype="int32")
+                for lo in range(0, len(pdf), chunk):
+                    hi = min(lo + chunk, len(pdf))
+                    scores = Cn[None, :] - 2.0 * (X[lo:hi] @ C.T)
+                    cells[lo:hi] = scores.argmin(axis=1)
+                pdf = pdf.copy()
+                pdf[out_col] = cells
+                yield pdf
+
+        return df.mapInPandas(assign, schema)
     if is_list and len(centroids) <= IVF_LITERAL_MAX_K:
         cents = (
             "array("

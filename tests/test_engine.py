@@ -1437,3 +1437,145 @@ def test_ann_include_columns_reserved_names_rejected(lagoon, tmp_path):
         lagoon.build_ann_index(
             "resv", "vec", k=2, iters=1, include_columns=["vec"]
         )
+
+
+def test_ann_extend_staged_append_atomic(lagoon, tmp_path, monkeypatch):
+    """Round-8 advice (medium): a mode('append') job killed mid
+    job-commit could persist the delta's max-ix part file while other
+    part files of the SAME delta were missing — the next extend's
+    watermark then skipped the middle rows forever. Deltas now stage
+    into <artifact>.staging and move in under the _SUCCESS marker:
+    (a) an INCOMPLETE stage (no marker — the job never committed) is
+    discarded and the delta fully re-derives; (b) a COMPLETE stage
+    interrupted mid-move is finished by the next call; nothing is
+    dropped, nothing lands twice."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    inbox = tmp_path / "sin"
+    inbox.mkdir()
+    ing = lagoon.ingest_stream(
+        str(inbox), "staged", checkpoint_dir=str(tmp_path / "sckpt"),
+        mode="append", file_type="json",
+    )
+    (inbox / "b1.jsonl").write_text(
+        "\n".join(_json.dumps(v) for v in
+                  [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.1, 0.9]]) + "\n"
+    )
+    ing.run_available()
+    lagoon.build_ann_index("staged", "data", k=2, iters=2)
+    info = lagoon.catalog.get_source("staged")
+    phys, _h, _t = lagoon.catalog.get_column(info.ix, "data")
+    idx = lagoon._ann_index_dir(info, phys)
+    ass_root = _os.path.join(idx, "assignments")
+    stage = ass_root + ".staging"
+
+    (inbox / "b2.jsonl").write_text(
+        "\n".join(_json.dumps(v) for v in [[0.98, 0.02], [0.02, 0.98]]) + "\n"
+    )
+    ing.run_available()
+
+    # (a) crash AFTER the staged write but BEFORE the move: simulate by
+    # letting the stage be written, then failing the commit — and also
+    # dropping the marker to model a job that never committed
+    real_commit = type(lagoon)._ann_stage_commit
+
+    def no_commit(self, root, st):
+        raise RuntimeError("simulated crash before the stage move")
+
+    monkeypatch.setattr(type(lagoon), "_ann_stage_commit", no_commit)
+    with pytest.raises(RuntimeError, match="stage move"):
+        lagoon.extend_ann_index("staged", "data")
+    monkeypatch.setattr(type(lagoon), "_ann_stage_commit", real_commit)
+    assert _os.path.isdir(stage)
+    _os.unlink(_os.path.join(stage, "_SUCCESS"))  # uncommitted job
+
+    meta = lagoon.extend_ann_index("staged", "data")  # discards, re-derives
+    assert meta["indexed_through"] == 6
+    df = lagoon.spark.read.parquet(ass_root)
+    assert df.count() == 6 and df.select("ix").distinct().count() == 6
+    assert not _os.path.isdir(stage)
+
+    # (b) crash MID-MOVE of a committed stage: move one file, keep the
+    # marker, leave the rest — recovery must finish the move exactly once
+    (inbox / "b3.jsonl").write_text(
+        "\n".join(_json.dumps(v) for v in [[0.97, 0.03], [0.03, 0.97]]) + "\n"
+    )
+    ing.run_available()
+
+    moved_one = {"done": False}
+
+    def partial_commit(self, root, st):
+        for entry in sorted(_os.listdir(st)):
+            sp = _os.path.join(st, entry)
+            if _os.path.isdir(sp) and entry.startswith("cell="):
+                dst = _os.path.join(root, entry)
+                _os.makedirs(dst, exist_ok=True)
+                for f in sorted(_os.listdir(sp)):
+                    _os.replace(_os.path.join(sp, f), _os.path.join(dst, f))
+                break  # first cell dir only, then "crash"
+        raise RuntimeError("simulated crash mid-move")
+
+    monkeypatch.setattr(type(lagoon), "_ann_stage_commit", partial_commit)
+    with pytest.raises(RuntimeError, match="mid-move"):
+        lagoon.extend_ann_index("staged", "data")
+    monkeypatch.setattr(type(lagoon), "_ann_stage_commit", real_commit)
+    assert _os.path.exists(_os.path.join(stage, "_SUCCESS"))
+
+    meta = lagoon.extend_ann_index("staged", "data")  # finishes the move
+    assert meta["indexed_through"] == 8
+    df = lagoon.spark.read.parquet(ass_root)
+    assert df.count() == 8 and df.select("ix").distinct().count() == 8
+    got = lagoon.ann_search("staged", "data", [1.0, 0.0], topk=8, nprobe=2)
+    assert {r["ix"] for r in got.collect()} == set(range(1, 9))
+
+
+def test_ann_extend_drift_metric(lagoon, tmp_path):
+    """Round-8 verdict #8: extensions assign to FROZEN centroids; the
+    drift ratio (delta vs build-time mean squared distance) makes the
+    documented trade observable, and a shifted distribution flips
+    rebuild_recommended."""
+    import json as _json
+
+    inbox = tmp_path / "din"
+    inbox.mkdir()
+    ing = lagoon.ingest_stream(
+        str(inbox), "drifty", checkpoint_dir=str(tmp_path / "dckpt"),
+        mode="append", file_type="json",
+    )
+    # two clusters with a REAL spread: the drift baseline is the
+    # build-time quantization error, so it must not be epsilon — an
+    # in-distribution append's error has to look like it
+    pts = [[1.0 + 0.2 * (i % 3), 0.1 * (i % 2)] for i in range(6)]
+    pts += [[0.1 * (i % 2), 1.0 + 0.2 * (i % 3)] for i in range(6)]
+    (inbox / "b1.jsonl").write_text(
+        "\n".join(_json.dumps(p) for p in pts) + "\n"
+    )
+    ing.run_available()
+    meta0 = lagoon.build_ann_index("drifty", "data", k=2, iters=2)
+    assert meta0["train_mean_sq_dist"] is not None
+
+    # in-distribution append: low drift, no rebuild flag
+    (inbox / "b2.jsonl").write_text(
+        _json.dumps([1.2, 0.1]) + "\n" + _json.dumps([0.1, 1.2]) + "\n"
+    )
+    ing.run_available()
+    meta1 = lagoon.extend_ann_index("drifty", "data")
+    assert "last_extension_drift_ratio" in meta1
+    assert not meta1.get("rebuild_recommended")
+
+    # shifted distribution: far from every centroid → drift blows past
+    # the threshold and the rebuild flag trips
+    (inbox / "b3.jsonl").write_text(
+        _json.dumps([-40.0, 35.0]) + "\n" + _json.dumps([50.0, -45.0]) + "\n"
+    )
+    ing.run_available()
+    meta2 = lagoon.extend_ann_index("drifty", "data")
+    assert meta2["last_extension_drift_ratio"] > meta1[
+        "last_extension_drift_ratio"
+    ]
+    assert meta2["rebuild_recommended"] is True
+    assert meta2["max_extension_drift_ratio"] >= meta2[
+        "last_extension_drift_ratio"
+    ]

@@ -700,3 +700,32 @@ def test_kmeans_sample_trained_assigns_full_frame(spark, sf_small):
         train_fraction=1e-6,
     )
     assert a4.count() == 3
+
+
+def test_ivf_assign_numpy_tier_matches_literal_tier(spark, sf_small, monkeypatch):
+    """Driver-known centroid lists past the literal ceiling assign via
+    the BLAS tier (mapInPandas argmin over |c|^2 - 2*X@C.T); forcing
+    the ceiling to 0 must reproduce the literal tier's assignment
+    bit-for-bit, including first-match tie-breaking."""
+    import lagoon_spark.operators.similarity as sim
+
+    emb = _emb(spark, sf_small).limit(300)
+    from lagoon_spark.pipeline_queries import _ivf_centroids
+
+    cents = _ivf_centroids()
+    lit = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in sim.ivf_assign(emb, "embedding", cents).collect()
+    }
+    monkeypatch.setattr(sim, "IVF_LITERAL_MAX_K", 0)
+    np_tier = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in sim.ivf_assign(emb, "embedding", cents).collect()
+    }
+    assert np_tier == lit and len(lit) == 300
+
+    # exact-tie semantics: duplicate centroids -> lowest cell id wins
+    dup = [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]]
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "i int, v array<double>")
+    got = sim.ivf_assign(df, "v", dup).collect()[0]["ivf_cell"]
+    assert got == 0
