@@ -144,10 +144,12 @@ def _migrate_1_to_2(cat: "Catalog") -> None:
     file existed."""
     defaults = {"int64": 0, "bool": False, "object": None}
     for table, spec in _TABLES.items():
-        p = cat._path(table)
-        if not os.path.exists(p):
+        if not os.path.exists(cat._path(table)):
             continue
-        df = pd.read_parquet(p)
+        # load()/save(), not raw parquet IO: the table's current state
+        # may live partly in its WAL, and save() re-stamps the
+        # applied-seq watermark + retires the log atomically
+        df = cat.load(table).copy()
         changed = False
         for col, dtype in spec.items():
             if col not in df.columns:
@@ -157,19 +159,21 @@ def _migrate_1_to_2(cat: "Catalog") -> None:
                 changed = True
         if changed:
             df = df[[c for c in spec] + [c for c in df.columns if c not in spec]]
-            _atomic_to_parquet(df, p)
+            cat.save(table, df)
 
 
 def _migrate_2_to_3(cat: "Catalog") -> None:
     """v2 → v3: backfill ``sourcenames.created_by`` from the earliest
     surviving version's uploader (the best available proxy for the
     original creator in an old warehouse)."""
-    p = cat._path("sourcenames")
-    if not os.path.exists(p):
+    if not os.path.exists(cat._path("sourcenames")):
         return
-    names = pd.read_parquet(p)
-    sp = cat._path("sources")
-    sources = pd.read_parquet(sp) if os.path.exists(sp) else None
+    names = cat.load("sourcenames").copy()
+    sources = (
+        cat.load("sources")
+        if os.path.exists(cat._path("sources"))
+        else None
+    )
     creators = {}
     if sources is not None and len(sources):
         earliest = sources.sort_values("version").groupby("sourcename_ix").first()
@@ -182,7 +186,7 @@ def _migrate_2_to_3(cat: "Catalog") -> None:
         else creators.get(row["ix"])
         for _, row in names.iterrows()
     ]
-    _atomic_to_parquet(names, p)
+    cat.save("sourcenames", names)
 
 
 def _migrate_3_to_4(cat: "Catalog") -> None:
@@ -192,8 +196,11 @@ def _migrate_3_to_4(cat: "Catalog") -> None:
     at the *max* level — the pre-migration semantics aggregated levels
     across sibling versions, so max preserves every access a user had."""
     level_rank = {"read": 1, "update": 2, "manage": 3}
-    sp = cat._path("sources")
-    sources = pd.read_parquet(sp) if os.path.exists(sp) else None
+    sources = (
+        cat.load("sources")
+        if os.path.exists(cat._path("sources"))
+        else None
+    )
 
     def anchor(ix: int) -> int:
         if sources is None or not len(sources):

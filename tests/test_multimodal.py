@@ -660,6 +660,9 @@ def test_codec_seam_prefers_native_and_dispatches(spark, monkeypatch):
     # ...and the native branch produces the stdlib decoder's exact
     # (w, h, payload) contract on the same bytes (parity)
     assert mm._decode_pil(png) == mm._decode_png(png)
+    # drop the fake module BEFORE any Spark work: executor workers are
+    # separate processes that cannot import the driver's fake PIL
+    monkeypatch.undo()
 
     # (b)+(c): inject a marker codec through the seam and prove the
     # executor-side plumbing ran IT (not a fallback): same schema,
