@@ -117,3 +117,37 @@ def test_relational_replica_scales_and_joins_consistently(spark, sf_small, tmp_p
     assert set(small) == set(big)
     for nation, rev in small.items():
         assert abs(big[nation] - 2 * rev) < 1e-6 * max(abs(rev), 1.0)
+
+
+def test_margin_rich_generator_geometry(spark):
+    """The margin-rich recall corpus must actually provide the regime
+    it claims: unit zero-mean centers, a geometric radius ladder for
+    the first 20 members of each cluster, a far shell for the rest —
+    so the smoke's recall@10 is measured against real margins."""
+    import math
+
+    from scale_smoke import make_margin_rich_vectors
+
+    m, dim, clusters = 2000, 16, 10
+    rows = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in make_margin_rich_vectors(
+            spark, m, dim, clusters=clusters
+        ).collect()
+    }
+    assert len(rows) == m
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    # near-center member (j=0) ~ the unit center; ladder radii match
+    # 0.01 * 1.25^j; far-shell members sit at 0.9..1.3
+    for c in range(3):
+        center = rows[c]  # j=0 member: radius 0.01 ≈ the center
+        assert abs(math.sqrt(sum(x * x for x in center)) - 1.0) < 0.02
+        for j in (1, 5, 19):
+            r = dist(rows[j * clusters + c], center)
+            want = 0.01 * 1.25 ** j
+            assert abs(r - want) < want * 0.15 + 0.02, (j, r, want)
+        far = dist(rows[25 * clusters + c], center)
+        assert 0.8 < far < 1.45
