@@ -569,26 +569,43 @@ class Catalog:
         if table not in self._cache:
             import json as _json
 
-            df, applied = self._read_base(table)
-            seq, lines, pending = applied, 0, []
-            lp = self._log_path(table)
-            if os.path.exists(lp):
-                with open(lp) as fh:
-                    for line in fh:
-                        try:
-                            op = _json.loads(line)
-                        except ValueError:
-                            break  # torn tail line from a killed writer
-                        lines += 1
-                        if op["seq"] > applied:
-                            pending.append(op)
-                        seq = max(seq, op["seq"])
+            # base + log are TWO files, so a lock-free reader can race
+            # a concurrent compaction: base read BEFORE the os.replace,
+            # log read AFTER the unlink/re-append would replay new-base
+            # ops onto the old base. Re-stat the base after reading the
+            # log and retry if it moved — each pass is a consistent
+            # snapshot or detectably stale, never a chimera.
+            for _attempt in range(8):
+                base_key = self._base_stat(table)
+                df, applied = self._read_base(table)
+                seq, lines, pending = applied, 0, []
+                lp = self._log_path(table)
+                if os.path.exists(lp):
+                    with open(lp) as fh:
+                        for line in fh:
+                            try:
+                                op = _json.loads(line)
+                            except ValueError:
+                                break  # torn tail from a killed writer
+                            lines += 1
+                            if op["seq"] > applied:
+                                pending.append(op)
+                            seq = max(seq, op["seq"])
+                if self._base_stat(table) == base_key:
+                    break
             if pending:
                 df = self._replay_ops(df, pending)
             self._cache[table] = df
             self._seq[table] = seq
             self._log_lines[table] = lines
         return self._cache[table]
+
+    def _base_stat(self, table: str) -> "tuple | None":
+        try:
+            st = os.stat(self._path(table))
+            return (st.st_mtime_ns, st.st_size, st.st_ino)
+        except FileNotFoundError:
+            return None
 
     def save(self, table: str, df: pd.DataFrame) -> None:
         os.makedirs(self.dir, exist_ok=True)
