@@ -2186,6 +2186,9 @@ class Lagoon:
         nprobe: int = 4,
         version: int | None = None,
         where: str | None = None,
+        use_pq: bool = False,
+        rerank_factor: int = 16,
+        overfetch: int = 4,
     ) -> DataFrame:
         """Batched ANN: N query vectors answered by ONE Spark job.
 
@@ -2203,10 +2206,14 @@ class Lagoon:
 
         ``where`` behaves exactly as in :meth:`ann_search` (evaluated
         inside the cells when index-resident, source semi-join
-        otherwise). The batch path always re-ranks full-precision
-        vectors: with the cell scan amortized across queries, the ADC
-        shortlist's per-query driver round-trips would dominate — PQ's
-        win here is storage, not probe I/O."""
+        otherwise). ``use_pq=True`` (format-3 index) runs the batched
+        IVFADC pipeline: ONE codes scan of the union cells scores
+        every (query, row) pair Arrow-side, a window per query keeps
+        the topk·rerank_factor shortlist, and the exact re-rank is one
+        driver point read of all shortlisted vectors (the Spark
+        pairs-join tier past the probed-cell size gate) — the probe
+        reads dim·8/pq_m× fewer candidate bytes than the
+        full-precision batch."""
         if not query_vecs:
             raise ValueError("query_vecs is empty")
         info = self.catalog.get_source(name, version)
@@ -2217,6 +2224,15 @@ class Lagoon:
             raise KeyError(
                 f"no ANN index for {name!r} v{info.version} column "
                 f"{column!r}; run build_ann_index first"
+            )
+        import json as _json
+
+        with open(os.path.join(idx_dir, "meta.json")) as fh:
+            meta = _json.load(fh)
+        if use_pq and meta.get("format") != 3:
+            raise ValueError(
+                "use_pq=True needs an IVFADC index; rebuild with "
+                "build_ann_index(pq_m=...)"
             )
         cents = self._ann_centroids(idx_dir)
         probe_sets = [
@@ -2254,6 +2270,43 @@ class Lagoon:
             else:
                 candidates = candidates.join(match_ix, "ix", "semi")
 
+        shortlists: "dict[int, list[tuple[int, int]]] | None" = None
+        if meta.get("format") == 3 and use_pq:
+            limit = topk * rerank_factor
+            if where_expr is not None and not in_index:
+                limit *= max(1, overfetch)
+            shortlists = self._pq_shortlist_batch(
+                idx_dir, meta, probe_sets, cents, query_vecs,
+                limit=limit,
+                where_expr=where_expr if in_index else None,
+            )
+            if where is None or in_index:
+                cell_bytes = 0
+                cells_hit = {
+                    c for sl in shortlists.values() for _ix, c in sl
+                }
+                for c in sorted(cells_hit):
+                    d = os.path.join(ass_root, f"cell={c}")
+                    if os.path.isdir(d):
+                        for f in os.scandir(d):
+                            cell_bytes += f.stat().st_size
+                if cell_bytes <= self.ANN_DRIVER_RERANK_MAX_BYTES:
+                    return self._pq_rerank_driver_batch(
+                        idx_dir, shortlists, query_vecs, topk
+                    )
+            # Spark tier: each candidate re-ranks ONLY for the queries
+            # that shortlisted it — a broadcast (query_id, ix) pairs
+            # join replaces the cell-membership theta join
+            pairs = self.spark.createDataFrame(
+                [
+                    (qid, int(ix))
+                    for qid, sl in shortlists.items()
+                    for ix, _c in sl
+                ]
+                or [(None, None)],
+                "query_id int, ix long",
+            ).filter(F.col("ix").isNotNull())
+
         from pyspark.sql import Window as W
 
         from lagoon_spark.operators.similarity import cosine_to
@@ -2267,10 +2320,24 @@ class Lagoon:
         )
         # each candidate row matches only the queries whose probe list
         # holds its cell — a broadcast theta join over the tiny query
-        # block, never a full cross product against the corpus
-        joined = candidates.join(
-            F.broadcast(qdf), F.expr("array_contains(__cells, cell)")
-        )
+        # block, never a full cross product against the corpus. On the
+        # ADC tier the pairing is exact: the shortlist's (query_id, ix)
+        # pairs, with the IN-literal pushed to the vector row groups.
+        if shortlists is not None:
+            all_ids = sorted(
+                {int(ix) for sl in shortlists.values() for ix, _c in sl}
+            )
+            joined = (
+                candidates.filter(F.col("ix").isin(all_ids))
+                if all_ids
+                else candidates.filter(F.lit(False))
+            ).join(F.broadcast(pairs), "ix").join(
+                F.broadcast(qdf.drop("__cells")), "query_id"
+            )
+        else:
+            joined = candidates.join(
+                F.broadcast(qdf), F.expr("array_contains(__cells, cell)")
+            )
         scored = joined.select(
             "query_id",
             "ix",
@@ -2539,6 +2606,214 @@ class Lagoon:
             out.append((int(ix), cos))
         out.sort(key=lambda r: (-r[1], r[0]))
         return _values_df(out[:topk])
+
+    def _pq_shortlist_batch(
+        self,
+        idx_dir: str,
+        meta: dict,
+        probe_sets: "list[list[int]]",
+        ranked_cents,
+        query_vecs: "list[list[float]]",
+        *,
+        limit: int,
+        where_expr=None,
+    ) -> "dict[int, list[tuple[int, int]]]":
+        """Batched ADC stage: ONE codes scan of the union cells scores
+        every (query, candidate) pair — the per-query tables
+        (n_q × pq_m × pq_k doubles) ride the closure and the scoring
+        is a numpy gather per query over each Arrow batch — and a
+        window per query keeps the ``limit`` best. Returns
+        {query_id: [(ix, cell), ...]}."""
+        import numpy as _np
+
+        m = int(meta["pq_m"])
+        pq_k = int(meta["pq_k"])
+        dim = int(meta["dim"])
+        sub = dim // m
+        books = self._ann_codebooks(idx_dir)
+        book = {}
+        for r in books:
+            book[(int(r["subspace"]), int(r["code"]))] = list(r["centroid"])
+        cent_by_cell = {
+            int(r["cell"]): list(r["centroid"]) for r in ranked_cents
+        }
+        n_q = len(query_vecs)
+        tabs = _np.empty((n_q, m, pq_k), dtype="float64")
+        qdotc: "list[dict[int, float]]" = []
+        probe_of: "list[set[int]]" = [set(s) for s in probe_sets]
+        for qi, q in enumerate(query_vecs):
+            qv = _np.asarray(q, dtype="float64")
+            for j in range(m):
+                qs = qv[j * sub : (j + 1) * sub]
+                for c in range(pq_k):
+                    tabs[qi, j, c] = float(
+                        _np.dot(qs, _np.asarray(book[(j, c)]))
+                    )
+            qdotc.append(
+                {
+                    int(cell): float(
+                        _np.dot(qv, _np.asarray(cent_by_cell[cell]))
+                    )
+                    for cell in probe_sets[qi]
+                }
+            )
+
+        def _score(batches):
+            import numpy as np
+            import pandas as pd
+
+            offs = np.arange(m)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cm = np.vstack(pdf["codes"].to_numpy()).astype("int64")
+                cells = pdf["cell"].to_numpy()
+                nrm = pdf["__norm"].to_numpy(dtype="float64")
+                ixs = pdf["ix"].to_numpy()
+                outs = []
+                for qi in range(n_q):
+                    mask = np.isin(cells, list(qdotc[qi]))
+                    if not mask.any():
+                        continue
+                    num = tabs[qi][offs[None, :], cm[mask]].sum(axis=1)
+                    num = num + pd.Series(cells[mask]).map(
+                        qdotc[qi]
+                    ).to_numpy(dtype="float64")
+                    nm = nrm[mask]
+                    s = np.where(nm > 0, num / nm, -1e300)
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qi,
+                                "ix": ixs[mask],
+                                "cell": cells[mask],
+                                "__adc": s,
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        codes_root = os.path.join(idx_dir, "codes")
+        union = sorted({c for s in probe_sets for c in s})
+        dirs = [
+            d
+            for c in union
+            if os.path.isdir(d := os.path.join(codes_root, f"cell={c}"))
+        ]
+        out: "dict[int, list[tuple[int, int]]]" = {
+            qi: [] for qi in range(n_q)
+        }
+        if not dirs:
+            return out
+        codes = (
+            self.spark.read.option("basePath", codes_root)
+            .parquet(*dirs)
+            .filter(F.col("cell").isin(union))
+        )
+        if where_expr is not None:
+            codes = codes.filter(where_expr)
+        from pyspark.sql import Window as W
+
+        scored = codes.select("ix", "cell", "codes", "__norm").mapInPandas(
+            _score, "query_id int, ix long, cell int, __adc double"
+        )
+        w = W.partitionBy("query_id").orderBy(
+            F.col("__adc").desc(), F.col("ix").asc()
+        )
+        rows = (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= limit)
+            .collect()
+        )
+        for r in rows:
+            out[int(r["query_id"])].append((int(r["ix"]), int(r["cell"])))
+        return out
+
+    def _pq_rerank_driver_batch(
+        self,
+        idx_dir: str,
+        shortlists: "dict[int, list[tuple[int, int]]]",
+        query_vecs: "list[list[float]]",
+        topk: int,
+    ) -> DataFrame:
+        """Batched exact re-rank as ONE driver point read: every
+        shortlisted vector is fetched once (pyarrow, row-group-pruned
+        over the union of shortlist cells), then each query re-ranks
+        its own shortlist with the bit-parity cosine fold. Returns the
+        batch schema (query_id, ix, cosine, rank)."""
+        import decimal
+        import math
+
+        def _values_df(rows) -> DataFrame:
+            if not rows:
+                return self.spark.sql(
+                    "SELECT * FROM (VALUES (CAST(0 AS INT), "
+                    "CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE), "
+                    "CAST(0 AS BIGINT))) AS t(query_id, ix, cosine, rank) "
+                    "LIMIT 0"
+                )
+            vals = ",".join(
+                f"(CAST({qid} AS INT), CAST({ix} AS BIGINT), "
+                f"CAST({cos!r} AS DOUBLE), CAST({rk} AS BIGINT))"
+                for qid, ix, cos, rk in rows
+            )
+            return self.spark.sql(
+                f"SELECT * FROM (VALUES {vals}) "
+                "AS t(query_id, ix, cosine, rank)"
+            )
+
+        want = sorted(
+            {int(ix) for sl in shortlists.values() for ix, _c in sl}
+        )
+        if not want:
+            return _values_df([])
+        import pyarrow.dataset as ds
+
+        files = []
+        for c in sorted(
+            {c for sl in shortlists.values() for _ix, c in sl}
+        ):
+            d = os.path.join(idx_dir, "assignments", f"cell={c}")
+            if os.path.isdir(d):
+                files += [
+                    os.path.join(d, f)
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))
+                ]
+        if not files:
+            return _values_df([])
+        tbl = ds.dataset(files, format="parquet").to_table(
+            columns=["ix", "__vec"], filter=ds.field("ix").isin(want)
+        )
+        vecs = dict(
+            zip(tbl.column("ix").to_pylist(), tbl.column("__vec").to_pylist())
+        )
+        rows = []
+        for qid in sorted(shortlists):
+            q = query_vecs[qid]
+            qn = math.sqrt(_seq_fold_sq(q))
+            scored = []
+            for ix, _c in shortlists[qid]:
+                vec = vecs.get(int(ix))
+                if vec is None:
+                    continue
+                dot = 0.0
+                for x, y in zip(vec, q):
+                    dot += float(x) * float(y)
+                vn = math.sqrt(_seq_fold_sq(vec))
+                cos = dot / (vn * qn)
+                cos = float(
+                    decimal.Decimal(repr(cos)).quantize(
+                        decimal.Decimal("1e-9"),
+                        rounding=decimal.ROUND_HALF_UP,
+                    )
+                )
+                scored.append((int(ix), cos))
+            scored.sort(key=lambda r: (-r[1], r[0]))
+            for rk, (ix, cos) in enumerate(scored[:topk], start=1):
+                rows.append((qid, ix, cos, rk))
+        return _values_df(rows)
 
     def _pq_shortlist(
         self,

@@ -1579,3 +1579,66 @@ def test_ann_extend_drift_metric(lagoon, tmp_path):
     assert meta2["max_extension_drift_ratio"] >= meta2[
         "last_extension_drift_ratio"
     ]
+
+
+def test_ann_search_batch_pq_matches_single(lagoon, tmp_path):
+    """Batched IVFADC: one codes scan scores every (query, row) pair,
+    one driver point read re-ranks all shortlists — answers must match
+    N single ADC probes row-for-row (cosine included: bit-parity
+    fold), and the Spark pairs-join tier must agree with the driver
+    tier."""
+    import json as _json
+
+    vecs = []
+    for base in ([1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+                 [0.0, 0.0, 1.0, 0.0]):
+        for i in range(8):
+            vecs.append([b + (0.01 * i if b else 0.002 * i) for b in base])
+    p = tmp_path / "bpq.json"
+    p.write_text("\n".join(_json.dumps(v) for v in vecs) + "\n")
+    lagoon.ingest(str(p), "bpq", file_type="json")
+    lagoon.build_ann_index("bpq", "data", k=3, iters=2, pq_m=2, pq_k=4)
+
+    queries = [[1.0, 0.01, 0.0, 0.0], [0.0, 0.0, 1.0, 0.02],
+               [0.1, 1.0, 0.0, 0.0]]
+    batch = lagoon.ann_search_batch(
+        "bpq", "data", queries, topk=3, nprobe=2, use_pq=True
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["ix"], r["cosine"])
+        )
+    for qid, q in enumerate(queries):
+        single = lagoon.ann_search(
+            "bpq", "data", q, topk=3, nprobe=2, use_pq=True
+        ).collect()
+        want = [(i + 1, r["ix"], r["cosine"]) for i, r in enumerate(single)]
+        assert sorted(got[qid]) == want, qid
+
+    # Spark pairs-join tier (big-cell shape) agrees with the driver tier
+    lagoon.ANN_DRIVER_RERANK_MAX_BYTES = 0
+    try:
+        batch2 = lagoon.ann_search_batch(
+            "bpq", "data", queries, topk=3, nprobe=2, use_pq=True
+        ).collect()
+        got2 = {}
+        for r in batch2:
+            got2.setdefault(r["query_id"], []).append(
+                (r["rank"], r["ix"], r["cosine"])
+            )
+        assert {k: sorted(v) for k, v in got2.items()} == {
+            k: sorted(v) for k, v in got.items()
+        }
+    finally:
+        del lagoon.ANN_DRIVER_RERANK_MAX_BYTES
+
+    # use_pq on a format-2 index refuses loudly in the batch path too
+    p2 = tmp_path / "bpq2.json"
+    p2.write_text('[1.0, 0.0]\n[0.0, 1.0]\n')
+    lagoon.ingest(str(p2), "bpq2", file_type="json")
+    lagoon.build_ann_index("bpq2", "data", k=2, iters=1)
+    with pytest.raises(ValueError, match="IVFADC"):
+        lagoon.ann_search_batch(
+            "bpq2", "data", [[1.0, 0.0]], topk=1, use_pq=True
+        )
