@@ -542,18 +542,29 @@ def m09(spark: SparkSession, sf_dir: str) -> DataFrame:
     def encode(batches):
         from lagoon_spark.operators.jpeg import encode_jpeg
 
+        # the synthetic pixels depend on doc_id only through mod 256
+        # (pixel bytes) and mod 6 (width) → mod 768 keys the whole
+        # blob. Memoizing the pure-Python ENCODE (test-data synthesis,
+        # not the operator under test) leaves the measured decode
+        # per-row and the bytes identical.
+        cache: dict = {}
         for pdf in batches:
             blobs = []
             for doc_id in pdf["doc_id"]:
-                nb = int(doc_id) % 6 + 1
-                px = bytearray()
-                for _row in range(8):
-                    for b in range(nb):
-                        px += bytes([(int(doc_id) * 31 + b * 17) % 256]) * 8
-                blobs.append(
-                    encode_jpeg(8 * nb, 8, bytes(px), quality=75,
-                                restart_interval=2)
-                )
+                key = int(doc_id) % 768
+                blob = cache.get(key)
+                if blob is None:
+                    nb = int(doc_id) % 6 + 1
+                    px = bytearray()
+                    for _row in range(8):
+                        for b in range(nb):
+                            px += bytes(
+                                [(int(doc_id) * 31 + b * 17) % 256]
+                            ) * 8
+                    blob = encode_jpeg(8 * nb, 8, bytes(px), quality=75,
+                                       restart_interval=2)
+                    cache[key] = blob
+                blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
     imgs = (
@@ -707,24 +718,36 @@ def m11(spark: SparkSession, sf_dir: str) -> DataFrame:
     def encode(batches):
         from lagoon_spark.operators.jpeg import encode_jpeg
 
+        # blob = f(doc_id mod 256 [pixel bytes], mod 3 [width],
+        # mod 4 [frames]) → mod 768 keys it. Memoized synthesis (the
+        # measured RIFF walk + per-frame decode stays per-row).
+        cache: dict = {}
         for pdf in batches:
             blobs = []
             for doc_id in pdf["doc_id"]:
-                nb = int(doc_id) % 3 + 1
-                nf = int(doc_id) % 4 + 2
-                frames = []
-                for f in range(nf):
-                    px = bytearray()
-                    for _row in range(8):
-                        for b in range(nb):
-                            px += bytes(
-                                [(int(doc_id) * 31 + b * 17 + f * 7) % 256]
-                            ) * 8
-                    frames.append(
-                        encode_jpeg(8 * nb, 8, bytes(px), quality=75,
-                                    restart_interval=2)
-                    )
-                blobs.append(mm.encode_avi_mjpeg(8 * nb, 8, frames))
+                key = int(doc_id) % 768
+                blob = cache.get(key)
+                if blob is None:
+                    nb = int(doc_id) % 3 + 1
+                    nf = int(doc_id) % 4 + 2
+                    frames = []
+                    for f in range(nf):
+                        px = bytearray()
+                        for _row in range(8):
+                            for b in range(nb):
+                                px += bytes(
+                                    [
+                                        (int(doc_id) * 31 + b * 17 + f * 7)
+                                        % 256
+                                    ]
+                                ) * 8
+                        frames.append(
+                            encode_jpeg(8 * nb, 8, bytes(px), quality=75,
+                                        restart_interval=2)
+                        )
+                    blob = mm.encode_avi_mjpeg(8 * nb, 8, frames)
+                    cache[key] = blob
+                blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "content": blobs})
 
     vids = (
