@@ -461,7 +461,7 @@ def run_ann_batch(spark, m: int, dim: int, nq: int = 20) -> dict:
     ).repartition(32).write.mode("overwrite").parquet(src)
     eng.ingest(src, "batchvecs")
     k = max(64, int(_math.sqrt(m)))
-    eng.build_ann_index("batchvecs", "vec", k=k, iters=2)
+    eng.build_ann_index("batchvecs", "vec", k=k, iters=2, pq_m=8, pq_k=16)
     info = eng.catalog.get_source("batchvecs")
     phys, _h, _t = eng.catalog.get_column(info.ix, "vec")
     corpus = eng._ann_vectors(info, phys)
@@ -494,6 +494,23 @@ def run_ann_batch(spark, m: int, dim: int, nq: int = 20) -> dict:
     got: dict[int, set] = {}
     for r in rows:
         got.setdefault(int(r["query_id"]), set()).add(int(r["ix"]))
+    # batched IVFADC lane (round-9): one codes scan + one point-read
+    # re-rank; the batch probe reads codes bytes, not vectors
+    eng.ann_search_batch(
+        "batchvecs", "vec", queries[:2], topk=10, nprobe=4, use_pq=True
+    ).collect()  # warm
+    t0 = time.time()
+    rows_pq = eng.ann_search_batch(
+        "batchvecs", "vec", queries, topk=10, nprobe=4, use_pq=True
+    ).collect()
+    batch_pq_sec = time.time() - t0
+    got_pq: dict[int, set] = {}
+    for r in rows_pq:
+        got_pq.setdefault(int(r["query_id"]), set()).add(int(r["ix"]))
+    pq_set_recall = sum(
+        len(got_pq.get(i, set()) & singles[i]) / max(len(singles[i]), 1)
+        for i in singles
+    ) / max(len(singles), 1)
     return {
         "m": m,
         "dim": dim,
@@ -504,6 +521,8 @@ def run_ann_batch(spark, m: int, dim: int, nq: int = 20) -> dict:
         "batch_sec": round(batch_sec, 2),
         "batch_speedup": round(sequential_sec / max(batch_sec, 1e-9), 2),
         "answers_identical": got == singles,
+        "batch_pq_sec": round(batch_pq_sec, 2),
+        "batch_pq_set_recall_vs_full": round(pq_set_recall, 3),
     }
 
 
