@@ -33,6 +33,53 @@ from lagoon_spark.ingest.names import no_dup_names, sanitize
 from lagoon_spark.ingest.rowid import with_ix
 
 
+def _double_lit(v: "float | None") -> str:
+    """A DOUBLE literal for VALUES, safe for the NULL cosine the
+    zero-norm edge produces (and for non-finite doubles)."""
+    import math
+
+    if v is None:
+        return "CAST(NULL AS DOUBLE)"
+    if math.isnan(v):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(v):
+        return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+    return f"CAST({v!r} AS DOUBLE)"
+
+
+def _exact_cosine(vec, query, qn: float) -> "float | None":
+    """The driver-tier cosine: sequential IEEE folds + Spark ROUND
+    HALF_UP at 9 places — bit-parity with the JVM ``cosine_topk``
+    expression, INCLUDING the zero-norm edge: ``try_divide`` makes a
+    direction-free vector's cosine NULL there, so None here."""
+    import decimal
+    import math
+
+    dot = 0.0
+    for x, y in zip(vec, query):
+        dot += float(x) * float(y)
+    vn = math.sqrt(_seq_fold_sq(vec))
+    den = vn * qn
+    if den == 0.0:
+        return None
+    cos = dot / den
+    return float(
+        decimal.Decimal(repr(cos)).quantize(
+            decimal.Decimal("1e-9"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _desc_nulls_last_key(item):
+    """Sort key matching Spark's ``ORDER BY cosine DESC, ix ASC``
+    (NULLS LAST is DESC's default): NULL cosines — zero-norm vectors —
+    rank after every real score; ties break by ix ascending."""
+    ix, cos = item
+    if cos is None:
+        return (1, 0.0, ix)
+    return (0, -cos, ix)
+
+
 def _seq_fold_sq(vec) -> float:
     """Sequential left-fold of Σx² in IEEE doubles — the exact
     association order of the JVM ``aggregate(transform(...))``
@@ -2545,8 +2592,8 @@ class Lagoon:
         (IEEE doubles associate identically step-for-step), and the
         cosine is rounded HALF_UP to 9 places like Spark's ``ROUND``
         before the (-cosine, ix) ordering — the two re-rank tiers
-        return the same rows in the same order."""
-        import decimal
+        return the same rows in the same order (including Spark's
+        NaN-is-largest ordering for zero-norm vectors)."""
         import math
 
         def _values_df(rows: "list[tuple[int, float]]") -> DataFrame:
@@ -2561,7 +2608,7 @@ class Lagoon:
                     "CAST(0.0 AS DOUBLE))) AS t(ix, cosine) LIMIT 0"
                 )
             vals = ",".join(
-                f"(CAST({ix} AS BIGINT), CAST({cos!r} AS DOUBLE))"
+                f"(CAST({ix} AS BIGINT), {_double_lit(cos)})"
                 for ix, cos in rows
             )
             return self.spark.sql(
@@ -2589,22 +2636,13 @@ class Lagoon:
             filter=ds.field("ix").isin(sorted(want)),
         )
         qn = math.sqrt(_seq_fold_sq(query_vec))
-        out = []
-        for ix, vec in zip(
-            tbl.column("ix").to_pylist(), tbl.column("__vec").to_pylist()
-        ):
-            dot = 0.0
-            for x, y in zip(vec, query_vec):
-                dot += float(x) * float(y)
-            vn = math.sqrt(_seq_fold_sq(vec))
-            cos = dot / (vn * qn)
-            cos = float(
-                decimal.Decimal(repr(cos)).quantize(
-                    decimal.Decimal("1e-9"), rounding=decimal.ROUND_HALF_UP
-                )
+        out = [
+            (int(ix), _exact_cosine(vec, query_vec, qn))
+            for ix, vec in zip(
+                tbl.column("ix").to_pylist(), tbl.column("__vec").to_pylist()
             )
-            out.append((int(ix), cos))
-        out.sort(key=lambda r: (-r[1], r[0]))
+        ]
+        out.sort(key=_desc_nulls_last_key)
         return _values_df(out[:topk])
 
     def _pq_shortlist_batch(
@@ -2742,7 +2780,6 @@ class Lagoon:
         over the union of shortlist cells), then each query re-ranks
         its own shortlist with the bit-parity cosine fold. Returns the
         batch schema (query_id, ix, cosine, rank)."""
-        import decimal
         import math
 
         def _values_df(rows) -> DataFrame:
@@ -2755,7 +2792,7 @@ class Lagoon:
                 )
             vals = ",".join(
                 f"(CAST({qid} AS INT), CAST({ix} AS BIGINT), "
-                f"CAST({cos!r} AS DOUBLE), CAST({rk} AS BIGINT))"
+                f"{_double_lit(cos)}, CAST({rk} AS BIGINT))"
                 for qid, ix, cos, rk in rows
             )
             return self.spark.sql(
@@ -2798,19 +2835,8 @@ class Lagoon:
                 vec = vecs.get(int(ix))
                 if vec is None:
                     continue
-                dot = 0.0
-                for x, y in zip(vec, q):
-                    dot += float(x) * float(y)
-                vn = math.sqrt(_seq_fold_sq(vec))
-                cos = dot / (vn * qn)
-                cos = float(
-                    decimal.Decimal(repr(cos)).quantize(
-                        decimal.Decimal("1e-9"),
-                        rounding=decimal.ROUND_HALF_UP,
-                    )
-                )
-                scored.append((int(ix), cos))
-            scored.sort(key=lambda r: (-r[1], r[0]))
+                scored.append((int(ix), _exact_cosine(vec, q, qn)))
+            scored.sort(key=_desc_nulls_last_key)
             for rk, (ix, cos) in enumerate(scored[:topk], start=1):
                 rows.append((qid, ix, cos, rk))
         return _values_df(rows)

@@ -39,9 +39,16 @@ def _norm_expr(a: str) -> str:
 
 
 def cosine_to(vec_col: str, other_col: str) -> Column:
-    """cosine(vec_col, other_col) as a single JVM expression."""
+    """cosine(vec_col, other_col) as a single JVM expression.
+
+    ``try_divide``, not ``/``: Spark 4 runs ANSI mode by default, where
+    a zero divisor is a query-killing ArithmeticException — one all-zero
+    embedding in a 100 TB corpus must not fail the probe. A zero-norm
+    row scores NULL and sorts last under ``cosine DESC`` (NULLS LAST),
+    the only sensible rank for a direction-free vector."""
     return F.expr(
-        f"{_dot_expr(vec_col, other_col)} / ({_norm_expr(vec_col)} * {_norm_expr(other_col)})"
+        f"try_divide({_dot_expr(vec_col, other_col)}, "
+        f"({_norm_expr(vec_col)} * {_norm_expr(other_col)}))"
     )
 
 
@@ -111,7 +118,11 @@ def pairwise_cosine(
         "id_a",
         "id_b",
         F.round(
-            F.expr(_dot_expr("v_a", "v_b")) / (F.col("norm_a") * F.col("norm_b")), 9
+            F.try_divide(
+                F.expr(_dot_expr("v_a", "v_b")),
+                F.col("norm_a") * F.col("norm_b"),
+            ),
+            9,
         ).alias("cosine"),
     )
     # barrier before the threshold filter — without it Catalyst pushes
@@ -854,7 +865,10 @@ def knn_graph(
             id_col,
             "neighbor_id",
             F.round(
-                F.expr(_dot_expr("__va", "__vb")) / (F.col("__na") * F.col("__nb")),
+                F.try_divide(
+                    F.expr(_dot_expr("__va", "__vb")),
+                    F.col("__na") * F.col("__nb"),
+                ),
                 9,
             ).alias("cosine"),
         )

@@ -1642,3 +1642,42 @@ def test_ann_search_batch_pq_matches_single(lagoon, tmp_path):
         lagoon.ann_search_batch(
             "bpq2", "data", [[1.0, 0.0]], topk=1, use_pq=True
         )
+
+
+def test_ann_pq_zero_norm_vector_matches_spark_tier(lagoon, tmp_path):
+    """A zero vector in the corpus must not crash the driver-tier
+    re-rank (the JVM's x/0.0 is NaN, not an error) and both tiers must
+    order identically — Spark treats NaN as larger than any double, so
+    zero-norm rows sort FIRST under cosine DESC on either tier."""
+    import json as _json
+
+    vecs = [[1.0, 0.0], [0.9, 0.1], [0.0, 0.0], [0.1, 0.9],
+            [0.0, 1.0], [0.8, 0.2]]
+    p = tmp_path / "z.json"
+    p.write_text("\n".join(_json.dumps(v) for v in vecs) + "\n")
+    lagoon.ingest(str(p), "zed", file_type="json")
+    lagoon.build_ann_index("zed", "data", k=2, iters=2, pq_m=2, pq_k=2)
+
+    q = [1.0, 0.05]
+    drv = lagoon.ann_search(
+        "zed", "data", q, topk=6, nprobe=2, use_pq=True
+    ).collect()
+    lagoon.ANN_DRIVER_RERANK_MAX_BYTES = 0
+    try:
+        spk = lagoon.ann_search(
+            "zed", "data", q, topk=6, nprobe=2, use_pq=True
+        ).collect()
+    finally:
+        del lagoon.ANN_DRIVER_RERANK_MAX_BYTES
+
+    def norm(rows):
+        import math
+
+        return [
+            (r["ix"], "nan" if (r["cosine"] is None or math.isnan(r["cosine"]))
+             else r["cosine"])
+            for r in rows
+        ]
+
+    assert norm(drv) == norm(spk)
+    assert len(drv) >= 5  # everything indexed ranks, zero row included
