@@ -1,0 +1,159 @@
+package lagoonspark.media;
+
+import java.awt.image.BufferedImage;
+import java.io.ByteArrayInputStream;
+import java.nio.ByteBuffer;
+import java.nio.ByteOrder;
+
+import javax.imageio.ImageIO;
+
+/**
+ * Shared JVM-side media decode helpers for the lagoon_spark native
+ * media tier (round-10 verdict task #1).
+ *
+ * <p>Decodes run entirely inside the executor JVM via javax.imageio --
+ * no Python worker, no Arrow transfer, no per-row pickling. The pixel
+ * layouts mirror the pure-Python fallback decoders in
+ * lagoon_spark/operators/multimodal.py and operators/jpeg.py so the
+ * two tiers are byte-comparable on lossless content:
+ * grayscale images -> 1 byte/pixel raw band values, RGB -> 3 bytes
+ * (R,G,B), images with alpha -> 4 bytes (R,G,B,A).
+ */
+final class Codec {
+
+    private Codec() {}
+
+    /** width, height, channels, tightly packed pixel bytes. */
+    static final class Decoded {
+        final int width;
+        final int height;
+        final int channels;
+        final byte[] data;
+
+        Decoded(int width, int height, int channels, byte[] data) {
+            this.width = width;
+            this.height = height;
+            this.channels = channels;
+            this.data = data;
+        }
+    }
+
+    static Decoded decodeImage(byte[] blob) throws Exception {
+        BufferedImage img = ImageIO.read(new ByteArrayInputStream(blob));
+        if (img == null) {
+            throw new IllegalArgumentException(
+                "ImageIO could not decode the supplied bytes");
+        }
+        int w = img.getWidth();
+        int h = img.getHeight();
+        if (img.getType() == BufferedImage.TYPE_BYTE_GRAY) {
+            // Raw band values, NOT getRGB (which would run a gray->sRGB
+            // color-space conversion and break parity with the raw-Y
+            // layout of the stdlib JPEG/PNG decoders).
+            int[] samples = img.getRaster().getSamples(0, 0, w, h, 0, (int[]) null);
+            byte[] out = new byte[w * h];
+            for (int i = 0; i < out.length; i++) {
+                out[i] = (byte) samples[i];
+            }
+            return new Decoded(w, h, 1, out);
+        }
+        boolean alpha = img.getColorModel().hasAlpha();
+        int ch = alpha ? 4 : 3;
+        int[] argb = img.getRGB(0, 0, w, h, null, 0, w);
+        byte[] out = new byte[w * h * ch];
+        int p = 0;
+        for (int i = 0; i < argb.length; i++) {
+            int v = argb[i];
+            out[p++] = (byte) (v >>> 16); // R
+            out[p++] = (byte) (v >>> 8);  // G
+            out[p++] = (byte) v;          // B
+            if (alpha) {
+                out[p++] = (byte) (v >>> 24);
+            }
+        }
+        return new Decoded(w, h, ch, out);
+    }
+
+    /** Result of an AVI walk + frame-sampled decode. */
+    static final class AviSampled {
+        final int nFrames;
+        final int nSampled;
+        final int width;
+        final int height;
+        final byte[] data; // sampled frames' pixels, concatenated
+
+        AviSampled(int nFrames, int nSampled, int width, int height, byte[] data) {
+            this.nFrames = nFrames;
+            this.nSampled = nSampled;
+            this.width = width;
+            this.height = height;
+            this.data = data;
+        }
+    }
+
+    /**
+     * Walk a RIFF/AVI container, decode every MJPEG frame ('00dc' /
+     * '00db' chunks) through ImageIO, keep every {@code every}-th
+     * frame. Mirrors the chunk walk of the Python
+     * {@code _decode_avi_mjpeg} (multimodal.py) so both tiers accept
+     * the same containers and reject the same malformed ones.
+     */
+    static AviSampled decodeAviSample(byte[] blob, int every) throws Exception {
+        if (every < 1) {
+            throw new IllegalArgumentException("every must be >= 1");
+        }
+        if (blob.length < 12
+                || blob[0] != 'R' || blob[1] != 'I' || blob[2] != 'F' || blob[3] != 'F'
+                || blob[8] != 'A' || blob[9] != 'V' || blob[10] != 'I' || blob[11] != ' ') {
+            throw new IllegalArgumentException("not a RIFF/AVI container");
+        }
+        ByteBuffer buf = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN);
+        int[] dims = {-1, -1}; // from avih
+        java.util.ArrayList<byte[]> frames = new java.util.ArrayList<>();
+        walk(buf, 12, blob.length, dims, frames);
+        if (dims[0] < 0) {
+            throw new IllegalArgumentException("AVI missing avih header");
+        }
+        int nFrames = frames.size();
+        int nSampled = 0;
+        int total = 0;
+        for (int i = 0; i < nFrames; i += every) {
+            nSampled++;
+            total += frames.get(i).length;
+        }
+        byte[] out = new byte[total];
+        int p = 0;
+        for (int i = 0; i < nFrames; i += every) {
+            byte[] f = frames.get(i);
+            System.arraycopy(f, 0, out, p, f.length);
+            p += f.length;
+        }
+        return new AviSampled(nFrames, nSampled, dims[0], dims[1], out);
+    }
+
+    private static void walk(ByteBuffer buf, int pos, int end, int[] dims,
+                             java.util.List<byte[]> frames) throws Exception {
+        while (pos + 8 <= end) {
+            int c0 = buf.get(pos) & 0xFF, c1 = buf.get(pos + 1) & 0xFF,
+                c2 = buf.get(pos + 2) & 0xFF, c3 = buf.get(pos + 3) & 0xFF;
+            long lenU = buf.getInt(pos + 4) & 0xFFFFFFFFL;
+            int payloadStart = pos + 8;
+            int payloadEnd = (int) Math.min((long) payloadStart + lenU, end);
+            if (c0 == 'L' && c1 == 'I' && c2 == 'S' && c3 == 'T') {
+                walk(buf, payloadStart + 4, payloadEnd, dims, frames);
+            } else if (c0 == 'a' && c1 == 'v' && c2 == 'i' && c3 == 'h') {
+                dims[0] = buf.getInt(payloadStart + 32);
+                dims[1] = buf.getInt(payloadStart + 36);
+            } else if (c0 == '0' && c1 == '0' && (c2 == 'd')
+                    && (c3 == 'c' || c3 == 'b') && payloadEnd > payloadStart) {
+                byte[] jpeg = new byte[payloadEnd - payloadStart];
+                buf.position(payloadStart);
+                ByteBuffer dup = buf.duplicate();
+                dup.position(payloadStart);
+                dup.get(jpeg);
+                frames.add(decodeImage(jpeg).data);
+            }
+            pos = payloadStart + (int) lenU + (int) (lenU & 1);
+        }
+    }
+}

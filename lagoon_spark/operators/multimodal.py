@@ -461,15 +461,51 @@ DECODED_SCHEMA = StructType(
 
 
 def decode_images(
-    df: DataFrame, id_col: str, content_col: str, media_type: str = "image/fakeimg"
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    media_type: str = "image/fakeimg",
+    *,
+    tier: str = "auto",
 ) -> DataFrame:
-    """Decode binary images to typed metadata via Arrow-batched Python.
+    """Decode binary images to typed metadata.
 
-    ``mapInPandas``: each Arrow batch of blobs is decoded in one Python
-    call per batch (not per row); partitioning is inherited from the
-    input, so at 100 TB this runs as a pure map stage. The codec seam
-    raises ``NotImplementedError`` for formats without a decoder.
+    Two tiers behind one signature (round-10 verdict #1):
+
+    * **native** — a Java ImageIO UDF compiled on first use and run
+      entirely JVM-side (no Python worker, no Arrow transfer); see
+      :mod:`lagoon_spark.operators.native_media`.
+    * **stdlib** — Arrow-batched ``mapInPandas`` over the pure-Python
+      codecs: each Arrow batch of blobs is decoded in one Python call
+      per batch (not per row); partitioning is inherited from the
+      input, so at 100 TB this runs as a pure map stage. The codec
+      seam raises ``NotImplementedError`` for formats without a
+      decoder.
+
+    ``tier="auto"`` (default) picks native for JPEG/PNG when the JDK
+    toolchain is available, stdlib otherwise. GIF always decodes
+    stdlib under auto (palette-index payload semantics differ from
+    ImageIO's RGB expansion). On lossless content the two tiers are
+    byte-identical (digest-stable); on lossy real-world JPEG they
+    differ by IDCT rounding only. ``LAGOON_MEDIA_TIER`` forces a tier
+    globally.
     """
+    from lagoon_spark.operators import native_media as nm
+
+    if tier not in ("auto", "stdlib", "native"):
+        raise ValueError(f"tier must be auto|stdlib|native, got {tier!r}")
+    env = nm.media_tier()
+    eff = env if env != "auto" else tier
+    if eff == "native" or (
+        eff == "auto"
+        and media_type in nm.NATIVE_AUTO_TYPES
+        and nm.register(df.sparkSession)
+    ):
+        if eff == "native" and not nm.register(df.sparkSession):
+            raise RuntimeError(
+                "native media tier requested but unavailable (no JDK?)"
+            )
+        return nm.decode_images_native(df, id_col, content_col)
     codec = _load_codec(media_type)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -767,15 +803,30 @@ def decode_video_frames(
     content_col: str,
     *,
     every: int = 1,
+    tier: str = "auto",
 ) -> DataFrame:
     """Decode real AVI/MJPEG video bytes and sample every ``every``-th
     frame — the frame-sampling stage of a multimodal training pipeline
-    on REAL container bytes (AVI walk + the stdlib JPEG codec; a
+    on REAL container bytes. Two tiers behind one signature: the
+    native Java ImageIO walk (pure JVM, default when a JDK is present
+    — see :mod:`lagoon_spark.operators.native_media`) and the
+    Arrow-batched stdlib walk (RIFF parse + stdlib JPEG codec; a
     production deployment swaps in PyAV behind the same signature).
-    Arrow-batched pure map; the digest covers the sampled frames'
-    concatenated pixels, so it pins the decode end to end."""
+    Both are pure map stages; the digest covers the sampled frames'
+    concatenated pixels, so it pins the decode end to end — and the
+    m11 corpus (DC-only solid blocks) is bit-exact across tiers."""
+    from lagoon_spark.operators import native_media as nm
+
     if every < 1:
         raise ValueError(f"every must be >= 1, got {every}")
+    if tier not in ("auto", "stdlib", "native"):
+        raise ValueError(f"tier must be auto|stdlib|native, got {tier!r}")
+    env = nm.media_tier()
+    eff = env if env != "auto" else tier
+    if eff == "native" and not nm.register(df.sparkSession):
+        raise RuntimeError("native media tier requested but unavailable (no JDK?)")
+    if eff != "stdlib" and nm.register(df.sparkSession):
+        return nm.decode_video_frames_native(df, id_col, content_col, every=every)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib

@@ -671,7 +671,9 @@ def test_codec_seam_prefers_native_and_dispatches(spark, monkeypatch):
     df = spark.createDataFrame([(1, bytearray(png))], "id long, content binary")
     stdlib_rows = {
         r["id"]: (r["width"], r["height"], r["payload_bytes"], r["payload_digest"])
-        for r in mm.decode_images(df, "id", "content", "image/png").collect()
+        for r in mm.decode_images(
+            df, "id", "content", "image/png", tier="stdlib"
+        ).collect()
     }
 
     def marker_codec(blob):
@@ -681,7 +683,18 @@ def test_codec_seam_prefers_native_and_dispatches(spark, monkeypatch):
     monkeypatch.setattr(mm, "_load_codec", lambda mt: marker_codec)
     native_rows = {
         r["id"]: (r["width"], r["height"], r["payload_bytes"], r["payload_digest"])
-        for r in mm.decode_images(df, "id", "content", "image/png").collect()
+        for r in mm.decode_images(
+            df, "id", "content", "image/png", tier="stdlib"
+        ).collect()
     }
     assert native_rows[1][0] == stdlib_rows[1][0] + 1000  # seam dispatched
     assert native_rows[1][1:] == stdlib_rows[1][1:]  # parity elsewhere
+    monkeypatch.undo()
+
+    # (d) round-10: the DEFAULT tier (auto -> Java ImageIO) is
+    # digest-identical to the stdlib tier on lossless PNG bytes
+    auto_rows = {
+        r["id"]: (r["width"], r["height"], r["payload_bytes"], r["payload_digest"])
+        for r in mm.decode_images(df, "id", "content", "image/png").collect()
+    }
+    assert auto_rows == stdlib_rows
