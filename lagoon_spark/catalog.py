@@ -569,14 +569,7 @@ class Catalog:
         if table not in self._cache:
             import json as _json
 
-            # base + log are TWO files, so a lock-free reader can race
-            # a concurrent compaction: base read BEFORE the os.replace,
-            # log read AFTER the unlink/re-append would replay new-base
-            # ops onto the old base. Re-stat the base after reading the
-            # log and retry if it moved — each pass is a consistent
-            # snapshot or detectably stale, never a chimera.
-            for _attempt in range(8):
-                base_key = self._base_stat(table)
+            def read_snapshot() -> "tuple[pd.DataFrame, int, int, list]":
                 df, applied = self._read_base(table)
                 seq, lines, pending = applied, 0, []
                 lp = self._log_path(table)
@@ -591,8 +584,29 @@ class Catalog:
                             if op["seq"] > applied:
                                 pending.append(op)
                             seq = max(seq, op["seq"])
+                return df, seq, lines, pending
+
+            # base + log are TWO files, so a lock-free reader can race
+            # a concurrent compaction: base read BEFORE the os.replace,
+            # log read AFTER the unlink/re-append would replay new-base
+            # ops onto the old base. Re-stat the base after reading the
+            # log and retry if it moved — each pass is a consistent
+            # snapshot or detectably stale, never a chimera.
+            for _attempt in range(8):
+                base_key = self._base_stat(table)
+                df, seq, lines, pending = read_snapshot()
                 if self._base_stat(table) == base_key:
                     break
+            else:
+                # round-10 verdict #2: a writer hot enough to move the
+                # base 8 times mid-read must not make us cache a
+                # possibly-chimeric snapshot. One authoritative re-read
+                # under the writer lock — compaction replaces the base
+                # only while holding it, so this read is consistent by
+                # construction (the flock is re-entrant in-thread, so a
+                # load() issued inside a writing transaction is safe).
+                with self.writer_lock():
+                    df, seq, lines, pending = read_snapshot()
             if pending:
                 df = self._replay_ops(df, pending)
             self._cache[table] = df

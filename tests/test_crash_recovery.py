@@ -256,3 +256,62 @@ def test_catalog_wal_compaction_is_replay_safe(tmp_path):
     rows = fresh.load("sources")
     # the old "up"/"tx" lines are below the base watermark: filtered
     assert not len(rows[rows["ix"] == ix])
+
+
+def test_catalog_load_retry_exhaustion_reads_under_lock(tmp_path, monkeypatch):
+    """Round-10 verdict #2: when the base moves on EVERY lock-free
+    read attempt (a pathologically hot compactor), load() must not
+    silently cache the last — possibly chimeric — snapshot. It takes
+    the writer lock and re-reads once, authoritatively: the returned
+    data is correct and the lock was actually acquired."""
+    import itertools
+
+    from lagoon_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.init_db()
+    ix, _v, _t, _vw = cat.new_source(
+        "hotbase", url=None, description=None, added_by="x",
+        created=None, fmt="tabular",
+    )
+    cat.update_source(ix, row_count=42)
+
+    fresh = Catalog(str(tmp_path / "wh"))
+    # every stat call returns a different key -> all 8 lock-free
+    # attempts look torn; only the locked re-read can satisfy load()
+    counter = itertools.count()
+    monkeypatch.setattr(
+        Catalog, "_base_stat", lambda self, table: next(counter)
+    )
+    locked: list[float] = []
+    real_lock = Catalog.writer_lock
+
+    def spying_lock(self, timeout: float = 600.0):
+        locked.append(timeout)
+        return real_lock(self, timeout)
+
+    monkeypatch.setattr(Catalog, "writer_lock", spying_lock)
+    rows = fresh.load("sources")
+    assert locked, "retry exhaustion must fall back to a locked read"
+    assert int(rows[rows["ix"] == ix].iloc[0]["row_count"]) == 42
+
+
+def test_catalog_load_consistent_read_never_locks(tmp_path, monkeypatch):
+    """The happy path stays lock-free: a stable base key means the
+    first attempt wins and writer_lock is never touched."""
+    from lagoon_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.init_db()
+    cat.new_source(
+        "coldbase", url=None, description=None, added_by="x",
+        created=None, fmt="tabular",
+    )
+
+    fresh = Catalog(str(tmp_path / "wh"))
+
+    def no_lock(self, timeout: float = 600.0):
+        raise AssertionError("consistent read must not take the writer lock")
+
+    monkeypatch.setattr(Catalog, "writer_lock", no_lock)
+    assert len(fresh.load("sources")) >= 1
