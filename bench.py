@@ -89,6 +89,13 @@ def main() -> None:
     # had not changed. The median absorbs a one-off stall in either
     # direction; REPS is env-tunable for quick local iterations.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # round-10 advice (medium): with reps>1 the first rep carries the
+    # cold page/codegen/file-listing cost and the rest run warm — a
+    # median OVER the mix is neither. Discard the cold rep EXPLICITLY
+    # (recorded as bench_cold_discard) and take the median of the warm
+    # ones; cross-round norm ratios are flagged non-comparable unless
+    # the previous artifact used the same reps + discard policy.
+    cold_discard = reps > 1
     timings: dict[str, float] = {}
     for name, q in sorted(qs.items()):
         runs: list[float] = []
@@ -97,6 +104,8 @@ def main() -> None:
             df = q.spark_fn(spark, sf_dir)
             df.count()
             runs.append(time.perf_counter() - t0)
+        if cold_discard:
+            runs = runs[1:]
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)
 
@@ -142,6 +151,14 @@ def main() -> None:
         except (OSError, json.JSONDecodeError):
             prev = None
     norm_ratio = None
+    # a ratio against a round measured under a different timing policy
+    # (different rep count, or no cold-rep discard) reflects the
+    # methodology change as much as the engine — emit it, but flagged
+    norm_ratio_comparable = bool(
+        prev
+        and prev.get("bench_reps") == reps
+        and bool(prev.get("bench_cold_discard")) == cold_discard
+    )
     regressions: dict[str, float] = {}
     per_query_norm_ratio: dict[str, float] = {}
     if prev and prev.get("calib_sec") and prev.get("value"):
@@ -162,10 +179,12 @@ def main() -> None:
     with open(os.path.join(here, "bench_full.json"), "w") as fh:
         json.dump({"metric": "total_query_wall_sec", "value": total,
                    "unit": "sec", "queries": timings, "sf": sf_dir,
-                   "bench_reps": reps, "calib_sec": calib, "value_norm": value_norm,
+                   "bench_reps": reps, "bench_cold_discard": cold_discard,
+                   "calib_sec": calib, "value_norm": value_norm,
                    "total_relational_sec": total_relational,
                    "value_norm_relational": value_norm_relational,
                    "norm_ratio_vs_prev": norm_ratio,
+                   "norm_ratio_comparable": norm_ratio_comparable,
                    "prev_bench": prev_name,
                    "queries_norm_ratio_vs_prev": per_query_norm_ratio,
                    "norm_regressions_gt_1_25": regressions}, fh,
@@ -187,6 +206,7 @@ def main() -> None:
                 "queries": short,
                 "sf": sf_dir,
                 "bench_reps": reps,
+                "bench_cold_discard": cold_discard,
                 "calib_sec": calib,
                 # the load-normalized headline: compare THIS across
                 # rounds, never raw totals (shared-host drift ±30%)
@@ -195,6 +215,7 @@ def main() -> None:
                 # Python-codec media tax (verdict r7 ask #8)
                 "value_norm_relational": value_norm_relational,
                 "norm_ratio_vs_prev": norm_ratio,
+                "norm_ratio_comparable": norm_ratio_comparable,
                 # top 8 only — the stdout line must fit the driver's
                 # ~2 KB tail capture; the full set is in bench_full.json
                 "norm_regressions_gt_1_25": dict(

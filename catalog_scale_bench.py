@@ -38,9 +38,9 @@ import time
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=10_000)
-    ap.add_argument("--checkpoints", default="1000,5000,10000")
-    ap.add_argument("--out", default="CATALOG_SCALE_r8.json")
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--checkpoints", default="1000,10000,100000")
+    ap.add_argument("--out", default="CATALOG_SCALE_r10.json")
     args = ap.parse_args()
     checkpoints = sorted(
         {int(x) for x in args.checkpoints.split(",") if int(x) <= args.n}
@@ -126,14 +126,29 @@ def main() -> None:
         }
 
         def cold_get():
-            cat.refresh()
+            cat.refresh(force=True)
             cat.get_source(name_mid)
 
         point["get_source_cold_ms"] = round(1000 * timed(cold_get, 3), 2)
         t0 = time.perf_counter()
-        dump = eng.dump_db_info()
+        it = eng.iter_db_info()
+        first = next(it)
+        point["dump_first_byte_ms"] = round(
+            1000 * (time.perf_counter() - t0), 2
+        )
+        nchars = len(first)
+        for chunk in it:
+            nchars += len(chunk)
         point["dump_db_info_ms"] = round(1000 * (time.perf_counter() - t0), 2)
-        point["dump_chars"] = len(dump)
+        point["dump_chars"] = nchars
+        # cold open: a fresh process's first load pays base read + WAL
+        # replay (bulk, compaction-bounded) — the restart story at scale
+        t0 = time.perf_counter()
+        cold_cat = Catalog(wh)
+        cold_cat.load("sources")
+        cold_cat.load("sourcecolumns")
+        cold_cat.load("tags")
+        point["cold_open_ms"] = round(1000 * (time.perf_counter() - t0), 2)
         # delete one version, then re-ingest to keep the population
         victim = cat.get_source(name_mid)
         t0 = time.perf_counter()
@@ -146,6 +161,11 @@ def main() -> None:
             e.stat().st_size
             for e in os.scandir(cat.dir)
             if e.name.endswith(".parquet")
+        )
+        point["wal_bytes"] = sum(
+            e.stat().st_size
+            for e in os.scandir(cat.dir)
+            if e.name.endswith(".log.jsonl")
         )
         report["checkpoints"][str(cp)] = point
         print(json.dumps({str(cp): point}))

@@ -130,11 +130,22 @@ def _atomic_to_parquet(df: pd.DataFrame, path: str) -> None:
 
 
 def _json_scalar(v):
-    """JSON default hook for WAL lines: numpy scalars → Python."""
+    """JSON default hook for WAL lines: numpy scalars → Python.
+
+    Anything else raises (round-10 advice): a silently stringified
+    field (bytes, timestamp, ...) would REPLAY as a string after a
+    restart while the in-memory `_apply_op` kept the original type —
+    a divergence that must fail loudly at write time, not surface as
+    a type mismatch weeks later."""
     item = getattr(v, "item", None)
     if callable(item):
-        return v.item()
-    return str(v)
+        out = item()
+        if isinstance(out, (bool, int, float, str)) or out is None:
+            return out
+    raise TypeError(
+        f"WAL fields must be JSON-native or numpy scalars, got "
+        f"{type(v).__name__}: {v!r}"
+    )
 
 
 def _migrate_1_to_2(cat: "Catalog") -> None:
@@ -259,6 +270,9 @@ class Catalog:
         # watermark ∨ last log line) and current log length
         self._seq: dict[str, int] = {}
         self._log_lines: dict[str, int] = {}
+        # on-disk fingerprint each cache entry was built from — lets
+        # refresh() keep entries whose files no other writer touched
+        self._disk_token: dict[str, tuple] = {}
         # bumped on every write through THIS instance; state_token()
         # is the cross-instance (warehouse-state) change signal
         self.mutation_count = 0
@@ -391,13 +405,43 @@ class Catalog:
                 h.update(f"{e.name}:{st.st_mtime_ns}:{st.st_size};".encode())
         return h.hexdigest()
 
-    def refresh(self) -> None:
-        """Drop the in-memory table cache (and WAL bookkeeping) so the
-        next load() re-reads parquet + log — required after detecting
-        an external write."""
-        self._cache.clear()
-        self._seq.clear()
-        self._log_lines.clear()
+    def refresh(self, force: bool = False) -> None:
+        """Invalidate the in-memory table cache so the next load()
+        builds on committed on-disk state.
+
+        Validity-aware (round-10: writer_lock refreshes on EVERY
+        mutation, and an unconditional drop made each mutation replay
+        the whole WAL tail with O(n) masks — the delete/ingest cost
+        curve at 100k sources): a cached table is dropped only when its
+        on-disk (base stat, log size) no longer matches the token
+        captured when the cache entry was built — i.e. exactly when
+        another writer actually committed something. ``force=True``
+        drops everything unconditionally (cold-read simulation,
+        corruption recovery)."""
+        if force:
+            self._cache.clear()
+            self._seq.clear()
+            self._log_lines.clear()
+            self._disk_token.clear()
+            return
+        for table in list(self._cache):
+            if self._disk_token.get(table) != self._table_token(table):
+                self._cache.pop(table, None)
+                self._seq.pop(table, None)
+                self._log_lines.pop(table, None)
+                self._disk_token.pop(table, None)
+
+    def _log_size(self, table: str) -> int:
+        try:
+            return os.stat(self._log_path(table)).st_size
+        except FileNotFoundError:
+            return 0
+
+    def _table_token(self, table: str) -> "tuple":
+        """(base stat, log size) fingerprint of a table's on-disk state
+        — every committed mutation moves one of the two (appends grow
+        the log; compaction/save replaces the base inode)."""
+        return (self._base_stat(table), self._log_size(table))
 
     # -- write-ahead log ------------------------------------------------------
     #
@@ -494,6 +538,7 @@ class Catalog:
             os.fsync(fh.fileno())
         self._seq[table] = seq
         self._log_lines[table] = self._log_lines.get(table, 0) + 1
+        self._disk_token[table] = self._table_token(table)
         self.mutation_count += 1
         if self._log_lines[table] >= self.COMPACT_EVERY:
             self.save(table, df)  # compaction: base absorbs the log
@@ -594,6 +639,7 @@ class Catalog:
             # snapshot or detectably stale, never a chimera.
             for _attempt in range(8):
                 base_key = self._base_stat(table)
+                log_sz = self._log_size(table)
                 df, seq, lines, pending = read_snapshot()
                 if self._base_stat(table) == base_key:
                     break
@@ -606,12 +652,17 @@ class Catalog:
                 # construction (the flock is re-entrant in-thread, so a
                 # load() issued inside a writing transaction is safe).
                 with self.writer_lock():
+                    base_key = self._base_stat(table)
+                    log_sz = self._log_size(table)
                     df, seq, lines, pending = read_snapshot()
             if pending:
                 df = self._replay_ops(df, pending)
             self._cache[table] = df
             self._seq[table] = seq
             self._log_lines[table] = lines
+            # fingerprint captured BEFORE the read: bytes appended
+            # mid-read can only over-invalidate, never go stale
+            self._disk_token[table] = (base_key, log_sz)
         return self._cache[table]
 
     def _base_stat(self, table: str) -> "tuple | None":
@@ -655,6 +706,7 @@ class Catalog:
         if os.path.exists(lp):
             os.unlink(lp)
         self._log_lines[table] = 0
+        self._disk_token[table] = (self._base_stat(table), 0)
         self.mutation_count += 1
 
     def init_db(self, reset: bool = False) -> None:
@@ -1027,21 +1079,28 @@ class Catalog:
     def delete_source(self, ix: int) -> None:
         """Remove version rows; drop the name when its last version goes
         (state returns to pre-ingest — the reference's delete golden test,
-        `runtests.sh:120-157`)."""
+        `runtests.sh:120-157`).
+
+        Round-10 verdict #3: deletes are WAL ``del`` ops (the op kind
+        existed since the WAL landed, `_apply_op`/`_replay_ops` handle
+        it), not O(n) full-table rewrites — at 10k sources the old
+        ``save`` path cost 100-310 ms per delete; a fsynced log line is
+        ~10 ms-class and compaction amortizes the rewrite."""
         sources = self.load("sources")
         row = sources[sources["ix"] == ix]
         if not len(row):
             raise KeyError(f"no source ix={ix}")
         sn_ix = int(row.iloc[0]["sourcename_ix"])
-        self.save("sources", sources[sources["ix"] != ix])
-        sc = self.load("sourcecolumns")
-        self.save("sourcecolumns", sc[sc["source_ix"] != ix])
-        tags = self.load("tags")
-        self.save("tags", tags[tags["source_ix"] != ix])
+        self._log_op("sources", {"op": "del", "where": {"ix": int(ix)}})
+        self._log_op(
+            "sourcecolumns", {"op": "del", "where": {"source_ix": int(ix)}}
+        )
+        self._log_op("tags", {"op": "del", "where": {"source_ix": int(ix)}})
         remaining = self.load("sources")
         if not len(remaining[remaining["sourcename_ix"] == sn_ix]):
-            names = self.load("sourcenames")
-            self.save("sourcenames", names[names["ix"] != sn_ix])
+            self._log_op(
+                "sourcenames", {"op": "del", "where": {"ix": int(sn_ix)}}
+            )
 
     # -- search (A18, A20) ---------------------------------------------------
 

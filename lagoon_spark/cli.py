@@ -677,7 +677,10 @@ class _Cli:
             sys.stdout.write("\n")
 
     def cmd_dump_db_info(self):
-        sys.stdout.write(self.engine.dump_db_info())
+        # incremental write (round-10 verdict #5): one block in memory
+        # at a time, first byte out before the last block is formatted
+        for chunk in self.engine.iter_db_info():
+            sys.stdout.write(chunk)
 
     def cmd_stats(self):
         import json as _json

@@ -51,18 +51,34 @@ def _exact_cosine(vec, query, qn: float) -> "float | None":
     """The driver-tier cosine: sequential IEEE folds + Spark ROUND
     HALF_UP at 9 places — bit-parity with the JVM ``cosine_topk``
     expression, INCLUDING the zero-norm edge: ``try_divide`` makes a
-    direction-free vector's cosine NULL there, so None here."""
+    direction-free vector's cosine NULL there, so None here. Degenerate
+    ELEMENTS (null / non-finite inside the vector) also yield None —
+    the crash-free NULL-last degradation; exact NaN-ordering parity
+    with the JVM is deliberately not chased (Spark sorts NaN above all
+    doubles, Python cannot sort NaN at all)."""
     import decimal
     import math
 
     dot = 0.0
     for x, y in zip(vec, query):
-        dot += float(x) * float(y)
+        # degenerate ELEMENTS (a null or non-finite inside a parsed
+        # vector survives _ann_vectors' array-level isNotNull): the
+        # JVM tier's aggregate degrades the whole row to NULL, so the
+        # driver tier must too — never a TypeError/InvalidOperation
+        # that crashes only below the rerank-bytes gate
+        if x is None or y is None:
+            return None
+        fx, fy = float(x), float(y)
+        if not (math.isfinite(fx) and math.isfinite(fy)):
+            return None
+        dot += fx * fy
     vn = math.sqrt(_seq_fold_sq(vec))
     den = vn * qn
     if den == 0.0:
         return None
     cos = dot / den
+    if not math.isfinite(cos):
+        return None
     return float(
         decimal.Decimal(repr(cos)).quantize(
             decimal.Decimal("1e-9"), rounding=decimal.ROUND_HALF_UP
@@ -969,6 +985,12 @@ class Lagoon:
         referenced = set(others["table_name"].dropna()) | set(
             others["typed_table_name"].dropna()
         )
+        # crash-safe ordering (round-10 verdict #3): retract the
+        # catalog rows FIRST (one WAL'd mutation), THEN remove physical
+        # dirs. A crash in between strands orphan directories — vacuum
+        # debris, invisible to queries — never a live catalog row
+        # pointing at deleted data.
+        self.catalog.delete_source(info.ix)
         for t in (info.table_name, info.typed_table_name):
             if t and t not in referenced:
                 p = self._data_path(t)
@@ -984,7 +1006,6 @@ class Lagoon:
             for d in os.listdir(idx_root):
                 if d.startswith(f"ivf_{info.ix}_"):
                     shutil.rmtree(os.path.join(idx_root, d))
-        self.catalog.delete_source(info.ix)
 
     #: swap-protocol temp suffixes used by streaming append / compaction /
     #: optimize_layout; during an in-flight batch these can hold the ONLY
@@ -1329,18 +1350,21 @@ class Lagoon:
             out[friendly[p]] = st
         return out
 
-    def dump_db_info(self) -> str:
-        """Canonical text dump of the whole catalog, one block per
-        source version in (name, version) order — the same golden-diff
-        artifact the reference's integration suite pins its inference,
-        naming, and versioning semantics to (`runtests.sh:107-118`,
-        `dbinfo.expected`).
+    def iter_db_info(self) -> "Iterator[str]":
+        """Streaming form of :meth:`dump_db_info` (round-10 verdict
+        #5): yields one text chunk per source version, so a consumer
+        (the CLI, an HTTP response) writes incrementally — memory stays
+        flat at one block regardless of catalog size, and the first
+        byte is available after the catalog load + sort, not after the
+        whole O(n) string is materialized (1.2 s / 3 MB at 10k sources
+        before). Concatenating the chunks is byte-identical to
+        :meth:`dump_db_info` by construction.
         """
         # bulk info build: the per-ix path re-filters sourcecolumns and
         # tags per row — O(N²) for a whole-catalog dump (measured
         # 16.9 s at 10k versions, CATALOG_SCALE_r8); all_infos is linear
         infos = self.catalog.all_infos()
-        out = []
+        first = True
         for i in sorted(infos, key=lambda s: (s.name, s.version)):
             lines = [
                 f"{i.name} (version {i.version})",
@@ -1363,8 +1387,19 @@ class Lagoon:
             lines.append("    \tType\tName")
             for phys, header, ctype in i.columns:
                 lines.append(f"    {phys}\t{ctype}\t{header}")
-            out.append("\n".join(lines))
-        return "\n\n".join(out) + "\n"
+            yield ("" if first else "\n\n") + "\n".join(lines)
+            first = False
+        yield "\n"
+
+    def dump_db_info(self) -> str:
+        """Canonical text dump of the whole catalog, one block per
+        source version in (name, version) order — the same golden-diff
+        artifact the reference's integration suite pins its inference,
+        naming, and versioning semantics to (`runtests.sh:107-118`,
+        `dbinfo.expected`). Delegates to :meth:`iter_db_info`; callers
+        who can write incrementally should iterate that instead.
+        """
+        return "".join(self.iter_db_info())
 
     # -- persisted ANN index over an embedding column ------------------------
 
@@ -1663,6 +1698,11 @@ class Lagoon:
                 {"format": 3, "pq_m": pq_m, "pq_k": pq_k,
                  "pq_iters": pq_iters}
             )
+            meta.update(
+                self._pq_regime_diagnostic(
+                    stored, residuals, codes_df, books, pq_m
+                )
+            )
         else:
             # a format-2 rebuild over a previous IVFADC index must not
             # leave orphaned codes/codebooks beside a format-2 meta
@@ -1675,6 +1715,111 @@ class Lagoon:
         vecs.unpersist()
         self._write_ann_meta(idx_dir, meta)
         return meta
+
+    #: sample sizes for the PQ regime diagnostic — fixed-size driver
+    #: samples, so the diagnostic costs the same at 1k and 100 TB
+    _PQ_DIAG_CODE_SAMPLE = 512
+    _PQ_DIAG_MARGIN_SAMPLE = 256
+
+    def _pq_regime_diagnostic(
+        self, stored: DataFrame, residuals: DataFrame, codes_df: DataFrame,
+        books, pq_m: int
+    ) -> dict:
+        """Round-10 verdict #4: measure, at build time, whether this
+        corpus sits in the regime where ADC shortlists mis-rank —
+        quantization error comparable to (or above) the corpus's
+        nearest-neighbor cosine margins.
+
+        Two fixed-size samples (driver numpy, scale-free):
+
+        * ``pq_mean_sq_err`` — mean squared PQ reconstruction error of
+          sampled residuals; ``pq_rel_err`` normalizes its sqrt by the
+          mean vector norm, putting it on the cosine scale (the ADC
+          numerator error is ⟨q, res − recon⟩ / ‖v‖).
+        * ``pq_sample_margin`` — mean (top1 − top2) cosine gap over a
+          vector sample: how far apart neighbors actually are.
+
+        ``pq_epsilon_margin_regime`` flags ``rel_err ≥ margin / 2`` —
+        quantization noise of the same order as the margins it must
+        not blur. :meth:`ann_search` warns on ``use_pq=True`` against
+        a flagged index (the docstring's "arbitrarily low on
+        epsilon-margin near-duplicates" made measurable per index).
+        """
+        import numpy as np
+
+        rows = (
+            residuals.join(codes_df, "ix")
+            .select("__res", "__norm", "codes")
+            .limit(self._PQ_DIAG_CODE_SAMPLE)
+            .collect()
+        )
+        out: dict = {}
+        if not rows:
+            return out
+        seg = [len(b[0]) for b in books]  # per-subspace dims
+        errs, norms = [], []
+        for r in rows:
+            res = [float(x) for x in r["__res"]]
+            e, off = 0.0, 0
+            for j in range(pq_m):
+                book_vec = books[j][int(r["codes"][j])]
+                for t in range(seg[j]):
+                    d = res[off + t] - float(book_vec[t])
+                    e += d * d
+                off += seg[j]
+            errs.append(e)
+            norms.append(float(r["__norm"]))
+        out["pq_mean_sq_err"] = round(float(np.mean(errs)), 9)
+        mean_norm = float(np.mean([n for n in norms if n > 0]) or 0.0)
+        rel_err = (
+            float(np.sqrt(out["pq_mean_sq_err"])) / mean_norm
+            if mean_norm > 0
+            else float("inf")
+        )
+        out["pq_rel_err"] = round(rel_err, 9)
+
+        vec_rows = (
+            stored.select("__vec")
+            .limit(self._PQ_DIAG_MARGIN_SAMPLE)
+            .collect()
+        )
+        V = np.array([[float(x) for x in r["__vec"]] for r in vec_rows])
+        if len(V) >= 3:
+            nrm = np.linalg.norm(V, axis=1)
+            keep = nrm > 0
+            V = V[keep] / nrm[keep][:, None]
+            if len(V) >= 3:
+                S = V @ V.T
+                np.fill_diagonal(S, -np.inf)
+                S.sort(axis=1)
+                gaps = S[:, -1] - S[:, -2]  # top1 − top2 cosine
+                out["pq_sample_margin"] = round(float(np.mean(gaps)), 9)
+        margin = out.get("pq_sample_margin")
+        out["pq_epsilon_margin_regime"] = bool(
+            margin is None or rel_err >= margin / 2.0
+        )
+        return out
+
+    def _pq_regime_warn(self, meta: dict, idx_dir: str) -> None:
+        """Warn when an ADC search targets an index whose build-time
+        diagnostic flagged the epsilon-margin regime (round-10 verdict
+        #4): quantization noise of the neighbor-margin order means the
+        shortlist can mis-rank near-ties — prefer ``use_pq=False`` or
+        raise ``rerank_factor``. Indexes built before the diagnostic
+        existed carry no flag and stay silent."""
+        if meta.get("pq_epsilon_margin_regime"):
+            import logging
+
+            logging.getLogger("lagoon_spark").warning(
+                "ANN index %s: PQ quantization error (pq_rel_err=%s) is "
+                "of the same order as the corpus's neighbor cosine "
+                "margins (pq_sample_margin=%s) — ADC shortlists can "
+                "mis-rank near-ties on this corpus; prefer use_pq=False "
+                "or raise rerank_factor",
+                idx_dir,
+                meta.get("pq_rel_err"),
+                meta.get("pq_sample_margin"),
+            )
 
     def _write_ann_meta(self, idx_dir: str, meta: dict) -> None:
         """Atomic meta.json write (temp + os.replace): a writer dying
@@ -1856,6 +2001,19 @@ class Lagoon:
         self.spark.catalog.refreshByPath(idx_dir)
         ass_root = os.path.join(idx_dir, "assignments")
         codes_root = os.path.join(idx_dir, "codes")
+
+        def _max_ix(root: str) -> int:
+            v = (
+                self.spark.read.parquet(root).agg(F.max("ix")).collect()[0][0]
+            )
+            return int(v) if v is not None else 0
+
+        # pre-recovery watermark (round-10 advice): a crashed extend's
+        # staged rows commit below the post-recovery watermark, so the
+        # drift metric must measure from HERE or a shifted-distribution
+        # delta committed by the crashed extend silently skips the
+        # rebuild_recommended check
+        pre_recovery_wm = _max_ix(ass_root)
         # recover any staged delta a crashed extend left behind BEFORE
         # reading watermarks: a committed stage's rows are real
         recovered = self._ann_stage_recover(ass_root)
@@ -1865,12 +2023,6 @@ class Lagoon:
             recovered = self._ann_stage_recover(codes_root) or recovered
         if recovered:
             self.spark.catalog.refreshByPath(idx_dir)
-
-        def _max_ix(root: str) -> int:
-            v = (
-                self.spark.read.parquet(root).agg(F.max("ix")).collect()[0][0]
-            )
-            return int(v) if v is not None else 0
 
         watermark = _max_ix(ass_root)
         from lagoon_spark.operators.similarity import ivf_assign, pq_encode
@@ -1975,7 +2127,11 @@ class Lagoon:
         # and flag a recommended rebuild when it degrades past the
         # threshold. Metadata-sized math over the just-committed delta.
         train_d = meta.get("train_mean_sq_dist")
-        if appended and train_d:
+        # drift floor: recovered rows (committed by _ann_stage_recover,
+        # hence BELOW `watermark`) count toward the delta too — measure
+        # from the pre-recovery watermark whenever a stage was healed
+        drift_floor = pre_recovery_wm if recovered else watermark
+        if (appended or recovered) and train_d:
             self.spark.catalog.refreshByPath(ass_root)
             cent_df = self.spark.createDataFrame(
                 [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
@@ -1983,7 +2139,7 @@ class Lagoon:
             )
             delta = (
                 self.spark.read.parquet(ass_root)
-                .filter(F.col("ix") > watermark)
+                .filter(F.col("ix") > drift_floor)
                 .select("cell", "__vec")
             )
             delta_d = self._ann_mean_sq_dist(delta, cent_df)
@@ -2161,6 +2317,8 @@ class Lagoon:
                 "use_pq=True needs an IVFADC index; rebuild with "
                 "build_ann_index(pq_m=...)"
             )
+        if use_pq:
+            self._pq_regime_warn(meta, idx_dir)
         if meta.get("format") == 3 and use_pq:
             # an unfilterable shortlist (predicate not in the codes)
             # over-fetches so enough survivors remain after the
@@ -2281,6 +2439,8 @@ class Lagoon:
                 "use_pq=True needs an IVFADC index; rebuild with "
                 "build_ann_index(pq_m=...)"
             )
+        if use_pq:
+            self._pq_regime_warn(meta, idx_dir)
         cents = self._ann_centroids(idx_dir)
         probe_sets = [
             self._rank_probe_cells(cents, qv, nprobe) for qv in query_vecs

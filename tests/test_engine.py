@@ -1681,3 +1681,113 @@ def test_ann_pq_zero_norm_vector_matches_spark_tier(lagoon, tmp_path):
 
     assert norm(drv) == norm(spk)
     assert len(drv) >= 5  # everything indexed ranks, zero row included
+
+
+def test_ann_extend_drift_counts_crash_recovered_rows(lagoon, tmp_path, monkeypatch):
+    """Round-10 advice: a shifted-distribution delta committed by a
+    CRASHED extend (staged, then healed by the next call's recovery)
+    sits below the post-recovery watermark — the drift metric must
+    still measure it, or the rebuild_recommended check silently skips
+    exactly the rows that most need it."""
+    import json as _json
+
+    from lagoon_spark.engine import Lagoon
+
+    inbox = tmp_path / "rdin"
+    inbox.mkdir()
+    ing = lagoon.ingest_stream(
+        str(inbox), "rdrift", checkpoint_dir=str(tmp_path / "rdckpt"),
+        mode="append", file_type="json",
+    )
+    pts = [[1.0 + 0.2 * (i % 3), 0.1 * (i % 2)] for i in range(6)]
+    pts += [[0.1 * (i % 2), 1.0 + 0.2 * (i % 3)] for i in range(6)]
+    (inbox / "b1.jsonl").write_text(
+        "\n".join(_json.dumps(p) for p in pts) + "\n"
+    )
+    ing.run_available()
+    meta0 = lagoon.build_ann_index("rdrift", "data", k=2, iters=2)
+    assert meta0["train_mean_sq_dist"] is not None
+
+    # shifted delta, crash at the stage-commit step: the staged dir is
+    # complete (_SUCCESS) but never moved into the live artifact
+    (inbox / "b2.jsonl").write_text(
+        _json.dumps([-40.0, 35.0]) + "\n" + _json.dumps([50.0, -45.0]) + "\n"
+    )
+    ing.run_available()
+    real_commit = Lagoon._ann_stage_commit
+
+    def crash_commit(self, root, stage):
+        raise RuntimeError("simulated crash before stage commit")
+
+    monkeypatch.setattr(Lagoon, "_ann_stage_commit", crash_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        lagoon.extend_ann_index("rdrift", "data")
+    monkeypatch.setattr(Lagoon, "_ann_stage_commit", real_commit)
+
+    # retry appends NOTHING new itself — the delta arrives via
+    # recovery — yet drift must flag the shifted distribution
+    meta = lagoon.extend_ann_index("rdrift", "data")
+    assert meta["indexed_through"] == 14
+    assert "last_extension_drift_ratio" in meta
+    assert meta["rebuild_recommended"] is True
+
+
+def test_pq_regime_diagnostic_flags_epsilon_corpus(lagoon, tmp_path, caplog):
+    """Round-10 verdict #4: a near-duplicate corpus (cosine margins of
+    the quantization-error order) gets pq_epsilon_margin_regime=True at
+    build time, and use_pq=True warns against that index."""
+    import json as _json
+    import logging
+
+    # 24 vectors that are all tiny perturbations of one direction:
+    # top1-top2 cosine gaps are ~1e-4 while PQ error is far coarser
+    vecs = [
+        [1.0, 0.0001 * i, 0.0001 * ((i * 7) % 5), 0.0001 * ((i * 3) % 4)]
+        for i in range(24)
+    ]
+    p = tmp_path / "eps.json"
+    p.write_text("\n".join(_json.dumps(v) for v in vecs) + "\n")
+    lagoon.ingest(str(p), "eps", file_type="json")
+    meta = lagoon.build_ann_index("eps", "data", k=2, iters=2, pq_m=2, pq_k=4)
+    assert meta["pq_epsilon_margin_regime"] is True
+    assert meta["pq_mean_sq_err"] >= 0.0
+    assert meta["pq_rel_err"] >= 0.0  # can be ~0 when PQ memorizes
+    with caplog.at_level(logging.WARNING, logger="lagoon_spark"):
+        lagoon.ann_search("eps", "data", [1.0, 0.0, 0.0, 0.0],
+                          topk=3, nprobe=2, use_pq=True).collect()
+    assert any("mis-rank" in r.message for r in caplog.records)
+
+
+def test_pq_regime_diagnostic_quiet_on_margin_rich(lagoon, tmp_path, caplog):
+    """Margin-rich corpus (well-separated clusters): no epsilon flag,
+    no warning on use_pq=True."""
+    import json as _json
+    import logging
+
+    import math
+
+    # four orthogonal clusters of duplicated, 0.5-rad-separated
+    # directions: top1 is an exact twin (cos 1.0), top2 sits 0.5 rad
+    # away, so margins are ~0.12 — and the few distinct residuals per
+    # subspace let a converged PQ (pq_k=16, 10 Lloyd passes) get its
+    # quantization error well under margin/2
+    vecs = []
+    for ax in range(4):
+        for j in range(3):
+            th = 0.5 * j
+            v = [0.0] * 6
+            v[ax] = math.cos(th)
+            v[4] = math.sin(th) * (1 if ax % 2 else -1)
+            vecs.extend([v, list(v)])
+    p = tmp_path / "rich.json"
+    p.write_text("\n".join(_json.dumps(v) for v in vecs) + "\n")
+    lagoon.ingest(str(p), "rich", file_type="json")
+    meta = lagoon.build_ann_index(
+        "rich", "data", k=4, iters=3, pq_m=2, pq_k=16, pq_iters=10
+    )
+    assert meta["pq_epsilon_margin_regime"] is False
+    assert meta["pq_sample_margin"] > 0.0
+    with caplog.at_level(logging.WARNING, logger="lagoon_spark"):
+        lagoon.ann_search("rich", "data", [1.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+                          topk=3, nprobe=2, use_pq=True).collect()
+    assert not any("mis-rank" in r.message for r in caplog.records)

@@ -403,3 +403,21 @@ def test_delete_restores_dump(lagoon, tmp_path):
     for info in infos:
         lagoon.delete_source(info)
     assert lagoon.dump_db_info() == golden
+
+
+def test_iter_db_info_streams_blocks(lagoon, tmp_path):
+    """Round-10 verdict #5: the dump is consumable one block at a time
+    — N+1 chunks for N versions (trailing newline chunk), each chunk
+    naming exactly one version, and the concatenation byte-identical
+    to dump_db_info()."""
+    for n in ("alpha", "beta", "gamma"):
+        p = tmp_path / f"{n}.csv"
+        p.write_text("a,b\n1,x\n2,y\n")
+        lagoon.ingest(str(p), n)
+    chunks = list(lagoon.iter_db_info())
+    full = lagoon.dump_db_info()
+    assert "".join(chunks) == full
+    assert len(chunks) == 4  # 3 blocks + final newline
+    for c in chunks[:-1]:
+        assert c.count("(version ") == 1  # one source per chunk
+    assert chunks[-1] == "\n"
