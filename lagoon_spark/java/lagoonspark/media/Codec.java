@@ -46,18 +46,24 @@ final class Codec {
         }
         int w = img.getWidth();
         int h = img.getHeight();
-        if (img.getType() == BufferedImage.TYPE_BYTE_GRAY) {
-            // Raw band values, NOT getRGB (which would run a gray->sRGB
-            // color-space conversion and break parity with the raw-Y
-            // layout of the stdlib JPEG/PNG decoders).
-            int[] samples = img.getRaster().getSamples(0, 0, w, h, 0, (int[]) null);
-            byte[] out = new byte[w * h];
-            for (int i = 0; i < out.length; i++) {
-                out[i] = (byte) samples[i];
-            }
-            return new Decoded(w, h, 1, out);
+        java.awt.image.ColorModel cm = img.getColorModel();
+        boolean grayCs = cm.getColorSpace().getType()
+                == java.awt.color.ColorSpace.TYPE_GRAY;
+        int nb = img.getRaster().getNumBands();
+        if (cm instanceof java.awt.image.IndexColorModel) {
+            // palette-indexed (PNG type 3): raw INDEX bytes, matching
+            // the stdlib tier's payload (the palette is part of the
+            // container, not the pixel stream)
+            return new Decoded(w, h, 1, rasterBytes(img, w, h, 1));
         }
-        boolean alpha = img.getColorModel().hasAlpha();
+        if (grayCs && (nb == 1 || nb == 2)) {
+            // grayscale / gray+alpha: raw band values, NOT getRGB
+            // (which would run a gray->sRGB color-space conversion and
+            // break parity with the raw-Y layout of the stdlib
+            // JPEG/PNG decoders)
+            return new Decoded(w, h, nb, rasterBytes(img, w, h, nb));
+        }
+        boolean alpha = cm.hasAlpha();
         int ch = alpha ? 4 : 3;
         int[] argb = img.getRGB(0, 0, w, h, null, 0, w);
         byte[] out = new byte[w * h * ch];
@@ -72,6 +78,18 @@ final class Codec {
             }
         }
         return new Decoded(w, h, ch, out);
+    }
+
+    /** Interleaved raw raster bytes for the first {@code nb} bands. */
+    private static byte[] rasterBytes(BufferedImage img, int w, int h, int nb) {
+        byte[] out = new byte[w * h * nb];
+        for (int b = 0; b < nb; b++) {
+            int[] s = img.getRaster().getSamples(0, 0, w, h, b, (int[]) null);
+            for (int i = 0; i < s.length; i++) {
+                out[i * nb + b] = (byte) s[i];
+            }
+        }
+        return out;
     }
 
     /** Result of an AVI walk + frame-sampled decode. */

@@ -152,3 +152,53 @@ def test_native_rejects_garbage_bytes(spark):
     df = spark.createDataFrame([(1, b"not an image")], "id long, content binary")
     with pytest.raises(Exception, match="(?i)could not decode|SparkException"):
         mm.decode_images(df, "id", "content", "image/jpeg", tier="native").collect()
+
+
+def _png(color_type: int, w: int, h: int, raw_scanlines: bytes,
+         plte: bytes = b"") -> bytes:
+    """Minimal PNG writer for parity fixtures (filter 0 rows)."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(
+            ">I", zlib.crc32(c) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte:
+        out += chunk(b"PLTE", plte)
+    out += chunk(b"IDAT", zlib.compress(raw_scanlines)) + chunk(b"IEND", b"")
+    return out
+
+
+def test_native_png_palette_and_grayalpha_parity(spark):
+    """PNG color types 3 (palette -> INDEX bytes) and 4 (gray+alpha ->
+    2 interleaved bands): the native tier must return the stdlib
+    tier's exact payload layout, not a getRGB expansion."""
+    # type 3: 4x2, indices 0..3 into a 4-entry palette
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 7, 7])
+    idx_rows = b"\x00" + bytes([0, 1, 2, 3]) + b"\x00" + bytes([3, 2, 1, 0])
+    pal_png = _png(3, 4, 2, idx_rows, plte=plte)
+    # type 4: 3x2 gray+alpha pairs
+    ga_rows = (
+        b"\x00" + bytes([10, 255, 20, 128, 30, 0])
+        + b"\x00" + bytes([40, 1, 50, 2, 60, 3])
+    )
+    ga_png = _png(4, 3, 2, ga_rows)
+    df = spark.createDataFrame(
+        [(1, pal_png), (2, ga_png)], "id long, content binary"
+    )
+    nat = {
+        r["id"]: r.asDict()
+        for r in mm.decode_images(df, "id", "content", "image/png", tier="native").collect()
+    }
+    std = {
+        r["id"]: r.asDict()
+        for r in mm.decode_images(df, "id", "content", "image/png", tier="stdlib").collect()
+    }
+    assert nat == std
+    assert nat[1]["payload_bytes"] == 8   # indices, not RGB
+    assert nat[2]["payload_bytes"] == 12  # 2 bands, not RGBA
