@@ -484,9 +484,34 @@ class Catalog:
 
     @staticmethod
     def _mask(df: pd.DataFrame, where: dict) -> "pd.Series":
-        m = pd.Series(True, index=df.index)
-        for c, v in where.items():
-            m &= df[c] == v
+        """Boolean mask for a WAL where-clause.
+
+        Evaluated cheapest-first (round-10, the 100k-catalog ingest
+        cliff): numeric-column equality is a vectorized numpy compare
+        (~0.2 ms at 200k rows) while OBJECT-dtype (string) equality is
+        ~7 ms per pass — so numeric conditions run over the full frame
+        and string conditions run only over the rows that survive
+        them. Ingest-path ops key on fresh integer ix/source_ix values
+        that match nothing or one row, so the object comparisons end
+        up scanning a handful of rows instead of the whole catalog."""
+        cols = sorted(
+            where,
+            key=lambda c: 0
+            if c in df.columns and df[c].dtype.kind in "biufc"
+            else 1,
+        )
+        if not cols:
+            return pd.Series(True, index=df.index)
+        live_idx = None  # None = the whole frame (skips one .loc copy)
+        for c in cols:
+            series = df[c] if live_idx is None else df.loc[live_idx, c]
+            hit = (series == where[c]).to_numpy(dtype=bool)
+            live_idx = (df.index if live_idx is None else live_idx)[hit]
+            if not len(live_idx):
+                break
+        m = pd.Series(False, index=df.index)
+        if len(live_idx):
+            m.loc[live_idx] = True
         return m
 
     def _apply_op(self, df: pd.DataFrame, op: dict) -> pd.DataFrame:
@@ -497,6 +522,7 @@ class Catalog:
             return df
         if kind == "up":
             pk = op["pk"]
+            new_rows: "list[dict]" = []
             for row in op["rows"]:
                 idx = (
                     df.index[self._mask(df, {c: row[c] for c in pk})]
@@ -506,10 +532,28 @@ class Catalog:
                 if len(idx):
                     for k, v in row.items():
                         df.loc[idx, k] = v
+                    continue
+                # pk collision within this op's own batch: later rows
+                # overwrite earlier ones, matching sequential semantics
+                hit = next(
+                    (
+                        r
+                        for r in new_rows
+                        if all(r.get(c) == row[c] for c in pk)
+                    ),
+                    None,
+                )
+                if hit is not None:
+                    hit.update(row)
                 else:
-                    df = pd.concat(
-                        [df, pd.DataFrame([row])], ignore_index=True
-                    )
+                    new_rows.append(dict(row))
+            if new_rows:
+                # ONE frame copy per op, not one per appended row — at
+                # 100k catalog rows the per-row concat was the ingest
+                # hot path's dominant O(n) term after the mask fix
+                df = pd.concat(
+                    [df, pd.DataFrame(new_rows)], ignore_index=True
+                )
             return df
         if kind == "set":
             idx = df.index[self._mask(df, op["where"])] if len(df) else []
@@ -519,7 +563,10 @@ class Catalog:
         if kind == "del":
             if not len(df):
                 return df
-            return df[~self._mask(df, op["where"])].reset_index(drop=True)
+            m = self._mask(df, op["where"])
+            if not m.to_numpy(dtype=bool).any():
+                return df  # nothing to drop — skip the full-frame copy
+            return df[~m].reset_index(drop=True)
         raise ValueError(f"unknown catalog log op {kind!r}")
 
     def _log_op(self, table: str, op: dict) -> None:

@@ -1810,6 +1810,15 @@ class Lagoon:
         if meta.get("pq_epsilon_margin_regime"):
             import logging
 
+            # once per index per process: a probe loop (bench reps,
+            # batched sweeps) must not turn the diagnostic into spam
+            warned = getattr(type(self), "_pq_regime_warned", None)
+            if warned is None:
+                warned = set()
+                type(self)._pq_regime_warned = warned
+            if idx_dir in warned:
+                return
+            warned.add(idx_dir)
             logging.getLogger("lagoon_spark").warning(
                 "ANN index %s: PQ quantization error (pq_rel_err=%s) is "
                 "of the same order as the corpus's neighbor cosine "
