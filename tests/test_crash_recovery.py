@@ -315,3 +315,25 @@ def test_catalog_load_consistent_read_never_locks(tmp_path, monkeypatch):
 
     monkeypatch.setattr(Catalog, "writer_lock", no_lock)
     assert len(fresh.load("sources")) >= 1
+
+
+def test_json_scalar_rejects_non_native_types(tmp_path):
+    """Round-10 advice: a WAL field that isn't JSON-native (bytes,
+    datetime, ...) must raise at WRITE time — a str(v) fallback would
+    replay as a string after restart while the in-memory state kept
+    the original type."""
+    import numpy as np
+    import pytest as _pytest
+
+    from lagoon_spark.catalog import _json_scalar
+
+    # numpy scalars unwrap
+    assert _json_scalar(np.int64(7)) == 7
+    assert _json_scalar(np.float64(1.5)) == 1.5
+    assert _json_scalar(np.bool_(True)) is True
+    # everything else fails loudly
+    import datetime
+
+    for bad in (b"bytes", datetime.datetime(2026, 1, 1), {1, 2}, object()):
+        with _pytest.raises(TypeError, match="JSON-native"):
+            _json_scalar(bad)

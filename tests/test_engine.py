@@ -1791,3 +1791,23 @@ def test_pq_regime_diagnostic_quiet_on_margin_rich(lagoon, tmp_path, caplog):
         lagoon.ann_search("rich", "data", [1.0, 0.0, 0.0, 0.0, 0.0, 0.0],
                           topk=3, nprobe=2, use_pq=True).collect()
     assert not any("mis-rank" in r.message for r in caplog.records)
+
+
+def test_exact_cosine_degenerate_elements_return_none():
+    """Round-10 advice: the driver-tier cosine must degrade degenerate
+    vector ELEMENTS (None / NaN / inf inside a parsed vector) to None —
+    the same NULL-last behavior as the JVM tier's try_divide — instead
+    of crashing the rerank with TypeError/InvalidOperation."""
+    import math
+
+    from lagoon_spark.engine import _exact_cosine
+
+    q = [1.0, 0.0]
+    qn = 1.0
+    assert _exact_cosine([1.0, None], q, qn) is None
+    assert _exact_cosine([float("nan"), 0.0], q, qn) is None
+    assert _exact_cosine([float("inf"), 0.0], q, qn) is None
+    assert _exact_cosine([0.0, 0.0], q, qn) is None  # zero norm
+    # healthy vectors still produce the 9-place HALF_UP cosine
+    got = _exact_cosine([1.0, 1.0], q, qn)
+    assert got is not None and abs(got - 1 / math.sqrt(2)) < 1e-9
