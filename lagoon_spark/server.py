@@ -755,7 +755,9 @@ def _make_handler(srv: LagoonServer):
 
             if not _sec.is_admin(self.user):
                 raise _sec.PermissionDenied("debug routes are admin-only")
-            self.eng.catalog.refresh()
+            # force: this route's contract is an unconditional rebuild
+            # (the validity-aware default would keep untouched tables)
+            self.eng.catalog.refresh(force=True)
             self._json(None)
 
         # reference spellings for group membership (`API.hs:388-420`)
