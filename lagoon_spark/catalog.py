@@ -276,6 +276,14 @@ class Catalog:
         # bumped on every write through THIS instance; state_token()
         # is the cross-instance (warehouse-state) change signal
         self.mutation_count = 0
+        # memoized sources⋈sourcenames frame for search(): the merge is
+        # O(n) per call (~60 ms of the 183 ms warm search at 100k
+        # sources, CATALOG_SCALE_r10). Keyed on (mutation_count, frame
+        # identities) — every in-place WAL mutation bumps the count,
+        # and a refresh() reload swaps the frame objects; the tuple
+        # keeps strong refs so CPython can't reuse the ids while the
+        # entry is live.
+        self._merged_cache: "tuple | None" = None
         self._lock_depth = 0
         self._lock_owner: int | None = None  # threading.get_ident() of holder
         import threading
@@ -1046,16 +1054,26 @@ class Catalog:
         """(cols_by_ix, tags_by_ix): one grouping pass over the
         sourcecolumns/tags frames — the shared prefetch behind
         all_infos and big search pages."""
+        # zip over materialized column arrays, not iterrows: iterrows
+        # builds one Series per row (~70 µs each) and was the dominant
+        # cost of a 100k-catalog dump (CATALOG_SCALE_r10 first cut:
+        # 13.3 s, ~threefold iterrows); the zip form is a plain tuple
+        # walk over python lists
         sc = self.load("sourcecolumns")
         cols_by_ix: dict[int, list] = {}
-        for _, r in sc.iterrows():
-            cols_by_ix.setdefault(int(r["source_ix"]), []).append(
-                (r["column_name"], r["header"], r["type"])
-            )
+        for six, cn, hd, tp in zip(
+            sc["source_ix"].tolist(),
+            sc["column_name"].tolist(),
+            sc["header"].tolist(),
+            sc["type"].tolist(),
+        ):
+            cols_by_ix.setdefault(int(six), []).append((cn, hd, tp))
         tags = self.load("tags")
         tags_by_ix: dict[int, list] = {}
-        for _, r in tags.iterrows():
-            tags_by_ix.setdefault(int(r["source_ix"]), []).append(r["tag"])
+        for six, tg in zip(
+            tags["source_ix"].tolist(), tags["tag"].tolist()
+        ):
+            tags_by_ix.setdefault(int(six), []).append(tg)
         return cols_by_ix, tags_by_ix
 
     def all_infos(self) -> list[SourceInfo]:
@@ -1068,6 +1086,7 @@ class Catalog:
         names = self.load("sourcenames")
         name_by_ix = dict(zip(names["ix"], names["name"]))
         cols_by_ix, tags_by_ix = self._bulk_info_maps()
+        # to_dict("records") not iterrows — same keys, ~50× cheaper
         return [
             self._info_prefetched(
                 row,
@@ -1075,8 +1094,36 @@ class Catalog:
                 cols_by_ix.get(int(row["ix"]), []),
                 sorted(tags_by_ix.get(int(row["ix"]), [])),
             )
-            for _, row in sources.iterrows()
+            for row in sources.to_dict("records")
         ]
+
+    def iter_infos_sorted(self) -> "Iterator[SourceInfo]":
+        """Lazily yield every committed version in (name, version)
+        order — the dump_db_info contract. All O(n) prep is vectorized
+        pandas (merge + sort + the bulk grouping maps); the per-source
+        SourceInfo build is paid AT yield time, so a streaming consumer
+        sees its first block after the sort, not after n dataclass
+        constructions (round-10 verdict #5 done-criterion: first-byte
+        latency at 100k sources dropped 13.3 s → the vectorized-prep
+        cost)."""
+        merged = self._merged_visible().sort_values(
+            ["__name", "version"], kind="mergesort"
+        )
+        cols_by_ix, tags_by_ix = self._bulk_info_maps()
+        # lazy row dicts (zip over pre-materialized column lists), not
+        # to_dict("records") — that would build all n dicts before the
+        # first yield, putting ~0.3 s back on the 100k first byte
+        col_names = list(merged.columns)
+        col_vals = [merged[c].tolist() for c in col_names]
+        for vals in zip(*col_vals):
+            row = dict(zip(col_names, vals))
+            ix = int(row["ix"])
+            yield self._info_prefetched(
+                row,
+                row["__name"],
+                cols_by_ix.get(ix, []),
+                sorted(tags_by_ix.get(ix, [])),
+            )
 
     def _info(self, row, name: str) -> SourceInfo:
         ix = int(row["ix"])
@@ -1149,6 +1196,23 @@ class Catalog:
                 "sourcenames", {"op": "del", "where": {"ix": int(sn_ix)}}
             )
 
+    def _merged_visible(self) -> pd.DataFrame:
+        """Visible sources merged with their names (``__name`` column),
+        memoized until any catalog mutation or refresh. Callers must
+        treat the frame as read-only (search/iter paths only filter and
+        slice, never mutate)."""
+        sources_raw = self.load("sources")
+        names = self.load("sourcenames")
+        key = (self.mutation_count, id(sources_raw), id(names))
+        if self._merged_cache is not None and self._merged_cache[0] == key:
+            return self._merged_cache[1]
+        merged = _visible(sources_raw).merge(
+            names.rename(columns={"ix": "sourcename_ix", "name": "__name"}),
+            on="sourcename_ix",
+        )
+        self._merged_cache = (key, merged, (sources_raw, names))
+        return merged
+
     # -- search (A18, A20) ---------------------------------------------------
 
     def search(
@@ -1172,12 +1236,7 @@ class Catalog:
         """SourcesSpec filters → (page, total_count)
         (`src/backend/src/Lagoon/DB/SourceInfo.hs:214-331`; count drops
         sort/offset/limit like `flattenCountQuery`)."""
-        sources = _visible(self.load("sources"))
-        names = self.load("sourcenames")
-        merged = sources.merge(
-            names.rename(columns={"ix": "sourcename_ix", "name": "__name"}),
-            on="sourcename_ix",
-        )
+        merged = self._merged_visible()
         mask = pd.Series(True, index=merged.index)
         if ix is not None:
             mask &= merged["ix"] == ix
@@ -1243,7 +1302,7 @@ class Catalog:
                     cols_by_ix.get(int(r["ix"]), []),
                     sorted(tags_by_ix.get(int(r["ix"]), [])),
                 )
-                for _, r in page.iterrows()
+                for r in page.to_dict("records")
             ]
         else:
             infos = [self._info(r, r["__name"]) for _, r in page.iterrows()]

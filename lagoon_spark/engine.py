@@ -1362,10 +1362,13 @@ class Lagoon:
         """
         # bulk info build: the per-ix path re-filters sourcecolumns and
         # tags per row — O(N²) for a whole-catalog dump (measured
-        # 16.9 s at 10k versions, CATALOG_SCALE_r8); all_infos is linear
-        infos = self.catalog.all_infos()
+        # 16.9 s at 10k versions, CATALOG_SCALE_r8). iter_infos_sorted
+        # does the merge/sort/grouping vectorized and yields each
+        # SourceInfo lazily, so the first block costs O(n) pandas prep,
+        # not n dataclass builds (13.3 s → sub-second first byte at
+        # 100k sources, CATALOG_SCALE_r10)
         first = True
-        for i in sorted(infos, key=lambda s: (s.name, s.version)):
+        for i in self.catalog.iter_infos_sorted():
             lines = [
                 f"{i.name} (version {i.version})",
                 f"  URL         {i.url or '(local)'}",
