@@ -36,22 +36,8 @@ import tempfile
 import time
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=100_000)
-    ap.add_argument("--checkpoints", default="1000,10000,100000")
-    ap.add_argument("--out", default="CATALOG_SCALE_r10.json")
-    args = ap.parse_args()
-    checkpoints = sorted(
-        {int(x) for x in args.checkpoints.split(",") if int(x) <= args.n}
-    )
-
-    from lagoon_spark.catalog import Catalog
+def _stub_engine(wh, cat):
     from lagoon_spark.engine import Lagoon
-
-    wh = tempfile.mkdtemp(prefix="lagoon_catscale_")
-    cat = Catalog(wh)
-    cat.init_db()
 
     class _SparkCatalogStub:
         # delete_source drops temp views as cleanup; no session exists
@@ -64,6 +50,181 @@ def main() -> None:
 
     eng = Lagoon(_SparkStub(), wh, user="admin")
     eng.catalog = cat
+    return eng
+
+
+def synth_read_plane(n: int) -> dict:
+    """Read-plane latencies at a BULK-SYNTHESIZED population of ``n``
+    source versions (~n/5 datasets, 2 columns each, every 3rd tagged) —
+    the same row shapes the ingest-path bench produces, built directly
+    as frames so an order of magnitude past the populate-bound 100k
+    checkpoint stays measurable (1M ingests at ~20 ms each would be
+    6 h of populate for a read-only question). Writes are NOT measured
+    here — the per-ingest curve is the normal mode's job."""
+    import pandas as pd
+
+    from lagoon_spark.catalog import Catalog
+
+    datasets = max(n // 5, 1)
+    wh = tempfile.mkdtemp(prefix="lagoon_catsynth_")
+    try:
+        cat = Catalog(wh)
+        cat.init_db()
+        names = pd.DataFrame(
+            {
+                "ix": range(datasets),
+                "name": [f"ds{i}" for i in range(datasets)],
+                "created_by": [f"user{i % 7}" for i in range(datasets)],
+            }
+        )
+        sources = pd.DataFrame(
+            {
+                "ix": range(n),
+                "sourcename_ix": [i % datasets for i in range(n)],
+                "version": [i // datasets + 1 for i in range(n)],
+                "url": [None] * n,
+                "description": [
+                    f"dataset {i} about {'genes' if i % 3 == 0 else 'planets'}"
+                    for i in range(n)
+                ],
+                "created": [
+                    f"2026-{(i % 12) + 1:02d}-01T00:00:00" for i in range(n)
+                ],
+                "added_by": [f"user{i % 7}" for i in range(n)],
+                "table_name": [f"t{i}" for i in range(n)],
+                "view_name": [
+                    f"ds{i % datasets}_v{i // datasets + 1}" for i in range(n)
+                ],
+                "typed_table_name": [None] * n,
+                "typed_view_name": [None] * n,
+                "deprecated": [False] * n,
+                "row_count": [100] * n,
+                "format": ["tabular"] * n,
+                "json_type": [None] * n,
+                "pending": [False] * n,
+            }
+        )
+        sc = pd.DataFrame(
+            {
+                "source_ix": [i for i in range(n) for _ in range(2)],
+                "column_name": ["c1", "c2"] * n,
+                "header": ["id", "val"] * n,
+                "type": ["INTEGER", "TEXT"] * n,
+            }
+        )
+        tags = pd.DataFrame(
+            {
+                "source_ix": list(range(0, n, 3)),
+                "tag": ["genes"] * len(range(0, n, 3)),
+            }
+        )
+        with cat.writer_lock():
+            cat.save("sourcenames", names)
+            cat.save("sources", sources)
+            cat.save("sourcecolumns", sc)
+            cat.save("tags", tags)
+        eng = _stub_engine(wh, cat)
+        point = read_plane_metrics(cat, eng, wh, f"ds{datasets // 2}")
+        point["synthesized"] = True
+        return {"n": n, "datasets": datasets, "read_plane": point}
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def read_plane_metrics(cat, eng, wh, name_mid: str) -> dict:
+    """Warm/cold read latencies shared by both bench modes."""
+    from lagoon_spark.catalog import Catalog
+
+    def timed(fn, reps: int = 5) -> float:
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            fn()
+        return (time.perf_counter() - t0) / reps
+
+    point = {
+        "get_source_warm_ms": round(
+            1000 * timed(lambda: cat.get_source(name_mid)), 2
+        ),
+        "versions_warm_ms": round(
+            1000 * timed(lambda: cat.versions(name_mid)), 2
+        ),
+        "search_filters_warm_ms": round(
+            1000
+            * timed(
+                lambda: cat.search(
+                    name_contains="ds1",
+                    description_contains="genes",
+                    order_by="created",
+                    limit=20,
+                )
+            ),
+            2,
+        ),
+    }
+
+    def cold_get():
+        cat.refresh(force=True)
+        cat.get_source(name_mid)
+
+    point["get_source_cold_ms"] = round(1000 * timed(cold_get, 3), 2)
+    t0 = time.perf_counter()
+    it = eng.iter_db_info()
+    first = next(it)
+    point["dump_first_byte_ms"] = round(1000 * (time.perf_counter() - t0), 2)
+    nchars = len(first)
+    for chunk in it:
+        nchars += len(chunk)
+    point["dump_db_info_ms"] = round(1000 * (time.perf_counter() - t0), 2)
+    point["dump_chars"] = nchars
+    # cold open: a fresh process's first load pays base read + WAL
+    # replay (bulk, compaction-bounded) — the restart story at scale
+    t0 = time.perf_counter()
+    cold_cat = Catalog(wh)
+    cold_cat.load("sources")
+    cold_cat.load("sourcecolumns")
+    cold_cat.load("tags")
+    point["cold_open_ms"] = round(1000 * (time.perf_counter() - t0), 2)
+    point["catalog_bytes"] = sum(
+        e.stat().st_size
+        for e in os.scandir(cat.dir)
+        if e.name.endswith(".parquet")
+    )
+    point["wal_bytes"] = sum(
+        e.stat().st_size
+        for e in os.scandir(cat.dir)
+        if e.name.endswith(".log.jsonl")
+    )
+    return point
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--checkpoints", default="1000,10000,100000")
+    ap.add_argument("--out", default="CATALOG_SCALE_r10.json")
+    ap.add_argument(
+        "--synth",
+        type=int,
+        default=None,
+        help="bulk-synthesize N versions and measure the read plane only",
+    )
+    args = ap.parse_args()
+    if args.synth:
+        report = synth_read_plane(args.synth)
+        with open(args.out, "w") as fh:
+            json.dump(report, fh, indent=1)
+        print(json.dumps(report))
+        return
+    checkpoints = sorted(
+        {int(x) for x in args.checkpoints.split(",") if int(x) <= args.n}
+    )
+
+    from lagoon_spark.catalog import Catalog
+
+    wh = tempfile.mkdtemp(prefix="lagoon_catscale_")
+    cat = Catalog(wh)
+    cat.init_db()
+    eng = _stub_engine(wh, cat)
 
     datasets = max(args.n // 5, 1)  # ~5 versions per dataset
 
@@ -82,12 +243,6 @@ def main() -> None:
         cat.finalize_source(ix)
         return time.perf_counter() - t0
 
-    def timed(fn, reps: int = 5) -> float:
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            fn()
-        return (time.perf_counter() - t0) / reps
-
     report: dict = {"n": args.n, "datasets": datasets, "checkpoints": {}}
     done = 0
     for cp in checkpoints:
@@ -105,50 +260,8 @@ def main() -> None:
             "ingest_catalog_ms_mean_last50": round(
                 1000 * sum(recent) / len(recent), 2
             ),
-            "get_source_warm_ms": round(
-                1000 * timed(lambda: cat.get_source(name_mid)), 2
-            ),
-            "versions_warm_ms": round(
-                1000 * timed(lambda: cat.versions(name_mid)), 2
-            ),
-            "search_filters_warm_ms": round(
-                1000
-                * timed(
-                    lambda: cat.search(
-                        name_contains="ds1",
-                        description_contains="genes",
-                        order_by="created",
-                        limit=20,
-                    )
-                ),
-                2,
-            ),
         }
-
-        def cold_get():
-            cat.refresh(force=True)
-            cat.get_source(name_mid)
-
-        point["get_source_cold_ms"] = round(1000 * timed(cold_get, 3), 2)
-        t0 = time.perf_counter()
-        it = eng.iter_db_info()
-        first = next(it)
-        point["dump_first_byte_ms"] = round(
-            1000 * (time.perf_counter() - t0), 2
-        )
-        nchars = len(first)
-        for chunk in it:
-            nchars += len(chunk)
-        point["dump_db_info_ms"] = round(1000 * (time.perf_counter() - t0), 2)
-        point["dump_chars"] = nchars
-        # cold open: a fresh process's first load pays base read + WAL
-        # replay (bulk, compaction-bounded) — the restart story at scale
-        t0 = time.perf_counter()
-        cold_cat = Catalog(wh)
-        cold_cat.load("sources")
-        cold_cat.load("sourcecolumns")
-        cold_cat.load("tags")
-        point["cold_open_ms"] = round(1000 * (time.perf_counter() - t0), 2)
+        point.update(read_plane_metrics(cat, eng, wh, name_mid))
         # delete one version, then re-ingest to keep the population
         victim = cat.get_source(name_mid)
         t0 = time.perf_counter()
@@ -157,16 +270,6 @@ def main() -> None:
             1000 * (time.perf_counter() - t0), 2
         )
         ingest_one(done - 1)  # restore the population count
-        point["catalog_bytes"] = sum(
-            e.stat().st_size
-            for e in os.scandir(cat.dir)
-            if e.name.endswith(".parquet")
-        )
-        point["wal_bytes"] = sum(
-            e.stat().st_size
-            for e in os.scandir(cat.dir)
-            if e.name.endswith(".log.jsonl")
-        )
         report["checkpoints"][str(cp)] = point
         print(json.dumps({str(cp): point}))
 
