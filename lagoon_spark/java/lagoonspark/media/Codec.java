@@ -92,6 +92,65 @@ final class Codec {
         return out;
     }
 
+    /** Result of a multi-frame GIF decode (palette indices per frame). */
+    static final class GifDecoded {
+        final int nFrames;
+        final int width;  // logical screen, per the GIF header
+        final int height;
+        final byte[] data; // every frame's index bytes, concatenated
+
+        GifDecoded(int nFrames, int width, int height, byte[] data) {
+            this.nFrames = nFrames;
+            this.width = width;
+            this.height = height;
+            this.data = data;
+        }
+    }
+
+    /**
+     * Decode every frame of an animated GIF to raw palette-index
+     * bytes (frame-rect sized, no disposal composition) — the frame
+     * semantics of the pure-Python {@code _decode_gif}: ImageIO's GIF
+     * reader hands each frame back as its own TYPE_BYTE_INDEXED image,
+     * whose raster IS the index stream. Width/height are the
+     * logical-screen dims from the header, matching the Python tier.
+     */
+    static GifDecoded decodeGifFrames(byte[] blob) throws Exception {
+        if (blob.length < 10 || blob[0] != 'G' || blob[1] != 'I' || blob[2] != 'F') {
+            throw new IllegalArgumentException("not a GIF");
+        }
+        int w = (blob[6] & 0xFF) | ((blob[7] & 0xFF) << 8);
+        int h = (blob[8] & 0xFF) | ((blob[9] & 0xFF) << 8);
+        java.util.Iterator<javax.imageio.ImageReader> readers =
+                ImageIO.getImageReadersByFormatName("gif");
+        if (!readers.hasNext()) {
+            throw new IllegalStateException("no GIF ImageReader in this JVM");
+        }
+        javax.imageio.ImageReader reader = readers.next();
+        try (javax.imageio.stream.ImageInputStream iis =
+                ImageIO.createImageInputStream(new ByteArrayInputStream(blob))) {
+            reader.setInput(iis, false);
+            int n = reader.getNumImages(true);
+            if (n < 1) {
+                throw new IllegalArgumentException("GIF with no image data");
+            }
+            java.io.ByteArrayOutputStream out = new java.io.ByteArrayOutputStream();
+            for (int i = 0; i < n; i++) {
+                BufferedImage img = reader.read(i);
+                if (!(img.getColorModel() instanceof java.awt.image.IndexColorModel)) {
+                    // never expand to RGB: parity with the Python tier
+                    // requires raw indices
+                    throw new IllegalStateException(
+                        "GIF frame decoded to a non-indexed image");
+                }
+                out.write(rasterBytes(img, img.getWidth(), img.getHeight(), 1));
+            }
+            return new GifDecoded(n, w, h, out.toByteArray());
+        } finally {
+            reader.dispose();
+        }
+    }
+
     /** Result of an AVI walk + frame-sampled decode. */
     static final class AviSampled {
         final int nFrames;

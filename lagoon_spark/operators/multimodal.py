@@ -669,12 +669,30 @@ GIF_SCHEMA = StructType(
 )
 
 
-def decode_gif_frames(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
-    """Decode animated GIFs (stdlib LZW) to per-asset frame metadata —
-    the real-bytes version of the frame-sampling shape: one Arrow
-    batch per Python call, partitioning inherited (pure map at
-    100 TB). The digest covers the concatenated frame indices, so it
-    pins every frame's pixels at once."""
+def decode_gif_frames(
+    df: DataFrame, id_col: str, content_col: str, *, tier: str = "auto"
+) -> DataFrame:
+    """Decode animated GIFs to per-asset frame metadata — the
+    real-bytes version of the frame-sampling shape. Two tiers behind
+    one signature: the native Java ImageIO reader (pure JVM — GIF
+    frames come back as indexed rasters, so both tiers digest the SAME
+    raw palette-index bytes) and the Arrow-batched stdlib LZW decoder.
+    Both are pure map stages, partitioning inherited (100 TB =
+    row-local). The digest covers the concatenated frame indices, so
+    it pins every frame's pixels at once. Divergence note: interlaced
+    frames raise in the stdlib tier but deinterlace natively — the
+    native tier accepts strictly more inputs, never different answers
+    on shared ones."""
+    from lagoon_spark.operators import native_media as nm
+
+    if tier not in ("auto", "stdlib", "native"):
+        raise ValueError(f"tier must be auto|stdlib|native, got {tier!r}")
+    env = nm.media_tier()
+    eff = env if env != "auto" else tier
+    if eff == "native" and not nm.register(df.sparkSession):
+        raise RuntimeError("native media tier requested but unavailable (no JDK?)")
+    if eff != "stdlib" and nm.register(df.sparkSession):
+        return nm.decode_gif_frames_native(df, id_col, content_col)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib

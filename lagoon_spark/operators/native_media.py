@@ -42,11 +42,16 @@ _JAR_PATH = os.path.join(_BUILD_DIR, "lagoon-media.jar")
 
 IMAGE_DECODE_FN = "lagoon_image_decode"
 AVI_SAMPLE_FN = "lagoon_avi_sample"
+GIF_FRAMES_FN = "lagoon_gif_frames"
 
 #: media types whose native pixel layout matches the stdlib tier
-#: byte-for-byte on lossless content (gray/RGB/RGBA raw bytes). GIF is
-#: deliberately absent: the stdlib tier returns palette INDICES for
-#: frame 0 while ImageIO expands to RGB, so auto never switches GIF.
+#: byte-for-byte on lossless content (gray/RGB/RGBA raw bytes;
+#: palette-indexed images return raw INDEX bytes in both tiers). GIF
+#: single-frame decode_images stays stdlib under auto: ImageIO returns
+#: the first frame at its frame RECT while the stdlib branch reports
+#: logical-screen dims, so dims can diverge on offset frames — the
+#: multi-frame decode_gif_frames path has no such mismatch and IS
+#: auto-native (decode_gif_frames_native below).
 NATIVE_AUTO_TYPES = frozenset({"image/jpeg", "image/jpg", "image/png"})
 
 
@@ -137,6 +142,11 @@ def register(spark: SparkSession) -> bool:
             "lagoonspark.media.AviSample",
             "struct<n_frames:int,n_sampled:int,width:int,height:int,data:binary>",
         )
+        spark.udf.registerJavaFunction(
+            GIF_FRAMES_FN,
+            "lagoonspark.media.GifFrames",
+            "struct<n_frames:int,width:int,height:int,data:binary>",
+        )
         ok = True
     except Exception:
         ok = False
@@ -165,6 +175,26 @@ def decode_images_native(df: DataFrame, id_col: str, content_col: str) -> DataFr
             F.col("d.height").alias("height"),
             F.length("d.data").cast("long").alias("payload_bytes"),
             _hex_digest(F.col("d.data")).alias("payload_digest"),
+        )
+    )
+
+
+def decode_gif_frames_native(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Pure-JVM multi-frame GIF decode: same output schema as
+    ``decode_gif_frames`` (id, n_frames, width, height, frames_digest);
+    the digest covers every frame's raw palette-index bytes
+    concatenated — identical to the stdlib tier by construction, since
+    ImageIO's GIF reader hands frames back as indexed rasters (no
+    palette expansion in either tier)."""
+    d = F.call_udf(GIF_FRAMES_FN, F.col(content_col)).alias("d")
+    return (
+        df.select(F.col(id_col).cast("long").alias("id"), d)
+        .select(
+            "id",
+            F.col("d.n_frames").alias("n_frames"),
+            F.col("d.width").alias("width"),
+            F.col("d.height").alias("height"),
+            _hex_digest(F.col("d.data")).alias("frames_digest"),
         )
     )
 

@@ -202,3 +202,50 @@ def test_native_png_palette_and_grayalpha_parity(spark):
     assert nat == std
     assert nat[1]["payload_bytes"] == 8   # indices, not RGB
     assert nat[2]["payload_bytes"] == 12  # 2 bands, not RGBA
+
+
+def test_native_gif_frames_bitexact(spark):
+    """Multi-frame GIF: the native ImageIO reader hands frames back as
+    indexed rasters, so both tiers digest the SAME raw palette-index
+    byte stream — metadata and digests identical on the m08 corpus
+    shape (greyscale global palette, 1-4 full-rect frames)."""
+    from lagoon_spark.multimodal_queries import _encode_gif
+
+    rows = []
+    for i in range(12):
+        nf, w, h = i % 4 + 1, i % 8 + 2, i % 6 + 2
+        frames = [
+            bytes((i * 7 + k * 13 + j) % 256 for j in range(w * h))
+            for k in range(nf)
+        ]
+        rows.append((i, _encode_gif(w, h, frames)))
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    nat = [
+        r.asDict()
+        for r in mm.decode_gif_frames(df, "doc_id", "content", tier="native")
+        .orderBy("id")
+        .collect()
+    ]
+    std = [
+        r.asDict()
+        for r in mm.decode_gif_frames(df, "doc_id", "content", tier="stdlib")
+        .orderBy("id")
+        .collect()
+    ]
+    assert nat == std
+    assert {r["n_frames"] for r in nat} == {1, 2, 3, 4}
+
+
+def test_native_gif_plan_is_python_free(spark):
+    """decode_gif_frames under auto routes natively: no Python node in
+    the executed plan (decode, frame concat and digest all JVM-side)."""
+    from lagoon_spark.multimodal_queries import _encode_gif
+
+    gif = _encode_gif(4, 3, [bytes(range(12)), bytes(range(12, 24))])
+    df = spark.createDataFrame([(1, gif)], "id long, content binary")
+    out = mm.decode_gif_frames(df, "id", "content")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonMapInArrow"):
+        assert marker not in plan, plan
+    row = out.collect()[0]
+    assert (row["n_frames"], row["width"], row["height"]) == (2, 4, 3)
