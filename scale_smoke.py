@@ -617,6 +617,17 @@ def run_media(spark, n: int, cores: int) -> dict:
                         # multiplier measures DECODE, not scheduling
                         px = (raw * 40)[:9216].ljust(9216, b"x")
                         blobs.append(encode_jpeg(96, 96, px))
+                    elif kind == "gif":
+                        # 4 full-rect 48x48 frames of palette indices:
+                        # big enough that the Python LZW walk (the
+                        # stdlib tier's cost) dominates scheduling
+                        from lagoon_spark.multimodal_queries import _encode_gif
+
+                        idx = (raw * 40)[: 2304 * 4].ljust(2304 * 4, b"g")
+                        frames4 = [
+                            idx[k * 2304 : (k + 1) * 2304] for k in range(4)
+                        ]
+                        blobs.append(_encode_gif(48, 48, frames4))
                     elif kind == "wav":
                         pcm = raw[:4000].ljust(4000, b"\x00")
                         hdr = __import__("struct").pack(
@@ -650,6 +661,8 @@ def run_media(spark, n: int, cores: int) -> dict:
             out = mm.decode_images(
                 df, "id", "content", media_type="image/jpeg", tier=tier
             )
+        elif kind == "gif":
+            out = mm.decode_gif_frames(df, "id", "content", tier=tier)
         elif kind == "wav":
             out = mm.decode_audio_samples(df, "id", "content")
         else:
@@ -659,7 +672,7 @@ def run_media(spark, n: int, cores: int) -> dict:
         return time.time() - t0, blob_bytes
 
     report: dict = {"docs": n, "cores": cores, "codecs": {}}
-    for kind in ("jpeg", "jpeg_large", "wav", "avi"):
+    for kind in ("jpeg", "jpeg_large", "gif", "wav", "avi"):
         pq = encode_corpus(n // 4, kind)
         wq, bq = timed_decode(pq, kind)
         pf = encode_corpus(n, kind)
@@ -676,7 +689,7 @@ def run_media(spark, n: int, cores: int) -> dict:
         # round-10 verdict #1: the native (Java ImageIO, pure-JVM) tier
         # measured on the SAME corpus — multiplier over the stdlib path.
         # WAV has no native tier (PCM parse is a cheap struct unpack).
-        if kind in ("jpeg", "jpeg_large", "avi"):
+        if kind in ("jpeg", "jpeg_large", "gif", "avi"):
             timed_decode(pf, kind, tier="native")  # warm (jar, codegen)
             wn, _bn = timed_decode(pf, kind, tier="native")
             entry["native_decode_sec_full"] = round(wn, 2)
