@@ -756,3 +756,75 @@ def m11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(encode, "doc_id long, content binary")
     )
     return mm.decode_video_frames(vids, "doc_id", "content", every=2)
+
+
+# ---------------------------------------------------------------------------
+# m12 — visual near-dup pairs: phash + banded hamming LSH
+# ---------------------------------------------------------------------------
+#
+# The image twin of MinHash banding (d06): m05's difference hash per
+# image, 4 bands of 16 bits as equi-join buckets over DISTINCT hashes,
+# bit_count hamming verify — candidate set fully deterministic, so the
+# DuckDB twin reproduces it bit-for-bit (DISTINCT pair dedup there ==
+# first-band dedup here: same set, one row per unordered pair).
+
+_M12_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+),
+p AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(0, 63), j ->
+             CASE WHEN ({_M05_BYTE.format(j='j')}) > ({_M05_BYTE.format(j='(j + 1)')})
+                  THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+           (a, x) -> a + x) AS phash
+  FROM h
+),
+g AS (SELECT DISTINCT phash FROM p),
+bd AS (
+  SELECT phash, b, (phash >> (16 * b)) & 65535 AS key
+  FROM g, range(0, 4) t(b)
+),
+hp AS (
+  SELECT DISTINCT a.phash AS ha, c.phash AS hb
+  FROM bd a JOIN bd c ON a.b = c.b AND a.key = c.key AND a.phash < c.phash
+),
+hv AS (
+  SELECT ha, hb, CAST(bit_count(xor(ha::BIT, hb::BIT)) AS INTEGER) AS hamming
+  FROM hp
+  WHERE bit_count(xor(ha::BIT, hb::BIT)) <= 8
+)
+SELECT x.doc_id AS id_a, y.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+FROM p x JOIN p y ON x.phash = y.phash AND x.doc_id < y.doc_id
+UNION ALL
+SELECT least(x.doc_id, y.doc_id) AS id_a,
+       greatest(x.doc_id, y.doc_id) AS id_b,
+       hv.hamming
+FROM hv JOIN p x ON x.phash = hv.ha JOIN p y ON y.phash = hv.hb
+"""
+
+
+@df_query(
+    "m12_phash_neardup",
+    "Visual near-duplicate pairs: difference hash per image, banded hamming "
+    "LSH (4x16-bit bands over distinct hashes), bit_count verify <= 8 — the "
+    "image twin of MinHash banding; never all-pairs.",
+    _M12_ORACLE,
+)
+def m12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lagoon_spark.operators.dedup import phash_neardup_pairs
+
+    register_views(spark, sf_dir)
+    imgs = spark.table("documents").select(
+        "doc_id",
+        mm.fake_image_col(
+            F.col("doc_id") % 64 + 1,
+            F.col("doc_id") % 48 + 1,
+            F.encode("text", "UTF-8"),
+        ).alias("content"),
+    )
+    hashed = mm.perceptual_hash_images(imgs, "doc_id", "content")
+    return phash_neardup_pairs(
+        hashed, "id", "phash", bands=4, band_bits=16, max_hamming=8
+    )

@@ -602,6 +602,114 @@ def hamming_pairs(
     )
 
 
+def phash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    *,
+    bands: int = 4,
+    band_bits: int = 16,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs by banded hamming LSH over a perceptual
+    (or any fixed-width integer) hash — the VISUAL near-dup stage:
+    m05's difference hash gives visually-similar images nearby hash
+    values, and banding turns "nearby" into equi-join buckets the way
+    MinHash banding does for token sets (reference surface: the
+    dedup/query plane; this is a training-pipeline extension family).
+
+    Returns ``(id_a, id_b, hamming)``. Band ``b``'s key is bit range
+    ``[b*band_bits, (b+1)*band_bits)``; a pair is a candidate iff some
+    band matches exactly. Pigeonhole: any pair with hamming < bands is
+    GUARANTEED to collide in at least one band; above that, recall is
+    probabilistic — the standard LSH tradeoff. The candidate SET is
+    fully deterministic, so the DuckDB oracle reproduces it exactly.
+
+    Scale design mirrors :func:`lsh_candidate_pairs` (d06): collapse
+    to DISTINCT hashes first (exact visual duplicates dominate web
+    corpora — every member of an identical-hash clique pairs at
+    hamming 0 without touching the band join), band-join the
+    distinct-hash dictionary only, keep a colliding pair in its FIRST
+    matching band (a filter, not a dedup shuffle), hamming-verify with
+    one ``bit_count``, and only then expand member ids through two
+    joins — never an all-pairs product (contrast
+    :func:`hamming_pairs`, which refuses unblocked calls), never a
+    per-hash id array a mega-clique could grow without bound.
+    """
+    if bands < 1 or band_bits < 1:
+        raise ValueError("bands and band_bits must be >= 1")
+    if bands * band_bits > 64:
+        raise ValueError("bands * band_bits must fit in 64 bits")
+    members = df.select(
+        F.col(hash_col).cast("long").alias("__h"), F.col(id_col).alias("__id")
+    ).persist()
+    mask = (1 << band_bits) - 1
+    keys = F.array(
+        *[
+            F.shiftrightunsigned(F.col("__h"), b * band_bits).bitwiseAND(
+                F.lit(mask)
+            )
+            for b in range(bands)
+        ]
+    )
+    groups = members.select("__h").distinct().withColumn("__keys", keys).persist()
+    groups.count()  # eager: both join sides read a warm cache
+
+    # identical hashes: hamming 0 by definition, no band join needed
+    within = (
+        members.select("__h", F.col("__id").alias("id_a"))
+        .join(members.select("__h", F.col("__id").alias("id_b")), "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+    )
+
+    a = groups.select(
+        F.col("__h").alias("__ha"),
+        F.col("__keys").alias("__keys_a"),
+        F.posexplode("__keys").alias("__band", "__key"),
+    )
+    b = groups.select(
+        F.col("__h").alias("__hb"),
+        F.col("__keys").alias("__keys_b"),
+        F.posexplode("__keys").alias("band", "key"),
+    )
+    earlier = F.lit(False)
+    first_band = F.lit(True)
+    for prev in range(bands - 1):
+        earlier = earlier | (F.col("__keys_a")[prev] == F.col("__keys_b")[prev])
+        first_band = F.when(F.col("__band") == prev + 1, ~earlier).otherwise(
+            first_band
+        )
+    dist = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int")
+    hash_pairs = (
+        a.join(
+            b,
+            (F.col("__band") == F.col("band"))
+            & (F.col("__key") == F.col("key"))
+            & (F.col("__ha") < F.col("__hb")),
+        )
+        .filter(first_band)
+        .select("__ha", "__hb", dist.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    cross = (
+        hash_pairs.join(
+            members.select(F.col("__h").alias("__ha"), F.col("__id").alias("__x")),
+            "__ha",
+        )
+        .join(
+            members.select(F.col("__h").alias("__hb"), F.col("__id").alias("__y")),
+            "__hb",
+        )
+        .select(
+            F.least("__x", "__y").alias("id_a"),
+            F.greatest("__x", "__y").alias("id_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(cross)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -729,3 +729,51 @@ def test_ivf_assign_numpy_tier_matches_literal_tier(spark, sf_small, monkeypatch
     df = spark.createDataFrame([(1, [1.0, 0.0])], "i int, v array<double>")
     got = sim.ivf_assign(df, "v", dup).collect()[0]["ivf_cell"]
     assert got == 0
+
+
+def test_phash_neardup_pairs_guarantee_and_verify(spark):
+    """Banded hamming LSH (m12): (a) identical hashes pair at hamming 0
+    without the band join; (b) any pair with hamming < bands is
+    guaranteed by pigeonhole (4 bands, 3 flipped bits spread across 3
+    bands still leaves one band intact); (c) a band-colliding pair
+    past max_hamming is verified away; (d) > 64 bits of bands is
+    refused."""
+    from lagoon_spark.operators.dedup import phash_neardup_pairs
+
+    base = 0x123456789ABCDEF
+    rows = [
+        (1, base),
+        (2, base),                                  # exact dup of 1
+        (3, base ^ (1 << 0) ^ (1 << 17) ^ (1 << 33)),  # hamming 3 vs 1/2
+        # shares band 0 with base but 24 bits flipped above: candidate,
+        # must be verified away at max_hamming=8
+        (4, base ^ (0xFFFFFF << 16)),
+        (5, 0x7AAAAAAAAAAAAAAA),                    # unrelated
+    ]
+    df = spark.createDataFrame(rows, "id long, phash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_neardup_pairs(df, "id", "phash", max_hamming=8).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 3 and got[(2, 3)] == 3
+    assert (1, 4) not in got and (2, 4) not in got
+    assert not any(5 in p for p in got)
+
+    with pytest.raises(ValueError, match="fit in 64"):
+        phash_neardup_pairs(df, "id", "phash", bands=5, band_bits=16)
+
+
+def test_phash_neardup_pairs_each_pair_once(spark):
+    """A pair colliding in MULTIPLE bands must appear exactly once
+    (first-band dedup) — here ids 1/2 share all four bands except one
+    flipped low bit, so bands 1-3 all collide."""
+    from lagoon_spark.operators.dedup import phash_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(1, 0x0F0F0F0F0F0F0F0), (2, 0x0F0F0F0F0F0F0F1)],
+        "id long, phash long",
+    )
+    out = phash_neardup_pairs(df, "id", "phash").collect()
+    assert len(out) == 1
+    assert (out[0]["id_a"], out[0]["id_b"], out[0]["hamming"]) == (1, 2, 1)
