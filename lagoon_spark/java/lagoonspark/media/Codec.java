@@ -186,30 +186,32 @@ final class Codec {
         }
         ByteBuffer buf = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN);
         int[] dims = {-1, -1}; // from avih
-        java.util.ArrayList<byte[]> frames = new java.util.ArrayList<>();
-        walk(buf, 12, blob.length, dims, frames);
+        // MJPEG frames are independent: unsampled frames are COUNTED
+        // (counts[0]) but never decoded — with every=30 (typical
+        // keyframe sampling) that cuts decode cost ~30x, which is the
+        // lever at video-corpus scale.
+        int[] counts = {0}; // total video chunks seen
+        java.util.ArrayList<byte[]> sampled = new java.util.ArrayList<>();
+        walk(buf, 12, blob.length, dims, counts, every, sampled);
         if (dims[0] < 0) {
             throw new IllegalArgumentException("AVI missing avih header");
         }
-        int nFrames = frames.size();
-        int nSampled = 0;
         int total = 0;
-        for (int i = 0; i < nFrames; i += every) {
-            nSampled++;
-            total += frames.get(i).length;
+        for (byte[] f : sampled) {
+            total += f.length;
         }
         byte[] out = new byte[total];
         int p = 0;
-        for (int i = 0; i < nFrames; i += every) {
-            byte[] f = frames.get(i);
+        for (byte[] f : sampled) {
             System.arraycopy(f, 0, out, p, f.length);
             p += f.length;
         }
-        return new AviSampled(nFrames, nSampled, dims[0], dims[1], out);
+        return new AviSampled(counts[0], sampled.size(), dims[0], dims[1], out);
     }
 
     private static void walk(ByteBuffer buf, int pos, int end, int[] dims,
-                             java.util.List<byte[]> frames) throws Exception {
+                             int[] counts, int every,
+                             java.util.List<byte[]> sampled) throws Exception {
         while (pos + 8 <= end) {
             int c0 = buf.get(pos) & 0xFF, c1 = buf.get(pos + 1) & 0xFF,
                 c2 = buf.get(pos + 2) & 0xFF, c3 = buf.get(pos + 3) & 0xFF;
@@ -217,18 +219,20 @@ final class Codec {
             int payloadStart = pos + 8;
             int payloadEnd = (int) Math.min((long) payloadStart + lenU, end);
             if (c0 == 'L' && c1 == 'I' && c2 == 'S' && c3 == 'T') {
-                walk(buf, payloadStart + 4, payloadEnd, dims, frames);
+                walk(buf, payloadStart + 4, payloadEnd, dims, counts, every, sampled);
             } else if (c0 == 'a' && c1 == 'v' && c2 == 'i' && c3 == 'h') {
                 dims[0] = buf.getInt(payloadStart + 32);
                 dims[1] = buf.getInt(payloadStart + 36);
             } else if (c0 == '0' && c1 == '0' && (c2 == 'd')
                     && (c3 == 'c' || c3 == 'b') && payloadEnd > payloadStart) {
-                byte[] jpeg = new byte[payloadEnd - payloadStart];
-                buf.position(payloadStart);
-                ByteBuffer dup = buf.duplicate();
-                dup.position(payloadStart);
-                dup.get(jpeg);
-                frames.add(decodeImage(jpeg).data);
+                int idx = counts[0]++;
+                if (idx % every == 0) {
+                    byte[] jpeg = new byte[payloadEnd - payloadStart];
+                    ByteBuffer dup = buf.duplicate();
+                    dup.position(payloadStart);
+                    dup.get(jpeg);
+                    sampled.add(decodeImage(jpeg).data);
+                }
             }
             pos = payloadStart + (int) lenU + (int) (lenU & 1);
         }

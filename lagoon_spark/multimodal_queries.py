@@ -828,3 +828,81 @@ def m12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_neardup_pairs(
         hashed, "id", "phash", bands=4, band_bits=16, max_hamming=8
     )
+
+
+# ---------------------------------------------------------------------------
+# m13 — REAL pixel resize: box downsample over decoded buffers
+# ---------------------------------------------------------------------------
+#
+# Each document becomes a grayscale pixel buffer of nb (= doc_id%6+1)
+# 8x8 blocks; within block b the pixels checker between
+# base = (doc_id*31 + b*17) % 224 and base+16 on (x+y) parity. A
+# factor-4 box then holds exactly 8 of each value, so the integer box
+# mean is base+8 EXACTLY (sum = 16*base+128, //16) — the checker makes
+# any "pick a corner pixel" shortcut fail while keeping the oracle in
+# closed form. Output layout is row-major: 2 rows of (2 pixels per
+# block), hence repeat(per-block-hex, 2) twice. Resize runs native
+# (Java UDF, zero Python) when the JDK is present, numpy otherwise —
+# identical bytes either way (integer floor-division rule).
+
+_M13_ORACLE = """
+SELECT doc_id AS id,
+       CAST(2 * (doc_id % 6 + 1) AS INTEGER) AS width,
+       CAST(2 AS INTEGER) AS height,
+       CAST(4 * (doc_id % 6 + 1) AS BIGINT) AS payload_bytes,
+       md5(repeat(
+         array_to_string(
+           list_transform(range(0, doc_id % 6 + 1),
+             b -> repeat(lpad(upper(hex((doc_id * 31 + b * 17) % 224 + 8)), 2, '0'), 2)),
+           ''),
+         2)) AS payload_digest
+FROM documents
+"""
+
+
+@df_query(
+    "m13_pixel_resize",
+    "Real box-downsample resize over decoded pixel buffers (factor 4, "
+    "integer box mean): native Java UDF when a JDK is present, vectorized "
+    "numpy otherwise — byte-identical tiers, closed-form oracle.",
+    _M13_ORACLE,
+)
+def m13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    register_views(spark, sf_dir)
+
+    def synth(batches):
+        # synthetic-pixel generation (test data, not the operator under
+        # test): base pattern depends on doc_id via %224 (pixel values)
+        # and %6 (width) → %672 keys the whole buffer; memoize like m09
+        cache: dict = {}
+        for pdf in batches:
+            ws, hs, bufs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                key = int(doc_id) % 672
+                buf = cache.get(key)
+                if buf is None:
+                    nb = key % 6 + 1
+                    w = 8 * nb
+                    x = np.arange(w)
+                    base = (key * 31 + (x // 8) * 17) % 224
+                    y = np.arange(8)[:, None]
+                    buf = (base[None, :] + 16 * ((x[None, :] + y) % 2)).astype(
+                        np.uint8
+                    ).tobytes()
+                    cache[key] = buf
+                ws.append(8 * (key % 6 + 1))
+                hs.append(8)
+                bufs.append(buf)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "width": ws, "height": hs, "data": bufs}
+            )
+
+    imgs = (
+        spark.table("documents")
+        .select("doc_id")
+        .mapInPandas(synth, "doc_id long, width int, height int, data binary")
+    )
+    return mm.resize_pixels(imgs, "doc_id", "width", "height", "data", factor=4)

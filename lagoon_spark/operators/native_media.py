@@ -43,6 +43,7 @@ _JAR_PATH = os.path.join(_BUILD_DIR, "lagoon-media.jar")
 IMAGE_DECODE_FN = "lagoon_image_decode"
 AVI_SAMPLE_FN = "lagoon_avi_sample"
 GIF_FRAMES_FN = "lagoon_gif_frames"
+IMAGE_RESIZE_FN = "lagoon_image_resize"
 
 #: media types whose native pixel layout matches the stdlib tier
 #: byte-for-byte on lossless content (gray/RGB/RGBA raw bytes;
@@ -147,6 +148,11 @@ def register(spark: SparkSession) -> bool:
             "lagoonspark.media.GifFrames",
             "struct<n_frames:int,width:int,height:int,data:binary>",
         )
+        spark.udf.registerJavaFunction(
+            IMAGE_RESIZE_FN,
+            "lagoonspark.media.ImageResize",
+            "struct<width:int,height:int,data:binary>",
+        )
         ok = True
     except Exception:
         ok = False
@@ -218,5 +224,42 @@ def decode_video_frames_native(
             F.col("d.width").alias("width"),
             F.col("d.height").alias("height"),
             _hex_digest(F.col("d.data")).alias("frames_digest"),
+        )
+    )
+
+
+def resize_pixels_native(
+    df: DataFrame,
+    id_col: str,
+    width_col: str,
+    height_col: str,
+    data_col: str,
+    *,
+    factor: int,
+    channels: int = 1,
+) -> DataFrame:
+    """Pure-JVM box downsample: same output schema and the exact same
+    floor-division box-mean rule as the numpy tier
+    (:func:`lagoon_spark.operators.multimodal.resize_pixels`), so the
+    tiers are byte-identical on EVERY input — integer math has no
+    rounding divergence to pin down."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    d = F.call_udf(
+        IMAGE_RESIZE_FN,
+        F.col(data_col),
+        F.col(width_col).cast("int"),
+        F.col(height_col).cast("int"),
+        F.lit(int(channels)),
+        F.lit(int(factor)),
+    ).alias("d")
+    return (
+        df.select(F.col(id_col).cast("long").alias("id"), d)
+        .select(
+            "id",
+            F.col("d.width").alias("width"),
+            F.col("d.height").alias("height"),
+            F.length("d.data").cast("long").alias("payload_bytes"),
+            _hex_digest(F.col("d.data")).alias("payload_digest"),
         )
     )

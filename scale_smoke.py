@@ -637,13 +637,22 @@ def run_media(spark, n: int, cores: int) -> dict:
                             b"data", len(pcm),
                         )
                         blobs.append(hdr + pcm)
-                    else:  # avi: 2 MJPEG frames
+                    else:
+                        # avi: 8 MJPEG frames of 48x48 — per-frame
+                        # codec work dominates the fixed per-row
+                        # overhead (same rationale as jpeg_large), and
+                        # the every=2 sampling below exercises the
+                        # skip-decode path (unsampled frames counted,
+                        # never decoded) both tiers share
                         frames = [
-                            encode_jpeg(16, 16, raw[k * 64 : k * 64 + 256]
-                                        .ljust(256, b"y"))
-                            for k in range(2)
+                            encode_jpeg(
+                                48, 48,
+                                (raw * 40)[k * 1024 : k * 1024 + 2304]
+                                .ljust(2304, b"y"),
+                            )
+                            for k in range(8)
                         ]
-                        blobs.append(mm.encode_avi_mjpeg(16, 16, frames))
+                        blobs.append(mm.encode_avi_mjpeg(48, 48, frames))
                 yield pd.DataFrame({"id": pdf["id"], "content": blobs})
 
         out = tempfile.mkdtemp(prefix=f"lagoon_smoke_media_{kind}_")

@@ -585,14 +585,19 @@ def test_avi_mjpeg_roundtrip_and_sampling(spark):
 
     frames = [frame(v) for v in (10, 60, 110, 160, 210)]
     avi = encode_avi_mjpeg(16, 8, frames, fps=5)
-    w, h, decoded = _decode_avi_mjpeg(avi)
-    assert (w, h, len(decoded)) == (16, 8, 5)
+    w, h, total, decoded = _decode_avi_mjpeg(avi)
+    assert (w, h, total, len(decoded)) == (16, 8, 5, 5)
     for v, px in zip((10, 60, 110, 160, 210), decoded):
         exp = bytes()
         for _row in range(8):
             for b in range(2):
                 exp += bytes([(v + b * 17) % 256]) * 8
         assert px == exp  # losslessly recovered through the container
+
+    # skip-decode sampling: unsampled frames are counted, never decoded
+    w2, h2, total2, sampled2 = _decode_avi_mjpeg(avi, every=2)
+    assert (w2, h2, total2) == (16, 8, 5)
+    assert sampled2 == decoded[::2]
 
     with _pytest.raises(ValueError, match="RIFF/AVI"):
         _decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")

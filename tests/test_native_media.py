@@ -249,3 +249,57 @@ def test_native_gif_plan_is_python_free(spark):
         assert marker not in plan, plan
     row = out.collect()[0]
     assert (row["n_frames"], row["width"], row["height"]) == (2, 4, 3)
+
+
+def test_resize_pixels_tiers_bit_identical(spark):
+    """Box downsample: the Java UDF and the numpy tier share one
+    integer floor-division rule, so they are byte-identical on random
+    buffers — including non-divisible dims (partial boxes truncated)
+    and multi-channel layouts."""
+    import hashlib
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for i, (w, h, c) in enumerate([(8, 8, 1), (13, 7, 1), (9, 10, 3), (4, 4, 4)]):
+        rows.append((i, w, h, c, bytes(rng.randrange(256) for _ in range(w * h * c))))
+    for factor in (1, 2, 3):
+        for i, w, h, c, buf in rows:
+            df = spark.createDataFrame(
+                [(i, w, h, buf)], "id long, width int, height int, data binary"
+            )
+            nat = mm.resize_pixels(
+                df, "id", "width", "height", "data",
+                factor=factor, channels=c, tier="native",
+            ).collect()[0]
+            std = mm.resize_pixels(
+                df, "id", "width", "height", "data",
+                factor=factor, channels=c, tier="stdlib",
+            ).collect()[0]
+            assert nat.asDict() == std.asDict(), (i, w, h, c, factor)
+            # the stdlib rule itself, pinned against a naive reference loop
+            ow, oh = w // factor, h // factor
+            exp = bytearray()
+            for oy in range(oh):
+                for ox in range(ow):
+                    for ch in range(c):
+                        s = sum(
+                            buf[((oy * factor + fy) * w + ox * factor + fx) * c + ch]
+                            for fy in range(factor)
+                            for fx in range(factor)
+                        )
+                        exp.append(s // (factor * factor))
+            dig = hashlib.md5(bytes(exp).hex().upper().encode()).hexdigest()
+            assert std["payload_digest"] == dig
+            assert (std["width"], std["height"]) == (ow, oh)
+            assert std["payload_bytes"] == len(exp)
+
+
+def test_resize_pixels_rejects_bad_buffer(spark):
+    df = spark.createDataFrame(
+        [(1, 4, 4, b"\x00" * 15)], "id long, width int, height int, data binary"
+    )
+    with pytest.raises(Exception, match="width\\*height\\*channels"):
+        mm.resize_pixels(df, "id", "width", "height", "data", factor=2).collect()
+    with pytest.raises(ValueError, match="factor"):
+        mm.resize_pixels(df, "id", "width", "height", "data", factor=0)
