@@ -904,3 +904,60 @@ def duplicate_spans(
         .filter(F.col("span_tokens") >= min_tokens)
     )
     return spans.select(id_col, "span_start", "span_end", "span_tokens")
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_tokens: int = 8,
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """The passage-REMOVAL transform (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr): rewrite
+    each document with every token inside a cross-document duplicated
+    span (:func:`duplicate_spans`) dropped. Detection tells you where
+    the duplication is; this is the operator a training pipeline
+    actually runs before tokenization.
+
+    Returns ``(id, out_col, n_tokens, n_tokens_removed)`` — documents
+    with no duplicated spans pass through with their tokens rejoined
+    (single-space normalized, the same token model as detection).
+
+    Scale shape: ``duplicate_spans``'s cost (gram-DF aggregate + join
+    + per-doc window) plus ONE shuffle join of the per-doc span arrays
+    back onto the corpus; the rewrite itself is pure JVM higher-order
+    array functions (transform/filter/exists/array_join) — no Python,
+    no explode of the corpus a second time, nothing quadratic. Span
+    arrays are tiny (maximal spans, not grams), so the join payload is
+    O(spans), not O(tokens).
+    """
+    spans = duplicate_spans(df, id_col, text_col, n=n, min_tokens=min_tokens)
+    spans_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = df.select(id_col, text_col).withColumn("__toks", toks)
+    joined = base.join(spans_arr, id_col, "left")
+    indexed = F.transform(
+        "__toks",
+        lambda w, i: F.struct(w.alias("w"), (i + F.lit(1)).alias("p")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.coalesce(
+            F.exists(
+                "__spans",
+                lambda sp: (s["p"] >= sp["span_start"])
+                & (s["p"] <= sp["span_end"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(F.transform(kept, lambda s: s["w"]), " ").alias(out_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )

@@ -2684,3 +2684,84 @@ def d35(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(e1.unionAll(e2), "src", "dst", iters=3).select(
         F.col("node"), F.col("pagerank")
     )
+
+
+# ---------------------------------------------------------------------------
+# d36 — passage removal: the ExactSubstr REWRITE (Lee et al. 2022)
+# ---------------------------------------------------------------------------
+#
+# d22 detects cross-document duplicated spans; d36 is the transform a
+# training pipeline actually runs — rewrite each document with every
+# token inside such a span dropped. The rewrite itself is pure JVM
+# higher-order array functions over the span arrays joined back per
+# doc (transform/filter/exists/array_join): no second corpus explode,
+# no Python, nothing quadratic.
+
+_D36_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[i : i + {_D22_N - 1}], ' ') AS gram
+  FROM t, unnest(range(1, greatest(len(toks) - {_D22_N - 1}, 0) + 1)) u(i)
+),
+shared AS (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+marked AS (
+  SELECT g.doc_id, g.pos FROM g JOIN shared USING (gram)
+),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run
+  FROM marked
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {_D22_N - 1} AS span_end
+  FROM runs GROUP BY doc_id, run
+  HAVING MAX(pos) + {_D22_N - 1} - MIN(pos) + 1 >= {_D22_MIN_TOKENS}
+),
+tok AS (
+  SELECT doc_id, i AS pos, toks[i] AS w
+  FROM t, unnest(range(1, len(toks) + 1)) u(i)
+),
+kept AS (
+  SELECT tok.doc_id, tok.pos, tok.w
+  FROM tok
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tok.doc_id
+      AND tok.pos BETWEEN s.span_start AND s.span_end)
+),
+agg AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text_clean,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.text_clean, '') AS text_clean,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_removed
+FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@df_query(
+    "d36_remove_duplicate_spans",
+    "Passage REMOVAL (Lee et al. 2022 ExactSubstr rewrite): drop every token "
+    "inside a cross-document duplicated span and rejoin — d22's detection "
+    "plus one span-array join back; the rewrite is pure JVM higher-order "
+    "array functions, no second corpus explode.",
+    _D36_ORACLE,
+)
+def d36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return dedup.remove_duplicate_spans(
+        spark.table("documents").select("doc_id", "text"),
+        "doc_id",
+        "text",
+        n=_D22_N,
+        min_tokens=_D22_MIN_TOKENS,
+    )

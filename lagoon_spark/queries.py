@@ -94,6 +94,7 @@ _DRIVER_PREFIX = {
     "st11_stream_signature_dedup": "q134",
     "m12_phash_neardup": "q135",
     "m13_pixel_resize": "q136",
+    "d36_remove_duplicate_spans": "q137",
     "m01_asset_metadata": "q78", "m02_byte_features": "q79",
     "m03_frame_sample": "q80", "m04_image_decode": "q81",
     "s01_cosine_topk": "q82", "s02_cosine_pairs_blocked": "q83",

@@ -701,7 +701,13 @@ def run_media(spark, n: int, cores: int) -> dict:
         if kind in ("jpeg", "jpeg_large", "gif", "avi"):
             timed_decode(pf, kind, tier="native")  # warm (jar, codegen)
             wn, _bn = timed_decode(pf, kind, tier="native")
+            wnq, _ = timed_decode(pq, kind, tier="native")
             entry["native_decode_sec_full"] = round(wn, 2)
+            # quarter-size native wall: when full ≈ quarter the lane is
+            # job-floor-bound (scheduling/noop-write, not codec) and its
+            # multiplier UNDERSTATES the codec speedup — read the
+            # decode-dominated lanes (jpeg_large/gif/avi) for that
+            entry["native_decode_sec_quarter"] = round(wnq, 2)
             entry["native_mb_per_sec_per_core"] = round(
                 bf / max(wn, 1e-9) / cores / 1e6, 3
             )

@@ -99,3 +99,38 @@ def test_crossdoc_dup_fraction_matches_python_reference(spark, docs):
         for r in crossdoc_dup_fraction(df, "doc_id", "text", n=_N).collect()
     }
     assert got == _py_fraction(docs, _N)
+
+
+def _py_remove(docs: list[str], n: int, min_tokens: int):
+    spans = _py_spans(docs, n, min_tokens)
+    out = {}
+    for i, d in enumerate(docs):
+        toks = [w for w in d.split(" ") if w != ""]
+        drop = set()
+        for (j, start, end, _len) in spans:
+            if j == i:
+                drop.update(range(start, end + 1))
+        kept = [w for p, w in enumerate(toks, 1) if p not in drop]
+        out[i] = (" ".join(kept), len(toks), len(toks) - len(kept))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_CORPUS)
+def test_remove_duplicate_spans_matches_python_reference(spark, docs):
+    from lagoon_spark.operators.dedup import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_tokens"], r["n_tokens_removed"])
+        for r in remove_duplicate_spans(
+            df, "doc_id", "text", n=_N, min_tokens=_MIN_TOKENS
+        ).collect()
+    }
+    assert got == _py_remove(docs, _N, _MIN_TOKENS)
