@@ -807,26 +807,34 @@ def crossdoc_dup_fraction(
     Returns (id, n_grams, n_shared_grams, dup_fraction); documents
     shorter than ``n`` tokens come out with 0 grams and fraction 0.
 
-    Scale shape: one explode + one map-side-combinable groupBy on the
-    gram (uniform high-cardinality key) for the document frequency, one
-    shuffle join back on the same key, one per-doc aggregate. Nothing
-    is broadcast (the gram dictionary is data-sized); nothing is
-    quadratic.
+    Scale shape: one explode into 64-bit gram HASHES (xxhash64 — gram
+    text never shuffles; ~20 B/gram), one map-side-combinable min/max
+    groupBy on the hash (cross-document iff min(id) != max(id) — the
+    partial aggregate collapses to one row per gram per task, unlike a
+    count_distinct over (gram, id)), one shuffle join back on the same
+    key, one per-doc aggregate. Nothing is broadcast (the gram
+    dictionary is data-sized); nothing is quadratic. Per-pair hash
+    collision odds are 2⁻⁶⁴ and could only over-count shared grams.
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     exploded = (
         df.withColumn("__toks", toks)
-        .select(F.col(id_col), F.explode(_ngrams_expr("__toks", n)).alias("__gram"))
+        .select(
+            F.col(id_col), F.explode(_ngrams_expr("__toks", n)).alias("__gram")
+        )
+        .select(F.col(id_col), F.xxhash64("__gram").alias("__g"))
     )
-    gram_df = exploded.groupBy("__gram").agg(
-        F.count_distinct(F.col(id_col)).alias("__df")
+    gram_df = (
+        exploded.groupBy("__g")
+        .agg(F.min(id_col).alias("__a"), F.max(id_col).alias("__b"))
+        .select("__g", (F.col("__a") != F.col("__b")).alias("__shared"))
     )
     per_doc = (
-        exploded.join(gram_df, "__gram")
+        exploded.join(gram_df, "__g")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0)).alias(
+            F.sum(F.when(F.col("__shared"), 1).otherwise(0)).alias(
                 "n_shared_grams"
             ),
         )
@@ -865,13 +873,21 @@ def duplicate_spans(
     (id, span_start, span_end, span_tokens) with 1-based inclusive
     token indexes.
 
-    Scale shape: one explode + one map-side-combinable doc-frequency
-    aggregate on the gram key + one shuffle join back (nothing
-    broadcast — the gram dictionary is data-sized), then one per-doc
-    window (keyed on the doc id — uniform) whose ``pos - row_number``
-    difference labels each run, and one (doc, run) aggregate. No
-    suffix array needed: grams of width n detect any duplicated
-    substring of ≥ n tokens, and run-merging reconstructs its extent.
+    Scale shape: one explode into 64-BIT GRAM HASHES (xxhash64 — the
+    gram TEXT is never shuffled, so shuffle bytes are ~20 B/token, not
+    ~n·token bytes), one map-side-combinable min/max-doc aggregate on
+    the hash (a gram is cross-document iff min(id) != max(id) — unlike
+    count_distinct this partial-aggregates to one row per gram per
+    task, so the aggregate shuffle is O(distinct grams), not
+    O(occurrences)) + one shuffle join back (nothing broadcast — the
+    shared-gram dictionary is data-sized; AQE splits hot stopword
+    grams), then one per-doc window (keyed on the doc id — uniform)
+    whose ``pos - row_number`` difference labels each run, and one
+    (doc, run) aggregate. No suffix array needed: grams of width n
+    detect any duplicated substring of ≥ n tokens, and run-merging
+    reconstructs its extent. Hashing makes the blocking probabilistic
+    with per-pair collision odds 2⁻⁶⁴ (≈5e-8 even at 10⁹ distinct
+    grams) — collisions could only ADD a false span, never miss one.
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
     exploded = (
@@ -880,15 +896,19 @@ def duplicate_spans(
             F.col(id_col),
             F.posexplode(_ngrams_expr("__toks", n)).alias("__pos0", "__gram"),
         )
-        .select(id_col, (F.col("__pos0") + 1).alias("__pos"), "__gram")
+        .select(
+            id_col,
+            (F.col("__pos0") + 1).alias("__pos"),
+            F.xxhash64("__gram").alias("__g"),
+        )
     )
     shared_grams = (
-        exploded.groupBy("__gram")
-        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
-        .filter(F.col("__df") >= 2)
-        .select("__gram")
+        exploded.groupBy("__g")
+        .agg(F.min(id_col).alias("__a"), F.max(id_col).alias("__b"))
+        .filter(F.col("__a") != F.col("__b"))
+        .select("__g")
     )
-    marked = exploded.join(shared_grams, "__gram").select(id_col, "__pos")
+    marked = exploded.join(shared_grams, "__g").select(id_col, "__pos")
     w = Window.partitionBy(id_col).orderBy("__pos")
     runs = marked.withColumn("__run", F.col("__pos") - F.row_number().over(w))
     spans = (

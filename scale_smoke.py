@@ -154,6 +154,35 @@ def run_minhash_cc(spark, n: int) -> dict:
     return {"n": n, "wall_sec": round(wall, 2), "rows": agg["rows"], "clusters": agg["clusters"]}
 
 
+def run_passage_removal(spark, n: int) -> dict:
+    """d36 at corpus scale: the ExactSubstr rewrite (drop tokens inside
+    cross-document duplicated spans). The smoke corpus's 10% near-dup
+    pairs share their whole 30-token body, so the gram-DF join marks
+    ~2 docs per pair and the rewrite drops their duplicated spans —
+    tokens_removed is the executed proof the transform fired, not just
+    ran."""
+    from lagoon_spark.operators.dedup import remove_duplicate_spans
+
+    docs = make_docs(spark, n)
+    t0 = time.time()
+    out = remove_duplicate_spans(docs, "id", "text", n=5, min_tokens=8)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_tokens_removed").alias("tokens_removed"),
+        F.sum((F.col("n_tokens_removed") > 0).cast("long")).alias(
+            "docs_rewritten"
+        ),
+    ).collect()[0]
+    wall = time.time() - t0
+    return {
+        "n": n,
+        "wall_sec": round(wall, 2),
+        "rows": agg["rows"],
+        "tokens_removed": int(agg["tokens_removed"] or 0),
+        "docs_rewritten": int(agg["docs_rewritten"] or 0),
+    }
+
+
 def run_semantic(spark, m: int, dim: int) -> dict:
     from lagoon_spark.operators.similarity import semantic_dedup
 
@@ -1230,6 +1259,7 @@ def main() -> None:
         for name, fn, full, quarter in (
             ("minhash_lsh_cc", run_minhash_cc, args.docs, args.docs // 4),
             ("semantic_dedup", run_semantic, args.vectors, args.vectors // 4),
+            ("passage_removal", run_passage_removal, args.docs, args.docs // 4),
         ):
             if name == "semantic_dedup":
                 q = fn(spark, quarter, args.dim)
@@ -1249,16 +1279,29 @@ def main() -> None:
                 **shuffles,
             }
 
-        # the O(n²)-shuffle tripwire: no single stage of either pipeline
-        # may shuffle more than a few passes over the raw corpus
-        worst = max(
+        # the O(n²)-shuffle tripwire: no single stage may shuffle more
+        # than its phase's DOCUMENTED linear factor over the raw
+        # corpus. Default 3 (signature/centroid pipelines compress);
+        # passage_removal is a gram index — one (id, pos, hash64) row
+        # per token position is ~20 B/token against ~6-7 B/token of
+        # text, a constant-factor representation cost that is linear by
+        # construction (the gram TEXT itself never shuffles).
+        allowance = {"passage_removal": 6}
+        report["phase_shuffle_vs_input"] = {
+            name: round(
+                p["max_stage_shuffle_write_bytes"] / max(input_bytes, 1), 3
+            )
+            for name, p in report["phases"].items()
+        }
+        report["phase_shuffle_allowance"] = allowance
+        report["max_stage_shuffle_vs_input"] = max(
+            report["phase_shuffle_vs_input"].values()
+        )
+        report["no_quadratic_shuffle"] = all(
             p["max_stage_shuffle_write_bytes"]
-            for p in report["phases"].values()
+            < allowance.get(name, 3) * input_bytes
+            for name, p in report["phases"].items()
         )
-        report["max_stage_shuffle_vs_input"] = round(
-            worst / max(input_bytes, 1), 3
-        )
-        report["no_quadratic_shuffle"] = worst < 3 * input_bytes
 
     if not args.skip_ann_index:
         report["phases"]["ann_index"] = run_ann_index(

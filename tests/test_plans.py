@@ -151,7 +151,9 @@ def test_crossdoc_dup_gram_dictionary_is_not_broadcast(spark, sf_small):
     plan = _plan(
         get_query("d21_crossdoc_dup_fraction").spark_fn(spark, sf_small)
     )
-    assert "hashpartitioning(__gram" in plan
+    # gram occurrences shuffle as 64-bit hashes (__g), never gram text
+    assert "hashpartitioning(__g#" in plan or "hashpartitioning(__g," in plan
+    assert "hashpartitioning(__gram" not in plan
 
 
 def test_semantic_dedup_pair_join_is_cell_blocked(spark, sf_small):
