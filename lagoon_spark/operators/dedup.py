@@ -742,8 +742,14 @@ def ngram_jaccard_pairs(
         )
     # split once into a column first: referencing split() inside the
     # transform lambda would re-tokenize the document per gram
-    # (measured 3.6s → 0.3s for the gram stage at sf0.1)
-    grams = F.array_distinct(_ngrams_expr("__toks", n))
+    # (measured 3.6s → 0.3s for the gram stage at sf0.1).
+    # Gram sets are 64-bit xxhash64 keys, not strings: the pair join
+    # shuffles 8 B per distinct gram instead of n·token bytes, and
+    # array_intersect compares longs instead of strings. Per-pair
+    # collision odds 2⁻⁶⁴ (could only nudge |A∩B| up by one).
+    grams = F.array_distinct(
+        F.transform(_ngrams_expr("__toks", n), lambda g: F.xxhash64(g))
+    )
     # gram sets are computed once per row and persisted; the pair join
     # only does set intersection (see lsh_candidate_pairs for the scale
     # rationale)
