@@ -48,6 +48,19 @@ def main() -> None:
     kept = cleaned.join(survivors.select("doc_id"), "doc_id")
     print(f"after dedup: {kept.count()} canonical documents")
 
+    # 2b. passage removal (ExactSubstr, Lee et al. 2022): even canonical
+    #     docs can share boilerplate spans — drop the spanned tokens
+    rewritten = dedup.remove_duplicate_spans(kept, "doc_id", "text")
+    removed = rewritten.agg(F.sum("n_tokens_removed")).collect()[0][0]
+    # pin the rewrite: every downstream stage re-derives its input
+    # lineage, and the span pipeline (window + joins) is too deep to
+    # recompute per consumer
+    kept = kept.drop("text").join(
+        rewritten.select("doc_id", F.col("text_clean").alias("text")),
+        "doc_id",
+    ).localCheckpoint()
+    print(f"passage removal dropped {removed} duplicated tokens")
+
     # 3. quality gates: trained-weights linear score + LM perplexity
     #    under a hashed bigram model fit on the English subset
     from lagoon_spark.oracle_fragments import D28_WEIGHTS
