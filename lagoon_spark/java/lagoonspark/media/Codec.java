@@ -38,8 +38,43 @@ final class Codec {
         }
     }
 
+    // Per-call ImageIO.read pays a provider-registry scan + reader
+    // construction per image — the dominant cost for thumbnail-sized
+    // inputs (a 16x16 JPEG decodes in microseconds; the lookup costs
+    // more). Executor tasks are thread-pinned, so a ThreadLocal reader
+    // per format amortizes that to zero; setInput(...) fully resets
+    // reader state between calls.
+    private static final ThreadLocal<javax.imageio.ImageReader> JPEG_READER =
+        ThreadLocal.withInitial(() ->
+            ImageIO.getImageReadersByFormatName("jpeg").next());
+    private static final ThreadLocal<javax.imageio.ImageReader> PNG_READER =
+        ThreadLocal.withInitial(() ->
+            ImageIO.getImageReadersByFormatName("png").next());
+
+    private static BufferedImage readImage(byte[] blob) throws Exception {
+        javax.imageio.ImageReader r = null;
+        if (blob.length >= 3 && (blob[0] & 0xFF) == 0xFF
+                && (blob[1] & 0xFF) == 0xD8 && (blob[2] & 0xFF) == 0xFF) {
+            r = JPEG_READER.get();
+        } else if (blob.length >= 4 && (blob[0] & 0xFF) == 0x89
+                && blob[1] == 'P' && blob[2] == 'N' && blob[3] == 'G') {
+            r = PNG_READER.get();
+        }
+        if (r == null) {
+            return ImageIO.read(new ByteArrayInputStream(blob));
+        }
+        try (javax.imageio.stream.MemoryCacheImageInputStream iis =
+                new javax.imageio.stream.MemoryCacheImageInputStream(
+                    new ByteArrayInputStream(blob))) {
+            r.setInput(iis, true, true);
+            return r.read(0);
+        } finally {
+            r.setInput(null); // detach; the reader itself is reused
+        }
+    }
+
     static Decoded decodeImage(byte[] blob) throws Exception {
-        BufferedImage img = ImageIO.read(new ByteArrayInputStream(blob));
+        BufferedImage img = readImage(blob);
         if (img == null) {
             throw new IllegalArgumentException(
                 "ImageIO could not decode the supplied bytes");
