@@ -50,6 +50,9 @@ final class Codec {
     private static final ThreadLocal<javax.imageio.ImageReader> PNG_READER =
         ThreadLocal.withInitial(() ->
             ImageIO.getImageReadersByFormatName("png").next());
+    private static final ThreadLocal<javax.imageio.ImageReader> GIF_READER =
+        ThreadLocal.withInitial(() ->
+            ImageIO.getImageReadersByFormatName("gif").next());
 
     private static BufferedImage readImage(byte[] blob) throws Exception {
         javax.imageio.ImageReader r = null;
@@ -156,14 +159,11 @@ final class Codec {
         }
         int w = (blob[6] & 0xFF) | ((blob[7] & 0xFF) << 8);
         int h = (blob[8] & 0xFF) | ((blob[9] & 0xFF) << 8);
-        java.util.Iterator<javax.imageio.ImageReader> readers =
-                ImageIO.getImageReadersByFormatName("gif");
-        if (!readers.hasNext()) {
-            throw new IllegalStateException("no GIF ImageReader in this JVM");
-        }
-        javax.imageio.ImageReader reader = readers.next();
-        try (javax.imageio.stream.ImageInputStream iis =
-                ImageIO.createImageInputStream(new ByteArrayInputStream(blob))) {
+        // same per-call registry-scan amortization as readImage
+        javax.imageio.ImageReader reader = GIF_READER.get();
+        try (javax.imageio.stream.MemoryCacheImageInputStream iis =
+                new javax.imageio.stream.MemoryCacheImageInputStream(
+                    new ByteArrayInputStream(blob))) {
             reader.setInput(iis, false);
             int n = reader.getNumImages(true);
             if (n < 1) {
@@ -182,7 +182,7 @@ final class Codec {
             }
             return new GifDecoded(n, w, h, out.toByteArray());
         } finally {
-            reader.dispose();
+            reader.setInput(null); // detach; the reader itself is reused
         }
     }
 
