@@ -50,15 +50,17 @@ def main() -> None:
 
     # 2b. passage removal (ExactSubstr, Lee et al. 2022): even canonical
     #     docs can share boilerplate spans — drop the spanned tokens
-    rewritten = dedup.remove_duplicate_spans(kept, "doc_id", "text")
+    # pin the rewrite BEFORE consuming it: the span pipeline (window +
+    # joins) is too deep to recompute per consumer, and both the token
+    # count and the join below read it
+    rewritten = dedup.remove_duplicate_spans(
+        kept, "doc_id", "text"
+    ).localCheckpoint()
     removed = rewritten.agg(F.sum("n_tokens_removed")).collect()[0][0]
-    # pin the rewrite: every downstream stage re-derives its input
-    # lineage, and the span pipeline (window + joins) is too deep to
-    # recompute per consumer
     kept = kept.drop("text").join(
         rewritten.select("doc_id", F.col("text_clean").alias("text")),
         "doc_id",
-    ).localCheckpoint()
+    )
     print(f"passage removal dropped {removed} duplicated tokens")
 
     # 3. quality gates: trained-weights linear score + LM perplexity

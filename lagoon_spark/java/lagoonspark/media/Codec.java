@@ -44,15 +44,22 @@ final class Codec {
     // more). Executor tasks are thread-pinned, so a ThreadLocal reader
     // per format amortizes that to zero; setInput(...) fully resets
     // reader state between calls.
+    private static javax.imageio.ImageReader firstReader(String format) {
+        java.util.Iterator<javax.imageio.ImageReader> it =
+            ImageIO.getImageReadersByFormatName(format);
+        if (!it.hasNext()) {
+            throw new IllegalStateException(
+                "no " + format + " ImageReader in this JVM");
+        }
+        return it.next();
+    }
+
     private static final ThreadLocal<javax.imageio.ImageReader> JPEG_READER =
-        ThreadLocal.withInitial(() ->
-            ImageIO.getImageReadersByFormatName("jpeg").next());
+        ThreadLocal.withInitial(() -> firstReader("jpeg"));
     private static final ThreadLocal<javax.imageio.ImageReader> PNG_READER =
-        ThreadLocal.withInitial(() ->
-            ImageIO.getImageReadersByFormatName("png").next());
+        ThreadLocal.withInitial(() -> firstReader("png"));
     private static final ThreadLocal<javax.imageio.ImageReader> GIF_READER =
-        ThreadLocal.withInitial(() ->
-            ImageIO.getImageReadersByFormatName("gif").next());
+        ThreadLocal.withInitial(() -> firstReader("gif"));
 
     private static BufferedImage readImage(byte[] blob) throws Exception {
         javax.imageio.ImageReader r = null;

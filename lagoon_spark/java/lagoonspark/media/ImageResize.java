@@ -28,6 +28,9 @@ public class ImageResize implements UDF5<byte[], Integer, Integer, Integer, Inte
         if (c < 1) {
             throw new IllegalArgumentException("channels must be >= 1");
         }
+        if (w < 0 || h < 0) {
+            throw new IllegalArgumentException("width/height must be >= 0");
+        }
         if (data == null || (long) w * h * c != data.length) {
             throw new IllegalArgumentException(
                 "pixel buffer length != width*height*channels");

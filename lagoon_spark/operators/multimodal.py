@@ -984,6 +984,8 @@ def resize_pixels(
             ):
                 w, h = int(w), int(h)
                 buf = bytes(data)
+                if w < 0 or h < 0:
+                    raise ValueError("width/height must be >= 0")
                 if w * h * c != len(buf):
                     raise ValueError(
                         "pixel buffer length != width*height*channels"

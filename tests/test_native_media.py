@@ -303,3 +303,13 @@ def test_resize_pixels_rejects_bad_buffer(spark):
         mm.resize_pixels(df, "id", "width", "height", "data", factor=2).collect()
     with pytest.raises(ValueError, match="factor"):
         mm.resize_pixels(df, "id", "width", "height", "data", factor=0)
+    # negative dims whose product matches the buffer length must refuse
+    # in BOTH tiers (the tiers-identical contract includes errors)
+    neg = spark.createDataFrame(
+        [(1, -1, -1, b"\x00")], "id long, width int, height int, data binary"
+    )
+    for tier in ("native", "stdlib"):
+        with pytest.raises(Exception, match="width/height"):
+            mm.resize_pixels(
+                neg, "id", "width", "height", "data", factor=4, tier=tier
+            ).collect()
