@@ -362,3 +362,53 @@ def test_cli_ann_index_and_search(spark, tmp_path):
                   user="admin")
     lines = [ln for ln in out.splitlines() if ln.strip()]
     assert len(lines) == 2 and lines[0].startswith("1\t")
+
+
+S3_GOLDEN = os.path.join(
+    os.path.dirname(__file__), "golden", "dbinfo-s3.expected"
+)
+
+
+def test_cli_s3_golden_dump(spark, tmp_path, monkeypatch):
+    """Mirror of `runs3tests.sh` + dbinfo-s3.expected: ingest a JSON
+    numbers file and a CSV whose S3 KEY CONTAINS A SPACE straight from
+    s3:// URLs (stubbed client — no boto3 in this container), pinned
+    clock, user edsko; the dump must match the committed golden,
+    including the source URL lines. Scaled to 1000 JSON values (the
+    reference uses 1M for its constant-memory RTS assertion, which
+    Spark's executor-side streaming makes moot)."""
+    from lagoon_spark.ingest import input as input_mod
+
+    class _FakeS3:
+        def __init__(self, objects):
+            self.objects = objects
+
+        def download_file(self, bucket, key, filename):
+            with open(filename, "wb") as f:
+                f.write(self.objects[(bucket, key)])
+
+    nums = "".join(f"{i}\n" for i in range(1000)).encode()
+    monkeypatch.setattr(
+        input_mod,
+        "_make_s3_client",
+        lambda: _FakeS3(
+            {
+                ("my-bucket", "many-json-numbers.json"): nums,
+                ("my-bucket", "simple file.csv"): b"Foo\ntrue\n",
+            }
+        ),
+    )
+    wh = tmp_path / "warehouse"
+    _run(wh, "init-db", user="edsko")
+    _run(
+        wh, "ingest", "-n", "many-json-numbers.json", "--file-type", "json",
+        "--created", PIN, "s3://my-bucket/many-json-numbers.json",
+        user="edsko",
+    )
+    _run(
+        wh, "ingest", "-n", "simple file.csv", "--created", PIN,
+        "s3://my-bucket/simple file.csv", user="edsko",
+    )
+    _, dump = _run(wh, "dump-db-info", user="edsko")
+    with open(S3_GOLDEN) as f:
+        assert dump == f.read()
