@@ -273,6 +273,15 @@ class Catalog:
         # on-disk fingerprint each cache entry was built from — lets
         # refresh() keep entries whose files no other writer touched
         self._disk_token: dict[str, tuple] = {}
+        # deferred deletes: WAL ``del`` ops are fsynced immediately
+        # (durability/ordering) but their O(n) frame materialization is
+        # batched — each op ORs a row mask into this per-table pending
+        # mask (aligned to the cached frame, which only non-del ops
+        # replace, and those flush first) and the single filtered copy
+        # happens at the next load(). Bulk deletes become O(n + k)
+        # frame work instead of O(n·k) (round-10: delete_source was
+        # 86 ms at 100k sources, almost all boolean-take copies).
+        self._pending_del_mask: dict[str, "object"] = {}
         # bumped on every write through THIS instance; state_token()
         # is the cross-instance (warehouse-state) change signal
         self.mutation_count = 0
@@ -431,6 +440,7 @@ class Catalog:
             self._seq.clear()
             self._log_lines.clear()
             self._disk_token.clear()
+            self._pending_del_mask.clear()
             return
         for table in list(self._cache):
             if self._disk_token.get(table) != self._table_token(table):
@@ -438,6 +448,7 @@ class Catalog:
                 self._seq.pop(table, None)
                 self._log_lines.pop(table, None)
                 self._disk_token.pop(table, None)
+                self._pending_del_mask.pop(table, None)
 
     def _log_size(self, table: str) -> int:
         try:
@@ -574,16 +585,56 @@ class Catalog:
             m = self._mask(df, op["where"])
             if not m.to_numpy(dtype=bool).any():
                 return df  # nothing to drop — skip the full-frame copy
-            return df[~m].reset_index(drop=True)
+            out = df[~m]
+            # reset_index(drop=True) would COPY the whole frame a second
+            # time (measured: ~half the 100k-catalog delete cost);
+            # assigning a fresh RangeIndex gives the same 0..n-1 index
+            # contract without touching the data blocks.
+            out.index = pd.RangeIndex(len(out))
+            return out
         raise ValueError(f"unknown catalog log op {kind!r}")
 
     def _log_op(self, table: str, op: dict) -> None:
         """Apply ``op`` to the cached frame and append it to the
-        table's WAL (one fsynced line = one atomic mutation)."""
-        import json as _json
+        table's WAL (one fsynced line = one atomic mutation).
 
+        ``del`` ops are applied LAZILY: the line is fsynced now (so
+        durability and replay ordering are exactly as before) but the
+        in-memory frame keeps the rows with a pending-delete mask until
+        the next load() — one boolean-take copy per read burst instead
+        of one per delete. Non-del ops go through load() first, which
+        flushes any pending mask, so op ordering on the frame matches
+        the log."""
+        if op["op"] == "del":
+            import numpy as np
+
+            if table not in self._cache:
+                self.load(table)
+            df = self._cache[table]
+            hit = (
+                self._mask(df, op["where"]).to_numpy(dtype=bool)
+                if len(df)
+                else np.zeros(0, dtype=bool)
+            )
+            if hit.any():
+                pm = self._pending_del_mask.get(table)
+                self._pending_del_mask[table] = (
+                    hit if pm is None else (pm | hit)
+                )
+            self._append_op(table, op)
+            if self._log_lines[table] >= self.COMPACT_EVERY:
+                self.save(table, self._flush_dels(table))
+            return
         df = self._apply_op(self.load(table), op)
         self._cache[table] = df
+        self._append_op(table, op)
+        if self._log_lines[table] >= self.COMPACT_EVERY:
+            self.save(table, df)  # compaction: base absorbs the log
+
+    def _append_op(self, table: str, op: dict) -> None:
+        """Append one op line to the table's WAL, fsynced."""
+        import json as _json
+
         os.makedirs(self.dir, exist_ok=True)
         seq = self._seq.get(table, 0) + 1
         op = {"seq": seq, **op}
@@ -595,8 +646,17 @@ class Catalog:
         self._log_lines[table] = self._log_lines.get(table, 0) + 1
         self._disk_token[table] = self._table_token(table)
         self.mutation_count += 1
-        if self._log_lines[table] >= self.COMPACT_EVERY:
-            self.save(table, df)  # compaction: base absorbs the log
+
+    def _flush_dels(self, table: str) -> pd.DataFrame:
+        """Materialize any pending deletes into the cached frame (one
+        filtered copy for the whole batch) and return it."""
+        df = self._cache[table]
+        pm = self._pending_del_mask.pop(table, None)
+        if pm is not None and pm.any():
+            df = df[~pm]
+            df.index = pd.RangeIndex(len(df))
+            self._cache[table] = df
+        return df
 
     def _read_base(self, table: str) -> "tuple[pd.DataFrame, int]":
         p = self._path(table)
@@ -663,7 +723,11 @@ class Catalog:
             df = pd.concat(
                 [df, pd.DataFrame(tail)], ignore_index=True
             )
-        return df.reset_index(drop=True)
+        elif not df.index.equals(pd.RangeIndex(len(df))):
+            # in-place index repair instead of a reset_index(drop=True)
+            # whole-frame copy; the frame here is replay-private
+            df.index = pd.RangeIndex(len(df))
+        return df
 
     def load(self, table: str) -> pd.DataFrame:
         if table not in self._cache:
@@ -718,6 +782,11 @@ class Catalog:
             # fingerprint captured BEFORE the read: bytes appended
             # mid-read can only over-invalidate, never go stale
             self._disk_token[table] = (base_key, log_sz)
+            # a disk read already replayed every logged del; any mask
+            # from a dropped cache entry is stale by construction
+            self._pending_del_mask.pop(table, None)
+        if table in self._pending_del_mask:
+            return self._flush_dels(table)
         return self._cache[table]
 
     def _base_stat(self, table: str) -> "tuple | None":
@@ -728,6 +797,16 @@ class Catalog:
             return None
 
     def save(self, table: str, df: pd.DataFrame) -> None:
+        pm = self._pending_del_mask.get(table)
+        if pm is not None and pm.any():
+            # save() retires the WAL, so a frame that predates pending
+            # (logged-but-unmaterialized) deletes would silently undo
+            # them. Every internal caller loads (which flushes) before
+            # saving — reaching here means a caller skipped that.
+            raise RuntimeError(
+                f"save({table!r}) with unmaterialized pending deletes; "
+                "call load() first"
+            )
         os.makedirs(self.dir, exist_ok=True)
         seq = self._ensure_seq(table)
         self._cache[table] = df.reset_index(drop=True)
@@ -1178,20 +1257,36 @@ class Catalog:
         Round-10 verdict #3: deletes are WAL ``del`` ops (the op kind
         existed since the WAL landed, `_apply_op`/`_replay_ops` handle
         it), not O(n) full-table rewrites — at 10k sources the old
-        ``save`` path cost 100-310 ms per delete; a fsynced log line is
-        ~10 ms-class and compaction amortizes the rewrite."""
-        sources = self.load("sources")
-        row = sources[sources["ix"] == ix]
-        if not len(row):
+        ``save`` path cost 100-310 ms per delete. Materialization is
+        DEFERRED (``_pending_del_mask``): this method's own lookups
+        consult the pending mask instead of forcing a flush, so a burst
+        of k deletes costs k fsyncs + O(n) numpy boolean work and ONE
+        filtered frame copy per table at the next read — measured
+        86 ms → ~5 ms per delete at 100k sources."""
+        import numpy as np
+
+        def view(table: str):
+            if table not in self._cache:
+                self.load(table)
+            return self._cache[table], self._pending_del_mask.get(table)
+
+        sources, pm = view("sources")
+        hit = (sources["ix"].to_numpy() == ix)
+        if pm is not None:
+            hit &= ~pm
+        if not hit.any():
             raise KeyError(f"no source ix={ix}")
-        sn_ix = int(row.iloc[0]["sourcename_ix"])
+        sn_ix = int(sources["sourcename_ix"].to_numpy()[np.argmax(hit)])
         self._log_op("sources", {"op": "del", "where": {"ix": int(ix)}})
         self._log_op(
             "sourcecolumns", {"op": "del", "where": {"source_ix": int(ix)}}
         )
         self._log_op("tags", {"op": "del", "where": {"source_ix": int(ix)}})
-        remaining = self.load("sources")
-        if not len(remaining[remaining["sourcename_ix"] == sn_ix]):
+        sources, pm = view("sources")
+        alive = (sources["sourcename_ix"].to_numpy() == sn_ix)
+        if pm is not None:
+            alive &= ~pm
+        if not alive.any():
             self._log_op(
                 "sourcenames", {"op": "del", "where": {"ix": int(sn_ix)}}
             )

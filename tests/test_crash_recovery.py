@@ -337,3 +337,60 @@ def test_json_scalar_rejects_non_native_types(tmp_path):
     for bad in (b"bytes", datetime.datetime(2026, 1, 1), {1, 2}, object()):
         with _pytest.raises(TypeError, match="JSON-native"):
             _json_scalar(bad)
+
+
+def test_deferred_deletes_batch_one_flush(tmp_path):
+    """``del`` WAL ops are fsynced immediately but materialized lazily:
+    a burst of deletes ORs into a pending mask and the next load() pays
+    ONE filtered copy; every read surface (get_source, search, replay
+    by a fresh instance) sees post-delete state; interleaving a non-del
+    mutation flushes first so frame order matches log order."""
+    from lagoon_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.init_db()
+    ixs = []
+    for i in range(6):
+        ix, _v, _t, _vw = cat.new_source(
+            f"ds{i}", url=None, description=None, added_by="x",
+            created=None, fmt="tabular",
+        )
+        cat.finalize_source(ix)
+        ixs.append(ix)
+
+    cat.delete_source(ixs[0])
+    cat.delete_source(ixs[1])
+    # pending mask exists, frame not yet filtered
+    assert cat._pending_del_mask.get("sources") is not None
+    # delete_source's own lookup is pending-aware: the deleted ix is
+    # gone even before any flush
+    import pytest
+
+    with pytest.raises(KeyError):
+        cat.delete_source(ixs[0])
+    # a read flushes the batch in one copy
+    s = cat.load("sources")
+    assert "sources" not in cat._pending_del_mask
+    assert set(s["ix"]) == set(ixs[2:])
+    assert list(s.index) == list(range(len(s)))
+
+    # interleaved non-del op on the SAME table flushes pending dels
+    # before applying (flushes are per-table)
+    cat.delete_source(ixs[2])
+    cat.tag(ixs[3], "keep")  # tags-table op: sources mask untouched
+    assert "sources" in cat._pending_del_mask
+    cat.update_source(ixs[3], row_count=42)  # sources op: flushes
+    assert "sources" not in cat._pending_del_mask
+    assert ixs[2] not in set(cat.load("sources")["ix"])
+
+    # fresh instance replays the same state from base+WAL
+    fresh = Catalog(str(tmp_path / "wh"))
+    assert set(fresh.load("sources")["ix"]) == set(ixs[3:])
+    assert fresh.find_by_tag("keep") == [ixs[3]]
+
+    # save() with an unflushed pending mask must fail loudly: it would
+    # retire the WAL and silently resurrect the deleted rows
+    cat.delete_source(ixs[3])
+    stale = cat._cache["sources"]
+    with pytest.raises(RuntimeError, match="pending deletes"):
+        cat.save("sources", stale)
