@@ -126,6 +126,30 @@ def synth_read_plane(n: int) -> dict:
         eng = _stub_engine(wh, cat)
         point = read_plane_metrics(cat, eng, wh, f"ds{datasets // 2}")
         point["synthesized"] = True
+        # delete plane (engine path: lock + reference scan + WAL dels).
+        # Worst case flushes the pending-delete mask after every op; a
+        # burst amortizes the one materialization copy across k ops.
+        mid = datasets // 2
+        flush_each = [cat.get_source(f"ds{mid + 1 + j}") for j in range(5)]
+        t0 = time.perf_counter()
+        for v in flush_each:
+            eng.delete_source(v)
+            cat.load("sources")
+        point["delete_source_flush_each_ms"] = round(
+            1000 * (time.perf_counter() - t0) / len(flush_each), 2
+        )
+        burst = [cat.get_source(f"ds{mid + 10 + j}") for j in range(100)]
+        t0 = time.perf_counter()
+        for v in burst:
+            eng.delete_source(v)
+        t1 = time.perf_counter()
+        for t in ("sources", "sourcecolumns", "tags"):
+            cat.load(t)
+        t2 = time.perf_counter()
+        point["delete_source_burst100_ms_per_op"] = round(
+            1000 * (t1 - t0) / len(burst), 2
+        )
+        point["delete_burst_flush_ms"] = round(1000 * (t2 - t1), 2)
         return {"n": n, "datasets": datasets, "read_plane": point}
     finally:
         shutil.rmtree(wh, ignore_errors=True)

@@ -658,6 +658,16 @@ class Catalog:
             self._cache[table] = df
         return df
 
+    def peek(self, table: str) -> "tuple[pd.DataFrame, object]":
+        """(frame, pending-delete mask | None) WITHOUT flushing: for
+        read paths that can consult the mask themselves (vectorized
+        scans) and must not force the O(n) materialization copy mid
+        delete burst. Rows where the mask is True are deleted; the
+        frame must be treated as read-only."""
+        if table not in self._cache:
+            self.load(table)
+        return self._cache[table], self._pending_del_mask.get(table)
+
     def _read_base(self, table: str) -> "tuple[pd.DataFrame, int]":
         p = self._path(table)
         if not os.path.exists(p):
@@ -1265,12 +1275,7 @@ class Catalog:
         86 ms → ~5 ms per delete at 100k sources."""
         import numpy as np
 
-        def view(table: str):
-            if table not in self._cache:
-                self.load(table)
-            return self._cache[table], self._pending_del_mask.get(table)
-
-        sources, pm = view("sources")
+        sources, pm = self.peek("sources")
         hit = (sources["ix"].to_numpy() == ix)
         if pm is not None:
             hit &= ~pm
@@ -1282,7 +1287,7 @@ class Catalog:
             "sourcecolumns", {"op": "del", "where": {"source_ix": int(ix)}}
         )
         self._log_op("tags", {"op": "del", "where": {"source_ix": int(ix)}})
-        sources, pm = view("sources")
+        sources, pm = self.peek("sources")
         alive = (sources["sourcename_ix"].to_numpy() == sn_ix)
         if pm is not None:
             alive &= ~pm

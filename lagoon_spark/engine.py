@@ -979,12 +979,20 @@ class Lagoon:
 
         # a compacted version shares its physical table with its
         # siblings — only remove a directory no other catalog row
-        # still references
-        sources = self.catalog.load("sources")
-        others = sources[sources["ix"] != info.ix]
-        referenced = set(others["table_name"].dropna()) | set(
-            others["typed_table_name"].dropna()
-        )
+        # still references. peek() + vectorized name compares instead
+        # of load(): a load would flush the pending-delete mask and
+        # pay an O(n) frame copy per delete, so a burst of k deletes
+        # would be O(n·k) again (the mask-aware scan keeps the burst
+        # O(n + k) — the same deferred-materialization contract as
+        # Catalog.delete_source itself).
+        import numpy as np
+
+        sources, pm = self.catalog.peek("sources")
+        alive = sources["ix"].to_numpy() != info.ix
+        if pm is not None:
+            alive &= ~pm
+        tn = sources["table_name"].to_numpy()
+        ttn = sources["typed_table_name"].to_numpy()
         # crash-safe ordering (round-10 verdict #3): retract the
         # catalog rows FIRST (one WAL'd mutation), THEN remove physical
         # dirs. A crash in between strands orphan directories — vacuum
@@ -992,7 +1000,7 @@ class Lagoon:
         # pointing at deleted data.
         self.catalog.delete_source(info.ix)
         for t in (info.table_name, info.typed_table_name):
-            if t and t not in referenced:
+            if t and not (((tn == t) | (ttn == t)) & alive).any():
                 p = self._data_path(t)
                 if os.path.exists(p):
                     shutil.rmtree(p)
