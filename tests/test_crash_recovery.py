@@ -388,9 +388,18 @@ def test_deferred_deletes_batch_one_flush(tmp_path):
     assert set(fresh.load("sources")["ix"]) == set(ixs[3:])
     assert fresh.find_by_tag("keep") == [ixs[3]]
 
+    # live cross-instance visibility: an instance with a WARM cache
+    # refreshes past another writer's deferred delete (the WAL line is
+    # on disk before delete_source returns, so the disk token moved)
+    other = Catalog(str(tmp_path / "wh"))
+    other.load("sources")  # warm its cache
+    cat.delete_source(ixs[3])
+    other.refresh()
+    assert ixs[3] not in set(other.load("sources")["ix"])
+
     # save() with an unflushed pending mask must fail loudly: it would
     # retire the WAL and silently resurrect the deleted rows
-    cat.delete_source(ixs[3])
+    cat.delete_source(ixs[4])
     stale = cat._cache["sources"]
     with pytest.raises(RuntimeError, match="pending deletes"):
         cat.save("sources", stale)
