@@ -246,10 +246,15 @@ def cms_token_estimates(
     estimate — the defining CMS behavior.
     """
     spark = df.sparkSession
-    # single data-sized pass: the (fp, count) aggregate feeds BOTH the
-    # sketch cells and the exact-count side (it IS the exact count) —
-    # previously the corpus was tokenized and shuffled twice
-    per_fp = cms_per_fp_counts(df, text_col).persist()
+    # NO persist: caching the (fp, count) aggregate is executor memory
+    # proportional to the VOCABULARY (billions of fps at 100 TB) and
+    # it was never unpersisted. The exact side below re-tokenizes, but
+    # its probe IN-filter sits under the aggregate, so the second pass
+    # is map-only with a ~len(probes)-row shuffle — two cheap map
+    # passes beat one pass + a data-sized cache (and measured faster
+    # at sf0.1 too: the StorageLevel serialization cost exceeded the
+    # recompute).
+    per_fp = cms_per_fp_counts(df, text_col)
     sketch = cms_sketch_from_counts(per_fp, depth=depth, width=width)
     probe_rows = [(t, token_fp_py(t)) for t in probes]
     probe = spark.createDataFrame(probe_rows, "token string, fp bigint")
