@@ -83,6 +83,25 @@ def main() -> None:
     calibrate()  # warm the codegen for the probe itself
     calib = round(min(calibrate(), calibrate()), 3)
 
+    # second probe: SHUFFLE-bound. The CPU probe misses I/O-profile
+    # drift — in one session q116 (Python-worker-bound) reproduced the
+    # prior round's wall exactly while shuffle-heavy lanes (q64, q69,
+    # q129; code untouched) ran 20-60% hot and calib_sec moved <6%.
+    # A fixed exchange-bound job drifts WITH that contention, so
+    # cross-round triage can tell "engine regression" from "the host's
+    # shuffle path is slow today" by which probe the drift follows.
+    def calibrate_shuffle() -> float:
+        t0 = time.perf_counter()
+        spark.range(20_000_000, numPartitions=32).selectExpr(
+            "id % 1000000 AS k", "id AS v"
+        ).groupBy("k").sum("v").selectExpr("sum(`sum(v)`)").collect()
+        return time.perf_counter() - t0
+
+    calibrate_shuffle()  # warm
+    calib_shuffle = round(
+        min(calibrate_shuffle(), calibrate_shuffle()), 3
+    )
+
     # median of 3 runs per query: single-shot wall times on this shared
     # host are too noisy for sub-second queries — round 8 burned 6 of 8
     # flagged "regressions" on scheduler jitter in queries whose code
@@ -180,7 +199,8 @@ def main() -> None:
         json.dump({"metric": "total_query_wall_sec", "value": total,
                    "unit": "sec", "queries": timings, "sf": sf_dir,
                    "bench_reps": reps, "bench_cold_discard": cold_discard,
-                   "calib_sec": calib, "value_norm": value_norm,
+                   "calib_sec": calib, "calib_shuffle_sec": calib_shuffle,
+                   "value_norm": value_norm,
                    "total_relational_sec": total_relational,
                    "value_norm_relational": value_norm_relational,
                    "norm_ratio_vs_prev": norm_ratio,
@@ -208,6 +228,7 @@ def main() -> None:
                 "bench_reps": reps,
                 "bench_cold_discard": cold_discard,
                 "calib_sec": calib,
+                "calib_shuffle_sec": calib_shuffle,
                 # the load-normalized headline: compare THIS across
                 # rounds, never raw totals (shared-host drift ±30%)
                 "value_norm": value_norm,
