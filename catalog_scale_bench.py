@@ -126,6 +126,29 @@ def synth_read_plane(n: int) -> dict:
         eng = _stub_engine(wh, cat)
         point = read_plane_metrics(cat, eng, wh, f"ds{datasets // 2}")
         point["synthesized"] = True
+        # ingest plane ON TOP of the synthesized population: the same
+        # 4-op sequence the full-mode bench times (new version of an
+        # existing dataset + columns + row count + finalize), so the
+        # write hot path is measured at populations the populate-bound
+        # full mode cannot reach
+        t0 = time.perf_counter()
+        for i in range(200):
+            ix, _v, _t, _vw = cat.new_source(
+                f"ds{i % datasets}",
+                url=None,
+                description=f"rev {i}",
+                added_by="u",
+                created=None,
+                fmt="tabular",
+            )
+            cat.set_columns(
+                ix, [("c1", "id", "INTEGER"), ("c2", "val", "TEXT")]
+            )
+            cat.update_source(ix, row_count=i)
+            cat.finalize_source(ix)
+        point["ingest_catalog_ms_mean200"] = round(
+            1000 * (time.perf_counter() - t0) / 200, 2
+        )
         # delete plane (engine path: lock + reference scan + WAL dels).
         # Worst case flushes the pending-delete mask after every op; a
         # burst amortizes the one materialization copy across k ops.

@@ -273,15 +273,18 @@ class Catalog:
         # on-disk fingerprint each cache entry was built from — lets
         # refresh() keep entries whose files no other writer touched
         self._disk_token: dict[str, tuple] = {}
-        # deferred deletes: WAL ``del`` ops are fsynced immediately
+        # deferred mutations: WAL ops are fsynced immediately
         # (durability/ordering) but their O(n) frame materialization is
-        # batched — each op ORs a row mask into this per-table pending
-        # mask (aligned to the cached frame, which only non-del ops
-        # replace, and those flush first) and the single filtered copy
-        # happens at the next load(). Bulk deletes become O(n + k)
-        # frame work instead of O(n·k) (round-10: delete_source was
-        # 86 ms at 100k sources, almost all boolean-take copies).
+        # batched. Deletes OR a row mask into _pending_del_mask;
+        # appended rows buffer as dicts in _pending_tail; updates hit
+        # the frame in place (no copy) or the tail dict. load() folds
+        # both into the frame with ONE filtered copy + ONE concat per
+        # read burst, so a burst of k mutations is O(n + k) frame work
+        # instead of O(n·k) (round-10: delete_source was 86 ms and an
+        # ingest 22-33 ms at 100k sources, almost all per-op frame
+        # copies). The live mirror of _replay_ops.
         self._pending_del_mask: dict[str, "object"] = {}
+        self._pending_tail: dict[str, "list[dict]"] = {}
         # bumped on every write through THIS instance; state_token()
         # is the cross-instance (warehouse-state) change signal
         self.mutation_count = 0
@@ -441,6 +444,7 @@ class Catalog:
             self._log_lines.clear()
             self._disk_token.clear()
             self._pending_del_mask.clear()
+            self._pending_tail.clear()
             return
         for table in list(self._cache):
             if self._disk_token.get(table) != self._table_token(table):
@@ -449,6 +453,7 @@ class Catalog:
                 self._log_lines.pop(table, None)
                 self._disk_token.pop(table, None)
                 self._pending_del_mask.pop(table, None)
+                self._pending_tail.pop(table, None)
 
     def _log_size(self, table: str) -> int:
         try:
@@ -482,8 +487,12 @@ class Catalog:
     # amplification (one full-table rewrite per COMPACT_EVERY ops —
     # ~40 ms/128 ≈ 0.3 ms/op amortized at 10k sources) against
     # cold-open replay length (a fresh process replays ≤ COMPACT_EVERY
-    # lines per table; measured ~3 ms/op, so 128 keeps cold opens
-    # under ~0.5 s at any population).
+    # lines per table, each an O(rows) predicate mask — ~3 ms/line on
+    # a 600k-row frame, so 128 keeps cold opens under ~0.6 s at any
+    # population). A frame-size-scaled threshold was tried in round 10
+    # and reverted: it cut ingest 16 → 13 ms at 100k sources but blew
+    # the cold open 0.6 → 6.3 s, because replay masks are O(rows) per
+    # line — the fixed bound is what keeps restart latency flat.
     COMPACT_EVERY = 128
     _SEQ_META = b"lagoon_applied_seq"
 
@@ -595,41 +604,88 @@ class Catalog:
         raise ValueError(f"unknown catalog log op {kind!r}")
 
     def _log_op(self, table: str, op: dict) -> None:
-        """Apply ``op`` to the cached frame and append it to the
-        table's WAL (one fsynced line = one atomic mutation).
-
-        ``del`` ops are applied LAZILY: the line is fsynced now (so
-        durability and replay ordering are exactly as before) but the
-        in-memory frame keeps the rows with a pending-delete mask until
-        the next load() — one boolean-take copy per read burst instead
-        of one per delete. Non-del ops go through load() first, which
-        flushes any pending mask, so op ordering on the frame matches
-        the log."""
-        if op["op"] == "del":
-            import numpy as np
-
-            if table not in self._cache:
-                self.load(table)
-            df = self._cache[table]
-            hit = (
-                self._mask(df, op["where"]).to_numpy(dtype=bool)
-                if len(df)
-                else np.zeros(0, dtype=bool)
-            )
-            if hit.any():
-                pm = self._pending_del_mask.get(table)
-                self._pending_del_mask[table] = (
-                    hit if pm is None else (pm | hit)
-                )
-            self._append_op(table, op)
-            if self._log_lines[table] >= self.COMPACT_EVERY:
-                self.save(table, self._flush_dels(table))
-            return
-        df = self._apply_op(self.load(table), op)
-        self._cache[table] = df
+        """Apply ``op`` incrementally to the cached frame (no
+        whole-frame copy — see :meth:`_apply_live`) and append it to
+        the table's WAL (one fsynced line = one atomic mutation). The
+        frame materializes lazily at the next load()."""
+        self._apply_live(table, op)
         self._append_op(table, op)
         if self._log_lines[table] >= self.COMPACT_EVERY:
-            self.save(table, df)  # compaction: base absorbs the log
+            # compaction: base absorbs the log
+            self.save(table, self._flush_pending(table))
+
+    @staticmethod
+    def _matches(rec: dict, where: dict) -> bool:
+        return all(rec.get(c) == v for c, v in where.items())
+
+    def _apply_live(self, table: str, op: dict) -> None:
+        """Apply one op to the cached frame WITHOUT any whole-frame
+        copy — the live mirror of :meth:`_replay_ops`. Updates hit the
+        frame in place (``df.loc``) or a pending tail dict; appends
+        buffer in the tail; deletes OR into the pending mask and drop
+        tail dicts. The WAL line is fsynced by the caller either way,
+        so durability and replay ordering are exactly as before; only
+        the in-memory materialization is deferred to load()."""
+        kind = op["op"]
+        if kind == "tx":
+            for sub in op["ops"]:
+                self._apply_live(table, sub)
+            return
+        if table not in self._cache:
+            self.load(table)
+        df = self._cache[table]
+        pm = self._pending_del_mask.get(table)
+        tail = self._pending_tail.setdefault(table, [])
+        if kind == "up":
+            pk = op["pk"]
+            for row in op["rows"]:
+                key = {c: row[c] for c in pk}
+                idx = []
+                if len(df):
+                    hit = self._mask(df, key).to_numpy(dtype=bool)
+                    if pm is not None:
+                        # a pending-deleted row must read as absent:
+                        # updating it would lose the re-insert
+                        hit &= ~pm
+                    idx = df.index[hit]
+                if len(idx):
+                    for k, v in row.items():
+                        df.loc[idx, k] = v
+                    continue
+                live = next(
+                    (r for r in tail if self._matches(r, key)), None
+                )
+                if live is not None:
+                    live.update(row)
+                else:
+                    tail.append(dict(row))
+            return
+        if kind == "set":
+            if len(df):
+                # dead (pending-deleted) rows may be written too —
+                # harmless, they drop at flush
+                idx = df.index[self._mask(df, op["where"])]
+                for k, v in op["fields"].items():
+                    df.loc[idx, k] = v
+            for r in tail:
+                if self._matches(r, op["where"]):
+                    r.update(op["fields"])
+            return
+        if kind == "del":
+            if len(df):
+                hit = self._mask(df, op["where"]).to_numpy(dtype=bool)
+                if hit.any():
+                    self._pending_del_mask[table] = (
+                        hit if pm is None else (pm | hit)
+                    )
+            if tail:
+                kept = [
+                    r for r in tail if not self._matches(r, op["where"])
+                ]
+                if len(kept) != len(tail):
+                    self._pending_tail[table] = kept
+            return
+        raise ValueError(f"unknown catalog log op {kind!r}")
 
     def _append_op(self, table: str, op: dict) -> None:
         """Append one op line to the table's WAL, fsynced."""
@@ -647,26 +703,44 @@ class Catalog:
         self._disk_token[table] = self._table_token(table)
         self.mutation_count += 1
 
-    def _flush_dels(self, table: str) -> pd.DataFrame:
-        """Materialize any pending deletes into the cached frame (one
-        filtered copy for the whole batch) and return it."""
+    def _flush_pending(self, table: str) -> pd.DataFrame:
+        """Materialize pending deletes + appended tail into the cached
+        frame — one filtered copy + one concat for the whole batch."""
         df = self._cache[table]
         pm = self._pending_del_mask.pop(table, None)
-        if pm is not None and pm.any():
+        tail = self._pending_tail.pop(table, None)
+        deleted = pm is not None and pm.any()
+        if deleted:
             df = df[~pm]
+        if tail:
+            df = pd.concat([df, pd.DataFrame(tail)], ignore_index=True)
+        elif deleted:
             df.index = pd.RangeIndex(len(df))
+        if deleted or tail:
             self._cache[table] = df
         return df
 
-    def peek(self, table: str) -> "tuple[pd.DataFrame, object]":
-        """(frame, pending-delete mask | None) WITHOUT flushing: for
-        read paths that can consult the mask themselves (vectorized
-        scans) and must not force the O(n) materialization copy mid
-        delete burst. Rows where the mask is True are deleted; the
-        frame must be treated as read-only."""
+    def _has_pending(self, table: str) -> bool:
+        pm = self._pending_del_mask.get(table)
+        return (pm is not None and pm.any()) or bool(
+            self._pending_tail.get(table)
+        )
+
+    def peek(self, table: str) -> "tuple[pd.DataFrame, object, list]":
+        """(frame, pending-delete mask | None, pending tail rows)
+        WITHOUT flushing: for read paths that can consult the pending
+        state themselves (vectorized scans + a tail walk) and must not
+        force the O(n) materialization copy mid mutation burst. Rows
+        where the mask is True are deleted; tail dicts are appended
+        rows not yet in the frame; the frame must be treated as
+        read-only."""
         if table not in self._cache:
             self.load(table)
-        return self._cache[table], self._pending_del_mask.get(table)
+        return (
+            self._cache[table],
+            self._pending_del_mask.get(table),
+            self._pending_tail.get(table) or [],
+        )
 
     def _read_base(self, table: str) -> "tuple[pd.DataFrame, int]":
         p = self._path(table)
@@ -792,11 +866,12 @@ class Catalog:
             # fingerprint captured BEFORE the read: bytes appended
             # mid-read can only over-invalidate, never go stale
             self._disk_token[table] = (base_key, log_sz)
-            # a disk read already replayed every logged del; any mask
-            # from a dropped cache entry is stale by construction
+            # a disk read already replayed every logged op; pending
+            # state from a dropped cache entry is stale by construction
             self._pending_del_mask.pop(table, None)
-        if table in self._pending_del_mask:
-            return self._flush_dels(table)
+            self._pending_tail.pop(table, None)
+        if self._has_pending(table):
+            return self._flush_pending(table)
         return self._cache[table]
 
     def _base_stat(self, table: str) -> "tuple | None":
@@ -807,15 +882,14 @@ class Catalog:
             return None
 
     def save(self, table: str, df: pd.DataFrame) -> None:
-        pm = self._pending_del_mask.get(table)
-        if pm is not None and pm.any():
+        if self._has_pending(table):
             # save() retires the WAL, so a frame that predates pending
-            # (logged-but-unmaterialized) deletes would silently undo
+            # (logged-but-unmaterialized) mutations would silently undo
             # them. Every internal caller loads (which flushes) before
             # saving — reaching here means a caller skipped that.
             raise RuntimeError(
-                f"save({table!r}) with unmaterialized pending deletes; "
-                "call load() first"
+                f"save({table!r}) with unmaterialized pending deletes"
+                " or appends; call load() first"
             )
         os.makedirs(self.dir, exist_ok=True)
         seq = self._ensure_seq(table)
@@ -925,14 +999,38 @@ class Catalog:
         fmt: str,
     ) -> tuple[int, int, str, str]:
         """Allocate (source_ix, version, table_name, view_name); bump the
-        per-name version counter and auto-deprecate the previous latest."""
-        names = self.load("sourcenames")
-        sources = self.load("sources")
-        hit = names[names["name"] == name]
-        if len(hit):
-            sn_ix = int(hit.iloc[0]["ix"])
-        else:
-            sn_ix = int(names["ix"].max()) + 1 if len(names) else 1
+        per-name version counter and auto-deprecate the previous latest.
+
+        Lookups are pending-aware (:meth:`peek`) rather than flushing
+        loads, so an ingest burst stays O(1) frame copies amortized —
+        the deferred-mutation contract (round-10)."""
+        import numpy as np
+
+        names, nm, ntail = self.peek("sourcenames")
+        sn_ix = None
+        if len(names):
+            hit = names["name"].to_numpy() == name
+            if nm is not None:
+                hit &= ~nm
+            if hit.any():
+                sn_ix = int(names["ix"].to_numpy()[np.argmax(hit)])
+        if sn_ix is None:
+            t_hit = next(
+                (r for r in ntail if r.get("name") == name), None
+            )
+            if t_hit is not None:
+                sn_ix = int(t_hit["ix"])
+        if sn_ix is None:
+            mx = 0
+            if len(names):
+                alive_ix = names["ix"].to_numpy()
+                if nm is not None:
+                    alive_ix = alive_ix[~nm]
+                if len(alive_ix):
+                    mx = int(alive_ix.max())
+            for r in ntail:
+                mx = max(mx, int(r["ix"]))
+            sn_ix = mx + 1
             self._log_op(
                 "sourcenames",
                 {
@@ -949,9 +1047,34 @@ class Catalog:
         # interrupt must mint v3, not v4). A debris row may therefore
         # share its number with the committed retry — only one of the
         # two is ever visible, and vacuum sweeps the invisible one.
-        mine = _visible(sources[sources["sourcename_ix"] == sn_ix])
-        version = int(mine["version"].max()) + 1 if len(mine) else 1
-        ix = int(sources["ix"].max()) + 1 if len(sources) else 1
+        sources, sm, stail = self.peek("sources")
+        ver = 0
+        if len(sources):
+            mine = sources["sourcename_ix"].to_numpy() == sn_ix
+            if sm is not None:
+                mine &= ~sm
+            if "pending" in sources.columns:
+                mine &= ~(
+                    sources["pending"].fillna(False).to_numpy(dtype=bool)
+                )
+            if mine.any():
+                ver = int(sources["version"].to_numpy()[mine].max())
+        for r in stail:
+            if r.get("sourcename_ix") == sn_ix and not r.get(
+                "pending", False
+            ):
+                ver = max(ver, int(r["version"]))
+        version = ver + 1
+        mxi = 0
+        if len(sources):
+            ixa = sources["ix"].to_numpy()
+            if sm is not None:
+                ixa = ixa[~sm]
+            if len(ixa):
+                mxi = int(ixa.max())
+        for r in stail:
+            mxi = max(mxi, int(r["ix"]))
+        ix = mxi + 1
         # NOTE: auto-deprecation of the previous latest happens in
         # finalize_source, not here — a writer killed mid-ingest must
         # leave the old latest exactly as it was
@@ -979,9 +1102,19 @@ class Catalog:
         self._log_op("sources", {"op": "up", "pk": ["ix"], "rows": [row]})
         return ix, version, f"t{ix}", view_name
 
+    def _ix_alive(self, ix: int) -> bool:
+        """Pending-aware existence check for a sources row (no flush)."""
+        sources, sm, stail = self.peek("sources")
+        if len(sources):
+            hit = sources["ix"].to_numpy() == ix
+            if sm is not None:
+                hit &= ~sm
+            if hit.any():
+                return True
+        return any(r.get("ix") == ix for r in stail)
+
     def update_source(self, ix: int, **fields) -> None:
-        sources = self.load("sources")
-        if not len(sources.index[sources["ix"] == ix]):
+        if not self._ix_alive(ix):
             raise KeyError(f"no source ix={ix}")
         self._log_op(
             "sources",
@@ -996,17 +1129,40 @@ class Catalog:
         Everything before this call is invisible debris a crash can
         leave behind (vacuum sweeps it); everything after is a
         committed version."""
-        sources = self.load("sources")
-        idx = sources.index[sources["ix"] == ix]
-        if not len(idx):
-            raise KeyError(f"no source ix={ix}")
-        row = sources.loc[idx[0]]
+        import numpy as np
+
+        sources, sm, stail = self.peek("sources")
+        sn_ix = version = None
+        if len(sources):
+            hit = sources["ix"].to_numpy() == ix
+            if sm is not None:
+                hit &= ~sm
+            if hit.any():
+                pos = int(np.argmax(hit))
+                sn_ix = int(sources["sourcename_ix"].to_numpy()[pos])
+                version = int(sources["version"].to_numpy()[pos])
+        if sn_ix is None:
+            t_hit = next((r for r in stail if r.get("ix") == ix), None)
+            if t_hit is None:
+                raise KeyError(f"no source ix={ix}")
+            sn_ix = int(t_hit["sourcename_ix"])
+            version = int(t_hit["version"])
         ops = []
-        prev = sources[
-            (sources["sourcename_ix"] == row["sourcename_ix"])
-            & (sources["version"] == int(row["version"]) - 1)
-        ]
-        for pix in prev["ix"]:
+        prev_ixs: "list[int]" = []
+        if len(sources):
+            pv = (sources["sourcename_ix"].to_numpy() == sn_ix) & (
+                sources["version"].to_numpy() == version - 1
+            )
+            if sm is not None:
+                pv &= ~sm
+            prev_ixs = [int(x) for x in sources["ix"].to_numpy()[pv]]
+        for r in stail:
+            if (
+                r.get("sourcename_ix") == sn_ix
+                and r.get("version") == version - 1
+            ):
+                prev_ixs.append(int(r["ix"]))
+        for pix in prev_ixs:
             ops.append(
                 {
                     "op": "set",
@@ -1051,8 +1207,21 @@ class Catalog:
     # -- tags (A16, A17) ----------------------------------------------------
 
     def tag(self, ix: int, tag: str) -> None:
-        tags = self.load("tags")
-        if not len(tags[(tags["source_ix"] == ix) & (tags["tag"] == tag)]):
+        tags, tm, ttail = self.peek("tags")
+        exists = False
+        if len(tags):
+            hit = (tags["source_ix"].to_numpy() == ix) & (
+                tags["tag"].to_numpy() == tag
+            )
+            if tm is not None:
+                hit &= ~tm
+            exists = bool(hit.any())
+        if not exists:
+            exists = any(
+                r.get("source_ix") == ix and r.get("tag") == tag
+                for r in ttail
+            )
+        if not exists:
             self._log_op(
                 "tags",
                 {
@@ -1275,23 +1444,38 @@ class Catalog:
         86 ms → ~5 ms per delete at 100k sources."""
         import numpy as np
 
-        sources, pm = self.peek("sources")
-        hit = (sources["ix"].to_numpy() == ix)
-        if pm is not None:
-            hit &= ~pm
-        if not hit.any():
-            raise KeyError(f"no source ix={ix}")
-        sn_ix = int(sources["sourcename_ix"].to_numpy()[np.argmax(hit)])
+        sources, pm, stail = self.peek("sources")
+        sn_ix = None
+        if len(sources):
+            hit = sources["ix"].to_numpy() == ix
+            if pm is not None:
+                hit &= ~pm
+            if hit.any():
+                sn_ix = int(
+                    sources["sourcename_ix"].to_numpy()[np.argmax(hit)]
+                )
+        if sn_ix is None:
+            t_hit = next((r for r in stail if r.get("ix") == ix), None)
+            if t_hit is None:
+                raise KeyError(f"no source ix={ix}")
+            sn_ix = int(t_hit["sourcename_ix"])
         self._log_op("sources", {"op": "del", "where": {"ix": int(ix)}})
         self._log_op(
             "sourcecolumns", {"op": "del", "where": {"source_ix": int(ix)}}
         )
         self._log_op("tags", {"op": "del", "where": {"source_ix": int(ix)}})
-        sources, pm = self.peek("sources")
-        alive = (sources["sourcename_ix"].to_numpy() == sn_ix)
-        if pm is not None:
-            alive &= ~pm
-        if not alive.any():
+        sources, pm, stail = self.peek("sources")
+        remaining = False
+        if len(sources):
+            alive = sources["sourcename_ix"].to_numpy() == sn_ix
+            if pm is not None:
+                alive &= ~pm
+            remaining = bool(alive.any())
+        if not remaining:
+            remaining = any(
+                r.get("sourcename_ix") == sn_ix for r in stail
+            )
+        if not remaining:
             self._log_op(
                 "sourcenames", {"op": "del", "where": {"ix": int(sn_ix)}}
             )

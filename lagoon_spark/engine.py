@@ -987,12 +987,21 @@ class Lagoon:
         # Catalog.delete_source itself).
         import numpy as np
 
-        sources, pm = self.catalog.peek("sources")
+        sources, pm, tail = self.catalog.peek("sources")
         alive = sources["ix"].to_numpy() != info.ix
         if pm is not None:
             alive &= ~pm
         tn = sources["table_name"].to_numpy()
         ttn = sources["typed_table_name"].to_numpy()
+
+        def tail_references(t: str) -> bool:
+            # pending-appended rows (ingests not yet materialized into
+            # the frame) can reference a physical table too
+            return any(
+                r.get("ix") != info.ix
+                and t in (r.get("table_name"), r.get("typed_table_name"))
+                for r in tail
+            )
         # crash-safe ordering (round-10 verdict #3): retract the
         # catalog rows FIRST (one WAL'd mutation), THEN remove physical
         # dirs. A crash in between strands orphan directories — vacuum
@@ -1000,7 +1009,11 @@ class Lagoon:
         # pointing at deleted data.
         self.catalog.delete_source(info.ix)
         for t in (info.table_name, info.typed_table_name):
-            if t and not (((tn == t) | (ttn == t)) & alive).any():
+            if (
+                t
+                and not (((tn == t) | (ttn == t)) & alive).any()
+                and not tail_references(t)
+            ):
                 p = self._data_path(t)
                 if os.path.exists(p):
                     shutil.rmtree(p)

@@ -358,6 +358,7 @@ def test_deferred_deletes_batch_one_flush(tmp_path):
         cat.finalize_source(ix)
         ixs.append(ix)
 
+    cat.load("sources")  # materialize the ingest tail into the frame
     cat.delete_source(ixs[0])
     cat.delete_source(ixs[1])
     # pending mask exists, frame not yet filtered
@@ -374,14 +375,16 @@ def test_deferred_deletes_batch_one_flush(tmp_path):
     assert set(s["ix"]) == set(ixs[2:])
     assert list(s.index) == list(range(len(s)))
 
-    # interleaved non-del op on the SAME table flushes pending dels
-    # before applying (flushes are per-table)
+    # interleaved non-del ops apply against the pending state without
+    # forcing a flush (live mirror of _replay_ops); the next load()
+    # still materializes the correct post-everything frame
     cat.delete_source(ixs[2])
-    cat.tag(ixs[3], "keep")  # tags-table op: sources mask untouched
-    assert "sources" in cat._pending_del_mask
-    cat.update_source(ixs[3], row_count=42)  # sources op: flushes
-    assert "sources" not in cat._pending_del_mask
-    assert ixs[2] not in set(cat.load("sources")["ix"])
+    cat.tag(ixs[3], "keep")
+    cat.update_source(ixs[3], row_count=42)
+    assert "sources" in cat._pending_del_mask  # still deferred
+    s = cat.load("sources")
+    assert ixs[2] not in set(s["ix"])
+    assert int(s[s["ix"] == ixs[3]].iloc[0]["row_count"]) == 42
 
     # fresh instance replays the same state from base+WAL
     fresh = Catalog(str(tmp_path / "wh"))
@@ -403,3 +406,62 @@ def test_deferred_deletes_batch_one_flush(tmp_path):
     stale = cat._cache["sources"]
     with pytest.raises(RuntimeError, match="pending deletes"):
         cat.save("sources", stale)
+
+
+def test_deferred_appends_batch_and_tail_deletes(tmp_path):
+    """Ingest-path mutations defer too: new rows buffer in a pending
+    tail (no per-op frame copy), in-flight updates hit the tail dict,
+    a delete of a never-materialized row drops it from the tail, and
+    load()/fresh-replay both see the correct final state."""
+    from lagoon_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.init_db()
+    cat.load("sources")
+    base_len = len(cat._cache["sources"])
+    ixs = []
+    for i in range(4):
+        ix, _v, _t, _vw = cat.new_source(
+            f"ds{i}", url=None, description=None, added_by="x",
+            created=None, fmt="tabular",
+        )
+        cat.update_source(ix, row_count=i * 10)
+        cat.finalize_source(ix)
+        ixs.append(ix)
+    # all four rows still live in the tail — frame object untouched
+    assert len(cat._cache["sources"]) == base_len
+    assert len(cat._pending_tail["sources"]) == 4
+    # the set ops reached the tail dicts, not a frame copy
+    assert [r["row_count"] for r in cat._pending_tail["sources"]] == [
+        0, 10, 20, 30,
+    ]
+    assert all(not r["pending"] for r in cat._pending_tail["sources"])
+    # delete a never-materialized row: dropped from the tail, no mask
+    cat.delete_source(ixs[1])
+    assert len(cat._pending_tail["sources"]) == 3
+    assert cat._pending_del_mask.get("sources") is None
+    # one load folds the batch; versions minted correctly (v1 each name)
+    s = cat.load("sources")
+    assert set(s["ix"]) == set(ixs) - {ixs[1]}
+    assert list(s["version"][s["ix"].isin(ixs)]) == [1, 1, 1]
+    assert "sources" not in cat._pending_tail
+    # same-name reingest AFTER materialization mints v2 and
+    # auto-deprecates v1 even while the new row is still in the tail
+    ix2, v2, _t, _vw = cat.new_source(
+        "ds0", url=None, description=None, added_by="x",
+        created=None, fmt="tabular",
+    )
+    assert v2 == 2
+    cat.finalize_source(ix2)
+    s = cat.load("sources")
+    assert bool(s[s["ix"] == ixs[0]].iloc[0]["deprecated"])
+    assert not bool(s[s["ix"] == ix2].iloc[0]["deprecated"])
+    # fresh instance replays to the identical state
+    fresh = Catalog(str(tmp_path / "wh"))
+    s2 = fresh.load("sources")
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        s.sort_values("ix").reset_index(drop=True),
+        s2.sort_values("ix").reset_index(drop=True),
+    )
