@@ -134,7 +134,7 @@ def _json_scalar(v):
 
     Anything else raises (round-10 advice): a silently stringified
     field (bytes, timestamp, ...) would REPLAY as a string after a
-    restart while the in-memory `_apply_op` kept the original type —
+    restart while the in-memory `_apply_live` kept the original type —
     a divergence that must fail loudly at write time, not surface as
     a type mismatch weeks later."""
     item = getattr(v, "item", None)
@@ -542,66 +542,6 @@ class Catalog:
             m.loc[live_idx] = True
         return m
 
-    def _apply_op(self, df: pd.DataFrame, op: dict) -> pd.DataFrame:
-        kind = op["op"]
-        if kind == "tx":
-            for sub in op["ops"]:
-                df = self._apply_op(df, sub)
-            return df
-        if kind == "up":
-            pk = op["pk"]
-            new_rows: "list[dict]" = []
-            for row in op["rows"]:
-                idx = (
-                    df.index[self._mask(df, {c: row[c] for c in pk})]
-                    if len(df)
-                    else []
-                )
-                if len(idx):
-                    for k, v in row.items():
-                        df.loc[idx, k] = v
-                    continue
-                # pk collision within this op's own batch: later rows
-                # overwrite earlier ones, matching sequential semantics
-                hit = next(
-                    (
-                        r
-                        for r in new_rows
-                        if all(r.get(c) == row[c] for c in pk)
-                    ),
-                    None,
-                )
-                if hit is not None:
-                    hit.update(row)
-                else:
-                    new_rows.append(dict(row))
-            if new_rows:
-                # ONE frame copy per op, not one per appended row — at
-                # 100k catalog rows the per-row concat was the ingest
-                # hot path's dominant O(n) term after the mask fix
-                df = pd.concat(
-                    [df, pd.DataFrame(new_rows)], ignore_index=True
-                )
-            return df
-        if kind == "set":
-            idx = df.index[self._mask(df, op["where"])] if len(df) else []
-            for k, v in op["fields"].items():
-                df.loc[idx, k] = v
-            return df
-        if kind == "del":
-            if not len(df):
-                return df
-            m = self._mask(df, op["where"])
-            if not m.to_numpy(dtype=bool).any():
-                return df  # nothing to drop — skip the full-frame copy
-            out = df[~m]
-            # reset_index(drop=True) would COPY the whole frame a second
-            # time (measured: ~half the 100k-catalog delete cost);
-            # assigning a fresh RangeIndex gives the same 0..n-1 index
-            # contract without touching the data blocks.
-            out.index = pd.RangeIndex(len(out))
-            return out
-        raise ValueError(f"unknown catalog log op {kind!r}")
 
     def _log_op(self, table: str, op: dict) -> None:
         """Apply ``op`` incrementally to the cached frame (no
@@ -759,7 +699,7 @@ class Catalog:
         whole frame (O(ops·n): measured ~2 s to cold-open a 10k-source
         warehouse with a ~1.2k-line log). Updates and deletes apply to
         the frame vectorized and to the tail dicts directly; semantics
-        are identical to :meth:`_apply_op` op-by-op."""
+        are identical to :meth:`_apply_live` op-by-op."""
         tail: "list[dict]" = []
 
         def flat(ops):
@@ -1434,7 +1374,7 @@ class Catalog:
         `runtests.sh:120-157`).
 
         Round-10 verdict #3: deletes are WAL ``del`` ops (the op kind
-        existed since the WAL landed, `_apply_op`/`_replay_ops` handle
+        existed since the WAL landed, `_apply_live`/`_replay_ops` handle
         it), not O(n) full-table rewrites — at 10k sources the old
         ``save`` path cost 100-310 ms per delete. Materialization is
         DEFERRED (``_pending_del_mask``): this method's own lookups
