@@ -430,8 +430,6 @@ def _make_handler(srv: LagoonServer):
             spelling still works), and the includeDeprecated flag
             (absent → deprecated sources hidden, the REST default —
             QueryFlag semantics)."""
-            import re as _re
-
             q, qa = self.query, self.query_all
             order_by, ascending = q.get("orderBy"), True
             if q.get("orderAsc") in ("true", "false"):  # legacy flag form
@@ -453,10 +451,8 @@ def _make_handler(srv: LagoonServer):
                 tags_all=qa.get("tag") or None,
                 columns_all=qa.get("column") or None,
                 # several ?user= params are any-of (a source has ONE
-                # uploader); str.contains is regex, so alternate
-                added_by_contains="|".join(_re.escape(u) for u in users)
-                if users
-                else None,
+                # uploader)
+                added_by_any=users or None,
                 include_deprecated="includeDeprecated" in qa,
                 ts_query=q.get("search"),
                 offset=int(q.get("offset", 0)),
