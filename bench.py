@@ -115,14 +115,33 @@ def main() -> None:
     # ones; cross-round norm ratios are flagged non-comparable unless
     # the previous artifact used the same reps + discard policy.
     cold_discard = reps > 1
+    from lagoon_spark.checkpointing import release
+
     timings: dict[str, float] = {}
+    # per-lane probe tag (round-10 verdict #1): a lane whose executed
+    # plan shuffles (any Exchange) drifts with the host's shuffle path,
+    # a row-local lane with the CPU probe — so each lane's cross-round
+    # normalization uses ITS probe, and a host-contention episode stops
+    # reading as a wall of false regressions on shuffle-heavy lanes.
+    shuffle_bound: dict[str, bool] = {}
     for name, q in sorted(qs.items()):
         runs: list[float] = []
+        lane_dfs = []
         for _ in range(reps):
             t0 = time.perf_counter()
             df = q.spark_fn(spark, sf_dir)
             df.count()
             runs.append(time.perf_counter() - t0)
+            lane_dfs.append(df)
+        try:
+            plan = lane_dfs[-1]._jdf.queryExecution().executedPlan().toString()
+            shuffle_bound[name] = "Exchange" in plan
+        except Exception:
+            shuffle_bound[name] = True  # streaming/multi-action lanes
+        # free pinned operator intermediates AFTER the lane (not between
+        # reps — warm reps deliberately reuse the shared cache entries)
+        for df in lane_dfs:
+            release(df)
         if cold_discard:
             runs = runs[1:]
         runs.sort()
@@ -184,10 +203,22 @@ def main() -> None:
         prev_norm = prev["value"] / prev["calib_sec"]
         norm_ratio = round(value_norm / prev_norm, 3)
         pq = prev.get("queries") or {}
+        # each lane normalizes by ITS probe (round-10 verdict #1): the
+        # shuffle probe for Exchange-bearing plans, the CPU probe for
+        # row-local lanes. Falls back to the CPU probe when the prior
+        # artifact predates calib_shuffle_sec.
+        prev_calib_shuffle = prev.get("calib_shuffle_sec") or prev["calib_sec"]
         short_now = {k.split("_", 1)[0]: v for k, v in timings.items()}
+        short_tag = {
+            k.split("_", 1)[0]: v for k, v in shuffle_bound.items()
+        }
         for k, now_s in short_now.items():
             if k in pq and pq[k] and calib and prev["calib_sec"]:
-                r = (now_s / calib) / (pq[k] / prev["calib_sec"])
+                if short_tag.get(k) and calib_shuffle:
+                    probe_now, probe_prev = calib_shuffle, prev_calib_shuffle
+                else:
+                    probe_now, probe_prev = calib, prev["calib_sec"]
+                r = (now_s / probe_now) / (pq[k] / probe_prev)
                 per_query_norm_ratio[k] = round(r, 3)
                 # flag only normalized regressions >1.25× on queries
                 # big enough for the ratio to mean anything (>0.2s)
@@ -207,6 +238,10 @@ def main() -> None:
                    "norm_ratio_comparable": norm_ratio_comparable,
                    "prev_bench": prev_name,
                    "queries_norm_ratio_vs_prev": per_query_norm_ratio,
+                   "queries_shuffle_bound": {
+                       k.split("_", 1)[0]: v
+                       for k, v in sorted(shuffle_bound.items())
+                   },
                    "norm_regressions_gt_1_25": regressions}, fh,
                   indent=1, sort_keys=True)
     # The driver captures only the TAIL of stdout (~2 KB) and parses the
@@ -237,6 +272,9 @@ def main() -> None:
                 "value_norm_relational": value_norm_relational,
                 "norm_ratio_vs_prev": norm_ratio,
                 "norm_ratio_comparable": norm_ratio_comparable,
+                # how many lanes normalize by the shuffle probe (full
+                # per-lane map in bench_full.json)
+                "lanes_shuffle_bound": sum(shuffle_bound.values()),
                 # top 8 only — the stdout line must fit the driver's
                 # ~2 KB tail capture; the full set is in bench_full.json
                 "norm_regressions_gt_1_25": dict(

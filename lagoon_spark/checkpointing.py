@@ -25,8 +25,74 @@ from pyspark.sql import DataFrame
 
 def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     """Truncate lineage: reliable ``checkpoint()`` when the session has
-    a checkpoint dir, ``localCheckpoint()`` otherwise."""
+    a checkpoint dir, ``localCheckpoint()`` otherwise.
+
+    The checkpoint's backing RDD handle is captured on the returned
+    frame: ``DataFrame.unpersist()`` only clears CacheManager entries
+    (``.persist()``/``.cache()``), NOT the block-manager blocks a
+    localCheckpoint pins, so :func:`unpin`/:func:`release` need the raw
+    RDD to actually free them."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=eager)
-    return df.localCheckpoint(eager=eager)
+        out = df.checkpoint(eager=eager)
+    else:
+        out = df.localCheckpoint(eager=eager)
+    try:
+        # the checkpointed Dataset's plan IS the LogicalRDD wrapper
+        out._lagoon_ckpt_jrdd = out._jdf.queryExecution().analyzed().rdd()
+    except Exception:
+        out._lagoon_ckpt_jrdd = None
+    return out
+
+
+def unpin(df: DataFrame, blocking: bool = False) -> None:
+    """Free the blocks behind a frame :func:`pin` returned (or a plain
+    ``persist()``-ed frame). Call only after the frame's last action —
+    a lineage-truncated checkpoint cannot recompute its data."""
+    jrdd = getattr(df, "_lagoon_ckpt_jrdd", None)
+    try:
+        if jrdd is not None:
+            jrdd.unpersist(blocking)
+        else:
+            df.unpersist(blocking)
+    except Exception:
+        pass  # session torn down first — nothing left to free
+
+
+def pin_handles(result: DataFrame, *pinned: DataFrame) -> DataFrame:
+    """Attach the persisted/checkpointed intermediates that back
+    ``result`` as a handle list on the frame itself, so the CALLER owns
+    their lifecycle (round-10 verdict #3: every ``persist()`` must pair
+    with an unpersist or a returned handle). Operators that pin
+    loop-invariant frames (``lsh_candidate_pairs``'s signature
+    dictionary, ``ngram_jaccard_pairs``'s gram sets) return their lazy
+    result through this; the caller materializes the result with a
+    terminal action and then calls :func:`release` to drop the cached
+    blocks. Handles compose: attaching to a frame that already carries
+    handles (an operator built on another operator's output) extends
+    the list, so one ``release`` at the end of a pipeline frees every
+    stage. Frames without handles are untouched by release — it is
+    always safe to call."""
+    existing = list(getattr(result, "_lagoon_pins", ()))
+    result._lagoon_pins = tuple(existing) + tuple(pinned)
+    return result
+
+
+def handles(df: DataFrame) -> "tuple[DataFrame, ...]":
+    """The pinned intermediates attached to ``df`` (empty if none) —
+    for operators that consume another operator's output lazily and
+    must PROPAGATE its handles onto their own result instead of
+    releasing them (the input's cached blocks still back the composed
+    plan)."""
+    return tuple(getattr(df, "_lagoon_pins", ()))
+
+
+def release(df: DataFrame, blocking: bool = False) -> None:
+    """Unpersist every intermediate pinned under ``df`` (attached by
+    :func:`pin_handles`). Call AFTER the frame's last action: the
+    handles include lineage-truncated checkpoints, so recomputing the
+    frame after release is not supported. Idempotent; a frame with no
+    handles is a no-op."""
+    for p in getattr(df, "_lagoon_pins", ()):
+        unpin(p, blocking)
+    df._lagoon_pins = ()

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from lagoon_spark.checkpointing import handles, pin_handles, unpin
 from lagoon_spark.operators.text import MOD, word_fingerprints, word_hashes_fast
 
 # fixed, documented seed constants so results are reproducible
@@ -143,9 +144,9 @@ def lsh_candidate_pairs(
     # (id, signature) computed ONCE and pinned: it feeds the within
     # self-join and both cross-expansion joins — without the persist
     # the (expensive) signature expressions would recompute from the
-    # source scan once per join. MEMORY_AND_DISK blocks are LRU-evicted
-    # under pressure; long-lived sessions doing many dedup runs should
-    # materialize the signature dictionary as a real table instead
+    # source scan once per join. Lifecycle: both pins ride out on the
+    # result as handles (checkpointing.pin_handles) — callers free them
+    # with checkpointing.release(pairs) after the terminal action
     members = df.select(
         F.col(sig_col).alias("__sig"), F.col(id_col).alias("__id")
     ).persist()
@@ -221,7 +222,7 @@ def lsh_candidate_pairs(
             "est_jaccard",
         )
     )
-    return within.unionByName(cross)
+    return pin_handles(within.unionByName(cross), members, groups)
 
 
 def neardup_clusters(
@@ -304,7 +305,9 @@ def neardup_clusters(
         .join(cc, "node")
         .select(F.col("__id").alias(id_col), "cluster")
     )
-    return out
+    # cc's own checkpoint handles propagate: the output plan still
+    # reads them, so the caller's one release() frees the whole chain
+    return pin_handles(out, members, groups, *handles(cc))
 
 
 def connected_components(
@@ -352,6 +355,7 @@ def connected_components(
     if nodes is not None:
         endpoints = nodes.select(F.col(node_col)).unionByName(endpoints).distinct()
     labels = pin(endpoints.withColumn("cluster", F.col(node_col)))
+    label_pin = labels  # the checkpoint backing the current labels
 
     changed = 0
     for _ in range(max_iter):
@@ -380,6 +384,11 @@ def connected_components(
             )
         )
         changed = new_labels.filter("__ch").count()
+        # the new checkpoint is materialized and lineage-truncated, so
+        # the superseded round's blocks are dead — drop them now rather
+        # than accumulating max_iter checkpoints (pins need a lifecycle)
+        unpin(label_pin)
+        label_pin = new_labels
         labels = new_labels.drop("__ch")
         if changed == 0:
             break
@@ -405,7 +414,12 @@ def connected_components(
             node_col,
             F.coalesce("__root", F.col("cluster")).alias("cluster"),
         )
-    return labels
+        # _star_components materialized `contracted` into its own pinned
+        # edge set, so the undirected edge cache no longer backs anything
+        unpin(und)
+        return pin_handles(labels, label_pin, *handles(star))
+    unpin(und)
+    return pin_handles(labels, label_pin)
 
 
 def _star_components(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
@@ -442,9 +456,9 @@ def _star_components(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         )
-        edges = pin(ls.filter(F.col("src") != F.col("dst")).distinct())
+        mid = pin(ls.filter(F.col("src") != F.col("dst")).distinct())
         # small-star: every ≤ neighbor of u (and u itself) connects to m(u)
-        s = sym(edges)
+        s = sym(mid)
         mm = mins(s)
         ss = (
             s.join(mm, "src")
@@ -453,15 +467,26 @@ def _star_components(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
             .union(mm.select(F.col("src"), F.col("m").alias("dst")))
         )
         edges = pin(ss.filter(F.col("src") != F.col("dst")).distinct())
-        if edges.count() == prev.count() and edges.exceptAll(prev).isEmpty():
+        # each eager pin truncates lineage; the large-star intermediate
+        # and the previous round are dead once the round's result (and
+        # the convergence comparison against prev) have materialized
+        unpin(mid)
+        done = (
+            edges.count() == prev.count() and edges.exceptAll(prev).isEmpty()
+        )
+        unpin(prev)
+        if done:
             break
     # converged edge set is a star forest: (member, root)
     members = edges.select(F.col("src").alias("node"), F.col("dst").alias("__root"))
     roots = edges.select(F.col("dst").alias("node")).distinct().withColumn(
         "__root", F.col("node")
     )
-    return members.unionByName(roots).groupBy("node").agg(
-        F.min("__root").alias("__root")
+    return pin_handles(
+        members.unionByName(roots).groupBy("node").agg(
+            F.min("__root").alias("__root")
+        ),
+        edges,
     )
 
 
@@ -529,11 +554,14 @@ def keep_canonical(
     w = Window.partitionBy("cluster").orderBy(
         F.col("quality").desc(), F.col(id_col)
     )
-    return (
+    out = (
         clusters.join(q, id_col)
         .withColumn("is_canonical", F.row_number().over(w) == F.lit(1))
         .select(id_col, "cluster", "quality", "is_canonical")
     )
+    # an internally-run clustering's pins back the output plan — hand
+    # them to the caller (a caller-supplied clusters_df keeps its own)
+    return pin_handles(out, *(handles(clusters) if clusters_df is None else ()))
 
 
 def simhash(df: DataFrame, text_col: str, bits: int = 16, out_col: str = "simhash") -> DataFrame:
@@ -707,7 +735,7 @@ def phash_neardup_pairs(
             "hamming",
         )
     )
-    return within.unionByName(cross)
+    return pin_handles(within.unionByName(cross), members, groups)
 
 
 def ngram_jaccard_pairs(
@@ -792,10 +820,13 @@ def ngram_jaccard_pairs(
     # barrier before the threshold filter: otherwise Catalyst pushes the
     # filter into the join condition and the array_intersect runs 2-3×
     # per candidate pair (measured 13s → 3s at sf0.1). The cached
-    # intermediate is (id, id, double) per candidate — tiny.
+    # intermediate is (id, id, double) per candidate — tiny. Both pins
+    # ride out as handles; checkpointing.release(pairs) frees them.
     scored = scored.persist()
     scored.count()
-    return scored.filter(F.col("jaccard") >= min_jaccard)
+    return pin_handles(
+        scored.filter(F.col("jaccard") >= min_jaccard), base, scored
+    )
 
 
 def crossdoc_dup_fraction(

@@ -23,6 +23,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from lagoon_spark.checkpointing import pin_handles
+
 
 def _dot_expr(a: str, b: str) -> str:
     return (
@@ -127,10 +129,13 @@ def pairwise_cosine(
     )
     # barrier before the threshold filter — without it Catalyst pushes
     # the filter into the join condition and the dot-product fold runs
-    # multiple times per candidate pair (see dedup.ngram_jaccard_pairs)
+    # multiple times per candidate pair (see dedup.ngram_jaccard_pairs).
+    # Both pins ride out as handles; checkpointing.release() frees them.
     scored = scored.persist()
     scored.count()
-    return scored.filter(F.col("cosine") >= min_cosine)
+    return pin_handles(
+        scored.filter(F.col("cosine") >= min_cosine), base, scored
+    )
 
 
 def _pseudo_hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
@@ -876,10 +881,11 @@ def knn_graph(
     w = Window.partitionBy(id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
-    return (
+    return pin_handles(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(id_col, "neighbor_id", "cosine", "rank")
+        .select(id_col, "neighbor_id", "cosine", "rank"),
+        base,
     )
 
 
