@@ -188,7 +188,19 @@ def read_plane_metrics(cat, eng, wh, name_mid: str) -> dict:
             fn()
         return (time.perf_counter() - t0) / reps
 
+    # the first search of an epoch pays merge + Arrow index build once;
+    # report it separately so the *_warm metrics mean what they say
+    t0 = time.perf_counter()
+    cat.search(
+        name_contains="ds1",
+        description_contains="genes",
+        order_by="created",
+        limit=20,
+    )
+    first_ms = round(1000 * (time.perf_counter() - t0), 2)
+
     point = {
+        "search_filters_first_ms": first_ms,
         "get_source_warm_ms": round(
             1000 * timed(lambda: cat.get_source(name_mid)), 2
         ),
@@ -208,6 +220,32 @@ def read_plane_metrics(cat, eng, wh, name_mid: str) -> dict:
             2,
         ),
     }
+    # same filters, FRESH needles each rep — the Arrow-scan cost with
+    # no bitmap-cache hit (the warm metric above reflects the repeat/
+    # pagination path, which is the steady state of a REST consumer)
+    ctr = iter(range(1000))
+
+    def fresh():
+        i = next(ctr)
+        cat.search(
+            name_contains=f"ds{i % 7}",
+            description_contains="genes" if i % 2 else "planets",
+            order_by="created",
+            limit=20,
+        )
+
+    point["search_filters_uncached_ms"] = round(1000 * timed(fresh), 2)
+    # TsQuery: first call pays the token-postings build for the epoch,
+    # repeats are bitmap algebra
+    t0 = time.perf_counter()
+    cat.search(ts_query="genes & ds1", limit=20)
+    point["search_ts_first_ms"] = round(
+        1000 * (time.perf_counter() - t0), 2
+    )
+    point["search_ts_warm_ms"] = round(
+        1000 * timed(lambda: cat.search(ts_query="genes & ds1", limit=20)),
+        2,
+    )
 
     def cold_get():
         cat.refresh(force=True)

@@ -106,3 +106,89 @@ def test_search_reads_no_data_files(tmp_path, monkeypatch):
         os.rename(data_dir, tmp_path / "wh" / "data_poisoned")
     _page, total = cat.search(name_contains="ds1", ts_query="planets")
     assert total > 0
+
+
+def test_ts_mask_differential_vs_row_evaluator(tmp_path):
+    """The vectorized TsQuery bitmap (``_ReadIndex.ts_mask``) must make
+    the same per-source decision as the reference row evaluator
+    (``search.matches_source``) for every grammar construct."""
+    from lagoon_spark.search import matches_source, parse
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.init_db()
+    _populate(cat, 120)
+
+    queries = [
+        "genes",
+        "planets | genes",
+        "dataset & genes",
+        "!genes",
+        "name:ds1",
+        "tag:decade",
+        "column:val & genes",
+        "description:(genes | planets) & !user:user3",
+        "user:user2 number",
+        "nosuchtoken",
+        "ds",  # prefix hits every name
+        "(genes",  # unclosed paren (error recovery)
+        "genes & ???",  # error node drops out
+    ]
+    merged = cat._merged_visible()
+    idx = cat._read_index()
+    tags, sc = cat.load("tags"), cat.load("sourcecolumns")
+    for q in queries:
+        ast = parse(q)
+        if ast is None:
+            continue
+        mask = idx.ts_mask(ast, tags, sc)
+        for pos, ix in enumerate(merged["ix"].tolist()):
+            assert mask[pos] == matches_source(cat, q, int(ix)), (
+                q,
+                int(ix),
+            )
+
+
+def test_search_order_matches_stable_pandas_sort(tmp_path):
+    """Arrow sort_indices must reproduce pandas mergesort exactly —
+    including tie order and both directions — since pages at a fixed
+    offset are part of the REST contract."""
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.init_db()
+    _populate(cat, 150)  # 12 distinct created values → massive ties
+    merged = cat._merged_visible()
+    for col, order_by in (("created", "created"), ("__name", "name")):
+        for asc in (True, False):
+            page, _t = cat.search(order_by=order_by, ascending=asc, limit=200)
+            want = merged.sort_values(col, ascending=asc, kind="mergesort")
+            assert [s.ix for s in page] == [int(x) for x in want["ix"][:200]]
+
+
+def test_cold_point_read_get_source(tmp_path):
+    """A fresh Catalog answers get_source from filtered parquet reads
+    (no full load) when WALs are empty — and the result is identical
+    to the warm path, including KeyErrors."""
+    import pytest
+
+    wh = str(tmp_path / "wh")
+    cat = Catalog(wh)
+    cat.init_db()
+    _populate(cat, 300)  # 60 datasets × 5 versions
+    # compact WALs into the base so the point-read path qualifies
+    with cat.writer_lock():
+        for t in ("sources", "sourcenames", "sourcecolumns", "tags"):
+            cat.save(t, cat.load(t))
+    warm = cat.get_source("ds7")
+
+    cold_cat = Catalog(wh)
+    got = cold_cat.get_source("ds7")
+    assert "sources" not in cold_cat._cache  # answered by point-read
+    assert got == warm
+    assert cold_cat.get_source("ds7", 2).version == 2
+    with pytest.raises(KeyError):
+        cold_cat.get_source("nope")
+    with pytest.raises(KeyError):
+        cold_cat.get_source("ds7", 99)
+    # the budget exhausts and the full load takes over, same answers
+    for _ in range(5):
+        assert cold_cat.get_source("ds7") == warm
+    assert "sources" in cold_cat._cache
