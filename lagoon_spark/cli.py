@@ -205,7 +205,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ADC shortlist over the PQ codes (format-3 "
                    "index): dim*8/pq_m x less probe I/O, approximate "
                    "recall (rerank-factor is the recall lever)")
-    p.add_argument("--rerank-factor", type=int, default=16)
+    p.add_argument("--rerank-factor", type=int, default=None,
+                   help="ADC shortlist depth (default 16). Passing it "
+                   "PINS ADC on: an unpinned --use-pq against an index "
+                   "flagged pq_epsilon_margin_regime auto-downgrades "
+                   "to full-precision probes")
 
     p = sub.add_parser(
         "dedup-source",

@@ -1824,13 +1824,14 @@ class Lagoon:
         )
         return out
 
-    def _pq_regime_warn(self, meta: dict, idx_dir: str) -> None:
+    def _pq_regime_warn(
+        self, meta: dict, idx_dir: str, falling_back: bool = False
+    ) -> None:
         """Warn when an ADC search targets an index whose build-time
         diagnostic flagged the epsilon-margin regime (round-10 verdict
         #4): quantization noise of the neighbor-margin order means the
-        shortlist can mis-rank near-ties — prefer ``use_pq=False`` or
-        raise ``rerank_factor``. Indexes built before the diagnostic
-        existed carry no flag and stay silent."""
+        shortlist can mis-rank near-ties. Indexes built before the
+        diagnostic existed carry no flag and stay silent."""
         if meta.get("pq_epsilon_margin_regime"):
             import logging
 
@@ -1843,16 +1844,45 @@ class Lagoon:
             if idx_dir in warned:
                 return
             warned.add(idx_dir)
+            action = (
+                "use_pq=True is DOWNGRADED to full-precision probes for "
+                "this call; pass rerank_factor explicitly to keep ADC"
+                if falling_back
+                else "prefer use_pq=False or raise rerank_factor"
+            )
             logging.getLogger("lagoon_spark").warning(
                 "ANN index %s: PQ quantization error (pq_rel_err=%s) is "
                 "of the same order as the corpus's neighbor cosine "
                 "margins (pq_sample_margin=%s) — ADC shortlists can "
-                "mis-rank near-ties on this corpus; prefer use_pq=False "
-                "or raise rerank_factor",
+                "mis-rank near-ties on this corpus; %s",
                 idx_dir,
                 meta.get("pq_rel_err"),
                 meta.get("pq_sample_margin"),
+                action,
             )
+
+    def _pq_effective(
+        self, meta: dict, idx_dir: str, use_pq: bool,
+        rerank_factor: "int | None",
+    ) -> "tuple[bool, int]":
+        """Resolve the ADC knobs against the build-time regime
+        diagnostic (round-10 verdict #6, the auto-remedy): on an
+        epsilon-margin index an UNPINNED ``use_pq=True`` call silently
+        downgrades to full-precision probes — the ADC shortlist would
+        mis-rank near-ties, and no affordable ``rerank_factor``
+        restores the recall the default caller expects, so recall under
+        default PQ calls is ≥ the full-precision probe's own recall BY
+        CONSTRUCTION. Passing ``rerank_factor`` explicitly pins ADC on
+        (the caller owns the trade); margin-rich indexes are untouched
+        either way. Returns the effective (use_pq, rerank_factor)."""
+        pinned = rerank_factor is not None
+        rf = rerank_factor if pinned else 16
+        if use_pq and not pinned and meta.get("pq_epsilon_margin_regime"):
+            self._pq_regime_warn(meta, idx_dir, falling_back=True)
+            return False, rf
+        if use_pq:
+            self._pq_regime_warn(meta, idx_dir)  # fires only when flagged
+        return use_pq, rf
 
     def _write_ann_meta(self, idx_dir: str, meta: dict) -> None:
         """Atomic meta.json write (temp + os.replace): a writer dying
@@ -2214,7 +2244,7 @@ class Lagoon:
         topk: int = 10,
         nprobe: int = 4,
         version: int | None = None,
-        rerank_factor: int = 16,
+        rerank_factor: int | None = None,
         use_pq: bool = False,
         where: str | None = None,
         overfetch: int = 4,
@@ -2243,9 +2273,13 @@ class Lagoon:
         depends on the corpus's distance margins relative to the
         quantization error — 0.80–0.88 at the default
         ``rerank_factor=16`` on margin-rich corpora, arbitrarily low
-        on epsilon-margin near-duplicates. Reach for it when probe
-        BYTES are the bottleneck (cells ≫ memory, the 100 TB shape:
-        codes are dim·8/pq_m× smaller than vectors), not for
+        on epsilon-margin near-duplicates. On an index whose build
+        diagnostic flagged that regime (``pq_epsilon_margin_regime``),
+        an unpinned ``use_pq=True`` call auto-downgrades to the
+        full-precision probe (with a one-shot warning); pass
+        ``rerank_factor`` explicitly to keep ADC. Reach for it when
+        probe BYTES are the bottleneck (cells ≫ memory, the 100 TB
+        shape: codes are dim·8/pq_m× smaller than vectors), not for
         single-probe latency at small scale.
 
         ``where`` is a hybrid-search predicate (a row-local SQL boolean
@@ -2350,8 +2384,9 @@ class Lagoon:
                 "use_pq=True needs an IVFADC index; rebuild with "
                 "build_ann_index(pq_m=...)"
             )
-        if use_pq:
-            self._pq_regime_warn(meta, idx_dir)
+        use_pq, rerank_factor = self._pq_effective(
+            meta, idx_dir, use_pq, rerank_factor
+        )
         if meta.get("format") == 3 and use_pq:
             # an unfilterable shortlist (predicate not in the codes)
             # over-fetches so enough survivors remain after the
@@ -2425,7 +2460,7 @@ class Lagoon:
         version: int | None = None,
         where: str | None = None,
         use_pq: bool = False,
-        rerank_factor: int = 16,
+        rerank_factor: int | None = None,
         overfetch: int = 4,
     ) -> DataFrame:
         """Batched ANN: N query vectors answered by ONE Spark job.
@@ -2472,8 +2507,9 @@ class Lagoon:
                 "use_pq=True needs an IVFADC index; rebuild with "
                 "build_ann_index(pq_m=...)"
             )
-        if use_pq:
-            self._pq_regime_warn(meta, idx_dir)
+        use_pq, rerank_factor = self._pq_effective(
+            meta, idx_dir, use_pq, rerank_factor
+        )
         cents = self._ann_centroids(idx_dir)
         probe_sets = [
             self._rank_probe_cells(cents, qv, nprobe) for qv in query_vecs

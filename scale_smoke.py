@@ -295,13 +295,19 @@ def run_ann_index(spark, m: int, dim: int) -> dict:
 
     codes_bytes = du(os.path.join(idx_dir, "codes"))
     vector_bytes = du(os.path.join(idx_dir, "assignments"))
+    # rerank_factor pinned everywhere below: these lanes MEASURE the
+    # ADC pipeline, and the epsilon-regime auto-remedy would otherwise
+    # downgrade an unpinned call to full precision on this
+    # cosine-concentrated synthetic corpus
     eng.ann_search(
-        "smokevecs", "data", queries[0], topk=10, nprobe=4, use_pq=True
+        "smokevecs", "data", queries[0], topk=10, nprobe=4, use_pq=True,
+        rerank_factor=16,
     ).collect()
     t0 = time.time()
     for qv in queries:
         eng.ann_search(
-            "smokevecs", "data", qv, topk=10, nprobe=4, use_pq=True
+            "smokevecs", "data", qv, topk=10, nprobe=4, use_pq=True,
+            rerank_factor=16,
         ).collect()
     pq_probe_sec = (time.time() - t0) / len(queries)
     def _recall(rf: int) -> "tuple[float, float]":
@@ -526,11 +532,13 @@ def run_ann_batch(spark, m: int, dim: int, nq: int = 20) -> dict:
     # batched IVFADC lane (round-9): one codes scan + one point-read
     # re-rank; the batch probe reads codes bytes, not vectors
     eng.ann_search_batch(
-        "batchvecs", "vec", queries[:2], topk=10, nprobe=4, use_pq=True
-    ).collect()  # warm
+        "batchvecs", "vec", queries[:2], topk=10, nprobe=4, use_pq=True,
+        rerank_factor=16,
+    ).collect()  # warm (rf pinned: this lane measures ADC)
     t0 = time.time()
     rows_pq = eng.ann_search_batch(
-        "batchvecs", "vec", queries, topk=10, nprobe=4, use_pq=True
+        "batchvecs", "vec", queries, topk=10, nprobe=4, use_pq=True,
+        rerank_factor=16,
     ).collect()
     batch_pq_sec = time.time() - t0
     got_pq: dict[int, set] = {}

@@ -1318,7 +1318,11 @@ def test_ann_index_ivfadc_pq(lagoon, tmp_path):
     assert os.path.isdir(os.path.join(idx_dir, "codebooks"))
 
     q = [1.0, 0.01, 0.0, 0.0]
-    adc = lagoon.ann_search("pq", "data", q, topk=3, nprobe=1, use_pq=True)
+    # rerank_factor pinned: this toy corpus trips the epsilon-regime
+    # diagnostic, and an UNPINNED use_pq call would (correctly)
+    # downgrade to full precision — this test exercises the ADC tiers
+    adc = lagoon.ann_search("pq", "data", q, topk=3, nprobe=1,
+                            use_pq=True, rerank_factor=16)
     # PQ is opt-in (round-8 verdict #1): the DEFAULT probe on a
     # format-3 index is the full-precision path, and use_pq on a
     # format-2 index refuses loudly
@@ -1338,7 +1342,8 @@ def test_ann_index_ivfadc_pq(lagoon, tmp_path):
     lagoon.ANN_DRIVER_RERANK_MAX_BYTES = 0
     try:
         spark_tier = lagoon.ann_search(
-            "pq", "data", q, topk=3, nprobe=1, use_pq=True
+            "pq", "data", q, topk=3, nprobe=1, use_pq=True,
+            rerank_factor=16,
         )
         assert [(r["ix"], r["cosine"]) for r in spark_tier.collect()] == [
             (r["ix"], r["cosine"]) for r in adc.collect()
@@ -1753,9 +1758,29 @@ def test_pq_regime_diagnostic_flags_epsilon_corpus(lagoon, tmp_path, caplog):
     assert meta["pq_mean_sq_err"] >= 0.0
     assert meta["pq_rel_err"] >= 0.0  # can be ~0 when PQ memorizes
     with caplog.at_level(logging.WARNING, logger="lagoon_spark"):
-        lagoon.ann_search("eps", "data", [1.0, 0.0, 0.0, 0.0],
-                          topk=3, nprobe=2, use_pq=True).collect()
+        got = lagoon.ann_search("eps", "data", [1.0, 0.0, 0.0, 0.0],
+                                topk=3, nprobe=2, use_pq=True).collect()
     assert any("mis-rank" in r.message for r in caplog.records)
+    # round-10 verdict #6 (auto-remedy): the unpinned call DOWNGRADES
+    # to full-precision probes, so its answers — and therefore its
+    # recall — are exactly the full-precision probe's on this corpus
+    assert any("DOWNGRADED" in r.message for r in caplog.records)
+    full = lagoon.ann_search("eps", "data", [1.0, 0.0, 0.0, 0.0],
+                             topk=3, nprobe=2, use_pq=False).collect()
+    assert [(r["ix"], r["cosine"]) for r in got] == [
+        (r["ix"], r["cosine"]) for r in full
+    ]
+
+
+def test_pq_effective_resolution(lagoon):
+    """Knob resolution truth table: epsilon-regime + unpinned → ADC
+    off; pinned rerank_factor keeps ADC on; margin-rich untouched."""
+    eps = {"pq_epsilon_margin_regime": True}
+    rich = {"pq_epsilon_margin_regime": False}
+    assert lagoon._pq_effective(eps, "i1", True, None) == (False, 16)
+    assert lagoon._pq_effective(eps, "i2", True, 32) == (True, 32)
+    assert lagoon._pq_effective(rich, "i3", True, None) == (True, 16)
+    assert lagoon._pq_effective(rich, "i4", False, None) == (False, 16)
 
 
 def test_pq_regime_diagnostic_quiet_on_margin_rich(lagoon, tmp_path, caplog):
