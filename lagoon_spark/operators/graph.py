@@ -44,7 +44,7 @@ def pagerank(
     ``localCheckpoint``-pinned. Hot (celebrity) dst keys partial-
     aggregate map-side because the sum is a plain BIGINT SUM.
     """
-    from lagoon_spark.checkpointing import pin
+    from lagoon_spark.checkpointing import pin, pin_handles
 
     e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
     nodes = (
@@ -116,7 +116,10 @@ def pagerank(
     out = pin(pr.select("node", F.round("__pr", 9).alias(out_col)))
     for invariant in (nodes, ew, srcs):
         invariant.unpersist()
-    return out
+    # the result IS a checkpoint: hand it to the caller as its own
+    # handle so checkpointing.release(out) can free the blocks (plain
+    # DataFrame.unpersist cannot reach localCheckpoint block storage)
+    return pin_handles(out, out)
 
 
 def pagerank_oracle_sql(

@@ -44,6 +44,7 @@ IMAGE_DECODE_FN = "lagoon_image_decode"
 AVI_SAMPLE_FN = "lagoon_avi_sample"
 GIF_FRAMES_FN = "lagoon_gif_frames"
 IMAGE_RESIZE_FN = "lagoon_image_resize"
+WAV_SAMPLES_FN = "lagoon_wav_samples"
 
 #: media types whose native pixel layout matches the stdlib tier
 #: byte-for-byte on lossless content (gray/RGB/RGBA raw bytes;
@@ -152,6 +153,11 @@ def register(spark: SparkSession) -> bool:
             IMAGE_RESIZE_FN,
             "lagoonspark.media.ImageResize",
             "struct<width:int,height:int,data:binary>",
+        )
+        spark.udf.registerJavaFunction(
+            WAV_SAMPLES_FN,
+            "lagoonspark.media.WavSamples",
+            "struct<sample_rate:int,samples:array<int>>",
         )
         ok = True
     except Exception:
@@ -262,4 +268,21 @@ def resize_pixels_native(
             F.length("d.data").cast("long").alias("payload_bytes"),
             _hex_digest(F.col("d.data")).alias("payload_digest"),
         )
+    )
+
+
+def decode_audio_samples_native(
+    df: DataFrame, id_col: str, content_col: str
+) -> DataFrame:
+    """Pure-JVM WAV PCM decode: same output schema as
+    :func:`lagoon_spark.operators.multimodal.decode_audio_samples`
+    (id, sample_rate, samples) with zero Python in the executed plan.
+    PCM is lossless and both tiers read the raw stream as little-endian
+    int16, so the tiers are BIT-EXACT on every input (parity-tested as
+    list equality in test_native_media.py)."""
+    d = F.call_udf(WAV_SAMPLES_FN, F.col(content_col)).alias("d")
+    return df.select(F.col(id_col).cast("long").alias("id"), d).select(
+        "id",
+        F.col("d.sample_rate").alias("sample_rate"),
+        F.col("d.samples").alias("samples"),
     )

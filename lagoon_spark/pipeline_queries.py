@@ -242,8 +242,12 @@ def d06(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = spark.table("documents").select("doc_id", "text")
     sigs = dedup.minhash_signature(docs, "text", num_hashes=16, method="portable")
-    return dedup.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4).select(
-        "id_a", "id_b", "est_jaccard"
+    from lagoon_spark.checkpointing import handles, pin_handles
+
+    pairs = dedup.lsh_candidate_pairs(sigs, "doc_id", bands=4, rows_per_band=4)
+    # projections drop the handle attribute; re-attach for release()
+    return pin_handles(
+        pairs.select("id_a", "id_b", "est_jaccard"), *handles(pairs)
     )
 
 
@@ -430,9 +434,14 @@ WHERE round(len(list_intersect(a.grams, b.grams))
 def d08(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = spark.table("documents").select("doc_id", "text", "lang", "source")
-    return dedup.ngram_jaccard_pairs(
+    from lagoon_spark.checkpointing import handles, pin_handles
+
+    pairs = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, block_cols=["lang", "source"], min_jaccard=0.05
-    ).select("id_a", "id_b", "jaccard")
+    )
+    return pin_handles(
+        pairs.select("id_a", "id_b", "jaccard"), *handles(pairs)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2015,9 +2024,14 @@ def d25(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["lang", "source"],
         include_containment=True,
     )
-    return pairs.filter(
-        (F.col("containment_a") >= _D25_TAU)
-        | (F.col("containment_b") >= _D25_TAU)
+    from lagoon_spark.checkpointing import handles, pin_handles
+
+    return pin_handles(
+        pairs.filter(
+            (F.col("containment_a") >= _D25_TAU)
+            | (F.col("containment_b") >= _D25_TAU)
+        ),
+        *handles(pairs),
     )
 
 
@@ -2681,8 +2695,13 @@ def d35(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string")).alias("src"),
         F.concat(F.lit("h"), ((F.col("doc_id") * 13 + 5) % 29).cast("string")).alias("dst"),
     )
-    return pagerank(e1.unionAll(e2), "src", "dst", iters=3).select(
-        F.col("node"), F.col("pagerank")
+    from lagoon_spark.checkpointing import handles, pin_handles
+
+    pr = pagerank(e1.unionAll(e2), "src", "dst", iters=3)
+    # projections drop the handle attribute — re-attach so the bench's
+    # per-lane release() frees the pagerank checkpoint
+    return pin_handles(
+        pr.select(F.col("node"), F.col("pagerank")), *handles(pr)
     )
 
 

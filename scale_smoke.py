@@ -710,7 +710,7 @@ def run_media(spark, n: int, cores: int) -> dict:
         elif kind == "gif":
             out = mm.decode_gif_frames(df, "id", "content", tier=tier)
         elif kind == "wav":
-            out = mm.decode_audio_samples(df, "id", "content")
+            out = mm.decode_audio_samples(df, "id", "content", tier=tier)
         else:
             out = mm.decode_video_frames(df, "id", "content", every=2, tier=tier)
         t0 = time.time()
@@ -732,10 +732,11 @@ def run_media(spark, n: int, cores: int) -> dict:
             "near_linear": ratio < 8.0,  # linear = 4
             "mb_per_sec_per_core": round(bf / max(wf, 1e-9) / cores / 1e6, 3),
         }
-        # round-10 verdict #1: the native (Java ImageIO, pure-JVM) tier
-        # measured on the SAME corpus — multiplier over the stdlib path.
-        # WAV has no native tier (PCM parse is a cheap struct unpack).
-        if kind in ("jpeg", "jpeg_large", "gif", "avi"):
+        # round-10 verdict #1 (+ #5 for WAV, round-11): the native
+        # (pure-JVM) tier measured on the SAME corpus — multiplier over
+        # the stdlib path. WAV closed the media plane: every codec now
+        # has a JVM tier.
+        if kind in ("jpeg", "jpeg_large", "gif", "avi", "wav"):
             timed_decode(pf, kind, tier="native")  # warm (jar, codegen)
             wn, _bn = timed_decode(pf, kind, tier="native")
             wnq, _ = timed_decode(pq, kind, tier="native")
@@ -777,11 +778,13 @@ def run_pagerank(spark, e: int) -> dict:
 
     def run(size: int, iters: int) -> "tuple[float, int]":
         edges = make_edges(size)
+        from lagoon_spark.checkpointing import release
+
         t0 = time.time()
         out = pagerank(edges, "src", "dst", iters=iters)
         nodes = out.count()
         wall = time.time() - t0
-        out.unpersist()
+        release(out)
         return wall, nodes
 
     wq, _ = run(e // 4, 3)

@@ -313,3 +313,59 @@ def test_resize_pixels_rejects_bad_buffer(spark):
             mm.resize_pixels(
                 neg, "id", "width", "height", "data", factor=4, tier=tier
             ).collect()
+
+
+def test_native_wav_samples_bitexact(spark):
+    """Round-10 verdict #5: the JVM WAV tier decodes the identical
+    sample values as the stdlib tier — PCM is lossless, so parity is
+    LIST EQUALITY, not a tolerance — and auto routes WAV natively."""
+    import struct
+
+    from lagoon_spark.multimodal_queries import _encode_wav_pcm16
+
+    rows = []
+    for i in range(4):
+        pcm = struct.pack(
+            "<16h", *[(j * 257 - 2000 * i) % 32768 - 16384 for j in range(16)]
+        )
+        rows.append((i, _encode_wav_pcm16(8000 + i, pcm)))
+    rows.append((9, _encode_wav_pcm16(44100, struct.pack("<5h", 1, -2, 3, -4, 5))))
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+
+    native = {
+        r["id"]: (r["sample_rate"], list(r["samples"]))
+        for r in mm.decode_audio_samples(
+            df, "doc_id", "content", tier="native"
+        ).collect()
+    }
+    stdlib = {
+        r["id"]: (r["sample_rate"], list(r["samples"]))
+        for r in mm.decode_audio_samples(
+            df, "doc_id", "content", tier="stdlib"
+        ).collect()
+    }
+    assert native == stdlib and len(native) == 5
+
+    # auto routes natively when the JDK is present: no Python node
+    auto = mm.decode_audio_samples(df, "doc_id", "content")
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, plan
+
+
+def test_native_wav_rejects_non_pcm(spark):
+    """Compressed WAV (format != 1) refuses loudly in BOTH tiers —
+    the stdlib NotImplementedError contract."""
+    import struct
+
+    blob = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 40, b"WAVE",
+        b"fmt ", 16, 2, 1, 8000, 8000, 1, 4,  # ADPCM (format 2)
+        b"data", 4,
+    ) + b"\x00\x00\x00\x00"
+    df = spark.createDataFrame([(1, blob)], "doc_id long, content binary")
+    with pytest.raises(Exception, match="format 2|only PCM"):
+        mm.decode_audio_samples(df, "doc_id", "content", tier="native").collect()
+    with pytest.raises(Exception, match="format 2|only PCM"):
+        mm.decode_audio_samples(df, "doc_id", "content", tier="stdlib").collect()
