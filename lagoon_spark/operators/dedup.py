@@ -50,6 +50,25 @@ def _ngrams_expr(toks_col: str, n: int):
     )
 
 
+
+def _gram_key(gram_col):
+    """Gram join/shuffle key: 64-bit xxhash64 of the gram text
+    (default) or the raw string (``LAGOON_GRAM_KEYS=string``).
+
+    Hashing is the production representation — the gram pipelines
+    shuffle fixed 8-byte keys instead of n·token bytes (passage
+    removal's shuffle dropped 2.8× at 1M docs, SCALE_SMOKE_r10) and
+    per-pair collision odds are 2⁻⁶⁴. The string mode exists purely so
+    the small-scale cost of the extra per-occurrence hash is MEASURED,
+    not asserted (SCALE.md gram-representation table, round-10 verdict
+    #4); it is not a supported production configuration."""
+    import os
+
+    if os.environ.get("LAGOON_GRAM_KEYS", "hash") == "string":
+        return gram_col
+    return F.xxhash64(gram_col)
+
+
 def exact_dedup(df: DataFrame, cols: list[str], keep: str = "min", id_col: str | None = None) -> DataFrame:
     """Keep one row per distinct (cols) combination.
 
@@ -776,7 +795,7 @@ def ngram_jaccard_pairs(
     # array_intersect compares longs instead of strings. Per-pair
     # collision odds 2⁻⁶⁴ (could only nudge |A∩B| up by one).
     grams = F.array_distinct(
-        F.transform(_ngrams_expr("__toks", n), lambda g: F.xxhash64(g))
+        F.transform(_ngrams_expr("__toks", n), lambda g: _gram_key(g))
     )
     # gram sets are computed once per row and persisted; the pair join
     # only does set intersection (see lsh_candidate_pairs for the scale
@@ -859,7 +878,7 @@ def crossdoc_dup_fraction(
         .select(
             F.col(id_col), F.explode(_ngrams_expr("__toks", n)).alias("__gram")
         )
-        .select(F.col(id_col), F.xxhash64("__gram").alias("__g"))
+        .select(F.col(id_col), _gram_key(F.col("__gram")).alias("__g"))
     )
     gram_df = (
         exploded.groupBy("__g")
@@ -936,7 +955,7 @@ def duplicate_spans(
         .select(
             id_col,
             (F.col("__pos0") + 1).alias("__pos"),
-            F.xxhash64("__gram").alias("__g"),
+            _gram_key(F.col("__gram")).alias("__g"),
         )
     )
     shared_grams = (
