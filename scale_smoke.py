@@ -989,7 +989,9 @@ DEDUP_QUERIES = [
 ]
 
 
-def run_relational(spark, sf_dir: str, names: list[str]) -> dict:
+def run_relational(
+    spark, sf_dir: str, names: list[str], count_rows: bool = False
+) -> dict:
     """Execute each registry query against sf_dir through the noop sink
     (everything computes, nothing lands on the driver).
 
@@ -1014,6 +1016,8 @@ def run_relational(spark, sf_dir: str, names: list[str]) -> dict:
             "wall_sec": round(wall, 3),
             "ops": {op: plan.count(op) for op in _PLAN_OPS if op in plan},
         }
+        if count_rows:
+            out[name]["rows"] = df.count()
         from lagoon_spark.checkpointing import release
 
         release(df)  # free the lane's pinned intermediates
@@ -1025,6 +1029,7 @@ def relational_phase(
     names: "list[str] | None" = None,
     rep_dir: "str | None" = None,
     linear_gate: float = 1.5,
+    per_output: bool = False,
 ) -> dict:
     import tempfile
 
@@ -1034,9 +1039,9 @@ def relational_phase(
         rep_dir = tempfile.mkdtemp(prefix=f"lagoon_sf_x{factor}_")
         build_sec = build_replica(spark, sf_dir, rep_dir, factor)
         meter.take()  # replica construction is not query accounting
-    small = run_relational(spark, sf_dir, names)
+    small = run_relational(spark, sf_dir, names, count_rows=per_output)
     meter.take()
-    big = run_relational(spark, rep_dir, names)
+    big = run_relational(spark, rep_dir, names, count_rows=per_output)
     shuffles = meter.take()
     queries = {}
     for name in names:
@@ -1053,12 +1058,33 @@ def relational_phase(
             "wall_ratio": ratio,
             # linear = factor; with warm-vs-warm timing the gate
             # tightens to 1.5× headroom (fixed per-query overhead and
-            # n log n sorts) — round-7 verdict ask #3. Dedup lanes get
-            # a wider gate: replicated duplicates grow cluster sizes,
-            # so pair output is super-linear by SEMANTICS.
+            # n log n sorts) — round-7 verdict ask #3
             "near_linear": ratio < linear_gate * factor,
             "plan_strategy_equal": strat_small == strat_big,
         }
+        if per_output:
+            # output-bound lanes (LSH pairs): a 10× replica clones
+            # every document 10×, so each near-dup clique grows 10× and
+            # pair OUTPUT grows ~factor² BY SEMANTICS (m-clique → m²
+            # pairs). The linear statement for such a lane is wall per
+            # OUTPUT row — the engine's work tracks what it must emit.
+            rs, rb = small[name]["rows"], big[name]["rows"]
+            out_ratio = round(rb / max(rs, 1), 2)
+            wpo = round(
+                (big[name]["wall_sec"] / max(rb, 1))
+                / max(small[name]["wall_sec"] / max(rs, 1), 1e-12),
+                3,
+            )
+            queries[name].update(
+                {
+                    "output_rows_ratio": out_ratio,
+                    "wall_per_output_row_ratio": wpo,
+                    # ratio ≤ factor → sub-linear in input; above that
+                    # the lane must be linear per output row instead
+                    "near_linear": ratio < linear_gate * factor
+                    or wpo < linear_gate,
+                }
+            )
     return {
         "factor": factor,
         "replica_build_sec": round(build_sec, 1),
@@ -1397,6 +1423,7 @@ def main() -> None:
             names=DEDUP_QUERIES,
             rep_dir=report["relational"]["replica_dir"],
             linear_gate=3.0,
+            per_output=True,
         )
 
     with open(args.out, "w") as f:
