@@ -102,6 +102,31 @@ def main() -> None:
         min(calibrate_shuffle(), calibrate_shuffle()), 3
     )
 
+    # third probe: SCAN-bound (round-11). An A/B against the r10 tree
+    # showed four lanes 1.3-1.4× slower in raw wall on a host window
+    # whose CPU and shuffle probes BOTH matched the prior round — the
+    # drift channel was parquet scan/page-cache latency, which neither
+    # probe exercises. A fixed full-decode scan of the largest table
+    # tracks it.
+    scan_path = None
+    import glob as _g
+
+    cands = sorted(_g.glob(os.path.join(sf_dir, "*.parquet")))
+    if cands:
+        scan_path = max(cands, key=os.path.getsize)
+
+    def calibrate_scan() -> float:
+        t0 = time.perf_counter()
+        spark.read.parquet(scan_path).selectExpr(
+            "sum(pmod(xxhash64(*), 1000003)) AS s"  # bounded: no ANSI overflow
+        ).collect()
+        return time.perf_counter() - t0
+
+    calib_scan = None
+    if scan_path:
+        calibrate_scan()  # warm
+        calib_scan = round(min(calibrate_scan(), calibrate_scan()), 3)
+
     # median of 3 runs per query: single-shot wall times on this shared
     # host are too noisy for sub-second queries — round 8 burned 6 of 8
     # flagged "regressions" on scheduler jitter in queries whose code
@@ -224,17 +249,30 @@ def main() -> None:
         short_tag = {
             k.split("_", 1)[0]: v for k, v in shuffle_bound.items()
         }
+        prev_calib_scan = prev.get("calib_scan_sec")
         for k, now_s in short_now.items():
             if k in pq and pq[k] and calib and prev["calib_sec"]:
-                if short_tag.get(k) and calib_shuffle:
-                    probe_now, probe_prev = calib_shuffle, prev_calib_shuffle
-                else:
-                    probe_now, probe_prev = calib, prev["calib_sec"]
-                r = (now_s / probe_now) / (pq[k] / probe_prev)
+                r_cpu = (now_s / calib) / (pq[k] / prev["calib_sec"])
+                rs = [r_cpu]
+                if calib_shuffle and prev_calib_shuffle:
+                    rs.append(
+                        (now_s / calib_shuffle)
+                        / (pq[k] / prev_calib_shuffle)
+                    )
+                if calib_scan and prev_calib_scan:
+                    rs.append(
+                        (now_s / calib_scan) / (pq[k] / prev_calib_scan)
+                    )
+                # report the lane's ratio under ITS probe...
+                r = rs[1] if short_tag.get(k) and len(rs) > 1 else r_cpu
                 per_query_norm_ratio[k] = round(r, 3)
-                # flag only normalized regressions >1.25× on queries
-                # big enough for the ratio to mean anything (>0.2s)
-                if r > 1.25 and now_s > 0.2:
+                # ...but FLAG only when EVERY probe's normalization
+                # exceeds the bar: when probes drift apart (one host
+                # channel got faster), dividing flat raw walls by the
+                # faster probe pushes borderline lanes over any single
+                # threshold — a real engine regression shows up under
+                # all of them. >0.2 s keeps jitter lanes out.
+                if min(rs) > 1.25 and now_s > 0.2:
                     regressions[k] = round(r, 2)
 
     # Full long-key timings for local diffing (bench_full.json is
@@ -257,6 +295,7 @@ def main() -> None:
                    "unit": "sec", "queries": timings, "sf": sf_dir,
                    "bench_reps": reps, "bench_cold_discard": cold_discard,
                    "calib_sec": calib, "calib_shuffle_sec": calib_shuffle,
+                   "calib_scan_sec": calib_scan,
                    "value_norm": value_norm,
                    "total_relational_sec": total_relational,
                    "value_norm_relational": value_norm_relational,
@@ -303,6 +342,7 @@ def main() -> None:
                 "bench_cold_discard": cold_discard,
                 "calib_sec": calib,
                 "calib_shuffle_sec": calib_shuffle,
+                "calib_scan_sec": calib_scan,
                 # the load-normalized headline: compare THIS across
                 # rounds, never raw totals (shared-host drift ±30%)
                 "value_norm": value_norm,
