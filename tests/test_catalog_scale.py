@@ -192,3 +192,82 @@ def test_cold_point_read_get_source(tmp_path):
     for _ in range(5):
         assert cold_cat.get_source("ds7") == warm
     assert "sources" in cold_cat._cache
+
+
+def test_search_differential_vs_naive_reference(tmp_path):
+    """Randomized filter combinations against a naive pandas reference
+    (the pre-index semantics): same hit SET, same total, same page
+    under offset/limit with and without order_by."""
+    import random
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.init_db()
+    _populate(cat, 200)
+    merged = cat._merged_visible()
+
+    def naive(kw):
+        df = merged
+        m = df["ix"] >= 0
+        if kw.get("name_contains"):
+            m &= df["__name"].str.lower().str.contains(
+                kw["name_contains"].lower(), regex=False, na=False
+            )
+        if kw.get("description_contains"):
+            m &= df["description"].str.lower().str.contains(
+                kw["description_contains"].lower(), regex=False, na=False
+            )
+        if kw.get("added_by_any"):
+            mm = df["ix"] < 0
+            for u in kw["added_by_any"]:
+                mm |= df["added_by"].str.lower().str.contains(
+                    u.lower(), regex=False, na=False
+                )
+            m &= mm
+        if kw.get("created_after"):
+            m &= df["created"] >= kw["created_after"]
+        if kw.get("created_before"):
+            m &= df["created"] <= kw["created_before"]
+        if not kw.get("include_deprecated", True):
+            m &= ~df["deprecated"]
+        hit = df[m]
+        if kw.get("order_by"):
+            col = {"name": "__name", "created": "created", "ix": "ix"}[
+                kw["order_by"]
+            ]
+            hit = hit.sort_values(
+                col, ascending=kw.get("ascending", True), kind="mergesort"
+            )
+        off = kw.get("offset", 0)
+        lim = kw.get("limit")
+        page = hit.iloc[off : off + lim if lim is not None else None]
+        return [int(x) for x in page["ix"]], len(hit)
+
+    rng = random.Random(11)
+    for _ in range(40):
+        kw = {}
+        if rng.random() < 0.6:
+            kw["name_contains"] = rng.choice(["ds", "ds1", "s2", "zz"])
+        if rng.random() < 0.6:
+            kw["description_contains"] = rng.choice(
+                ["genes", "planets", "number 1", "xyz"]
+            )
+        if rng.random() < 0.4:
+            kw["added_by_any"] = rng.sample(
+                ["user1", "user3", "user6"], rng.randint(1, 2)
+            )
+        if rng.random() < 0.4:
+            kw["created_after"] = "2026-04-01T00:00:00"
+        if rng.random() < 0.3:
+            kw["created_before"] = "2026-09-01T00:00:00"
+        if rng.random() < 0.3:
+            kw["include_deprecated"] = False
+        if rng.random() < 0.5:
+            kw["order_by"] = rng.choice(["name", "created", "ix"])
+            kw["ascending"] = rng.random() < 0.5
+        if rng.random() < 0.5:
+            kw["offset"] = rng.randint(0, 30)
+            kw["limit"] = rng.randint(1, 25)
+        page, total = cat.search(**kw)
+        want_page, want_total = naive(kw)
+        assert total == want_total, kw
+        assert [s.ix for s in page] == want_page, kw
