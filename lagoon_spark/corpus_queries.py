@@ -159,7 +159,10 @@ FROM documents
 def c05(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = spark.table("documents").select("doc_id")
+    from lagoon_spark.checkpointing import pin_handles
+
     out, _pinned = corpus.global_shuffle(docs, "doc_id")
+    out = pin_handles(out, _pinned)
     return out
 
 
@@ -195,7 +198,10 @@ def c06(spark: SparkSession, sf_dir: str) -> DataFrame:
     # early would resample the range boundaries under the numbering);
     # once the returned DF is collected and dropped, ContextCleaner
     # reclaims the (metadata-sized) checkpoint blocks
+    from lagoon_spark.checkpointing import pin_handles
+
     out, _pinned = corpus.pack_token_offsets(docs, "doc_id", "text", budget=1024)
+    out = pin_handles(out, _pinned)
     return out
 
 

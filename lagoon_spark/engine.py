@@ -21,6 +21,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lagoon_spark.checkpointing import unpin as _unpin
 from lagoon_spark.catalog import Catalog, SourceInfo
 from lagoon_spark.ingest import csv as csvmod
 from lagoon_spark.ingest import jsonsplit, jsontype
@@ -3280,7 +3281,7 @@ class Lagoon:
         keep = marked.filter(F.col("is_canonical")).select(
             F.col("ix").alias("__ord")
         )
-        return self._materialize_survivors(
+        out = self._materialize_survivors(
             name,
             info,
             src,
@@ -3288,6 +3289,11 @@ class Lagoon:
             description=f"near-dup survivors of {name} v{info.version}",
             reindex=reindex,
         )
+        # the survivors are landed on disk — free the clustering pins
+        from lagoon_spark.checkpointing import release
+
+        release(marked)
+        return out
 
     def _materialize_survivors(
         self,
@@ -3332,7 +3338,7 @@ class Lagoon:
             self._rollback_ingest(ix, table_name)
             raise
         finally:
-            pinned.unpersist()
+            _unpin(pinned)
         new_info = self.catalog.get_source_by_ix(ix)
         self.register_views(new_info)
         if info.typed_table_name:
@@ -3518,7 +3524,7 @@ class Lagoon:
             compacted = numbered.select("ix", *phys, "ixs")
             self._write_compact(name, infos, compacted)
         finally:
-            pinned.unpersist()
+            _unpin(pinned)
         return self.catalog.get_source(name, versions[-1])
 
     def _compact_incremental(self, name, infos, tables, phys) -> SourceInfo:
@@ -3618,7 +3624,7 @@ class Lagoon:
             compacted = existing.unionByName(appended)
             self._write_compact(name, infos, compacted)
         finally:
-            pinned.unpersist()
+            _unpin(pinned)
         return self.catalog.get_source(name, infos[-1].version)
 
     def _write_compact(self, name, infos, compacted) -> None:

@@ -2593,10 +2593,14 @@ def c09(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents").select(
         "doc_id", text.stopword_ratio("text").alias("__score")
     )
+    from lagoon_spark.checkpointing import pin_handles as _ph
+
     out, _pinned = corpus.curriculum_order(
         docs, "doc_id", "__score", thresholds=(_C09_T0, _C09_T1)
     )
-    return out.select("doc_id", "stage", "curriculum_pos")
+    # the checkpoint backing the numbering rides out as a handle so the
+    # bench's per-lane release() can free it
+    return _ph(out.select("doc_id", "stage", "curriculum_pos"), _pinned)
 
 
 # ---------------------------------------------------------------------------
