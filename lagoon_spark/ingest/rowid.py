@@ -119,7 +119,7 @@ def dense_order_ix(df: DataFrame, order_col: str, out_col: str = "ix"):
     cluster deployment), ``pin`` upgrades to a fault-tolerant
     ``checkpoint()`` automatically.
 
-    Returns ``(out_df, pinned)``; the caller should ``pinned.unpersist()``
+    Returns ``(out_df, pinned)``; the caller should ``checkpointing.unpin(pinned)``
     after materializing ``out_df`` (e.g. after the parquet write) to
     free the checkpoint blocks.
     """

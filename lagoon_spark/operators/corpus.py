@@ -143,7 +143,7 @@ def global_shuffle(df: DataFrame, id_col: str, pos_col: str = "shuffle_pos"):
     composite being a total order; ids must fit 31 bits — larger ids
     raise at run time instead of silently corrupting the order.
 
-    Returns ``(out_df, pinned)`` like ``dense_order_ix``; unpersist
+    Returns ``(out_df, pinned)`` like ``dense_order_ix``; ``checkpointing.unpin``
     ``pinned`` after materializing ``out_df`` to free the checkpoint.
     """
     key = _guarded_key(
@@ -196,7 +196,7 @@ def pack_token_offsets(
     avoid). Default order requires ids in [0, 2^31) (the composite-key
     guard shared with :func:`global_shuffle`).
 
-    Returns ``(out_df, pinned)`` like ``dense_order_ix``; unpersist
+    Returns ``(out_df, pinned)`` like ``dense_order_ix``; ``checkpointing.unpin``
     ``pinned`` after materializing ``out_df``.
     """
     from lagoon_spark.ingest.rowid import dense_prefix_sum
@@ -460,7 +460,7 @@ def curriculum_order(
     (hash, id) key with the same ``dense_order_ix`` scheme — the two
     operators share one scale story.
 
-    Returns ``(out_df, pinned)`` like ``dense_order_ix`` — unpersist
+    Returns ``(out_df, pinned)`` like ``dense_order_ix`` — ``checkpointing.unpin``
     ``pinned`` after materializing. Requires ids in [0, 2^30) and at
     most 8192 stages (composite-key bit budget).
     """

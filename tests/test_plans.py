@@ -131,7 +131,9 @@ def test_dense_order_ix_no_single_partition_exchange(spark):
         # dense 1-based, ascending with ord
         assert [r["ix"] for r in rows] == list(range(1, 10001))
     finally:
-        pinned.unpersist()
+        from lagoon_spark.checkpointing import unpin
+
+        unpin(pinned)
 
 
 def test_ivf_probe_rerank_is_heap_and_broadcast(spark, sf_small):
