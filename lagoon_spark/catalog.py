@@ -102,7 +102,13 @@ def _visible(sources: pd.DataFrame) -> pd.DataFrame:
     there was written by a finish-or-rollback engine, so all visible."""
     if "pending" not in sources.columns:
         return sources
-    return sources[~sources["pending"].fillna(False).astype(bool)]
+    m = sources["pending"].fillna(False).astype(bool)
+    if not m.any():
+        # the overwhelmingly common state (no in-flight ingest):
+        # sources[~m] would copy the whole frame — at the 1M-source
+        # tier ~200 ms of every merge-epoch rebuild — for a no-op
+        return sources
+    return sources[~m]
 
 
 class _ReadIndex:
