@@ -157,10 +157,25 @@ class _ReadIndex:
         self._pos_by_ix: dict[int, int] | None = None
         self._ix_arr = None  # np.int64[] of merged["ix"]
         # side-table columns (tags/sourcecolumns) lowered for membership
-        # filters; keyed (table, col, id(frame)) with a strong frame ref
-        # so a reload of the side table (new object) rebuilds
+        # filters; keyed (table, col) → (frame, arr, keys, serial). The
+        # strong frame ref pins identity while the entry is current; the
+        # monotonic serial (never recycled, unlike id()) is what mask-
+        # cache keys embed, so an evicted frame's bitmaps can never be
+        # resurrected by a new frame allocated at the recycled address
+        # (round-11 advice, low).
         self._side: dict[tuple, tuple] = {}
-        self._tokens: dict[str, tuple] | None = None
+        self._side_serial = 0
+        # TsQuery token postings, keyed by the identity of the tags/
+        # sourcecolumns frames they were built from: a tag-only commit
+        # in another process reloads those frames WITHOUT moving the
+        # sources merge epoch, and the old epoch-lifetime memo kept
+        # serving stale ts_query results while membership_mask saw the
+        # new frame (round-11 advice, medium). State is one atomically
+        # swapped tuple (frames_key, (tags_df, cols_df), tokens, serial)
+        # — the strong frame refs keep the ids in frames_key valid, and
+        # the serial keys the lexeme bitmaps in the mask cache.
+        self._tokens_state: tuple | None = None
+        self._tokens_serial = 0
 
     # -- column caches --------------------------------------------------
 
@@ -263,30 +278,47 @@ class _ReadIndex:
 
         return self._mask_cached(("cmp", col, op, value), build)
 
+    def _side_entry(self, table: str, frame: pd.DataFrame,
+                    col: str, key_col: str) -> tuple:
+        """Current lowered-column entry for a side table: (frame, arr,
+        keys, serial). Rebuilds (and bumps the serial) exactly when the
+        live frame object differs from the cached one — one entry per
+        (table, col), so a reloaded side frame can't pile up stale
+        arrays, and the serial retires its cached bitmaps for good."""
+        import numpy as np
+
+        skey = (table, col)
+        with self._lock:
+            ent = self._side.get(skey)
+            if ent is not None and ent[0] is frame:
+                return ent
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pc.utf8_lower(pa.array(frame[col], from_pandas=True))
+        keys = frame[key_col].to_numpy(dtype=np.int64)
+        with self._lock:
+            ent = self._side.get(skey)
+            if ent is not None and ent[0] is frame:
+                return ent  # lost a benign build race — use the winner
+            self._side_serial += 1
+            ent = (frame, arr, keys, self._side_serial)
+            self._side[skey] = ent
+            return ent
+
     def membership_mask(self, table: str, frame: pd.DataFrame,
                         col: str, key_col: str, needle: str):
         """Bitmap over merged rows whose ``key_col``-matched row in the
         side ``frame`` (tags/sourcecolumns) contains ``needle``."""
         import numpy as np
 
+        _frame, arr, keys, serial = self._side_entry(
+            table, frame, col, key_col
+        )
+
         def build():
-            import pyarrow as pa
             import pyarrow.compute as pc
 
-            skey = (table, col, id(frame))
-            with self._lock:
-                ent = self._side.get(skey)
-            if ent is None:
-                arr = pc.utf8_lower(pa.array(frame[col], from_pandas=True))
-                keys = frame[key_col].to_numpy(dtype=np.int64)
-                with self._lock:
-                    # keep ONE entry per (table, col): a reloaded side
-                    # frame must not pile up stale arrays
-                    for k in [k for k in self._side if k[:2] == skey[:2]]:
-                        self._side.pop(k, None)
-                    self._side[skey] = (frame, arr, keys)
-                ent = (frame, arr, keys)
-            _frame, arr, keys = ent
             m = pc.fill_null(
                 pc.match_substring(arr, needle.lower()), False
             ).to_numpy(zero_copy_only=False)
@@ -294,7 +326,7 @@ class _ReadIndex:
             return np.isin(self.ix_array(), hit)
 
         return self._mask_cached(
-            ("member", table, col, id(frame), needle.lower()), build
+            ("member", table, col, serial, needle.lower()), build
         )
 
     # -- sort orders --------------------------------------------------------
@@ -351,12 +383,24 @@ class _ReadIndex:
         # filter pass costs more than the dead weight
         return toks, np.asarray(positions, dtype=np.int64)[parents]
 
-    def _ensure_tokens(self, tags_df: pd.DataFrame, cols_df: pd.DataFrame):
-        if self._tokens is not None:
-            return
+    def _ensure_tokens(
+        self, tags_df: pd.DataFrame, cols_df: pd.DataFrame
+    ) -> tuple:
+        """Token postings for the CURRENT tags/sourcecolumns frames →
+        ``(tokens, serial)``. Rebuilt whenever either frame object
+        changes (mirrors :meth:`_side_entry`'s eviction logic): the
+        merge epoch only tracks sources/sourcenames, so a tag- or
+        column-only commit surfaced by ``refresh()`` must retire the
+        postings here or ts_query keeps answering from the old tags
+        while membership filters see the new ones."""
+        frames_key = (id(tags_df), id(cols_df))
+        st = self._tokens_state
+        if st is not None and st[0] == frames_key:
+            return st[2], st[3]
         with self._lock:
-            if self._tokens is not None:
-                return
+            st = self._tokens_state
+            if st is not None and st[0] == frames_key:
+                return st[2], st[3]
             import numpy as np
 
             merged = self.merged
@@ -376,7 +420,7 @@ class _ReadIndex:
 
             tag_v, tag_p = repos(tags_df, "tag")
             col_v, col_p = repos(cols_df, "header")
-            self._tokens = {
+            tokens = {
                 "A": self._class_postings(merged["__name"].to_numpy(), rows),
                 "B": self._class_postings(
                     np.concatenate([tag_v, col_v]),
@@ -389,18 +433,27 @@ class _ReadIndex:
                     merged["added_by"].to_numpy(), rows
                 ),
             }
+            self._tokens_serial += 1
+            # strong refs to both frames keep the ids in frames_key
+            # valid for exactly as long as this state is current
+            self._tokens_state = (
+                frames_key, (tags_df, cols_df), tokens, self._tokens_serial
+            )
+            return tokens, self._tokens_serial
 
-    def _lexeme_mask(self, cls: str, needle: str):
+    def _lexeme_mask(self, cls: str, needle: str, tokens: dict, serial: int):
         """Prefix-or-exact token match (search.evaluate's Lexeme rule)
         for one weight class: one Arrow ``starts_with`` scan over the
         flat token array, scattered into a row bitmap and cached per
-        (class, needle)."""
+        (class, needle, postings-serial) — the serial retires bitmaps
+        built from superseded tag/column frames without a purge pass
+        (and without the purge's rebuild race)."""
 
         def build():
             import numpy as np
             import pyarrow.compute as pc
 
-            toks, rows = self._tokens[cls]
+            toks, rows = tokens[cls]
             m = np.zeros(len(self.merged), dtype=bool)
             if toks is not None and len(rows):
                 hit = pc.starts_with(toks, needle).to_numpy(
@@ -410,7 +463,7 @@ class _ReadIndex:
                     m[rows[hit]] = True
             return m
 
-        return self._mask_cached(("lex", cls, needle), build)
+        return self._mask_cached(("lex", cls, needle, serial), build)
 
     def ts_mask(self, q, tags_df: pd.DataFrame, cols_df: pd.DataFrame):
         """Evaluate a parsed TsQuery as bitmap algebra — semantics
@@ -420,14 +473,14 @@ class _ReadIndex:
 
         from lagoon_spark import search as _s
 
-        self._ensure_tokens(tags_df, cols_df)
+        tokens, serial = self._ensure_tokens(tags_df, cols_df)
 
         def ev(node, weights: str):
             if isinstance(node, _s.Lexeme):
                 needle = node.text.lower()
                 m = np.zeros(len(self.merged), dtype=bool)
                 for w in weights:
-                    m |= self._lexeme_mask(w, needle)
+                    m |= self._lexeme_mask(w, needle, tokens, serial)
                 return m
             if isinstance(node, _s.And):
                 return ev(node.left, weights) & ev(node.right, weights)
@@ -1585,6 +1638,14 @@ class Catalog:
         for t in tables:
             if self._log_size(t) != 0 or not os.path.exists(self._path(t)):
                 return None
+        # snapshot fingerprints BEFORE the four reads: they are not one
+        # atomic snapshot, so a writer in another process committing
+        # between them could pair a new sourcenames base with the old
+        # sources base — a spurious "no committed version" for a fully
+        # committed source. Any token that moved by the end means the
+        # reads may be torn; fall back to the full load (which re-stats
+        # and retries on torn base/log pairs) instead of answering.
+        before = {t: self._table_token(t) for t in tables}
         import pyarrow.parquet as pq
 
         class _Miss(KeyError):
@@ -1630,9 +1691,13 @@ class Catalog:
                 sorted(tt["tag"].to_pylist()),
             )
         except _Miss:
+            if any(self._table_token(t) != before[t] for t in tables):
+                return None  # torn snapshot — the miss may be spurious
             raise
         except Exception:
             return None  # layout/read surprise → normal full-load path
+        if any(self._table_token(t) != before[t] for t in tables):
+            return None  # a writer moved a base mid-read; don't trust it
         self._point_reads += 1
         return info
 

@@ -32,7 +32,14 @@ public class WavSamples implements UDF1<byte[], Row> {
                 || buf.getInt(8) != 0x45564157 /* "WAVE" */) {
             throw new IllegalArgumentException("not a RIFF/WAVE container");
         }
-        int pos = 12;
+        // pos/next advance in 64-bit arithmetic: the chunk length is an
+        // unsigned 32-bit field, and folding it through int (as the first
+        // version did) let a malicious 0xFFFFFFF8 length wrap to -8 and
+        // pin pos in place — an executor task spinning forever where the
+        // stdlib tier exits the walk and raises. In long math next is
+        // always > pos, so malformed lengths fall out of the loop and hit
+        // the same "missing fmt/data" / "truncated" errors as Python.
+        long pos = 12;
         int fmt = -1;
         int channels = 0;
         int rate = 0;
@@ -40,9 +47,9 @@ public class WavSamples implements UDF1<byte[], Row> {
         int pcmOff = -1;
         int pcmLen = 0;
         while (pos + 8 <= blob.length) {
-            int ctype = buf.getInt(pos);
-            long length = buf.getInt(pos + 4) & 0xFFFFFFFFL;
-            int dataOff = pos + 8;
+            int ctype = buf.getInt((int) pos);
+            long length = buf.getInt((int) pos + 4) & 0xFFFFFFFFL;
+            int dataOff = (int) pos + 8;
             int avail = (int) Math.min(length, (long) blob.length - dataOff);
             if (ctype == 0x20746d66 /* "fmt " */ && avail >= 16) {
                 fmt = buf.getShort(dataOff) & 0xFFFF;
@@ -53,7 +60,7 @@ public class WavSamples implements UDF1<byte[], Row> {
                 pcmOff = dataOff;
                 pcmLen = avail;
             }
-            pos = dataOff + (int) length + ((int) length & 1);
+            pos = (long) dataOff + length + (length & 1L);
         }
         if (fmt < 0 || pcmOff < 0) {
             throw new IllegalArgumentException("WAV missing fmt/data chunk");

@@ -271,3 +271,104 @@ def test_search_differential_vs_naive_reference(tmp_path):
         want_page, want_total = naive(kw)
         assert total == want_total, kw
         assert [s.ix for s in page] == want_page, kw
+
+
+def test_ts_query_sees_cross_process_tag_commit(tmp_path):
+    """Round-11 advice (medium): the TsQuery token postings were built
+    once per merge epoch, but a tag-only commit by another writer
+    reloads the tags frame WITHOUT moving the sources epoch — the old
+    memo kept serving stale ts_query hits while ``tags_all`` (id-keyed
+    per frame) saw the new tags, so the two filters disagreed. The
+    postings are now keyed by the frames they were built from."""
+    wh = str(tmp_path / "wh")
+    cat_a = Catalog(wh)
+    cat_a.init_db()
+    _populate(cat_a, 40)
+
+    # warm A's token postings with a ts search (zero hits for the tag)
+    _page, n0 = cat_a.search(ts_query="tag:hotfix")
+    assert n0 == 0
+
+    # another writer (separate instance, same warehouse) commits a tag
+    cat_b = Catalog(wh)
+    target = cat_b.get_source("ds3")
+    cat_b.tag(target.ix, "hotfix")
+
+    cat_a.refresh()  # tags reload; sources/names stay cached
+    _page, via_member = cat_a.search(tags_all=["hotfix"])
+    page, via_ts = cat_a.search(ts_query="tag:hotfix")
+    assert via_member == 1
+    assert via_ts == 1  # was 0 forever with the epoch-lifetime memo
+    assert page[0].ix == target.ix
+
+    # and the reverse: an untag must disappear from ts results too
+    cat_b.untag(target.ix, "hotfix")
+    cat_a.refresh()
+    _page, gone = cat_a.search(ts_query="tag:hotfix")
+    assert gone == 0
+
+
+def test_side_frame_serials_never_recycle(tmp_path):
+    """Round-11 advice (low): membership bitmaps were cached under
+    ``id(frame)``, so after the side-table entry was evicted a reloaded
+    frame allocated at the recycled address could resurrect a stale
+    bitmap. Serials are monotonic per _ReadIndex — two different frame
+    objects for the same (table, col) can never share a cache key."""
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.init_db()
+    _populate(cat, 20)
+    idx = cat._read_index()
+    tags1 = cat.load("tags")
+    m1 = idx.membership_mask("tags", tags1, "tag", "source_ix", "decade")
+    ent1 = idx._side[("tags", "tag")]
+    assert ent1[0] is tags1
+
+    # a reloaded frame (same content, different object) must get a new
+    # serial and therefore a distinct mask-cache key
+    tags2 = tags1.copy()
+    m2 = idx.membership_mask("tags", tags2, "tag", "source_ix", "decade")
+    ent2 = idx._side[("tags", "tag")]
+    assert ent2[0] is tags2 and ent2[3] > ent1[3]
+    assert (m1 == m2).all()
+    keys = [k for k in idx._mask_cache if k[0] == "member"]
+    assert {k[3] for k in keys} == {ent1[3], ent2[3]}
+
+
+def test_cold_point_read_detects_concurrent_writer(tmp_path, monkeypatch):
+    """Round-11 advice (low): the four filtered parquet reads are not
+    one snapshot — a writer committing between them could pair a new
+    sourcenames base with an old sources base and raise a spurious
+    'no committed version'. The table tokens are now captured before
+    the reads and re-verified after; any movement falls back to the
+    full load instead of trusting (or mis-raising from) torn reads."""
+    import pyarrow.parquet as pq
+
+    wh = str(tmp_path / "wh")
+    cat = Catalog(wh)
+    cat.init_db()
+    _populate(cat, 60)
+    with cat.writer_lock():
+        for t in ("sources", "sourcenames", "sourcecolumns", "tags"):
+            cat.save(t, cat.load(t))
+
+    cold = Catalog(wh)
+    writer = Catalog(wh)
+    real = pq.read_table
+    raced = []
+
+    def racing(path, *a, **k):
+        out = real(path, *a, **k)
+        if not raced:
+            raced.append(1)
+            ix, *_ = writer.new_source(
+                "ds7", url=None, description="", added_by="u",
+                created="2026-06-01T00:00:00", fmt="tabular",
+            )
+            writer.finalize_source(ix)
+        return out
+
+    monkeypatch.setattr(pq, "read_table", racing)
+    got = cold.get_source("ds7")
+    assert got.name == "ds7"
+    assert cold._point_reads == 0  # torn snapshot was not trusted
+    assert "sources" in cold._cache  # answered by the full load

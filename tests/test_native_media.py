@@ -369,3 +369,30 @@ def test_native_wav_rejects_non_pcm(spark):
         mm.decode_audio_samples(df, "doc_id", "content", tier="native").collect()
     with pytest.raises(Exception, match="format 2|only PCM"):
         mm.decode_audio_samples(df, "doc_id", "content", tier="stdlib").collect()
+
+
+def test_native_wav_malformed_chunk_length_fails_loudly(spark):
+    """A corrupt chunk length of 0xFFFFFFF8 wrapped to -8 under 32-bit
+    arithmetic in the first JVM chunk walk, pinning ``pos`` in place —
+    an executor task spinning forever on attacker-controlled bytes.
+    The walk now advances in 64-bit math, so the oversized chunk falls
+    out of the loop and BOTH tiers raise the same loud error the
+    stdlib tier always produced (ADVICE r11, WavSamples.java:56)."""
+    import struct
+
+    def wav_with_chunk_len(length: int) -> bytes:
+        return (
+            struct.pack("<4sI4s", b"RIFF", 0, b"WAVE")
+            + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+            + struct.pack("<4sI", b"data", length)
+            + b"\x00\x00\x00"  # odd length: not a whole int16 frame
+        )
+
+    for bad_len in (0xFFFFFFF8, 0xFFFFFFF7):
+        blob = wav_with_chunk_len(bad_len)
+        df = spark.createDataFrame([(1, blob)], "doc_id long, content binary")
+        for tier in ("native", "stdlib"):
+            with pytest.raises(Exception, match="truncated WAV PCM data"):
+                mm.decode_audio_samples(
+                    df, "doc_id", "content", tier=tier
+                ).collect()
