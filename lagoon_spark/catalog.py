@@ -1056,13 +1056,66 @@ class Catalog:
         self._disk_token[table] = self._table_token(table)
         self.mutation_count += 1
 
+    @staticmethod
+    def _compact_delete_only(df: pd.DataFrame, pm) -> "pd.DataFrame | None":
+        """O(deleted) in-place fold for a delete-only pending mask:
+        move the last k surviving rows into the k holes (per-column
+        numpy view writes), then truncate with a zero-copy positional
+        slice. The whole-frame boolean take this replaces was the
+        dominant term of the one-off delete at the 1M-source tier
+        (round-11 verdict #5: 216 ms/op flush-each vs 68 amortized —
+        ~150 ms of it the filtered copy of a frame that lost ONE row).
+
+        Row ORDER permutes. Catalog tables are sets keyed by ix /
+        source_ix — every consumer filters or sorts (search orders via
+        _ReadIndex, dumps sort explicitly), so order was never part of
+        the contract; this is the same order-freedom a Postgres heap
+        table gives the reference.
+
+        ``Series.to_numpy()`` must return a VIEW for the in-place
+        write to land — true for every numpy-backed block (all catalog
+        schemas), but an extension-dtype column would silently hand
+        back a copy and the deleted rows would resurface. Each column
+        therefore verifies one written cell through the frame and the
+        whole fold returns None (caller falls back to the boolean
+        take) if the write didn't stick. A partial fill is safe either
+        way: only DELETED rows were overwritten."""
+        import numpy as np
+
+        pm = np.asarray(pm, dtype=bool)
+        m = len(df) - int(pm.sum())
+        hole_pos = np.flatnonzero(pm[:m])
+        tail_keep = np.flatnonzero(~pm[m:]) + m
+        if len(hole_pos):
+            for c in df.columns:
+                arr = df[c].to_numpy()
+                src = arr[tail_keep]
+                arr[hole_pos] = src
+                back = df[c].to_numpy()[hole_pos[0]]
+                s0 = src[0]
+                if not (
+                    back is s0
+                    or back == s0
+                    or (back != back and s0 != s0)  # NaN == NaN is False
+                ):
+                    return None  # to_numpy() copied — take the slow path
+        out = df.iloc[:m]
+        out.index = pd.RangeIndex(m)
+        return out
+
     def _flush_pending(self, table: str) -> pd.DataFrame:
         """Materialize pending deletes + appended tail into the cached
-        frame — one filtered copy + one concat for the whole batch."""
+        frame — O(deleted) in place for the delete-only case, else one
+        filtered copy + one concat for the whole batch."""
         df = self._cache[table]
         pm = self._pending_del_mask.pop(table, None)
         tail = self._pending_tail.pop(table, None)
         deleted = pm is not None and pm.any()
+        if deleted and not tail:
+            folded = self._compact_delete_only(df, pm)
+            if folded is not None:
+                self._cache[table] = folded
+                return folded
         if deleted:
             df = df[~pm]
         if tail:

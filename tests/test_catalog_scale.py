@@ -372,3 +372,71 @@ def test_cold_point_read_detects_concurrent_writer(tmp_path, monkeypatch):
     assert got.name == "ds7"
     assert cold._point_reads == 0  # torn snapshot was not trusted
     assert "sources" in cold._cache  # answered by the full load
+
+
+def test_delete_fold_is_content_equal_to_boolean_take(tmp_path):
+    """The O(deleted) hole-fill fold (round-11 verdict #5) must agree
+    with the boolean take it replaces on CONTENT — same row set keyed
+    by ix, same dtypes — for holes at the front, middle, end, adjacent
+    to the truncation boundary, and all-of-the-tail. Row order is not
+    part of the catalog contract (every consumer filters or sorts)."""
+    import numpy as np
+    import pandas as pd
+
+    from lagoon_spark.catalog import Catalog
+
+    rng = np.random.default_rng(7)
+    n = 500
+    frame = pd.DataFrame(
+        {
+            "ix": np.arange(n),
+            "name": [f"s{i}" for i in range(n)],
+            "flag": rng.random(n) < 0.3,
+            "score": rng.random(n),
+            "maybe": [None if i % 7 == 0 else f"v{i}" for i in range(n)],
+        }
+    )
+    cases = [
+        [0],                      # first row
+        [n - 1],                  # last row (pure truncate, no holes)
+        [n - 2, n - 1],           # trailing block
+        [0, 1, 2],                # leading block
+        [5, 250, n - 3],          # spread
+        list(range(n - 20, n)),   # entire tail region
+        sorted(rng.choice(n, 50, replace=False).tolist()),
+    ]
+    for dead in cases:
+        pm = np.zeros(n, dtype=bool)
+        pm[dead] = True
+        df = frame.copy()
+        want = frame[~pm]
+        got = Catalog._compact_delete_only(df, pm)
+        assert got is not None
+        assert len(got) == len(want)
+        assert (got.dtypes == want.dtypes).all()
+        key = got.sort_values("ix").reset_index(drop=True)
+        ref = want.sort_values("ix").reset_index(drop=True)
+        pd.testing.assert_frame_equal(key, ref)
+        assert list(got.index) == list(range(len(got)))
+
+
+def test_delete_fold_falls_back_on_extension_dtype(tmp_path):
+    """A column whose ``to_numpy()`` returns a COPY (extension dtype)
+    must make the in-place fold refuse — the write-through check — so
+    the caller's boolean take keeps correctness."""
+    import numpy as np
+    import pandas as pd
+
+    from lagoon_spark.catalog import Catalog
+
+    n = 50
+    df = pd.DataFrame(
+        {
+            "ix": np.arange(n),
+            # categorical: to_numpy() materializes the codes — a copy
+            "ext": pd.Categorical([f"c{i % 5}" for i in range(n)]),
+        }
+    )
+    pm = np.zeros(n, dtype=bool)
+    pm[3] = True
+    assert Catalog._compact_delete_only(df, pm) is None
