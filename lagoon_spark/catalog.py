@@ -331,6 +331,97 @@ class _ReadIndex:
 
     # -- sort orders --------------------------------------------------------
 
+    def order_multi(self, keys: "tuple[tuple[str, bool], ...]"):
+        """Cached sort permutation over SEVERAL merged columns —
+        ((col, ascending), ...) — via one Arrow sort. Backs the dump's
+        (name, version) ordering: at the 1M tier the permutation costs
+        ~0.1 s once per epoch vs ~0.3 s for a pandas two-key mergesort
+        per dump call (round-11 verdict #4)."""
+        key = ("multi",) + tuple((c, bool(a)) for c, a in keys)
+        o = self._orders.get(key)
+        if o is None:
+            with self._lock:
+                o = self._orders.get(key)
+                if o is None:
+                    import pyarrow as pa
+                    import pyarrow.compute as pc
+
+                    tbl = pa.table(
+                        {c: self._arrow(c, lowered=False) for c, _a in keys}
+                    )
+                    o = pc.sort_indices(
+                        tbl,
+                        sort_keys=[
+                            (c, "ascending" if a else "descending")
+                            for c, a in keys
+                        ],
+                    ).to_numpy()
+                    self._orders[key] = o
+        return o
+
+    def group_lookup(self, table: str, frame: pd.DataFrame,
+                     key_col: str, val_cols: "tuple[str, ...]"):
+        """Batched ragged-group reader over a side table: returns a
+        ``lookup(ixs) -> dict[ix, list[tuple]]`` that answers "the
+        value rows of THESE keys" from one cached stable argsort +
+        two vectorized searchsorted probes per batch — O(batch +
+        matched) per call instead of the O(table) upfront grouping
+        dict, which is the dump's whole-catalog first-byte tax
+        (round-11 verdict #4: 2.8 s of the 1M first byte was
+        _bulk_info_maps). Cached per frame identity like
+        :meth:`_side_entry`."""
+        import numpy as np
+
+        skey = ("grp", table, key_col, val_cols)
+        with self._lock:
+            ent = self._side.get(skey)
+            if ent is not None and ent[0] is frame:
+                return ent[1]
+        keys = frame[key_col].to_numpy(dtype=np.int64)
+        order = np.argsort(keys, kind="stable")
+        sorted_keys = keys[order]
+        # value columns stay as raw VIEWS — per-batch gathers go
+        # through the permutation (order[flat]) instead of paying an
+        # upfront whole-table gather, which would sit on the dump's
+        # first byte (~0.3 s at 2M sourcecolumn rows)
+        vals = [frame[c].to_numpy() for c in val_cols]
+
+        def lookup(ixs) -> "dict[int, list[tuple]]":
+            ixs = np.asarray(ixs, dtype=np.int64)
+            lo = np.searchsorted(sorted_keys, ixs, side="left")
+            hi = np.searchsorted(sorted_keys, ixs, side="right")
+            counts = hi - lo
+            total = int(counts.sum())
+            out: "dict[int, list[tuple]]" = {}
+            if total == 0:
+                return out
+            # ragged ranges → one flat gather index vector
+            flat = np.repeat(hi - np.cumsum(counts), counts) + np.arange(
+                total
+            )
+            gather = order[flat]
+            cols_flat = [v[gather].tolist() for v in vals]
+            # single-value lookups (tags) return flat values, multi
+            # (columns) return row tuples — saves a per-row unpack in
+            # the dump's 1M-iteration consumer loop
+            rows = (
+                list(zip(*cols_flat)) if len(vals) > 1 else cols_flat[0]
+            )
+            pos = 0
+            for i, k in enumerate(ixs.tolist()):
+                c = int(counts[i])
+                if c:
+                    out[k] = rows[pos : pos + c]
+                    pos += c
+            return out
+
+        with self._lock:
+            ent = self._side.get(skey)
+            if ent is not None and ent[0] is frame:
+                return ent[1]
+            self._side[skey] = (frame, lookup)
+            return lookup
+
     def order(self, col: str, ascending: bool = True):
         key = (col, bool(ascending))
         o = self._orders.get(key)
@@ -1866,24 +1957,49 @@ class Catalog:
         constructions (round-10 verdict #5 done-criterion: first-byte
         latency at 100k sources dropped 13.3 s → the vectorized-prep
         cost)."""
-        merged = self._merged_visible().sort_values(
-            ["__name", "version"], kind="mergesort"
-        )
-        cols_by_ix, tags_by_ix = self._bulk_info_maps()
-        # lazy row dicts (zip over pre-materialized column lists), not
-        # to_dict("records") — that would build all n dicts before the
-        # first yield, putting ~0.3 s back on the 100k first byte
+        import numpy as np
+
+        merged = self._merged_visible()
+        idx = self._read_index()
+        # the permutation is cached per epoch (Arrow two-key sort, no
+        # sorted frame copy), and side-table lookups are batched per
+        # chunk instead of the O(catalog) upfront grouping dicts —
+        # at 1M sources those dicts were ~2.8 s of first-byte latency
+        # for a consumer that may only read the first page (round-11
+        # verdict #4). Aggregate work stays linear: each chunk is a
+        # numpy fancy-gather over column VIEWS (the per-block pandas
+        # iloc gathers of the rejected round-11 experiment were the
+        # 30-40% full-wall regression; numpy views have none of that
+        # constant).
+        perm = idx.order_multi((("__name", True), ("version", True)))
         col_names = list(merged.columns)
-        col_vals = [merged[c].tolist() for c in col_names]
-        for vals in zip(*col_vals):
-            row = dict(zip(col_names, vals))
-            ix = int(row["ix"])
-            yield self._info_prefetched(
-                row,
-                row["__name"],
-                cols_by_ix.get(ix, []),
-                sorted(tags_by_ix.get(ix, [])),
-            )
+        arrs = [merged[c].to_numpy() for c in col_names]
+        ix_arr = merged["ix"].to_numpy()
+        sc_lookup = self._read_index().group_lookup(
+            "sourcecolumns",
+            self.load("sourcecolumns"),
+            "source_ix",
+            ("column_name", "header", "type"),
+        )
+        tag_lookup = self._read_index().group_lookup(
+            "tags", self.load("tags"), "source_ix", ("tag",)
+        )
+        CHUNK = 16384
+        for start in range(0, len(perm), CHUNK):
+            cperm = perm[start : start + CHUNK]
+            chunk_vals = [a[cperm].tolist() for a in arrs]
+            chunk_ixs = ix_arr[cperm]
+            cols_by_ix = sc_lookup(chunk_ixs)
+            tags_by_ix = tag_lookup(chunk_ixs)
+            for vals in zip(*chunk_vals):
+                row = dict(zip(col_names, vals))
+                ix = int(row["ix"])
+                yield self._info_prefetched(
+                    row,
+                    row["__name"],
+                    cols_by_ix.get(ix, []),
+                    sorted(tags_by_ix.get(ix, [])),
+                )
 
     def _info(self, row, name: str) -> SourceInfo:
         ix = int(row["ix"])
