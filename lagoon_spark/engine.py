@@ -34,6 +34,66 @@ from lagoon_spark.ingest.names import no_dup_names, sanitize
 from lagoon_spark.ingest.rowid import with_ix
 
 
+#: lattice type → Spark cast target for schema-native (parquet) columns
+PARQUET_NATIVE_CAST = {
+    "BOOLEAN": "boolean",
+    "INTEGER": "int",
+    "BIGINT": "long",
+    "DOUBLE PRECISION": "double",
+}
+
+#: widening order of the schema-native numeric chain (parquet append's
+#: incremental lattice: INTEGER ⊔ BIGINT = BIGINT, int ⊔ real = real)
+_PARQUET_NUM_RANK = {"INTEGER": 0, "BIGINT": 1, "DOUBLE PRECISION": 2}
+
+
+def parquet_lattice(dt) -> str:
+    """Schema-native Spark type → reference lattice type (the parquet
+    ingest's skip-the-two-pass-inference mapping; shared by the
+    streaming append path)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.BooleanType):
+        return "BOOLEAN"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+        return "INTEGER"
+    if isinstance(dt, T.LongType):
+        return "BIGINT"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "DOUBLE PRECISION"
+    if isinstance(dt, T.DecimalType) and dt.precision <= 15:
+        return "DOUBLE PRECISION"
+    return "TEXT"
+
+
+def parquet_join(a: str, b: str) -> str:
+    """Join of two schema-native lattice types across batches: equal
+    types stay, the numeric chain widens to its max (I4 ⊔ I8 = I8,
+    int ⊔ real = real), every other combination re-casts to TEXT —
+    including BOOLEAN ⊔ numeric, where the text lattice's Postgres
+    cast would fail ('true'::INTEGER); schema-native evidence is
+    definitive, so the join degrades safely instead."""
+    if a == b:
+        return a
+    if a in _PARQUET_NUM_RANK and b in _PARQUET_NUM_RANK:
+        return a if _PARQUET_NUM_RANK[a] >= _PARQUET_NUM_RANK[b] else b
+    return "TEXT"
+
+
+def parquet_canon(p: str, dt) -> "F.Column":
+    """Canonical UNTYPED string rendering of a schema-native column
+    (binary → base64, nested → JSON text, scalars → their Spark string
+    form)."""
+    from pyspark.sql import types as T
+
+    c = F.col(p)
+    if isinstance(dt, T.BinaryType):
+        return F.base64(c)
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+        return F.to_json(c)
+    return c.cast("string")
+
+
 def _double_lit(v: "float | None") -> str:
     """A DOUBLE literal for VALUES, safe for the NULL cosine the
     zero-norm edge produces (and for non-finite doubles)."""
@@ -513,42 +573,15 @@ class Lagoon:
         row-content matching, ``set_column_type`` re-casts) assumes
         text there; the typed table lands directly from the native
         columns, no string round-trip."""
-        from pyspark.sql import types as T
-
         df = self.spark.read.parquet(path)
         fields = df.schema.fields
         if not fields:
             raise ValueError(f"{path} has no columns")
         width = len(fields)
         phys = [f"c{i+1}" for i in range(width)]
-
-        def canon(p: str, dt) -> "F.Column":
-            c = F.col(p)
-            if isinstance(dt, T.BinaryType):
-                return F.base64(c)
-            if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
-                return F.to_json(c)
-            return c.cast("string")
-
-        def lattice(dt) -> str:
-            if isinstance(dt, T.BooleanType):
-                return "BOOLEAN"
-            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
-                return "INTEGER"
-            if isinstance(dt, T.LongType):
-                return "BIGINT"
-            if isinstance(dt, (T.FloatType, T.DoubleType)):
-                return "DOUBLE PRECISION"
-            if isinstance(dt, T.DecimalType) and dt.precision <= 15:
-                return "DOUBLE PRECISION"
-            return "TEXT"
-
-        _NATIVE = {
-            "BOOLEAN": "boolean",
-            "INTEGER": "int",
-            "BIGINT": "long",
-            "DOUBLE PRECISION": "double",
-        }
+        canon = parquet_canon
+        lattice = parquet_lattice
+        _NATIVE = PARQUET_NATIVE_CAST
 
         # rename to physical c1..cn BEFORE ix assignment so a source
         # column literally named "ix" cannot collide

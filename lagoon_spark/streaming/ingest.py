@@ -35,7 +35,11 @@ Two modes:
   analog of the reference's mid-ingest ALTER TABLE ADD COLUMN
   (`DataFormat.hs:251-271`): history is rewritten once via parquet
   schema-merge (old rows read NULL for the new columns), after which
-  all footers agree again.
+  all footers agree again. Parquet (schema-native) arrivals append
+  too: batches match columns by FIELD NAME, each batch's native
+  schema folds through ``engine.parquet_join`` (I4 ⊔ I8 = I8,
+  int ⊔ real = real, any non-chain combination re-casts to TEXT),
+  and only a widening batch re-casts the typed history.
 
 Exactly-once: ``foreachBatch`` is at-least-once under failure
 recovery, so append mode records the last committed batch id in its
@@ -87,6 +91,10 @@ class _AppendState:
     ranks: dict[str, int] = field(default_factory=dict)
     lens: dict[str, int] = field(default_factory=dict)
     header: list[str] = field(default_factory=list)
+    # parquet append mode: running lattice type per physical column
+    # (schema-native batches fold through parquet_join instead of the
+    # text rank/length monoid)
+    types: dict[str, str] = field(default_factory=dict)
     json_type: str | None = None  # rendered JsonType (JSON append mode)
     # pinned on the first batch: a source is ONE format with ONE dialect
     # forever — a watched directory later receiving a different file
@@ -252,15 +260,8 @@ class StreamIngestor:
         paths = [_local(p) for p, _ in files]
         fmt = self._resolve_format(paths, st)
         if fmt == "parquet":
-            # appending parquet would need schema-merge semantics the
-            # text lattice doesn't model; versions mode ingests parquet
-            # files natively (each file → a version)
-            raise ValueError(
-                "append mode does not support parquet input; use "
-                "mode='versions' (each arriving parquet file becomes a "
-                "new version via the native parquet ingest)"
-            )
-        if fmt == "json":
+            self._batch_append_parquet(paths, batch_id, st)
+        elif fmt == "json":
             self._batch_append_json(paths, batch_id, st)
         else:
             self._batch_append_tabular(paths, batch_id, st)
@@ -550,6 +551,202 @@ class StreamIngestor:
             st.lens = new_lens
             st.width = new_width
             st.row_count += batch_rows
+            st.last_batch = batch_id
+            os.makedirs(os.path.dirname(self._state_path), exist_ok=True)
+            st.save(self._state_path)
+        self.engine.register_views(catalog.get_source_by_ix(st.ix))
+
+    def _batch_append_parquet(
+        self, paths, batch_id: int, st: _AppendState
+    ) -> None:
+        """Parquet (schema-native) append — round-11 verdict #6, the
+        one documented refusal with a real user shape behind it (crawl
+        output landing as parquet shards that should grow ONE source).
+
+        Semantics defined from the reference lattice, not invented:
+
+        * physical columns are assigned in FIRST-SEEN field order and
+          later batches match by FIELD NAME — the schema-native analog
+          of the tabular path's positional widening; a batch missing a
+          known field reads NULL for it, a batch adding a new field is
+          the streaming ALTER TABLE ADD COLUMN (history rewritten once
+          via the same ``_rewrite_padded`` schema-merge).
+        * each batch's native schema folds into the running state
+          through :func:`engine.parquet_join` — I4 ⊔ I8 = I8,
+          int ⊔ real = real, everything else re-casts to TEXT. Only a
+          WIDENING batch re-casts the typed table in full; the steady
+          state casts and appends just itself from its NATIVE columns
+          (no string round-trip — float → double must widen the
+          mantissa the way the one-shot's native cast does).
+        * on a widening rewrite, numeric/boolean targets re-cast from
+          the TYPED history (the numeric chain is monotone, so
+          cast(cast(x, old), new) == cast(x, new) — and it preserves
+          float→double exactly where canonical strings would not);
+          TEXT targets come from the UNTYPED canonical strings, which
+          keep each row's ORIGINAL rendering ("1" for an int row that
+          later became double, exactly what a one-shot of the combined
+          data would render).
+        """
+        from lagoon_spark.engine import (
+            PARQUET_NATIVE_CAST,
+            parquet_canon,
+            parquet_join,
+            parquet_lattice,
+        )
+
+        spark = self.engine.spark
+        catalog = self.engine.catalog
+
+        # mergeSchema: one batch may itself carry shards of different
+        # widths; the union schema is the batch's native schema
+        df = spark.read.option("mergeSchema", "true").parquet(*paths)
+        fields = df.schema.fields
+        if not fields:
+            raise ValueError(f"{paths[:3]} have no columns")
+
+        header = list(st.header)
+        for f in fields:
+            if f.name not in header:
+                header.append(f.name)
+        new_width = len(header)
+        phys = [f"c{i + 1}" for i in range(new_width)]
+        dtype_by_name = {f.name: f.dataType for f in fields}
+
+        old_types = dict(st.types)  # phys -> lattice type
+        joined: dict[str, str] = dict(old_types)
+        for nm, p in zip(header, phys):
+            if nm in dtype_by_name:
+                bt = parquet_lattice(dtype_by_name[nm])
+                joined[p] = parquet_join(joined[p], bt) if p in joined else bt
+        widened = any(
+            p in old_types and joined[p] != old_types[p] for p in joined
+        )
+
+        first_batch = st.ix is None
+        if first_batch:
+            ix, _version, table, view_name = catalog.new_source(
+                self.name,
+                url=self.directory,
+                description=self.description,
+                added_by=self.engine.user,
+                created=None,
+                fmt="tabular",
+            )
+            st.ix = ix
+            st.header = header
+            for t in self.tags or []:
+                catalog.tag(ix, t)
+        else:
+            info0 = catalog.get_source_by_ix(st.ix)
+            table = info0.table_name
+            view_name = info0.view_name
+
+        data_path = self.engine._data_path(table)
+        typed_path = self.engine._data_path(f"typed{st.ix}")
+        needs_rewrite = bool(st.width) and new_width > st.width
+
+        def target_cast(p: str) -> "F.Column":
+            t = joined[p]
+            if t in PARQUET_NATIVE_CAST:
+                return F.col(p).cast(PARQUET_NATIVE_CAST[t]).alias(p)
+            return F.col(p).cast("string").alias(p)
+
+        with self._batch_rollback(
+            st, first_batch, data_path, typed_path, rename_backup=needs_rewrite
+        ):
+            if needs_rewrite:
+                self._rewrite_padded(data_path + ".__bak", data_path, new_width)
+
+            # native batch frame aligned to physical column order; the
+            # rename happens BEFORE ix assignment so an input field
+            # literally named "ix" cannot collide (same discipline as
+            # the one-shot parquet ingest)
+            native = with_ix(
+                df.select(
+                    *[
+                        (
+                            F.col(f"`{nm}`")
+                            if nm in dtype_by_name
+                            else F.lit(None).cast("string")
+                        ).alias(p)
+                        for nm, p in zip(header, phys)
+                    ]
+                )
+            ).select(
+                (F.col("ix") + F.lit(st.row_count)).alias("ix"),
+                *phys,
+            )
+
+            untyped = native.select(
+                "ix",
+                *[
+                    parquet_canon(p, dtype_by_name.get(nm)).alias(p)
+                    for nm, p in zip(header, phys)
+                ],
+            )
+            untyped.write.mode("append").parquet(data_path)
+            total = spark.read.parquet(data_path).count()
+            batch_rows = total - st.row_count
+
+            if first_batch:
+                self._overwrite(native.select("ix", *map(target_cast, phys)), typed_path)
+            elif widened or needs_rewrite:
+                # history: typed for the numeric chain, untyped strings
+                # for TEXT targets (docstring above); batch: native
+                old_typed = spark.read.option("mergeSchema", "true").parquet(
+                    typed_path
+                )
+                untyped_hist = spark.read.parquet(data_path).filter(
+                    F.col("ix") <= st.row_count
+                )
+                hist_cols = []
+                for p in phys:
+                    t = joined[p]
+                    if t == "TEXT":
+                        hist_cols.append(F.col(f"u.{p}").alias(p))
+                    elif p in old_typed.columns:
+                        hist_cols.append(
+                            F.col(f"t.{p}")
+                            .cast(PARQUET_NATIVE_CAST[t])
+                            .alias(p)
+                        )
+                    else:  # new column: history reads NULL
+                        hist_cols.append(
+                            F.lit(None).cast(PARQUET_NATIVE_CAST[t]).alias(p)
+                        )
+                hist = (
+                    old_typed.alias("t")
+                    .join(untyped_hist.alias("u"), on="ix", how="inner")
+                    .select(F.col("ix"), *hist_cols)
+                )
+                self._overwrite(
+                    hist.unionByName(
+                        native.select("ix", *map(target_cast, phys))
+                    ),
+                    typed_path,
+                )
+            else:
+                native.select("ix", *map(target_cast, phys)).write.mode(
+                    "append"
+                ).parquet(typed_path)
+
+            friendly = no_dup_names(header)
+            catalog.set_columns(
+                st.ix,
+                [(p, h, joined[p]) for p, h in zip(phys, friendly)],
+            )
+            catalog.update_source(
+                st.ix,
+                row_count=total,
+                typed_table_name=f"typed{st.ix}",
+                typed_view_name=f"{view_name}_typed",
+            )
+            if first_batch:
+                catalog.finalize_source(st.ix)
+            st.types = joined
+            st.header = header
+            st.width = new_width
+            st.row_count = total
             st.last_batch = batch_id
             os.makedirs(os.path.dirname(self._state_path), exist_ok=True)
             st.save(self._state_path)

@@ -345,8 +345,7 @@ class TestSecurity:
 
 def test_stream_versions_mode_ingests_parquet(lagoon, tmp_path):
     """Arriving parquet files flow through the native parquet ingest:
-    each file becomes a version with schema-derived types; append mode
-    refuses parquet loudly (the text lattice can't merge it)."""
+    each file becomes a version with schema-derived types."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -372,13 +371,153 @@ def test_stream_versions_mode_ingests_parquet(lagoon, tmp_path):
     ing.run_available()
     assert lagoon.catalog.get_source("pqstream", 2).row_count == 1
 
-    # append mode refuses parquet
-    watch2 = tmp_path / "landing2"
-    watch2.mkdir()
-    pq.write_table(pa.table({"k": [1]}), str(watch2 / "a.parquet"))
-    ing2 = lagoon.ingest_stream(
-        str(watch2), "pqappend",
-        checkpoint_dir=str(tmp_path / "ckpt2"), mode="append",
-    )
-    with pytest.raises(Exception, match="versions"):
-        ing2.run_available()
+
+class TestParquetAppend:
+    """Round-11 verdict #6: parquet append mode — schema-native
+    batches fold through the parquet lattice (I4 ⊔ I8 = I8,
+    int ⊔ real = real, else TEXT), with the ONE-SHOT parquet ingest of
+    the combined data as the oracle, including a widening batch."""
+
+    def test_parquet_append_matches_oneshot(self, lagoon, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        watch = tmp_path / "landing"
+        watch.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+
+        # batch 1: score is int32 (INTEGER), id is int64 (BIGINT)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([1, 2], type=pa.int64()),
+                    "score": pa.array([10, 20], type=pa.int32()),
+                }
+            ),
+            str(watch / "a.parquet"),
+        )
+        lagoon.ingest_stream(
+            str(watch), "pqgrow", checkpoint_dir=ckpt, mode="append"
+        ).run_available()
+        info = lagoon.catalog.get_source("pqgrow", 1)
+        assert info.row_count == 2
+        assert {h: t for _p, h, t in info.columns} == {
+            "id": "BIGINT",
+            "score": "INTEGER",
+        }
+
+        # batch 2 widens score to DOUBLE and adds a NEW column (the
+        # streaming ALTER TABLE ADD COLUMN): history re-cast once
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([3], type=pa.int64()),
+                    "score": pa.array([3.5], type=pa.float64()),
+                    "note": ["zz"],
+                }
+            ),
+            str(watch / "b.parquet"),
+        )
+        lagoon.ingest_stream(
+            str(watch), "pqgrow", checkpoint_dir=ckpt, mode="append"
+        ).run_available()
+
+        # batch 3 is the steady state: no widening, cast + append only
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([4], type=pa.int64()),
+                    "score": pa.array([7.25], type=pa.float64()),
+                    "note": ["w"],
+                }
+            ),
+            str(watch / "c.parquet"),
+        )
+        lagoon.ingest_stream(
+            str(watch), "pqgrow", checkpoint_dir=ckpt, mode="append"
+        ).run_available()
+
+        info = lagoon.catalog.get_source("pqgrow", 1)
+        assert info.row_count == 4
+        types = {h: t for _p, h, t in info.columns}
+        assert types == {
+            "id": "BIGINT",
+            "score": "DOUBLE PRECISION",
+            "note": "TEXT",
+        }
+        got = lagoon.sql("SELECT * FROM pqgrow_v1_typed ORDER BY ix").collect()
+        assert [r["ix"] for r in got] == [1, 2, 3, 4]
+
+        # oracle: one-shot ingest of the COMBINED data at the widened
+        # schema (what the reference would produce for the same rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                    "score": pa.array([10.0, 20.0, 3.5, 7.25], type=pa.float64()),
+                    "note": [None, None, "zz", "w"],
+                }
+            ),
+            str(tmp_path / "all.parquet"),
+        )
+        ref = lagoon.ingest(str(tmp_path / "all.parquet"), "pqgrow_ref")
+        assert {h: t for _p, h, t in ref.columns} == types
+        ref_rows = lagoon.sql(
+            "SELECT * FROM pqgrow_ref_v1_typed ORDER BY ix"
+        ).collect()
+        assert [tuple(r) for r in ref_rows] == [tuple(r) for r in got]
+        # untyped canonical strings preserve each row's ORIGINAL
+        # rendering ("10" from the int batch, not "10.0")
+        raw = lagoon.sql("SELECT * FROM pqgrow_v1 ORDER BY ix").collect()
+        assert [r["score"] for r in raw] == ["10", "20", "3.5", "7.25"]
+
+    def test_parquet_append_bool_vs_int_recasts_to_text(
+        self, lagoon, tmp_path
+    ):
+        """BOOLEAN ⊔ numeric leaves the chain: the join degrades to
+        TEXT (schema-native evidence is definitive) instead of failing
+        the way the text lattice's 'true'::INTEGER cast would."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        watch = tmp_path / "landing"
+        watch.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        pq.write_table(
+            pa.table({"flag": pa.array([True, False], type=pa.bool_())}),
+            str(watch / "a.parquet"),
+        )
+        lagoon.ingest_stream(
+            str(watch), "pqflip", checkpoint_dir=ckpt, mode="append"
+        ).run_available()
+        pq.write_table(
+            pa.table({"flag": pa.array([7], type=pa.int32())}),
+            str(watch / "b.parquet"),
+        )
+        lagoon.ingest_stream(
+            str(watch), "pqflip", checkpoint_dir=ckpt, mode="append"
+        ).run_available()
+        info = lagoon.catalog.get_source("pqflip", 1)
+        assert {h: t for _p, h, t in info.columns} == {"flag": "TEXT"}
+        rows = lagoon.sql(
+            "SELECT * FROM pqflip_v1_typed ORDER BY ix"
+        ).collect()
+        assert [r["flag"] for r in rows] == ["true", "false", "7"]
+
+    def test_parquet_append_format_pin_still_holds(self, lagoon, tmp_path):
+        """A parquet-pinned append source still refuses a CSV batch."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        watch = tmp_path / "landing"
+        watch.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        pq.write_table(pa.table({"k": [1]}), str(watch / "a.parquet"))
+        lagoon.ingest_stream(
+            str(watch), "pqpin", checkpoint_dir=ckpt, mode="append"
+        ).run_available()
+        _write(watch / "b.csv", "k\n2\n")
+        with pytest.raises(Exception, match="pinned"):
+            lagoon.ingest_stream(
+                str(watch), "pqpin", checkpoint_dir=ckpt, mode="append"
+            ).run_available()
