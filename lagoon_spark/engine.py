@@ -1869,20 +1869,28 @@ class Lagoon:
         if meta.get("pq_epsilon_margin_regime"):
             import logging
 
-            # once per index per process: a probe loop (bench reps,
-            # batched sweeps) must not turn the diagnostic into spam
+            # once per (index, path) per process: a probe loop (bench
+            # reps, batched sweeps) must not turn the diagnostic into
+            # spam — but a PINNED call gets its own warning even after
+            # an unpinned downgrade already fired for the index, since
+            # the pinned caller is the one actually getting degraded
+            # answers (round-11 verdict #7)
             warned = getattr(type(self), "_pq_regime_warned", None)
             if warned is None:
                 warned = set()
                 type(self)._pq_regime_warned = warned
-            if idx_dir in warned:
+            wkey = (idx_dir, falling_back)
+            if wkey in warned:
                 return
-            warned.add(idx_dir)
+            warned.add(wkey)
             action = (
                 "use_pq=True is DOWNGRADED to full-precision probes for "
                 "this call; pass rerank_factor explicitly to keep ADC"
                 if falling_back
-                else "prefer use_pq=False or raise rerank_factor"
+                else "the PINNED rerank_factor keeps ADC on — recall on "
+                "this corpus can be arbitrarily low; branch on "
+                "index_info()['pq_epsilon_margin_regime'] to decide, "
+                "or prefer use_pq=False"
             )
             logging.getLogger("lagoon_spark").warning(
                 "ANN index %s: PQ quantization error (pq_rel_err=%s) is "
@@ -2268,6 +2276,33 @@ class Lagoon:
         # serve stale file listings
         self.spark.catalog.refreshByPath(idx_dir)
         return meta
+
+    def index_info(
+        self, name: str, column: str, *, version: int | None = None
+    ) -> dict:
+        """The persisted ANN index's build-time metadata for one
+        (source, column) — format, k, nprobe defaults, and the PQ
+        regime diagnostics (``pq_rel_err``, ``pq_sample_margin``,
+        ``pq_epsilon_margin_regime``) — so a pipeline can BRANCH on
+        the regime instead of discovering it from a warning at probe
+        time (round-11 verdict #7): pin ``rerank_factor`` on
+        margin-rich corpora, route epsilon-margin ones through
+        full-precision probes. Returns a copy; raises KeyError when no
+        index exists for this version+column."""
+        import json as _json
+
+        info = self.catalog.get_source(name, version)
+        self._ann_read_check(info)
+        phys, _h, _t = self.catalog.get_column(info.ix, column)
+        idx_dir = self._ann_index_dir(info, phys)
+        mpath = os.path.join(idx_dir, "meta.json")
+        if not os.path.exists(mpath):
+            raise KeyError(
+                f"no ANN index for {name!r} v{info.version} column "
+                f"{column!r}; run build_ann_index first"
+            )
+        with open(mpath) as fh:
+            return dict(_json.load(fh))
 
     def ann_search(
         self,

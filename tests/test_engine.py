@@ -1772,6 +1772,66 @@ def test_pq_regime_diagnostic_flags_epsilon_corpus(lagoon, tmp_path, caplog):
     ]
 
 
+def test_pq_pinned_path_warns_with_regime_diagnostics(
+    lagoon, tmp_path, caplog
+):
+    """Round-11 verdict #7: a caller who PINS rerank_factor on a
+    flagged index keeps ADC — and gets silently bad answers on such
+    corpora — so the pinned path must warn with the measured regime
+    numbers attached (its own warning, not suppressed by an earlier
+    unpinned downgrade), and index_info() must expose the diagnostics
+    so pipelines can branch before probing."""
+    import json as _json
+    import logging
+
+    vecs = [
+        [1.0, 0.0001 * i, 0.0001 * ((i * 7) % 5), 0.0001 * ((i * 3) % 4)]
+        for i in range(24)
+    ]
+    p = tmp_path / "epspin.json"
+    p.write_text("\n".join(_json.dumps(v) for v in vecs) + "\n")
+    lagoon.ingest(str(p), "epspin", file_type="json")
+    meta = lagoon.build_ann_index(
+        "epspin", "data", k=2, iters=2, pq_m=2, pq_k=4
+    )
+    assert meta["pq_epsilon_margin_regime"] is True
+
+    # the branchable surface: index_info carries the diagnostics
+    info = lagoon.index_info("epspin", "data")
+    assert info["pq_epsilon_margin_regime"] is True
+    assert "pq_rel_err" in info and "pq_sample_margin" in info
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        lagoon.index_info("epspin", "data2")
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    with caplog.at_level(logging.WARNING, logger="lagoon_spark"):
+        # an unpinned call warns (downgrade) first...
+        lagoon.ann_search(
+            "epspin", "data", q, topk=3, nprobe=2, use_pq=True
+        ).collect()
+        # ...and the PINNED call still gets its own warning
+        lagoon.ann_search(
+            "epspin", "data", q, topk=3, nprobe=2, use_pq=True,
+            rerank_factor=16,
+        ).collect()
+    pinned = [r for r in caplog.records if "PINNED" in r.message]
+    assert pinned, [r.message for r in caplog.records]
+    # the measured regime numbers ride in the warning
+    assert str(info["pq_rel_err"]) in pinned[0].getMessage()
+    assert str(info["pq_sample_margin"]) in pinned[0].getMessage()
+    assert "index_info" in pinned[0].getMessage()
+    # once per process per path: a repeat pinned call stays quiet
+    with caplog.at_level(logging.WARNING, logger="lagoon_spark"):
+        n_before = len(caplog.records)
+        lagoon.ann_search(
+            "epspin", "data", q, topk=3, nprobe=2, use_pq=True,
+            rerank_factor=16,
+        ).collect()
+    assert len([r for r in caplog.records if "PINNED" in r.message]) == 1
+
+
 def test_pq_effective_resolution(lagoon):
     """Knob resolution truth table: epsilon-regime + unpinned → ADC
     off; pinned rerank_factor keeps ADC on; margin-rich untouched."""
