@@ -770,6 +770,13 @@ class Catalog:
         # bumped on every write through THIS instance; state_token()
         # is the cross-instance (warehouse-state) change signal
         self.mutation_count = 0
+        # bumped ONLY on in-place frame writes (the df.loc branches of
+        # _apply_live): deletes/appends leave cached column snapshots
+        # of the live frame valid — consumers (engine's delete-plane
+        # reference scan) key on (frame identity, this counter) so a
+        # delete BURST reuses its Arrow arrays while any update that
+        # could rewrite a cell retires them
+        self.inplace_write_count = 0
         # memoized sources⋈sourcenames frame for search(): the merge is
         # O(n) per call (~60 ms of the 183 ms warm search at 100k
         # sources, CATALOG_SCALE_r10). Keyed on (mutation_count, frame
@@ -1093,6 +1100,7 @@ class Catalog:
                         hit &= ~pm
                     idx = df.index[hit]
                 if len(idx):
+                    self.inplace_write_count += 1
                     for k, v in row.items():
                         df.loc[idx, k] = v
                     continue
@@ -1109,6 +1117,8 @@ class Catalog:
                 # dead (pending-deleted) rows may be written too —
                 # harmless, they drop at flush
                 idx = df.index[self._mask(df, op["where"])]
+                if len(idx):
+                    self.inplace_write_count += 1
                 for k, v in op["fields"].items():
                     df.loc[idx, k] = v
             for r in tail:

@@ -991,6 +991,30 @@ class Lagoon:
 
     # -- delete (A27) --------------------------------------------------------
 
+    def _table_ref_arrays(self, sources) -> tuple:
+        """Arrow copies of (table_name, typed_table_name), cached per
+        (frame identity, catalog in-place write epoch). Strong frame
+        ref in the cache tuple keeps the id valid; from_pandas COPIES
+        into Arrow buffers, so later in-place numpy mutation of the
+        frame (the delete fold's hole-fill) cannot corrupt a snapshot
+        that is about to be retired anyway."""
+        import pyarrow as pa
+
+        key = (id(sources), self.catalog.inplace_write_count)
+        c = getattr(self, "_tblref_cache", None)
+        if c is not None and c[0] == key and c[1] is sources:
+            return c[2], c[3]
+
+        def arr(col: str):
+            a = pa.array(sources[col], from_pandas=True)
+            if pa.types.is_null(a.type):  # all-None column infers null
+                a = a.cast(pa.string())
+            return a
+
+        tn, ttn = arr("table_name"), arr("typed_table_name")
+        self._tblref_cache = (key, sources, tn, ttn)
+        return tn, ttn
+
     def delete_source(self, info: SourceInfo):
         """Locked wrapper over :meth:`_delete_source_locked` — see there."""
         with self.catalog.writer_lock():
@@ -1020,13 +1044,21 @@ class Lagoon:
         # O(n + k) — the same deferred-materialization contract as
         # Catalog.delete_source itself).
         import numpy as np
+        import pyarrow.compute as pc
 
         sources, pm, tail = self.catalog.peek("sources")
         alive = sources["ix"].to_numpy() != info.ix
         if pm is not None:
             alive &= ~pm
-        tn = sources["table_name"].to_numpy()
-        ttn = sources["typed_table_name"].to_numpy()
+        # Arrow snapshots of the physical-table columns, cached per
+        # (frame identity, in-place write epoch): at the 5M-source
+        # checkpoint the two pandas OBJECT-dtype equality passes per
+        # table were ~80% of a delete's wall (360 ms/op in burst mode,
+        # CATALOG_SCALE_r12_synth5m) — pc.equal over the cached arrays
+        # is a C-speed scan, and a delete burst reuses them (deletes
+        # only OR pending masks; any in-place cell write bumps the
+        # epoch and retires the snapshot)
+        tn_arr, ttn_arr = self._table_ref_arrays(sources)
 
         def tail_references(t: str) -> bool:
             # pending-appended rows (ingests not yet materialized into
@@ -1043,9 +1075,14 @@ class Lagoon:
         # pointing at deleted data.
         self.catalog.delete_source(info.ix)
         for t in (info.table_name, info.typed_table_name):
+            if t:
+                refd = pc.fill_null(
+                    pc.or_kleene(pc.equal(tn_arr, t), pc.equal(ttn_arr, t)),
+                    False,
+                ).to_numpy(zero_copy_only=False)
             if (
                 t
-                and not (((tn == t) | (ttn == t)) & alive).any()
+                and not (refd & alive).any()
                 and not tail_references(t)
             ):
                 p = self._data_path(t)
