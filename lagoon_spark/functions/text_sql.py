@@ -107,10 +107,12 @@ def _defs() -> list[tuple[str, str, str, str]]:
         f"i -> ascii(substr(w, i, 1))), CAST(0 AS BIGINT), "
         f"(a, b) -> (a * {MULT} + b) % {MOD}))"
     )
+    from lagoon_spark.operators.dedup import minhash_seeds
+
     minhash_mins = ", ".join(
-        f"array_min(transform(fps, f -> (pmod(f, {MOD}) * {2 * i + 1} "
-        f"+ {7919 * i + 13}) % {MOD}))"
-        for i in range(16)
+        f"array_min(transform(fps, f -> (pmod(f, {MOD}) * {a} "
+        f"+ {b}) % {MOD}))"
+        for a, b in minhash_seeds(16)
     )
     trigrams = (
         "transform(sequence(1, size(toks) - 2), "

@@ -31,7 +31,33 @@ from lagoon_spark.operators.text import MOD, word_fingerprints, word_hashes_fast
 
 # fixed, documented seed constants so results are reproducible
 def minhash_seeds(num_hashes: int) -> list[tuple[int, int]]:
-    return [(2 * i + 1, 7919 * i + 13) for i in range(num_hashes)]
+    """(multiplier, offset) pairs for the MinHash permutation family
+    ``(f*a + b) mod p``.
+
+    Multipliers must be LARGE and well-spread. The first version used
+    a = 1, 3, 5, …, 31 — so small that the map preserves fingerprint
+    ORDER for every f < p/a, i.e. all 16 "permutations" picked
+    (nearly) the same winning token and the signature degenerated to
+    16 affine copies of "smallest fingerprint in the document":
+    unrelated documents sharing ONE small-fingerprint token collided
+    in every band with est_jaccard ≈ 1.0 (measured on a 50k-doc
+    synthetic corpus: 35 candidate pairs per document against a true
+    near-dup rate of 0.1 — and every band carried the same
+    information, so banding bought no independence). Golden-ratio
+    multiples mod p spread the multipliers across the whole field,
+    making the permutations effectively independent min-wise hashes.
+
+    Changing the family changes signatures; every DuckDB oracle
+    regenerates its SQL from THIS function (d06/d11/d26/st11,
+    functions.text_sql), so both engines move together. Products stay
+    within int64 on both engines: (f mod p) · a < (1e9+7)² ≈ 1.1e18.
+    """
+    out = []
+    for i in range(num_hashes):
+        a = (0x9E3779B97F4A7C15 * (i + 1)) % MOD or 1
+        b = (0xC2B2AE3D27D4EB4F * (i + 1) + 13) % MOD
+        out.append((a, b))
+    return out
 
 
 def _ngrams_expr(toks_col: str, n: int):

@@ -70,8 +70,31 @@ def make_registry_docs(spark, n: int):
     ratio 0.57, pure overhead). Near-dup groups stay size 2 regardless
     of n, so LSH pair OUTPUT grows linearly with the corpus — unlike
     the verbatim-clone replica, whose cliques grew with the factor and
-    made pair output quadratic by construction."""
-    d = make_docs(spark, n)
+    made pair output quadratic by construction.
+
+    Token vocabulary is 2^30 (NOT make_docs' 30k): with a 30k vocab
+    over 50k+ docs every token appears in dozens of documents, the
+    LSH band buckets fill with random collisions and candidate-pair
+    output goes quadratic anyway (measured 38 pairs/doc at 50k). At
+    2^30 the chance two unrelated 30-token docs share ANY token is
+    ~8e-7, so only the planted duplicate groups collide and pair
+    output is ~n/10."""
+    base = F.when(
+        (F.col("id") % 10 == 0) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda i: F.concat(
+            F.lit("t"),
+            F.pmod(F.xxhash64(base, i), F.lit(1 << 30)).cast("string"),
+        ),
+    )
+    text = F.concat_ws(" ", toks)
+    text = F.when(
+        (F.col("id") % 10 == 0) & (F.col("id") > 0),
+        F.concat(text, F.lit(" zz"), (F.col("id") % 7).cast("string")),
+    ).otherwise(text)
+    d = spark.range(n).select(F.col("id"), text.alias("text"))
     return d.select(
         F.col("id").alias("doc_id"),
         "text",
@@ -1029,10 +1052,21 @@ def run_relational(
     are the scaling signal; first-touch IO is a separate, linear cost."""
     from lagoon_spark.queries import get_query
 
+    from lagoon_spark.checkpointing import release
+
     out = {}
     for name in names:
         df = get_query(name).spark_fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()  # warm, untimed
+        # the timed run gets a FRESH plan (round-12): re-writing the
+        # SAME DataFrame reuses the warm run's checkpoint-pinned CC
+        # intermediates, so a pinned lane's "wall" measured only the
+        # post-checkpoint tail (q69 at 50k docs: 0.17 s reused vs
+        # ~6 s recomputed). Page cache and codegen stay warm — that is
+        # the warm-vs-warm intent — but the engine's own work must
+        # actually run.
+        release(df)
+        df = get_query(name).spark_fn(spark, sf_dir)
         t0 = time.time()
         df.write.format("noop").mode("overwrite").save()
         wall = time.time() - t0
@@ -1043,8 +1077,6 @@ def run_relational(
         }
         if count_rows:
             out[name]["rows"] = df.count()
-        from lagoon_spark.checkpointing import release
-
         release(df)  # free the lane's pinned intermediates
     return out
 
