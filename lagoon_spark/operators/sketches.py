@@ -159,9 +159,12 @@ FROM g
 #   (left fold of acc*31 + ascii, mod 1e9+7) — already the minhash
 #   building block, exact in both engines;
 # * row i of the sketch maps fp to cell ((fp * a_i + b_i) mod P) mod W
-#   with the documented seed family a_i = 2i+1, b_i = 7919 i + 13
-#   (odd multipliers → bijective over Z_P); fp < P and a_i tiny keep
-#   the product far inside int64 in both engines;
+#   with the same golden-ratio seed family as dedup.minhash_seeds
+#   (well-spread multipliers mod P → the d row-maps are effectively
+#   pairwise independent; the original a_i = 2i+1 family made rows
+#   affine with tiny slopes, weakening the min-over-rows bound);
+#   fp < P keeps the product inside int64 in both engines
+#   ((1e9+7)^2 ~ 1.1e18 < 2^63);
 # * estimate(token) = min over rows of the cell counter — the classic
 #   CMS upper bound: est >= true, est <= true + eps*N w.h.p. with
 #   eps = e/W over d = depth independent rows.
@@ -177,7 +180,13 @@ from lagoon_spark.operators import text as _text
 
 
 def cms_seeds(depth: int) -> list[tuple[int, int]]:
-    return [(2 * i + 1, 7919 * i + 13) for i in range(depth)]
+    """Same well-spread family as ``dedup.minhash_seeds`` (and for the
+    same reason — see the degeneracy note there); every consumer,
+    including the DuckDB oracle SQL, regenerates from this function,
+    so both engines move together."""
+    from lagoon_spark.operators.dedup import minhash_seeds
+
+    return minhash_seeds(depth)
 
 
 def token_fp_py(s: str) -> int:
