@@ -1061,13 +1061,17 @@ def run_relational(
         # the timed run gets a FRESH plan (round-12): re-writing the
         # SAME DataFrame reuses the warm run's checkpoint-pinned CC
         # intermediates, so a pinned lane's "wall" measured only the
-        # post-checkpoint tail (q69 at 50k docs: 0.17 s reused vs
-        # ~6 s recomputed). Page cache and codegen stay warm — that is
-        # the warm-vs-warm intent — but the engine's own work must
-        # actually run.
+        # post-checkpoint tail. The timer starts BEFORE spark_fn: the
+        # iterative lanes (connected components) do their real work
+        # eagerly at construction time — checkpoint + count per round —
+        # so a timer that starts at the noop write measures only the
+        # member-expansion tail (q69 at 50k docs: 0.22 s timed-at-write
+        # vs ~6 s with construction included). Page cache and codegen
+        # stay warm — that is the warm-vs-warm intent — but the
+        # engine's own work must be inside the measurement.
         release(df)
-        df = get_query(name).spark_fn(spark, sf_dir)
         t0 = time.time()
+        df = get_query(name).spark_fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         wall = time.time() - t0
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -1109,6 +1113,30 @@ def relational_phase(
             op: small[name]["ops"].get(op, 0) for op in _STRATEGY_OPS
         }
         strat_big = {op: big[name]["ops"].get(op, 0) for op in _STRATEGY_OPS}
+        # scale-safe ≠ identical: growing the input legitimately
+        # demotes broadcast hash joins to sort-merge (AQE broadcasts
+        # whichever runtime side fits under the threshold; at 4× the
+        # data it correctly stops — forcing equality would mean
+        # disabling the adaptive conversion and making the small scale
+        # artificially slow). What must NOT happen at the bigger scale:
+        # a nested-loop/cartesian strategy appearing, a Python eval
+        # node appearing, or more total joins than the small plan had
+        # (a lost reuse that became a re-derivation). The exact
+        # equality bit stays reported for transparency.
+        demoted = max(
+            0,
+            strat_small["BroadcastHashJoin"] - strat_big["BroadcastHashJoin"],
+        )
+        scale_safe = (
+            strat_big["BroadcastNestedLoopJoin"]
+            <= strat_small["BroadcastNestedLoopJoin"]
+            and strat_big["CartesianProduct"]
+            <= strat_small["CartesianProduct"]
+            and strat_big["ArrowEvalPython"] <= strat_small["ArrowEvalPython"]
+            and strat_big["BatchEvalPython"] <= strat_small["BatchEvalPython"]
+            and strat_big["SortMergeJoin"]
+            <= strat_small["SortMergeJoin"] + demoted
+        )
         queries[name] = {
             "sf_small": small[name],
             "sf_big": big[name],
@@ -1118,6 +1146,7 @@ def relational_phase(
             # n log n sorts) — round-7 verdict ask #3
             "near_linear": ratio < linear_gate * factor,
             "plan_strategy_equal": strat_small == strat_big,
+            "plan_scale_safe": scale_safe,
         }
         if per_output:
             # output-bound lanes (LSH pairs): a 10× replica clones
@@ -1149,7 +1178,7 @@ def relational_phase(
         "queries": queries,
         "all_near_linear": all(q["near_linear"] for q in queries.values()),
         "all_plans_stable": all(
-            q["plan_strategy_equal"] for q in queries.values()
+            q["plan_scale_safe"] for q in queries.values()
         ),
         **shuffles,
     }
