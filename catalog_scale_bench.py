@@ -173,6 +173,33 @@ def synth_read_plane(n: int) -> dict:
             1000 * (t1 - t0) / len(burst), 2
         )
         point["delete_burst_flush_ms"] = round(1000 * (t2 - t1), 2)
+        # the adaptive compaction cadence (round-12) leaves up to
+        # _compact_every(table) lines in the WAL instead of 128, so the
+        # two numbers it trades against are measured here explicitly:
+        # (a) a fresh process's cold open across the live WAL tail —
+        # replay is index-backed (one argsort + O(log n)/line); (b) the
+        # base-rewrite cost amortized over the cadence, the term that
+        # made the FIXED cadence's ingest cost grow linearly with the
+        # catalog (390 ms/op at 5M in CATALOG_SCALE_r12's first cut).
+        point["wal_lines_at_cold_open"] = int(
+            sum(cat._log_lines.values())
+        )
+        fresh = Catalog(wh)
+        t0 = time.perf_counter()
+        for t in ("sources", "sourcenames", "sourcecolumns", "tags"):
+            fresh.load(t)
+        point["cold_open_with_wal_ms"] = round(
+            1000 * (time.perf_counter() - t0), 2
+        )
+        t0 = time.perf_counter()
+        with cat.writer_lock():
+            for t in ("sources", "sourcenames", "sourcecolumns", "tags"):
+                cat.save(t, cat.load(t))
+        compact_ms = 1000 * (time.perf_counter() - t0)
+        point["compact_all_tables_ms"] = round(compact_ms, 1)
+        point["compact_amortized_ms_per_op"] = round(
+            compact_ms / cat._compact_every("sources"), 3
+        )
         return {"n": n, "datasets": datasets, "read_plane": point}
     finally:
         shutil.rmtree(wh, ignore_errors=True)

@@ -777,6 +777,16 @@ class Catalog:
         # delete BURST reuses its Arrow arrays while any update that
         # could rewrite a cell retires them
         self.inplace_write_count = 0
+        # per-(table, column) sorted-key index for WAL probes: every
+        # WAL where-clause / upsert pk leads with an immutable integer
+        # identity column (ix / source_ix), so one stable argsort per
+        # frame object turns the O(n) per-op equality pass of _mask
+        # into an O(log n) searchsorted — the term that made a
+        # frame-size-scaled compaction cadence unaffordable in round
+        # 10. Entries hold a strong ref to the frame they were built
+        # from and are identity-checked on every probe; writers that
+        # touch an indexed column invalidate via _drop_key_entries.
+        self._key_sorted: dict[tuple, tuple] = {}
         # memoized sources⋈sourcenames frame for search(): the merge is
         # O(n) per call (~60 ms of the 183 ms warm search at 100k
         # sources, CATALOG_SCALE_r10). Keyed on (mutation_count, frame
@@ -931,6 +941,7 @@ class Catalog:
         corruption recovery)."""
         if force:
             self._cache.clear()
+            self._key_sorted.clear()
             self._seq.clear()
             self._log_lines.clear()
             self._disk_token.clear()
@@ -942,6 +953,7 @@ class Catalog:
         for table in list(self._cache):
             if self._disk_token.get(table) != self._table_token(table):
                 self._cache.pop(table, None)
+                self._drop_key_entries(table)
                 self._seq.pop(table, None)
                 self._log_lines.pop(table, None)
                 self._disk_token.pop(table, None)
@@ -977,16 +989,26 @@ class Catalog:
     # like every other mutation.
 
     # Compaction cadence balances two costs: per-ingest write
-    # amplification (one full-table rewrite per COMPACT_EVERY ops —
-    # ~40 ms/128 ≈ 0.3 ms/op amortized at 10k sources) against
-    # cold-open replay length (a fresh process replays ≤ COMPACT_EVERY
-    # lines per table, each an O(rows) predicate mask — ~3 ms/line on
-    # a 600k-row frame, so 128 keeps cold opens under ~0.6 s at any
-    # population). A frame-size-scaled threshold was tried in round 10
-    # and reverted: it cut ingest 16 → 13 ms at 100k sources but blew
-    # the cold open 0.6 → 6.3 s, because replay masks are O(rows) per
-    # line — the fixed bound is what keeps restart latency flat.
+    # amplification (one full-table rewrite per compaction — O(rows))
+    # against cold-open replay length (a fresh process replays the
+    # whole log). A frame-size-scaled threshold was tried in round 10
+    # and REVERTED because replay masks were O(rows) per line (6.3 s
+    # cold opens at 100k). Round 12 made replay O(log rows) per line
+    # (batch-local sorted-key indexes in _replay_ops), which makes the
+    # scaled cadence affordable: _compact_every grows the log bound
+    # with the frame so the amortized rewrite share stays ~constant
+    # (the 5M checkpoint's 390 ms/op ingest was 85% base-rewrite
+    # amortization at the fixed 128 cadence), while the replay bound
+    # stays one argsort + O(lines·log rows) + per-line scalar writes.
+    # COMPACT_EVERY is the floor (small catalogs compact promptly);
+    # _COMPACT_CAP bounds worst-case replay and the JSONL parse.
     COMPACT_EVERY = 128
+    _COMPACT_CAP = 4096
+
+    def _compact_every(self, table: str) -> int:
+        df = self._cache.get(table)
+        n = len(df) if df is not None else 0
+        return max(self.COMPACT_EVERY, min(self._COMPACT_CAP, n // 256))
     _SEQ_META = b"lagoon_applied_seq"
 
     def _log_path(self, table: str) -> str:
@@ -1035,6 +1057,60 @@ class Catalog:
             m.loc[live_idx] = True
         return m
 
+    def _drop_key_entries(self, table: str, cols=None) -> None:
+        """Invalidate sorted-key entries for ``table`` — all of them
+        (frame replaced) or just the named columns (a WAL op wrote
+        them). Dropping releases the entry's strong frame ref too."""
+        if not self._key_sorted:
+            return
+        if cols is None:
+            for k in [k for k in self._key_sorted if k[0] == table]:
+                del self._key_sorted[k]
+        else:
+            for c in cols:
+                self._key_sorted.pop((table, c), None)
+
+    def _probe_positions(self, table: str, df: pd.DataFrame, where: dict):
+        """Row POSITIONS matching an equality where-clause via the
+        cached sorted-key index, or None when the clause has no
+        usable numeric lead column (caller falls back to _mask).
+
+        The lead column's index is one stable argsort per frame object
+        (identity-checked; ~60 ms at 1M rows, amortized over every op
+        until the frame is replaced); each probe is two searchsorted
+        calls plus a per-match walk of the residual columns — the live
+        frame's CURRENT values, so earlier in-place writes are always
+        visible. Residual columns cost O(matches), not O(n)."""
+        import numpy as np
+
+        cols = sorted(
+            where,
+            key=lambda c: 0
+            if c in df.columns and df[c].dtype.kind in "biufc"
+            else 1,
+        )
+        c0 = cols[0]
+        if c0 not in df.columns or df[c0].dtype.kind not in "biufc":
+            return None
+        ent = self._key_sorted.get((table, c0))
+        if ent is None or ent[0] is not df:
+            arr = df[c0].to_numpy()
+            order = np.argsort(arr, kind="stable")
+            ent = (df, arr[order], order)
+            self._key_sorted[(table, c0)] = ent
+        _, sv, order = ent
+        try:
+            lo = np.searchsorted(sv, where[c0], side="left")
+            hi = np.searchsorted(sv, where[c0], side="right")
+        except TypeError:
+            return None
+        pos = order[lo:hi]
+        for c in cols[1:]:
+            if not len(pos):
+                break
+            keep = (df[c].iloc[pos] == where[c]).to_numpy(dtype=bool)
+            pos = pos[keep]
+        return np.sort(pos)
 
     def _log_op(self, table: str, op: dict) -> None:
         """Append ``op`` to the table's WAL (one fsynced line = one
@@ -1057,11 +1133,12 @@ class Catalog:
             self._apply_live(table, op)
         except Exception:
             self._cache.pop(table, None)
+            self._drop_key_entries(table)
             self._pending_del_mask.pop(table, None)
             self._pending_tail.pop(table, None)
             self._disk_token.pop(table, None)
             raise
-        if self._log_lines[table] >= self.COMPACT_EVERY:
+        if self._log_lines[table] >= self._compact_every(table):
             # compaction: base absorbs the log
             self.save(table, self._flush_pending(table))
 
@@ -1093,14 +1170,25 @@ class Catalog:
                 key = {c: row[c] for c in pk}
                 idx = []
                 if len(df):
-                    hit = self._mask(df, key).to_numpy(dtype=bool)
-                    if pm is not None:
-                        # a pending-deleted row must read as absent:
-                        # updating it would lose the re-insert
-                        hit &= ~pm
-                    idx = df.index[hit]
+                    pos = self._probe_positions(table, df, key)
+                    if pos is None:
+                        hit = self._mask(df, key).to_numpy(dtype=bool)
+                        if pm is not None:
+                            # a pending-deleted row must read as
+                            # absent: updating it would lose the
+                            # re-insert
+                            hit &= ~pm
+                        idx = df.index[hit]
+                    else:
+                        if pm is not None and len(pos):
+                            pos = pos[~pm[pos]]
+                        idx = df.index[pos]
                 if len(idx):
                     self.inplace_write_count += 1
+                    # matched rows hold the pk values already (that is
+                    # what matched), so only NON-pk writes can stale a
+                    # sorted-key entry
+                    self._drop_key_entries(table, set(row) - set(pk))
                     for k, v in row.items():
                         df.loc[idx, k] = v
                     continue
@@ -1116,9 +1204,15 @@ class Catalog:
             if len(df):
                 # dead (pending-deleted) rows may be written too —
                 # harmless, they drop at flush
-                idx = df.index[self._mask(df, op["where"])]
+                pos = self._probe_positions(table, df, op["where"])
+                idx = (
+                    df.index[self._mask(df, op["where"])]
+                    if pos is None
+                    else df.index[pos]
+                )
                 if len(idx):
                     self.inplace_write_count += 1
+                    self._drop_key_entries(table, op["fields"])
                 for k, v in op["fields"].items():
                     df.loc[idx, k] = v
             for r in tail:
@@ -1127,7 +1221,16 @@ class Catalog:
             return
         if kind == "del":
             if len(df):
-                hit = self._mask(df, op["where"]).to_numpy(dtype=bool)
+                import numpy as np
+
+                pos = self._probe_positions(table, df, op["where"])
+                if pos is None:
+                    hit = self._mask(df, op["where"]).to_numpy(
+                        dtype=bool
+                    )
+                else:
+                    hit = np.zeros(len(df), dtype=bool)
+                    hit[pos] = True
                 if hit.any():
                     self._pending_del_mask[table] = (
                         hit if pm is None else (pm | hit)
@@ -1215,6 +1318,10 @@ class Catalog:
         if deleted and not tail:
             folded = self._compact_delete_only(df, pm)
             if folded is not None:
+                # the hole-fill moved cell values inside the SHARED
+                # blocks, so indexes built on the old frame object are
+                # stale even though its buffers live on
+                self._drop_key_entries(table)
                 self._cache[table] = folded
                 return folded
         if deleted:
@@ -1224,6 +1331,7 @@ class Catalog:
         elif deleted:
             df.index = pd.RangeIndex(len(df))
         if deleted or tail:
+            self._drop_key_entries(table)
             self._cache[table] = df
         return df
 
@@ -1270,8 +1378,20 @@ class Catalog:
         whole frame (O(ops·n): measured ~2 s to cold-open a 10k-source
         warehouse with a ~1.2k-line log). Updates and deletes apply to
         the frame vectorized and to the tail dicts directly; semantics
-        are identical to :meth:`_apply_live` op-by-op."""
+        are identical to :meth:`_apply_live` op-by-op.
+
+        Probes go through batch-local sorted-key indexes (one stable
+        argsort per lead column for the whole batch, O(log n) per
+        line) instead of _mask's O(n) pass per line — the cost that
+        capped the compaction cadence at 128 (round-10's scaled-cadence
+        revert). Deletes flip an ``alive`` mask and subset ONCE at the
+        end, so row positions stay stable for the indexes and the
+        per-delete filtered frame copy disappears."""
+        import numpy as np
+
         tail: "list[dict]" = []
+        alive = np.ones(len(df), dtype=bool)
+        sorted_keys: "dict[str, tuple]" = {}
 
         def flat(ops):
             for op in ops:
@@ -1283,14 +1403,55 @@ class Catalog:
         def matches(rec: dict, where: dict) -> bool:
             return all(rec.get(c) == v for c, v in where.items())
 
+        def positions(where: dict):
+            """Alive row positions matching the equality clause."""
+            cols = sorted(
+                where,
+                key=lambda c: 0
+                if c in df.columns and df[c].dtype.kind in "biufc"
+                else 1,
+            )
+            c0 = cols[0]
+            if c0 in df.columns and df[c0].dtype.kind in "biufc":
+                ent = sorted_keys.get(c0)
+                if ent is None:
+                    arr = df[c0].to_numpy()
+                    order = np.argsort(arr, kind="stable")
+                    ent = sorted_keys[c0] = (arr[order], order)
+                sv, order = ent
+                try:
+                    pos = order[
+                        np.searchsorted(sv, where[c0], side="left"):
+                        np.searchsorted(sv, where[c0], side="right")
+                    ]
+                except TypeError:
+                    pos = None
+                if pos is not None:
+                    pos = pos[alive[pos]]
+                    for c in cols[1:]:
+                        if not len(pos):
+                            break
+                        keep = (
+                            df[c].iloc[pos] == where[c]
+                        ).to_numpy(dtype=bool)
+                        pos = pos[keep]
+                    return pos
+            m = self._mask(df, where).to_numpy(dtype=bool) & alive
+            return np.flatnonzero(m)
+
         for op in flat(ops):
             kind = op["op"]
             if kind == "up":
                 pk = op["pk"]
                 for row in op["rows"]:
                     key = {c: row[c] for c in pk}
-                    idx = df.index[self._mask(df, key)] if len(df) else []
-                    if len(idx):
+                    pos = positions(key) if len(df) else ()
+                    if len(pos):
+                        # matched rows already hold the pk values;
+                        # only non-pk writes can stale a key index
+                        for c in set(row) - set(pk):
+                            sorted_keys.pop(c, None)
+                        idx = df.index[pos]
                         for k, v in row.items():
                             df.loc[idx, k] = v
                         continue
@@ -1302,18 +1463,24 @@ class Catalog:
                     else:
                         tail.append(dict(row))
             elif kind == "set":
-                idx = df.index[self._mask(df, op["where"])] if len(df) else []
-                for k, v in op["fields"].items():
-                    df.loc[idx, k] = v
+                pos = positions(op["where"]) if len(df) else ()
+                if len(pos):
+                    for c in op["fields"]:
+                        sorted_keys.pop(c, None)
+                    idx = df.index[pos]
+                    for k, v in op["fields"].items():
+                        df.loc[idx, k] = v
                 for r in tail:
                     if matches(r, op["where"]):
                         r.update(op["fields"])
             elif kind == "del":
                 if len(df):
-                    df = df[~self._mask(df, op["where"])]
+                    alive[positions(op["where"])] = False
                 tail = [r for r in tail if not matches(r, op["where"])]
             else:
                 raise ValueError(f"unknown catalog log op {kind!r}")
+        if not alive.all():
+            df = df[alive]
         if tail:
             df = pd.concat(
                 [df, pd.DataFrame(tail)], ignore_index=True
@@ -1371,6 +1538,7 @@ class Catalog:
                     df, seq, lines, pending = read_snapshot()
             if pending:
                 df = self._replay_ops(df, pending)
+            self._drop_key_entries(table)
             self._cache[table] = df
             self._seq[table] = seq
             self._log_lines[table] = lines
@@ -1404,6 +1572,7 @@ class Catalog:
             )
         os.makedirs(self.dir, exist_ok=True)
         seq = self._ensure_seq(table)
+        self._drop_key_entries(table)
         self._cache[table] = df.reset_index(drop=True)
         # write-temp-then-rename: a writer killed mid-write (OOM,
         # kill -9, node loss) must never leave a truncated parquet
@@ -1495,6 +1664,7 @@ class Catalog:
             v += 1
             self._write_version(v)
             self._cache.clear()
+            self._key_sorted.clear()
         return v
 
     # -- sources / versions (A14, A15) --------------------------------------

@@ -465,3 +465,199 @@ def test_deferred_appends_batch_and_tail_deletes(tmp_path):
         s.sort_values("ix").reset_index(drop=True),
         s2.sort_values("ix").reset_index(drop=True),
     )
+
+
+def test_replay_ops_differential_vs_naive(tmp_path):
+    """Randomized differential: the index-backed bulk replay
+    (_replay_ops: batch-local sorted keys, alive-mask deletes) must
+    produce exactly the state of the naive op-by-op semantics it
+    replaced — including order dependence (set-after-del must not see
+    the row; up-after-del re-inserts via the tail; a later where can
+    match values an earlier op wrote)."""
+    import random
+
+    import pandas as pd
+
+    from lagoon_spark.catalog import Catalog
+
+    rng = random.Random(20260816)
+    cat = Catalog(str(tmp_path / "wh"))
+
+    def naive(df, ops):
+        tail = []
+
+        def flat(ops):
+            for op in ops:
+                if op["op"] == "tx":
+                    yield from op["ops"]
+                else:
+                    yield op
+
+        def matches(rec, where):
+            return all(rec.get(c) == v for c, v in where.items())
+
+        def mask(df, where):
+            m = pd.Series(True, index=df.index)
+            for c, v in where.items():
+                m &= df[c] == v
+            return m
+
+        for op in flat(ops):
+            if op["op"] == "up":
+                for row in op["rows"]:
+                    key = {c: row[c] for c in op["pk"]}
+                    idx = df.index[mask(df, key)] if len(df) else []
+                    if len(idx):
+                        for k, v in row.items():
+                            df.loc[idx, k] = v
+                        continue
+                    hit = next((r for r in tail if matches(r, key)), None)
+                    if hit is not None:
+                        hit.update(row)
+                    else:
+                        tail.append(dict(row))
+            elif op["op"] == "set":
+                idx = df.index[mask(df, op["where"])] if len(df) else []
+                for k, v in op["fields"].items():
+                    df.loc[idx, k] = v
+                for r in tail:
+                    if matches(r, op["where"]):
+                        r.update(op["fields"])
+            elif op["op"] == "del":
+                if len(df):
+                    df = df[~mask(df, op["where"])]
+                tail = [r for r in tail if not matches(r, op["where"])]
+        if tail:
+            df = pd.concat([df, pd.DataFrame(tail)], ignore_index=True)
+        else:
+            df.index = pd.RangeIndex(len(df))
+        return df
+
+    for trial in range(25):
+        n = rng.randint(0, 40)
+        base = pd.DataFrame(
+            {
+                "ix": range(n),
+                "source_ix": [rng.randint(0, 6) for _ in range(n)],
+                "name": [f"n{rng.randint(0, 9)}" for _ in range(n)],
+                "flag": [bool(rng.randint(0, 1)) for _ in range(n)],
+            }
+        )
+        ops = []
+        next_ix = n
+        for _ in range(rng.randint(1, 30)):
+            kind = rng.choice(["up", "up", "set", "del", "tx"])
+            if kind == "up":
+                # mix of updates to existing ixs and fresh appends
+                ix = (
+                    rng.randrange(max(next_ix, 1))
+                    if rng.random() < 0.7
+                    else next_ix
+                )
+                next_ix = max(next_ix, ix + 1)
+                ops.append(
+                    {
+                        "op": "up",
+                        "pk": ["ix"],
+                        "rows": [
+                            {
+                                "ix": ix,
+                                "source_ix": rng.randint(0, 6),
+                                "name": f"n{rng.randint(0, 9)}",
+                                "flag": bool(rng.randint(0, 1)),
+                            }
+                        ],
+                    }
+                )
+            elif kind == "set":
+                where = rng.choice(
+                    [
+                        {"ix": rng.randrange(max(next_ix, 1))},
+                        {"source_ix": rng.randint(0, 6)},
+                        {
+                            "source_ix": rng.randint(0, 6),
+                            "name": f"n{rng.randint(0, 9)}",
+                        },
+                    ]
+                )
+                ops.append(
+                    {
+                        "op": "set",
+                        "where": where,
+                        "fields": {
+                            "flag": bool(rng.randint(0, 1)),
+                            "name": f"n{rng.randint(0, 9)}",
+                        },
+                    }
+                )
+            elif kind == "del":
+                where = rng.choice(
+                    [
+                        {"ix": rng.randrange(max(next_ix, 1))},
+                        {"source_ix": rng.randint(0, 6)},
+                    ]
+                )
+                ops.append({"op": "del", "where": where})
+            else:
+                ops.append(
+                    {
+                        "op": "tx",
+                        "ops": [
+                            {
+                                "op": "set",
+                                "where": {
+                                    "ix": rng.randrange(max(next_ix, 1))
+                                },
+                                "fields": {"flag": True},
+                            },
+                            {
+                                "op": "del",
+                                "where": {"source_ix": rng.randint(0, 6)},
+                            },
+                        ],
+                    }
+                )
+        got = cat._replay_ops(base.copy(), list(ops))
+        want = naive(base.copy(), list(ops))
+        pd.testing.assert_frame_equal(
+            got.sort_values("ix").reset_index(drop=True),
+            want.sort_values("ix").reset_index(drop=True),
+            check_dtype=False,
+        ), f"trial {trial}"
+
+
+def test_adaptive_compaction_cadence_replays_identical(tmp_path):
+    """The cadence scales with the frame (floor 128, cap 4096) and a
+    cold open across a longer-than-128-line log replays to the exact
+    same state a continuously-live instance holds."""
+    from lagoon_spark.catalog import Catalog
+
+    cat = Catalog(str(tmp_path / "wh"))
+    cat.init_db()
+    assert cat._compact_every("sources") == cat.COMPACT_EVERY
+    ixs = []
+    for i in range(150):
+        ix, _v, _t, _vw = cat.new_source(
+            f"d{i}", url=None, description=None, added_by="x",
+            created=None, fmt="tabular",
+        )
+        cat.update_source(ix, row_count=i)
+        cat.finalize_source(ix)
+        ixs.append(ix)
+    # sanity on the scaling function itself
+    import pandas as pd
+
+    cat._cache["__probe"] = pd.DataFrame({"x": range(1_000_000)})
+    assert cat._compact_every("__probe") == 1_000_000 // 256
+    cat._cache["__probe"] = pd.DataFrame({"x": range(10_000_000)})
+    assert cat._compact_every("__probe") == cat._COMPACT_CAP
+    del cat._cache["__probe"]
+
+    live = cat.load("sources").sort_values("ix").reset_index(drop=True)
+    fresh = Catalog(str(tmp_path / "wh"))
+    replayed = (
+        fresh.load("sources").sort_values("ix").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(live, replayed)
+    got = fresh.get_source(f"d{len(ixs) - 1}")
+    assert got.row_count == len(ixs) - 1
