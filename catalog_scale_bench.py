@@ -123,6 +123,14 @@ def synth_read_plane(n: int) -> dict:
             cat.save("sources", sources)
             cat.save("sourcecolumns", sc)
             cat.save("tags", tags)
+        # recommended large-catalog configuration (see the helper's
+        # docstring): without it the ≥1M tiers measure GC phase as
+        # much as catalog code — burst deletes at 5M swung 78→412
+        # ms/op between identical runs on gen-2 pauses over ~10⁸
+        # frame-cell objects
+        from lagoon_spark.catalog import tune_gc_for_large_catalog
+
+        tune_gc_for_large_catalog()
         eng = _stub_engine(wh, cat)
         point = read_plane_metrics(cat, eng, wh, f"ds{datasets // 2}")
         point["synthesized"] = True
@@ -153,7 +161,11 @@ def synth_read_plane(n: int) -> dict:
         # Worst case flushes the pending-delete mask after every op; a
         # burst amortizes the one materialization copy across k ops.
         mid = datasets // 2
-        flush_each = [cat.get_source(f"ds{mid + 1 + j}") for j in range(5)]
+        # 20 ops, not 5: the committed r12 first-cut measured 42, 103,
+        # 94, 68 and 198 ms/op for the SAME code paths across windows —
+        # a 5-op sample on a metric whose first op pays cache
+        # first-touch is noise, not signal
+        flush_each = [cat.get_source(f"ds{mid + 1 + j}") for j in range(20)]
         t0 = time.perf_counter()
         for v in flush_each:
             eng.delete_source(v)
@@ -184,6 +196,7 @@ def synth_read_plane(n: int) -> dict:
         point["wal_lines_at_cold_open"] = int(
             sum(cat._log_lines.values())
         )
+        tune_gc_for_large_catalog()  # the ingest burst's garbage
         fresh = Catalog(wh)
         t0 = time.perf_counter()
         for t in ("sources", "sourcenames", "sourcecolumns", "tags"):

@@ -597,6 +597,29 @@ class _ReadIndex:
 CATALOG_VERSION = 5
 
 
+def tune_gc_for_large_catalog() -> None:
+    """Park the current heap outside CPython's cyclic GC.
+
+    A multi-million-source catalog holds ~10⁸ long-lived Python
+    objects (object-dtype frame cells are individual str objects);
+    every generation-2 collection scans ALL of them, so any
+    allocation burst triggers multi-second pauses that scale with the
+    catalog, not with the operation. Measured at the 5M synthetic
+    checkpoint: burst deletes swung 78→412 ms/op between identical
+    runs purely on GC phase, and ran 115 ms/op with the collector off.
+    The frames are flat arrays of scalars — no reference cycles — so
+    after one collect() of real garbage, freeze() moves the survivors
+    where gen-2 passes cannot see them. This is standard large-heap
+    CPython serving practice (the analog of the JVM GC flags every
+    Spark deployment tunes); call it after loading or building a big
+    catalog. Process-global by design, which is why the library never
+    calls it implicitly — the embedding application decides."""
+    import gc
+
+    gc.collect()
+    gc.freeze()
+
+
 def _atomic_to_parquet(df: pd.DataFrame, path: str) -> None:
     """write-temp-then-``os.replace``: the same crash discipline as
     :meth:`Catalog.save`, for writers that bypass the cache (the
@@ -786,7 +809,13 @@ class Catalog:
         # 10. Entries hold a strong ref to the frame they were built
         # from and are identity-checked on every probe; writers that
         # touch an indexed column invalidate via _drop_key_entries.
+        # The index builds on the SECOND probe against the same frame
+        # (_key_seen tracks the first): the argsort is ~20× a single
+        # numeric mask pass, so a frame probed once — the flush-each
+        # delete pattern, where every flush mints a new frame object —
+        # must not pay it (measured 42 → 103 ms/op at 1M when it did).
         self._key_sorted: dict[tuple, tuple] = {}
+        self._key_seen: dict[tuple, object] = {}
         # memoized sources⋈sourcenames frame for search(): the merge is
         # O(n) per call (~60 ms of the 183 ms warm search at 100k
         # sources, CATALOG_SCALE_r10). Keyed on (mutation_count, frame
@@ -942,6 +971,7 @@ class Catalog:
         if force:
             self._cache.clear()
             self._key_sorted.clear()
+            self._key_seen.clear()
             self._seq.clear()
             self._log_lines.clear()
             self._disk_token.clear()
@@ -1061,14 +1091,17 @@ class Catalog:
         """Invalidate sorted-key entries for ``table`` — all of them
         (frame replaced) or just the named columns (a WAL op wrote
         them). Dropping releases the entry's strong frame ref too."""
-        if not self._key_sorted:
+        if not self._key_sorted and not self._key_seen:
             return
         if cols is None:
             for k in [k for k in self._key_sorted if k[0] == table]:
                 del self._key_sorted[k]
+            for k in [k for k in self._key_seen if k[0] == table]:
+                del self._key_seen[k]
         else:
             for c in cols:
                 self._key_sorted.pop((table, c), None)
+                self._key_seen.pop((table, c), None)
 
     def _probe_positions(self, table: str, df: pd.DataFrame, where: dict):
         """Row POSITIONS matching an equality where-clause via the
@@ -1094,6 +1127,13 @@ class Catalog:
             return None
         ent = self._key_sorted.get((table, c0))
         if ent is None or ent[0] is not df:
+            if self._key_seen.get((table, c0)) is not df:
+                # first probe against this frame: a lone probe (the
+                # flush-each delete pattern replaces the frame per op)
+                # is cheaper through _mask than through an argsort it
+                # would never reuse — build on the second probe
+                self._key_seen[(table, c0)] = df
+                return None
             arr = df[c0].to_numpy()
             order = np.argsort(arr, kind="stable")
             ent = (df, arr[order], order)
@@ -1386,12 +1426,58 @@ class Catalog:
         capped the compaction cadence at 128 (round-10's scaled-cadence
         revert). Deletes flip an ``alive`` mask and subset ONCE at the
         end, so row positions stay stable for the indexes and the
-        per-delete filtered frame copy disappears."""
+        per-delete filtered frame copy disappears.
+
+        Frame writes DEFER into per-column {position: value} maps and
+        land as one positional assignment per column at the end —
+        df.loc per line is ~1 ms on a 1M frame (block manager
+        overhead), which made the scaled cadence's longer logs pay
+        ~1.2 s of pure write overhead at cold open. Deferral is
+        last-writer-wins per (column, position), which is exactly the
+        sequential semantics; the two reads that could observe a
+        deferred write — a probe on a written column and an index
+        (re)build on a written lead column — flush that column first."""
         import numpy as np
 
         tail: "list[dict]" = []
         alive = np.ones(len(df), dtype=bool)
         sorted_keys: "dict[str, tuple]" = {}
+        deferred: "dict[str, dict[int, object]]" = {}
+        # cached numpy views per column for residual-column compares —
+        # df[c].iloc[pos] builds a Series per probe (~1 ms on a 10M
+        # frame); a[pos] on the cached view is microseconds. Flushed
+        # writes drop the affected column (df.iloc may lay down a new
+        # block, and copy-on-write pandas would detach the old one).
+        col_arrays: "dict[str, object]" = {}
+        # tail rows indexed by (pk columns, pk values): an ingest-burst
+        # replay is mostly up-appends, and the linear tail scan per op
+        # made long logs quadratic in appended rows (420k matches()
+        # calls for an 870-line log at 5M). In-place row updates keep
+        # their key (matched pk values are equal by definition); a set
+        # that writes a mapped pk column or a del that removes tail
+        # rows clears the map (rare), falling back to the scan. When
+        # every tail row is mapped under one shape (map_shapes), a map
+        # MISS proves no tail row matches that shape — both the up
+        # fallback scan and the set scan skip entirely.
+        tail_map: "dict[tuple, dict]" = {}
+        map_shapes: "set[tuple]" = set()
+
+        def tail_complete(shape: tuple) -> bool:
+            return len(tail_map) == len(tail) and map_shapes <= {shape}
+
+        def flush_writes(cols=None):
+            names = (
+                list(deferred)
+                if cols is None
+                else [c for c in cols if c in deferred]
+            )
+            for c in names:
+                m = deferred.pop(c)
+                if not m:
+                    continue
+                pos = np.fromiter(m.keys(), dtype=np.int64, count=len(m))
+                df.iloc[pos, df.columns.get_loc(c)] = list(m.values())
+                col_arrays.pop(c, None)
 
         def flat(ops):
             for op in ops:
@@ -1405,6 +1491,7 @@ class Catalog:
 
         def positions(where: dict):
             """Alive row positions matching the equality clause."""
+            flush_writes(where)
             cols = sorted(
                 where,
                 key=lambda c: 0
@@ -1431,10 +1518,11 @@ class Catalog:
                     for c in cols[1:]:
                         if not len(pos):
                             break
-                        keep = (
-                            df[c].iloc[pos] == where[c]
-                        ).to_numpy(dtype=bool)
-                        pos = pos[keep]
+                        a = col_arrays.get(c)
+                        if a is None:
+                            a = col_arrays[c] = df[c].to_numpy()
+                        keep = a[pos] == where[c]
+                        pos = pos[keep] if keep is not True else pos
                     return pos
             m = self._mask(df, where).to_numpy(dtype=bool) & alive
             return np.flatnonzero(m)
@@ -1448,37 +1536,80 @@ class Catalog:
                     pos = positions(key) if len(df) else ()
                     if len(pos):
                         # matched rows already hold the pk values;
-                        # only non-pk writes can stale a key index
+                        # only non-pk writes can stale a key index —
+                        # and deferring a pk write would force the
+                        # next probe on that column to flush it (one
+                        # df.iloc write per line, the cost this
+                        # deferral exists to avoid), so pk columns are
+                        # skipped outright: writing an equal value is
+                        # a no-op
                         for c in set(row) - set(pk):
                             sorted_keys.pop(c, None)
-                        idx = df.index[pos]
                         for k, v in row.items():
-                            df.loc[idx, k] = v
+                            if k in pk:
+                                continue
+                            col = deferred.setdefault(k, {})
+                            for p in pos:
+                                col[int(p)] = v
                         continue
-                    hit = next(
-                        (r for r in tail if matches(r, key)), None
-                    )
+                    pkc = tuple(sorted(pk))
+                    kt = (pkc, tuple(key[c] for c in pkc))
+                    hit = tail_map.get(kt)
+                    if hit is None and not tail_complete(pkc):
+                        hit = next(
+                            (r for r in tail if matches(r, key)), None
+                        )
                     if hit is not None:
                         hit.update(row)
+                        tail_map[kt] = hit
                     else:
-                        tail.append(dict(row))
+                        rec = dict(row)
+                        tail.append(rec)
+                        tail_map[kt] = rec
+                    map_shapes.add(pkc)
             elif kind == "set":
                 pos = positions(op["where"]) if len(df) else ()
                 if len(pos):
                     for c in op["fields"]:
                         sorted_keys.pop(c, None)
-                    idx = df.index[pos]
                     for k, v in op["fields"].items():
-                        df.loc[idx, k] = v
-                for r in tail:
-                    if matches(r, op["where"]):
-                        r.update(op["fields"])
+                        col = deferred.setdefault(k, {})
+                        for p in pos:
+                            col[int(p)] = v
+                wcols = tuple(sorted(op["where"]))
+                if tail and tail_complete(wcols):
+                    # every tail row is mapped under exactly the
+                    # where-clause's column set: one O(1) probe
+                    # replaces the full scan (the dominant set shape —
+                    # {"ix": v} against an ingest burst's appends)
+                    r = tail_map.get(
+                        (wcols, tuple(op["where"][c] for c in wcols))
+                    )
+                    rows_hit = [r] if r is not None else []
+                else:
+                    rows_hit = [
+                        r for r in tail if matches(r, op["where"])
+                    ]
+                for r in rows_hit:
+                    r.update(op["fields"])
+                if rows_hit and any(
+                    c in pkc
+                    for c in op["fields"]
+                    for pkc in map_shapes
+                ):
+                    tail_map.clear()  # a mapped pk value may have moved
+                    map_shapes.clear()
             elif kind == "del":
                 if len(df):
                     alive[positions(op["where"])] = False
-                tail = [r for r in tail if not matches(r, op["where"])]
+                kept = [r for r in tail if not matches(r, op["where"])]
+                if len(kept) != len(tail):
+                    tail_map.clear()
+                    map_shapes.clear()
+                tail = kept
             else:
                 raise ValueError(f"unknown catalog log op {kind!r}")
+        flush_writes()  # before the subset: positions are pre-subset
         if not alive.all():
             df = df[alive]
         if tail:
@@ -1493,62 +1624,88 @@ class Catalog:
 
     def load(self, table: str) -> pd.DataFrame:
         if table not in self._cache:
-            import json as _json
+            # Suspend cyclic GC for the bounded disk→frame build: a
+            # multi-million-row object-dtype load materializes ~10⁸
+            # PyObjects, and every gen-2 collection that fires mid-load
+            # scans all objects allocated so far — measured 10-43 s of
+            # pure GC variance on an otherwise-stable ~9 s cold open at
+            # the 5M synthetic checkpoint (cold_open_with_wal_ms swung
+            # 19.8/28.3/53.3 s across identical runs; 19.8 with the
+            # collector off). The frames are cycle-free scalars, so
+            # deferring collection to re-enable time is safe and the
+            # pause disappears. finally-restored; no-op when the caller
+            # already disabled GC (tune_gc_for_large_catalog).
+            import gc
 
-            def read_snapshot() -> "tuple[pd.DataFrame, int, int, list]":
-                df, applied = self._read_base(table)
-                seq, lines, pending = applied, 0, []
-                lp = self._log_path(table)
-                if os.path.exists(lp):
-                    with open(lp) as fh:
-                        for line in fh:
-                            try:
-                                op = _json.loads(line)
-                            except ValueError:
-                                break  # torn tail from a killed writer
-                            lines += 1
-                            if op["seq"] > applied:
-                                pending.append(op)
-                            seq = max(seq, op["seq"])
-                return df, seq, lines, pending
+            _gc_was_on = gc.isenabled()
+            if _gc_was_on:
+                gc.disable()
+            try:
+                return self._load_cold(table)
+            finally:
+                if _gc_was_on:
+                    gc.enable()
+        if self._has_pending(table):
+            return self._flush_pending(table)
+        return self._cache[table]
 
-            # base + log are TWO files, so a lock-free reader can race
-            # a concurrent compaction: base read BEFORE the os.replace,
-            # log read AFTER the unlink/re-append would replay new-base
-            # ops onto the old base. Re-stat the base after reading the
-            # log and retry if it moved — each pass is a consistent
-            # snapshot or detectably stale, never a chimera.
-            for _attempt in range(8):
+    def _load_cold(self, table: str) -> pd.DataFrame:
+        import json as _json
+
+        def read_snapshot() -> "tuple[pd.DataFrame, int, int, list]":
+            df, applied = self._read_base(table)
+            seq, lines, pending = applied, 0, []
+            lp = self._log_path(table)
+            if os.path.exists(lp):
+                with open(lp) as fh:
+                    for line in fh:
+                        try:
+                            op = _json.loads(line)
+                        except ValueError:
+                            break  # torn tail from a killed writer
+                        lines += 1
+                        if op["seq"] > applied:
+                            pending.append(op)
+                        seq = max(seq, op["seq"])
+            return df, seq, lines, pending
+
+        # base + log are TWO files, so a lock-free reader can race
+        # a concurrent compaction: base read BEFORE the os.replace,
+        # log read AFTER the unlink/re-append would replay new-base
+        # ops onto the old base. Re-stat the base after reading the
+        # log and retry if it moved — each pass is a consistent
+        # snapshot or detectably stale, never a chimera.
+        for _attempt in range(8):
+            base_key = self._base_stat(table)
+            log_sz = self._log_size(table)
+            df, seq, lines, pending = read_snapshot()
+            if self._base_stat(table) == base_key:
+                break
+        else:
+            # round-10 verdict #2: a writer hot enough to move the
+            # base 8 times mid-read must not make us cache a
+            # possibly-chimeric snapshot. One authoritative re-read
+            # under the writer lock — compaction replaces the base
+            # only while holding it, so this read is consistent by
+            # construction (the flock is re-entrant in-thread, so a
+            # load() issued inside a writing transaction is safe).
+            with self.writer_lock():
                 base_key = self._base_stat(table)
                 log_sz = self._log_size(table)
                 df, seq, lines, pending = read_snapshot()
-                if self._base_stat(table) == base_key:
-                    break
-            else:
-                # round-10 verdict #2: a writer hot enough to move the
-                # base 8 times mid-read must not make us cache a
-                # possibly-chimeric snapshot. One authoritative re-read
-                # under the writer lock — compaction replaces the base
-                # only while holding it, so this read is consistent by
-                # construction (the flock is re-entrant in-thread, so a
-                # load() issued inside a writing transaction is safe).
-                with self.writer_lock():
-                    base_key = self._base_stat(table)
-                    log_sz = self._log_size(table)
-                    df, seq, lines, pending = read_snapshot()
-            if pending:
-                df = self._replay_ops(df, pending)
-            self._drop_key_entries(table)
-            self._cache[table] = df
-            self._seq[table] = seq
-            self._log_lines[table] = lines
-            # fingerprint captured BEFORE the read: bytes appended
-            # mid-read can only over-invalidate, never go stale
-            self._disk_token[table] = (base_key, log_sz)
-            # a disk read already replayed every logged op; pending
-            # state from a dropped cache entry is stale by construction
-            self._pending_del_mask.pop(table, None)
-            self._pending_tail.pop(table, None)
+        if pending:
+            df = self._replay_ops(df, pending)
+        self._drop_key_entries(table)
+        self._cache[table] = df
+        self._seq[table] = seq
+        self._log_lines[table] = lines
+        # fingerprint captured BEFORE the read: bytes appended
+        # mid-read can only over-invalidate, never go stale
+        self._disk_token[table] = (base_key, log_sz)
+        # a disk read already replayed every logged op; pending
+        # state from a dropped cache entry is stale by construction
+        self._pending_del_mask.pop(table, None)
+        self._pending_tail.pop(table, None)
         if self._has_pending(table):
             return self._flush_pending(table)
         return self._cache[table]
@@ -1665,6 +1822,7 @@ class Catalog:
             self._write_version(v)
             self._cache.clear()
             self._key_sorted.clear()
+            self._key_seen.clear()
         return v
 
     # -- sources / versions (A14, A15) --------------------------------------

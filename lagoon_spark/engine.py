@@ -991,19 +991,31 @@ class Lagoon:
 
     # -- delete (A27) --------------------------------------------------------
 
-    def _table_ref_arrays(self, sources) -> tuple:
+    def _table_ref_arrays(self, sources) -> "tuple | None":
         """Arrow copies of (table_name, typed_table_name), cached per
         (frame identity, catalog in-place write epoch). Strong frame
         ref in the cache tuple keeps the id valid; from_pandas COPIES
         into Arrow buffers, so later in-place numpy mutation of the
         frame (the delete fold's hole-fill) cannot corrupt a snapshot
-        that is about to be retired anyway."""
+        that is about to be retired anyway.
+
+        Returns None on the FIRST sighting of a (frame, epoch): the
+        snapshot build is ~2× the pandas passes it replaces, so a
+        frame used once — the flush-each delete pattern, where every
+        load() between deletes folds the mask and mints a new frame —
+        must not pay it (measured 54 ms/op of pure snapshot build at
+        1M). A burst's stable frame builds on its second delete and
+        serves C-speed scans for the rest."""
         import pyarrow as pa
 
         key = (id(sources), self.catalog.inplace_write_count)
         c = getattr(self, "_tblref_cache", None)
         if c is not None and c[0] == key and c[1] is sources:
             return c[2], c[3]
+        seen = getattr(self, "_tblref_seen", None)
+        if not (seen is not None and seen[0] == key and seen[1] is sources):
+            self._tblref_seen = (key, sources)
+            return None
 
         def arr(col: str):
             a = pa.array(sources[col], from_pandas=True)
@@ -1057,8 +1069,12 @@ class Lagoon:
         # CATALOG_SCALE_r12_synth5m) — pc.equal over the cached arrays
         # is a C-speed scan, and a delete burst reuses them (deletes
         # only OR pending masks; any in-place cell write bumps the
-        # epoch and retires the snapshot)
-        tn_arr, ttn_arr = self._table_ref_arrays(sources)
+        # epoch and retires the snapshot). None = one-shot frame
+        # (flush-each pattern): the pandas passes below are cheaper
+        # than a snapshot that would be retired before reuse.
+        snap = self._table_ref_arrays(sources)
+        if snap is not None:
+            tn_arr, ttn_arr = snap
 
         def tail_references(t: str) -> bool:
             # pending-appended rows (ingests not yet materialized into
@@ -1076,10 +1092,20 @@ class Lagoon:
         self.catalog.delete_source(info.ix)
         for t in (info.table_name, info.typed_table_name):
             if t:
-                refd = pc.fill_null(
-                    pc.or_kleene(pc.equal(tn_arr, t), pc.equal(ttn_arr, t)),
-                    False,
-                ).to_numpy(zero_copy_only=False)
+                if snap is not None:
+                    refd = pc.fill_null(
+                        pc.or_kleene(
+                            pc.equal(tn_arr, t), pc.equal(ttn_arr, t)
+                        ),
+                        False,
+                    ).to_numpy(zero_copy_only=False)
+                else:
+                    # numpy views over the object columns (no copy, no
+                    # pandas NaN wrapping) — the cheapest single-shot
+                    # equality pass available
+                    refd = (
+                        sources["table_name"].to_numpy() == t
+                    ) | (sources["typed_table_name"].to_numpy() == t)
             if (
                 t
                 and not (refd & alive).any()
