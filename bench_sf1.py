@@ -80,6 +80,22 @@ def main() -> None:
     if not rep_dir:
         rep_dir = tempfile.mkdtemp(prefix="lagoon_sf1_")
         build_sec = round(build_replica(spark, sf_dir, rep_dir, factor), 1)
+        # The verbatim-clone replica multiplies every exact-dup clique
+        # by the factor, so ALL-PAIRS dedup output grows quadratically
+        # BY SEMANTICS (the round-12 seed fix made q64 emit real
+        # cliques again: ~770M pairs at 10×, OOM at the bench heap —
+        # the degenerate pre-fix signatures happened to collapse the
+        # plan into something that fit). Same reason the scale-smoke
+        # dedup audit synthesizes its corpus: the documents table is
+        # replaced with the linear-output generator at 10× the audit's
+        # small side, so the doc lanes (q64/q69/q77/q113/q116) measure
+        # engine scaling, not clique combinatorics. TPC-H relational
+        # lanes keep the verbatim clones.
+        from scale_smoke import make_registry_docs
+
+        make_registry_docs(spark, 500_000).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(rep_dir, "documents.parquet"))
 
     # same worker-pool warmers as bench.py (startup is not query cost)
     from pyspark.sql.functions import pandas_udf
