@@ -368,6 +368,17 @@ def _as_map(col) -> tuple[Column, Column]:
     return m, m
 
 
+def jsonb_map_and_gate(col: "str | Column") -> "tuple[Column, Column]":
+    """The fused ``(map<string,variant>, null-gate)`` pair behind an
+    object_only jsonb operator chain (or a fresh parse for plain text).
+    Consumers that only EXTRACT from the chain's result — key lists,
+    single values — read the unserialized map directly instead of
+    paying the chain's canonical re-serialize plus their own re-parse
+    (guide §1.2: don't compute things you throw away). The map is NULL
+    exactly when the serialized text would be NULL."""
+    return _as_map(col)
+
+
 def _fused_text(mapcol: Column, gate: Column) -> Column:
     out = F.when(gate.isNull(), F.lit(None).cast("string")).otherwise(
         _entries_to_json(F.map_entries(mapcol))

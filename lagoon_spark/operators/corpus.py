@@ -584,43 +584,87 @@ def dsir_grams(
     document with no tokens keeps one NULL-bucket row, so scoring
     never drops it.
 
-    Shape notes: the fingerprint array is referenced exactly once (by
-    the posexplode generator), so it is computed once per document —
-    an array-lambda formulation read the array from a dozen optimized
-    plan sites and re-ran the whole rolling-hash fold at each (a
-    measured 20× slowdown). Bigram adjacency is one ``lead`` window
-    keyed on the doc id over token-scale rows; the same partitioning
-    feeds the downstream per-doc score aggregate, so the pipeline pays
-    that single shuffle once."""
+    Shape notes (round 12): the fingerprint array materializes ONCE
+    through a generator barrier — ``explode(array(fps))`` makes the
+    array a concrete attribute, which a projected alias is not
+    (CollapseProject inlines an alias into every use site and re-runs
+    the whole rolling-hash fold at each; a measured 20× slowdown in
+    the naive array-lambda form). Bigram adjacency is then a row-LOCAL
+    indexed lambda over the materialized array (``get(fps, i+1)``), so
+    the old per-document ``lead`` window — a full token-scale shuffle
+    before any aggregation — is gone from the plan entirely (guide
+    §2.4: remove shuffles outright)."""
     from lagoon_spark.operators.text import MOD, MULT, word_fingerprints
 
-    tok = df.withColumn("__fps", word_fingerprints(text_col)).select(
-        F.col(id_col), F.posexplode_outer("__fps").alias("tpos", "fp")
+    base = df.select(
+        F.col(id_col),
+        F.explode(F.array(word_fingerprints(text_col))).alias("__fps"),
     )
-    both = tok.select(
+    uni = F.transform(
+        "__fps",
+        lambda x, i: F.struct(
+            (i * 2).alias("pos"),
+            F.pmod(x, F.lit(buckets)).cast("int").alias("bucket"),
+        ),
+    )
+    # the last token's partner is get(fps, i+1) == NULL → bucket NULL
+    # → filtered, matching the old lead()-isNotNull gate
+    bi = F.filter(
+        F.transform(
+            "__fps",
+            lambda x, i: F.struct(
+                (i * 2 + 1).alias("pos"),
+                F.pmod(
+                    F.pmod(x * MULT + F.get("__fps", i + 1), F.lit(MOD)),
+                    F.lit(buckets),
+                )
+                .cast("int")
+                .alias("bucket"),
+            ),
+        ),
+        lambda s: s["bucket"].isNotNull(),
+    )
+    # explode_outer keeps one (NULL pos, NULL bucket) row for an empty
+    # document, matching the old posexplode_outer behavior
+    return base.select(
+        F.col(id_col), F.explode_outer(F.concat(uni, bi)).alias("__g")
+    ).select(
         id_col,
-        "tpos",
-        "fp",
-        F.lead("fp")
-        .over(Window.partitionBy(id_col).orderBy("tpos"))
-        .alias("nfp"),
+        F.col("__g.pos").alias("pos"),
+        F.col("__g.bucket").alias("bucket"),
     )
-    uni = both.select(
-        id_col,
-        (F.col("tpos") * 2).alias("pos"),
-        F.pmod(F.col("fp"), F.lit(buckets)).cast("int").alias("bucket"),
+
+
+def _gram_bucket_stream(
+    df: DataFrame, text_col: str, buckets: int, keep: "tuple[str, ...]" = ()
+) -> DataFrame:
+    """Bucket-only DSIR gram stream for COUNTING: (``keep``..., bucket)
+    rows, no doc ids, no positions, no NULL rows for empty documents —
+    the multiset of buckets is identical to :func:`dsir_grams` minus
+    its NULL padding, which counting filters anyway. One generator
+    barrier (fingerprints fold once), adjacency row-local."""
+    from lagoon_spark.operators.text import MOD, MULT, word_fingerprints
+
+    base = df.select(
+        *[F.col(c) for c in keep],
+        F.explode(F.array(word_fingerprints(text_col))).alias("__fps"),
     )
-    bi = both.filter(F.col("nfp").isNotNull()).select(
-        id_col,
-        (F.col("tpos") * 2 + 1).alias("pos"),
-        F.pmod(
-            F.pmod(F.col("fp") * MULT + F.col("nfp"), F.lit(MOD)),
-            F.lit(buckets),
-        )
-        .cast("int")
-        .alias("bucket"),
+    uni = F.transform(
+        "__fps", lambda x: F.pmod(x, F.lit(buckets)).cast("int")
     )
-    return uni.unionByName(bi)
+    bi = F.filter(
+        F.transform(
+            "__fps",
+            lambda x, i: F.pmod(
+                F.pmod(x * MULT + F.get("__fps", i + 1), F.lit(MOD)),
+                F.lit(buckets),
+            ).cast("int"),
+        ),
+        lambda b: b.isNotNull(),
+    )
+    return base.select(
+        *keep, F.explode(F.concat(uni, bi)).alias("bucket")
+    )
 
 
 def dsir_log_ratios(
@@ -638,13 +682,11 @@ def dsir_log_ratios(
     one-row totals — the result is ≤ ``buckets`` rows, metadata-sized
     regardless of corpus size, ready to broadcast into scoring."""
     def counts(df: DataFrame, name: str) -> DataFrame:
-        # adjacency needs a per-document identity; corpora passed in
-        # for counting may not carry one, so synthesize it (never
-        # surfaced — only the bucket multiset leaves this scope)
-        with_id = df.withColumn("__doc", F.monotonically_increasing_id())
+        # counting needs no doc identity, no positions, no windows —
+        # just the bucket multiset (round 12: was a synthesized-id
+        # dsir_grams pass paying the full positional machinery)
         return (
-            dsir_grams(with_id, "__doc", text_col, buckets)
-            .filter(F.col("bucket").isNotNull())
+            _gram_bucket_stream(df, text_col, buckets)
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias(name))
         )
@@ -663,6 +705,40 @@ def dsir_log_ratios(
         (
             F.log((F.col("ct") + s) / (F.col("__t_total") + s * buckets))
             - F.log((F.col("cr") + s) / (F.col("__r_total") + s * buckets))
+        ).alias("log_ratio"),
+    )
+
+
+def dsir_log_ratios_flagged(
+    df: DataFrame,
+    flag_col: str,
+    text_col: str,
+    buckets: int = 8192,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """:func:`dsir_log_ratios` for the common case where the target is
+    a SUBSET of the raw corpus, marked by boolean ``flag_col``: one
+    gram pass and ONE aggregate computes both count columns
+    (``ct`` = flagged grams, ``cr`` = all grams), where the two-frame
+    form pays two full gram passes plus a full-outer join. Identical
+    output for ``target = df.filter(flag)`` / ``raw = df`` — every
+    target bucket is a raw bucket, so the outer join degenerates to
+    the conditional count. Guide §2.3: aggregate before you shuffle
+    (and scan once, not twice)."""
+    s = _gram_bucket_stream(df, text_col, buckets, keep=(flag_col,))
+    joined = s.groupBy("bucket").agg(
+        F.sum(F.when(F.col(flag_col), 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+    totals = joined.agg(
+        F.sum("ct").alias("__t_total"), F.sum("cr").alias("__r_total")
+    )
+    sm = float(smoothing)
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + sm) / (F.col("__t_total") + sm * buckets))
+            - F.log((F.col("cr") + sm) / (F.col("__r_total") + sm * buckets))
         ).alias("log_ratio"),
     )
 
@@ -760,17 +836,31 @@ def dsir_resample(
 
 def _token_stream(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, tpos, fp, prev_fp) token rows: portable rolling-hash
-    fingerprints posexploded (the array is referenced once, so the
-    fold runs once per document), previous-token adjacency via one lag
-    window keyed on the doc id. Empty documents keep one NULL-fp row."""
+    fingerprints materialized ONCE per document through a generator
+    barrier, previous-token adjacency via a row-LOCAL indexed array
+    lambda (``get(fps, i-1)`` — NULL at i=0, like the old ``lag``)
+    instead of a per-document window, so the token stream reaches its
+    consumer with ZERO shuffles (guide §2.4). Empty documents keep one
+    NULL-fp row."""
     from lagoon_spark.operators.text import word_fingerprints
 
-    tok = df.withColumn("__fps", word_fingerprints(text_col)).select(
-        F.col(id_col), F.posexplode_outer("__fps").alias("tpos", "fp")
+    base = df.select(
+        F.col(id_col),
+        F.explode(F.array(word_fingerprints(text_col))).alias("__fps"),
     )
-    return tok.withColumn(
-        "prev_fp",
-        F.lag("fp").over(Window.partitionBy(id_col).orderBy("tpos")),
+    arr = F.transform(
+        "__fps",
+        lambda x, i: F.struct(
+            i.alias("tpos"), x.alias("fp"), F.get("__fps", i - 1).alias("prev_fp")
+        ),
+    )
+    return base.select(
+        F.col(id_col), F.explode_outer(arr).alias("__t")
+    ).select(
+        id_col,
+        F.col("__t.tpos").alias("tpos"),
+        F.col("__t.fp").alias("fp"),
+        F.col("__t.prev_fp").alias("prev_fp"),
     )
 
 
@@ -784,30 +874,59 @@ def hashed_bigram_lm(
     (unigram_counts(bucket, c1), bigram_counts(bucket, c2)). Both
     tables are bucket-bounded — broadcast-sized at any corpus scale —
     which is the point: the trained-KenLM swap keeps this exact serving
-    shape (hash buckets → real vocabulary ids)."""
-    from lagoon_spark.operators.text import MOD, MULT
+    shape (hash buckets → real vocabulary ids).
 
-    ref = reference.withColumn("__doc", F.monotonically_increasing_id())
-    s = _token_stream(ref, "__doc", text_col).filter(F.col("fp").isNotNull())
-    uni = (
-        s.groupBy(
-            F.pmod("fp", F.lit(uni_buckets)).cast("int").alias("bucket")
-        )
-        .agg(F.count(F.lit(1)).alias("c1"))
+    Round 12: ONE pass over the reference computes both tables — uni
+    and bi buckets interleave through a tagged struct stream into a
+    single map-side-combinable aggregate, and the ≤(B1+B2)-row result
+    persists so that the FOUR consumers in :func:`lm_perplexity`
+    (n_total, cur, prev, bigram broadcast sides) read the cache
+    instead of each re-running the reference fingerprint pass (the old
+    shape: 4 full reference scans, each with a per-doc lag window).
+    The cached frame rides out as a pin handle on both returned
+    frames; ``lm_perplexity`` propagates it to its result for the
+    caller's ``checkpointing.release``."""
+    from lagoon_spark.checkpointing import pin_handles
+    from lagoon_spark.operators.text import MOD, MULT, word_fingerprints
+
+    base = reference.select(
+        F.explode(F.array(word_fingerprints(text_col))).alias("__fps")
     )
-    bi = (
-        s.filter(F.col("prev_fp").isNotNull())
-        .groupBy(
-            F.pmod(
-                F.pmod(F.col("prev_fp") * MULT + F.col("fp"), F.lit(MOD)),
-                F.lit(bi_buckets),
-            )
-            .cast("int")
-            .alias("bucket")
-        )
-        .agg(F.count(F.lit(1)).alias("c2"))
+    uni_arr = F.transform(
+        "__fps",
+        lambda x: F.struct(
+            F.lit(0).alias("t"),
+            F.pmod(x, F.lit(uni_buckets)).cast("int").alias("bucket"),
+        ),
     )
-    return uni, bi
+    bi_arr = F.filter(
+        F.transform(
+            "__fps",
+            lambda x, i: F.struct(
+                F.lit(1).alias("t"),
+                F.pmod(
+                    F.pmod(F.get("__fps", i - 1) * MULT + x, F.lit(MOD)),
+                    F.lit(bi_buckets),
+                )
+                .cast("int")
+                .alias("bucket"),
+            ),
+        ),
+        lambda s: s["bucket"].isNotNull(),
+    )
+    counts = (
+        base.select(F.explode(F.concat(uni_arr, bi_arr)).alias("__g"))
+        .groupBy(F.col("__g.t").alias("__t"), F.col("__g.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .persist()
+    )
+    uni = counts.filter(F.col("__t") == 0).select(
+        "bucket", F.col("__c").alias("c1")
+    )
+    bi = counts.filter(F.col("__t") == 1).select(
+        "bucket", F.col("__c").alias("c2")
+    )
+    return pin_handles(uni, counts), pin_handles(bi, counts)
 
 
 def lm_perplexity(
@@ -889,7 +1008,7 @@ def lm_perplexity(
         F.lit(0.0),
         lambda acc, x: acc + x["lp"],
     )
-    return scored.groupBy(id_col).agg(
+    out = scored.groupBy(id_col).agg(
         F.when(
             F.sum(F.col("logp").isNotNull().cast("long")) > 0,
             F.round(
@@ -900,3 +1019,8 @@ def lm_perplexity(
             ),
         ).alias("ppl")
     )
+    # the count tables may carry a persisted parent (hashed_bigram_lm)
+    # whose cache backs this plan — propagate it for the caller's release
+    from lagoon_spark.checkpointing import handles, pin_handles
+
+    return pin_handles(out, *handles(uni), *handles(bi))

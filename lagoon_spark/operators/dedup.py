@@ -127,12 +127,21 @@ def minhash_signature(
     method='fast' hashes tokens with xxhash64 (production); 'portable'
     uses the rolling hash reproducible in the DuckDB oracle. Both are
     row-local single-pass expressions — no shuffle, no UDF.
+
+    The distinct-fingerprint array materializes ONCE through a
+    generator barrier (``explode(array(fps))``): a ``withColumn``
+    alias is inlined by CollapseProject into every one of the
+    ``num_hashes`` permutation lambdas, re-running the whole
+    tokenize+hash+distinct per permutation — measured 8.4 s vs 0.65 s
+    for the portable method over sf0.1 documents (round 12, 12.8×).
     """
     if method == "fast":
         fps = word_hashes_fast(text_col)
     else:
         fps = word_fingerprints(text_col)
-    df = df.withColumn("__fps", F.array_distinct(fps))
+    base = df.select(
+        "*", F.explode(F.array(F.array_distinct(fps))).alias("__fps")
+    )
 
     def perm(a: int, b: int):
         # closure factory: a plain `lambda f, a=a, b=b` would present a
@@ -143,7 +152,7 @@ def minhash_signature(
         F.array_min(F.transform(F.col("__fps"), perm(a, b)))
         for a, b in minhash_seeds(num_hashes)
     ]
-    return df.withColumn(out_col, F.array(*mins)).drop("__fps")
+    return base.withColumn(out_col, F.array(*mins)).drop("__fps")
 
 
 def lsh_candidate_pairs(
@@ -613,9 +622,15 @@ def simhash(df: DataFrame, text_col: str, bits: int = 16, out_col: str = "simhas
     """Append a ``bits``-wide SimHash of the token multiset (portable hash).
 
     bit_k(doc) = 1 iff sum over tokens of ±1 (sign of bit k of the token
-    hash) is positive. Row-local integer arithmetic only.
+    hash) is positive. Row-local integer arithmetic only. The
+    fingerprint array materializes once through a generator barrier —
+    a ``withColumn`` alias would re-run the rolling-hash fold inside
+    every one of the ``bits`` aggregate lambdas (see
+    :func:`minhash_signature`).
     """
-    df = df.withColumn("__fps", word_fingerprints(text_col))
+    df = df.select(
+        "*", F.explode(F.array(word_fingerprints(text_col))).alias("__fps")
+    )
 
     def bit_contrib(pw: int):
         return lambda acc, f: acc + F.when(

@@ -953,22 +953,73 @@ def pq_fit_encode(
     sub, rem = divmod(dim, m)
     if rem:
         raise ValueError(f"dim {dim} not divisible by m {m}")
-    # train each subspace codebook (on the hash-sample when
-    # train_fraction is set — codebooks need ~128 rows per code, not
-    # the corpus), then encode ALL subspaces in ONE pass: the previous
-    # shape joined m per-subspace assignment frames back together —
-    # m shuffles and m artifact passes where a single chained-column
-    # projection does the whole encode row-locally.
-    books: "list[list[list[float]]]" = []
-    for j in range(m):
-        sliced = df.select(
-            id_col, F.slice(F.col(vec_col), j * sub + 1, sub).alias("__sub")
+    # ALL m subspace codebooks train JOINTLY (round 12): one Lloyd
+    # iteration is ONE pass over the corpus — the full vector
+    # posexplodes once, each element's subspace j = pos DIV sub and its
+    # cell = that subspace's current assignment, and a single
+    # map-side-combinable (j, cell, pos-within) aggregate collects
+    # every codebook's m·k·sub fixed-point sums together. The previous
+    # shape ran an independent kmeans_fit_predict per subspace:
+    # m × iters full scans + collects where iters now suffice (guide
+    # §1.2: remove redundant passes first). Arithmetic is bit-identical
+    # to the per-subspace trainer: same id%k init, same fixed-point
+    # integer sums per (cell, dim), same ivf_assign argmin/tie rule,
+    # and empty cells keep their previous centroid.
+    fit_df = df
+    sampled = train_fraction is not None and 0.0 < train_fraction < 1.0
+    if sampled:
+        thresh = max(1, int(train_fraction * 1_000_000))
+        fit_df = df.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < F.lit(thresh)
+        ).persist()
+        if fit_df.select(id_col).first() is None:
+            fit_df.unpersist()
+            fit_df, sampled = df, False
+    books: "list[list[list[float]]]" = [
+        [[0.0] * sub for _ in range(k)] for _ in range(m)
+    ]
+    init = F.pmod(F.col(id_col), F.lit(k)).cast("int")
+    assigned = fit_df.select(
+        F.col(id_col), F.col(vec_col),
+        *[init.alias(f"__code{j}") for j in range(m)],
+    )
+    for _ in range(iters):
+        ex = assigned.select(
+            F.array(*[F.col(f"__code{j}") for j in range(m)]).alias("__codes"),
+            F.posexplode(F.col(vec_col)).alias("__pos", "__x"),
         )
-        _assigned, cents = kmeans_fit_predict(
-            sliced, id_col, "__sub", k=k, iters=iters, dim=sub,
-            out_col=f"__code{j}", train_fraction=train_fraction,
+        jcol = (F.col("__pos") / F.lit(sub)).cast("int")
+        stats = (
+            ex.groupBy(
+                jcol.alias("__j"),
+                F.element_at("__codes", jcol + F.lit(1)).alias("__cell"),
+                F.pmod(F.col("__pos"), F.lit(sub)).alias("__posw"),
+            )
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("__x").cast("double") * KMEANS_FP + F.lit(0.5)
+                    ).cast("long")
+                ).alias("__s"),
+                F.count(F.lit(1)).alias("__c"),
+            )
         )
-        books.append(cents)
+        for r in stats.collect():  # m·k·sub rows — model-sized, not data
+            books[r["__j"]][r["__cell"]][r["__posw"]] = r["__s"] / (
+                r["__c"] * float(KMEANS_FP)
+            )
+        assigned = fit_df.select(F.col(id_col), F.col(vec_col))
+        for j in range(m):
+            assigned = ivf_assign(
+                assigned.withColumn(
+                    f"__subv{j}", F.slice(F.col(vec_col), j * sub + 1, sub)
+                ),
+                f"__subv{j}",
+                [[float(x) for x in c] for c in books[j]],
+                out_col=f"__code{j}",
+            ).drop(f"__subv{j}")
+    if sampled:
+        fit_df.unpersist()
     return pq_encode(df, id_col, vec_col, books), books
 
 

@@ -2229,11 +2229,19 @@ FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT {_D29_K}
 def d29(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = spark.table("documents").select("doc_id", "text")
-    target = (
-        spark.table("documents").filter(F.col("lang") == "en").select("text")
+    # the target is a SUBSET of the scored corpus (lang='en'), so the
+    # importance model fits in ONE gram pass via the flagged counts
+    # (identical ratios to the two-frame fit; guide §2.3) — scoring is
+    # then the only other corpus pass
+    flagged = spark.table("documents").select(
+        "text", (F.col("lang") == "en").alias("__tgt")
+    )
+    ratios = corpus.dsir_log_ratios_flagged(
+        flagged, "__tgt", "text", buckets=_D29_B
     )
     return corpus.dsir_resample(
-        docs, "doc_id", "text", target, k=_D29_K, buckets=_D29_B
+        docs, "doc_id", "text", None, k=_D29_K, buckets=_D29_B,
+        ratios_df=ratios,
     )
 
 

@@ -326,15 +326,40 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Non-equi join (nested loop; QueryPlan.hs:166 NestedLoop)
 # ---------------------------------------------------------------------------
 
-sql_query(
-    "q08_nonequi_join",
-    "Inequality-only join predicate → broadcast nested-loop join.",
-    """
+_Q08_ORACLE = """
 SELECT s_suppkey, COUNT(*) AS n_lower_nation_customers
 FROM supplier JOIN customer ON s_nationkey < c_nationkey
 GROUP BY s_suppkey
-""",
+"""
+
+
+@df_query(
+    "q08_nonequi_join",
+    "Inequality-only join predicate → nested loop, rewritten over the "
+    "nationkey histogram: COUNT(*) per supplier depends only on "
+    "s_nationkey, so the customer side collapses to ≤25 (nationkey, n) "
+    "rows before the inequality join — the pair loop runs |supplier|×25 "
+    "instead of |supplier|×|customer| (guide §3: shrink the build side "
+    "before a nested-loop join).",
+    _Q08_ORACLE,
 )
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    hist = (
+        spark.table("customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    sup = spark.table("supplier")
+    # inner-join semantics preserved: a supplier with no strictly
+    # greater customer nationkey matches zero histogram rows and drops
+    return (
+        sup.join(F.broadcast(hist), sup.s_nationkey < hist.c_nationkey)
+        .groupBy("s_suppkey")
+        .agg(F.sum("__n").alias("n_lower_nation_customers"))
+    )
 
 # ---------------------------------------------------------------------------
 # Window functions (QueryPlan.hs:176 WindowAgg; dplyrlagoon.r:112-131)
@@ -903,6 +928,7 @@ def _q100(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from lagoon_spark.functions import jsonb_concat, jsonb_delete_key
+    from lagoon_spark.functions.json_ops import jsonb_map_and_gate
 
     register_views(spark, sf_dir)
     # the `{%` filter below guarantees object documents, admitting the
@@ -912,17 +938,24 @@ def _q100(spark: SparkSession, sf_dir: str) -> DataFrame:
         '{"z":"w"}',
         object_only=True,
     )
+    # the comparison rides extraction (sorted keys + one value), so it
+    # reads the chain's UNSERIALIZED map: the old shape serialized the
+    # merged map to canonical text and re-parsed it twice (once per
+    # extractor). Extraction semantics are unchanged — the map is NULL
+    # exactly when the text was (keys_after then groups as '' through
+    # concat_ws, z as NULL), key sets match the canonical text's, and
+    # the merged 'z' variant renders the same string.
+    m, _gate = jsonb_map_and_gate(stamped)
     return (
         spark.table("events")
         .filter(
             F.col("props").isNotNull() & F.ltrim(F.col("props")).startswith("{")
         )
-        .select(stamped.alias("stamped"))
         .select(
-            F.concat_ws(",", F.sort_array(F.json_object_keys("stamped"))).alias(
-                "keys_after"
-            ),
-            F.get_json_object("stamped", "$.z").alias("z"),
+            F.concat_ws(",", F.sort_array(F.map_keys(m))).alias("keys_after"),
+            F.try_variant_get(
+                F.try_element_at(m, F.lit("z")), "$", "string"
+            ).alias("z"),
         )
         .groupBy("keys_after", "z")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1033,9 +1066,31 @@ WINDOW w AS (PARTITION BY l_linenumber ORDER BY l_quantity, l_orderkey)
 # CUBE grouping sets (Aggregate/Group family; beyond q29's ROLLUP)
 # ---------------------------------------------------------------------------
 
+# Spark side pre-aggregates: COUNT/SUM re-aggregate exactly (decimal
+# sums are exact), so the CUBE's 4-way Expand runs over the ≤|rf×ls|
+# pre-aggregate instead of multiplying every lineitem row by 4 (guide
+# §2.3: aggregate before you shuffle/expand). GROUPING() markers come
+# from the outer CUBE and are unchanged; data NULLs stay group keys in
+# the pre-aggregate. The DuckDB oracle keeps the single-level form.
 sql_query(
     "q41_cube",
     "CUBE over (returnflag, linestatus) with GROUPING() markers and exact decimal sums.",
+    """
+WITH pre AS (
+  SELECT l_returnflag, l_linestatus,
+         COUNT(*) AS pn,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS pq
+  FROM lineitem
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       SUM(pn) AS n,
+       CAST(SUM(pq) AS DOUBLE) AS sum_qty,
+       GROUPING(l_returnflag) AS g_rf,
+       GROUPING(l_linestatus) AS g_ls
+FROM pre
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
     """
 SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n,
@@ -1174,9 +1229,32 @@ FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
 """
 
+# Spark side pre-aggregates by (rf, ls) first — the 4-way Expand then
+# runs over the tiny pre-aggregate, not over every lineitem row
+# (guide §2.3); COUNT/decimal-SUM re-aggregate exactly, the oracle
+# keeps the single-level form.
+_Q45_SPARK = """
+WITH pre AS (
+  SELECT l_returnflag, l_linestatus,
+         COUNT(*) AS pn,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS pq
+  FROM lineitem
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag,
+       l_linestatus,
+       GROUPING(l_returnflag) AS g_flag,
+       GROUPING(l_linestatus) AS g_status,
+       CAST(SUM(pq) AS DOUBLE) AS sum_qty,
+       SUM(pn) AS n_rows
+FROM pre
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
+"""
+
 sql_query(
     "q45_grouping_sets",
     "Explicit GROUPING SETS with GROUPING() markers (Aggregate/Group family).",
+    _Q45_SPARK,
     _Q45,
 )
 
