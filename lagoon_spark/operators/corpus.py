@@ -280,6 +280,20 @@ def distinct_ngrams(text_col: str, n: int = 3) -> Column:
     )
 
 
+def _distinct_ngrams_from_tokens(toks_col: str, n: int) -> Column:
+    """:func:`distinct_ngrams` over an already-materialized token-array
+    column (same tokenization: plain space split) — callers that can
+    stage the split through a generator barrier avoid re-tokenizing
+    the document for each of the expression's three array reads."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size({toks_col}) - {n - 1}, 1)), "
+        f"i -> concat_ws(' ', slice({toks_col}, i, {n})))"
+    )
+    return F.when(F.size(F.col(toks_col)) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def shared_gram_counts(
     train_df: DataFrame,
     eval_df: DataFrame,
@@ -298,12 +312,22 @@ def shared_gram_counts(
     probes map-side. The only shuffle is the final per-doc count —
     O(contaminated shingles), not O(corpus).
     """
+    # generator barrier: distinct_ngrams reads its tokenization three
+    # times; materializing the token array once avoids re-splitting the
+    # document per reference (see dedup.minhash_signature)
     eval_grams = (
-        eval_df.select(F.explode(distinct_ngrams(text_col, n)).alias("gram"))
+        eval_df.select(
+            F.explode(F.array(F.split(F.col(text_col), " "))).alias("__toks")
+        )
+        .select(F.explode(_distinct_ngrams_from_tokens("__toks", n)).alias("gram"))
         .distinct()
     )
     train_grams = train_df.select(
-        F.col(id_col), F.explode(distinct_ngrams(text_col, n)).alias("gram")
+        F.col(id_col),
+        F.explode(F.array(F.split(F.col(text_col), " "))).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        F.explode(_distinct_ngrams_from_tokens("__toks", n)).alias("gram"),
     )
     return (
         train_grams.join(F.broadcast(eval_grams), "gram")

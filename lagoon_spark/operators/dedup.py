@@ -840,9 +840,14 @@ def ngram_jaccard_pairs(
     )
     # gram sets are computed once per row and persisted; the pair join
     # only does set intersection (see lsh_candidate_pairs for the scale
-    # rationale)
-    base = df.withColumn("__toks", F.split(F.col(text_col), " ")).select(
+    # rationale). The token array materializes through a generator
+    # barrier first — _ngrams_expr reads it three times.
+    base = df.select(
         F.col(id_col).alias("__id"),
+        *[F.col(c) for c in (block_cols or [])],
+        F.explode(F.array(F.split(F.col(text_col), " "))).alias("__toks"),
+    ).select(
+        "__id",
         grams.alias("__g"),
         *[F.col(c) for c in (block_cols or [])],
     ).persist()
@@ -914,8 +919,11 @@ def crossdoc_dup_fraction(
     collision odds are 2⁻⁶⁴ and could only over-count shared grams.
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    # generator barrier: _ngrams_expr reads its token array three
+    # times; an alias would re-tokenize per reference (see
+    # minhash_signature)
     exploded = (
-        df.withColumn("__toks", toks)
+        df.select(F.col(id_col), F.explode(F.array(toks)).alias("__toks"))
         .select(
             F.col(id_col), F.explode(_ngrams_expr("__toks", n)).alias("__gram")
         )
@@ -987,8 +995,9 @@ def duplicate_spans(
     grams) — collisions could only ADD a false span, never miss one.
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    # generator barrier for the token array (see minhash_signature)
     exploded = (
-        df.withColumn("__toks", toks)
+        df.select(F.col(id_col), F.explode(F.array(toks)).alias("__toks"))
         .select(
             F.col(id_col),
             F.posexplode(_ngrams_expr("__toks", n)).alias("__pos0", "__gram"),
@@ -1055,7 +1064,10 @@ def remove_duplicate_spans(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
     toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    base = df.select(id_col, text_col).withColumn("__toks", toks)
+    # generator barriers: the token array feeds three reads and the
+    # kept-token filter (whole per-token exists() scan) feeds two —
+    # as aliases both would re-evaluate per reference
+    base = df.select(F.col(id_col), F.explode(F.array(toks)).alias("__toks"))
     joined = base.join(spans_arr, id_col, "left")
     indexed = F.transform(
         "__toks",
@@ -1072,9 +1084,12 @@ def remove_duplicate_spans(
             F.lit(False),
         ),
     )
-    return joined.select(
+    staged = joined.select(
+        F.col(id_col), F.col("__toks"), F.explode(F.array(kept)).alias("__kept")
+    )
+    return staged.select(
         id_col,
-        F.array_join(F.transform(kept, lambda s: s["w"]), " ").alias(out_col),
+        F.array_join(F.transform("__kept", lambda s: s["w"]), " ").alias(out_col),
         F.size("__toks").cast("long").alias("n_tokens"),
-        (F.size("__toks") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+        (F.size("__toks") - F.size("__kept")).cast("long").alias("n_tokens_removed"),
     )

@@ -620,8 +620,13 @@ def semantic_dedup(
         # past the literal-expression ceiling the centroid state flows
         # through a broadcast table and never collects to the driver
         centroids_as="table" if k > IVF_LITERAL_MAX_K else "list",
+        # carry the vector through the assignment instead of joining it
+        # back on the id — the assignment is row-local, so the id-keyed
+        # self-join (an exchange of the whole embedding payload) was a
+        # pure tax (guide §2.4)
+        keep_vec=True,
     )
-    base = df.select(F.col(id_col), F.col(vec_col)).join(assigned, id_col)
+    base = assigned.select(F.col(id_col), F.col(vec_col), F.col("cell"))
     a = base.select(
         F.col(id_col).alias("__ida"), F.col("cell"), F.col(vec_col).alias("__va")
     )
