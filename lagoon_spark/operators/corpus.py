@@ -280,20 +280,6 @@ def distinct_ngrams(text_col: str, n: int = 3) -> Column:
     )
 
 
-def _distinct_ngrams_from_tokens(toks_col: str, n: int) -> Column:
-    """:func:`distinct_ngrams` over an already-materialized token-array
-    column (same tokenization: plain space split) — callers that can
-    stage the split through a generator barrier avoid re-tokenizing
-    the document for each of the expression's three array reads."""
-    grams = F.expr(
-        f"transform(sequence(1, greatest(size({toks_col}) - {n - 1}, 1)), "
-        f"i -> concat_ws(' ', slice({toks_col}, i, {n})))"
-    )
-    return F.when(F.size(F.col(toks_col)) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 def shared_gram_counts(
     train_df: DataFrame,
     eval_df: DataFrame,
@@ -312,22 +298,12 @@ def shared_gram_counts(
     probes map-side. The only shuffle is the final per-doc count —
     O(contaminated shingles), not O(corpus).
     """
-    # generator barrier: distinct_ngrams reads its tokenization three
-    # times; materializing the token array once avoids re-splitting the
-    # document per reference (see dedup.minhash_signature)
     eval_grams = (
-        eval_df.select(
-            F.explode(F.array(F.split(F.col(text_col), " "))).alias("__toks")
-        )
-        .select(F.explode(_distinct_ngrams_from_tokens("__toks", n)).alias("gram"))
+        eval_df.select(F.explode(distinct_ngrams(text_col, n)).alias("gram"))
         .distinct()
     )
     train_grams = train_df.select(
-        F.col(id_col),
-        F.explode(F.array(F.split(F.col(text_col), " "))).alias("__toks"),
-    ).select(
-        F.col(id_col),
-        F.explode(_distinct_ngrams_from_tokens("__toks", n)).alias("gram"),
+        F.col(id_col), F.explode(distinct_ngrams(text_col, n)).alias("gram")
     )
     return (
         train_grams.join(F.broadcast(eval_grams), "gram")
@@ -860,31 +836,17 @@ def dsir_resample(
 
 def _token_stream(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, tpos, fp, prev_fp) token rows: portable rolling-hash
-    fingerprints materialized ONCE per document through a generator
-    barrier, previous-token adjacency via a row-LOCAL indexed array
-    lambda (``get(fps, i-1)`` — NULL at i=0, like the old ``lag``)
-    instead of a per-document window, so the token stream reaches its
-    consumer with ZERO shuffles (guide §2.4). Empty documents keep one
-    NULL-fp row."""
+    fingerprints posexploded (the array is referenced once, so the
+    fold runs once per document), previous-token adjacency via one lag
+    window keyed on the doc id. Empty documents keep one NULL-fp row."""
     from lagoon_spark.operators.text import word_fingerprints
 
-    base = df.select(
-        F.col(id_col),
-        F.explode(F.array(word_fingerprints(text_col))).alias("__fps"),
+    tok = df.withColumn("__fps", word_fingerprints(text_col)).select(
+        F.col(id_col), F.posexplode_outer("__fps").alias("tpos", "fp")
     )
-    arr = F.transform(
-        "__fps",
-        lambda x, i: F.struct(
-            i.alias("tpos"), x.alias("fp"), F.get("__fps", i - 1).alias("prev_fp")
-        ),
-    )
-    return base.select(
-        F.col(id_col), F.explode_outer(arr).alias("__t")
-    ).select(
-        id_col,
-        F.col("__t.tpos").alias("tpos"),
-        F.col("__t.fp").alias("fp"),
-        F.col("__t.prev_fp").alias("prev_fp"),
+    return tok.withColumn(
+        "prev_fp",
+        F.lag("fp").over(Window.partitionBy(id_col).orderBy("tpos")),
     )
 
 
@@ -898,59 +860,30 @@ def hashed_bigram_lm(
     (unigram_counts(bucket, c1), bigram_counts(bucket, c2)). Both
     tables are bucket-bounded — broadcast-sized at any corpus scale —
     which is the point: the trained-KenLM swap keeps this exact serving
-    shape (hash buckets → real vocabulary ids).
+    shape (hash buckets → real vocabulary ids)."""
+    from lagoon_spark.operators.text import MOD, MULT
 
-    Round 12: ONE pass over the reference computes both tables — uni
-    and bi buckets interleave through a tagged struct stream into a
-    single map-side-combinable aggregate, and the ≤(B1+B2)-row result
-    persists so that the FOUR consumers in :func:`lm_perplexity`
-    (n_total, cur, prev, bigram broadcast sides) read the cache
-    instead of each re-running the reference fingerprint pass (the old
-    shape: 4 full reference scans, each with a per-doc lag window).
-    The cached frame rides out as a pin handle on both returned
-    frames; ``lm_perplexity`` propagates it to its result for the
-    caller's ``checkpointing.release``."""
-    from lagoon_spark.checkpointing import pin_handles
-    from lagoon_spark.operators.text import MOD, MULT, word_fingerprints
-
-    base = reference.select(
-        F.explode(F.array(word_fingerprints(text_col))).alias("__fps")
+    ref = reference.withColumn("__doc", F.monotonically_increasing_id())
+    s = _token_stream(ref, "__doc", text_col).filter(F.col("fp").isNotNull())
+    uni = (
+        s.groupBy(
+            F.pmod("fp", F.lit(uni_buckets)).cast("int").alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("c1"))
     )
-    uni_arr = F.transform(
-        "__fps",
-        lambda x: F.struct(
-            F.lit(0).alias("t"),
-            F.pmod(x, F.lit(uni_buckets)).cast("int").alias("bucket"),
-        ),
+    bi = (
+        s.filter(F.col("prev_fp").isNotNull())
+        .groupBy(
+            F.pmod(
+                F.pmod(F.col("prev_fp") * MULT + F.col("fp"), F.lit(MOD)),
+                F.lit(bi_buckets),
+            )
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("c2"))
     )
-    bi_arr = F.filter(
-        F.transform(
-            "__fps",
-            lambda x, i: F.struct(
-                F.lit(1).alias("t"),
-                F.pmod(
-                    F.pmod(F.get("__fps", i - 1) * MULT + x, F.lit(MOD)),
-                    F.lit(bi_buckets),
-                )
-                .cast("int")
-                .alias("bucket"),
-            ),
-        ),
-        lambda s: s["bucket"].isNotNull(),
-    )
-    counts = (
-        base.select(F.explode(F.concat(uni_arr, bi_arr)).alias("__g"))
-        .groupBy(F.col("__g.t").alias("__t"), F.col("__g.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .persist()
-    )
-    uni = counts.filter(F.col("__t") == 0).select(
-        "bucket", F.col("__c").alias("c1")
-    )
-    bi = counts.filter(F.col("__t") == 1).select(
-        "bucket", F.col("__c").alias("c2")
-    )
-    return pin_handles(uni, counts), pin_handles(bi, counts)
+    return uni, bi
 
 
 def lm_perplexity(
@@ -1032,7 +965,7 @@ def lm_perplexity(
         F.lit(0.0),
         lambda acc, x: acc + x["lp"],
     )
-    out = scored.groupBy(id_col).agg(
+    return scored.groupBy(id_col).agg(
         F.when(
             F.sum(F.col("logp").isNotNull().cast("long")) > 0,
             F.round(
@@ -1043,8 +976,3 @@ def lm_perplexity(
             ),
         ).alias("ppl")
     )
-    # the count tables may carry a persisted parent (hashed_bigram_lm)
-    # whose cache backs this plan — propagate it for the caller's release
-    from lagoon_spark.checkpointing import handles, pin_handles
-
-    return pin_handles(out, *handles(uni), *handles(bi))

@@ -127,21 +127,12 @@ def minhash_signature(
     method='fast' hashes tokens with xxhash64 (production); 'portable'
     uses the rolling hash reproducible in the DuckDB oracle. Both are
     row-local single-pass expressions — no shuffle, no UDF.
-
-    The distinct-fingerprint array materializes ONCE through a
-    generator barrier (``explode(array(fps))``): a ``withColumn``
-    alias is inlined by CollapseProject into every one of the
-    ``num_hashes`` permutation lambdas, re-running the whole
-    tokenize+hash+distinct per permutation — measured 8.4 s vs 0.65 s
-    for the portable method over sf0.1 documents (round 12, 12.8×).
     """
     if method == "fast":
         fps = word_hashes_fast(text_col)
     else:
         fps = word_fingerprints(text_col)
-    base = df.select(
-        "*", F.explode(F.array(F.array_distinct(fps))).alias("__fps")
-    )
+    df = df.withColumn("__fps", F.array_distinct(fps))
 
     def perm(a: int, b: int):
         # closure factory: a plain `lambda f, a=a, b=b` would present a
@@ -152,7 +143,7 @@ def minhash_signature(
         F.array_min(F.transform(F.col("__fps"), perm(a, b)))
         for a, b in minhash_seeds(num_hashes)
     ]
-    return base.withColumn(out_col, F.array(*mins)).drop("__fps")
+    return df.withColumn(out_col, F.array(*mins)).drop("__fps")
 
 
 def lsh_candidate_pairs(
@@ -622,15 +613,9 @@ def simhash(df: DataFrame, text_col: str, bits: int = 16, out_col: str = "simhas
     """Append a ``bits``-wide SimHash of the token multiset (portable hash).
 
     bit_k(doc) = 1 iff sum over tokens of ±1 (sign of bit k of the token
-    hash) is positive. Row-local integer arithmetic only. The
-    fingerprint array materializes once through a generator barrier —
-    a ``withColumn`` alias would re-run the rolling-hash fold inside
-    every one of the ``bits`` aggregate lambdas (see
-    :func:`minhash_signature`).
+    hash) is positive. Row-local integer arithmetic only.
     """
-    df = df.select(
-        "*", F.explode(F.array(word_fingerprints(text_col))).alias("__fps")
-    )
+    df = df.withColumn("__fps", word_fingerprints(text_col))
 
     def bit_contrib(pw: int):
         return lambda acc, f: acc + F.when(
@@ -840,14 +825,9 @@ def ngram_jaccard_pairs(
     )
     # gram sets are computed once per row and persisted; the pair join
     # only does set intersection (see lsh_candidate_pairs for the scale
-    # rationale). The token array materializes through a generator
-    # barrier first — _ngrams_expr reads it three times.
-    base = df.select(
+    # rationale)
+    base = df.withColumn("__toks", F.split(F.col(text_col), " ")).select(
         F.col(id_col).alias("__id"),
-        *[F.col(c) for c in (block_cols or [])],
-        F.explode(F.array(F.split(F.col(text_col), " "))).alias("__toks"),
-    ).select(
-        "__id",
         grams.alias("__g"),
         *[F.col(c) for c in (block_cols or [])],
     ).persist()
@@ -919,11 +899,8 @@ def crossdoc_dup_fraction(
     collision odds are 2⁻⁶⁴ and could only over-count shared grams.
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    # generator barrier: _ngrams_expr reads its token array three
-    # times; an alias would re-tokenize per reference (see
-    # minhash_signature)
     exploded = (
-        df.select(F.col(id_col), F.explode(F.array(toks)).alias("__toks"))
+        df.withColumn("__toks", toks)
         .select(
             F.col(id_col), F.explode(_ngrams_expr("__toks", n)).alias("__gram")
         )
@@ -995,9 +972,8 @@ def duplicate_spans(
     grams) — collisions could only ADD a false span, never miss one.
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    # generator barrier for the token array (see minhash_signature)
     exploded = (
-        df.select(F.col(id_col), F.explode(F.array(toks)).alias("__toks"))
+        df.withColumn("__toks", toks)
         .select(
             F.col(id_col),
             F.posexplode(_ngrams_expr("__toks", n)).alias("__pos0", "__gram"),
@@ -1064,10 +1040,7 @@ def remove_duplicate_spans(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
     toks = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
-    # generator barriers: the token array feeds three reads and the
-    # kept-token filter (whole per-token exists() scan) feeds two —
-    # as aliases both would re-evaluate per reference
-    base = df.select(F.col(id_col), F.explode(F.array(toks)).alias("__toks"))
+    base = df.select(id_col, text_col).withColumn("__toks", toks)
     joined = base.join(spans_arr, id_col, "left")
     indexed = F.transform(
         "__toks",
@@ -1084,12 +1057,9 @@ def remove_duplicate_spans(
             F.lit(False),
         ),
     )
-    staged = joined.select(
-        F.col(id_col), F.col("__toks"), F.explode(F.array(kept)).alias("__kept")
-    )
-    return staged.select(
+    return joined.select(
         id_col,
-        F.array_join(F.transform("__kept", lambda s: s["w"]), " ").alias(out_col),
+        F.array_join(F.transform(kept, lambda s: s["w"]), " ").alias(out_col),
         F.size("__toks").cast("long").alias("n_tokens"),
-        (F.size("__toks") - F.size("__kept")).cast("long").alias("n_tokens_removed"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_tokens_removed"),
     )

@@ -1164,20 +1164,10 @@ def d18(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _D18_N
     # dedup._ngrams_expr: sequence(1, 0) counts DOWN in Spark, so the
     # greatest(..., 0) bound would crash on a sub-n-token document
-    # generator barriers: __toks is read three times by _ngrams_expr
-    # and __g four times below — aliases would recompute per reference
     docs = (
         spark.table("documents")
-        .select(
-            "doc_id",
-            F.explode(
-                F.array(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
-            ).alias("__toks"),
-        )
-        .select(
-            "doc_id",
-            F.explode(F.array(dedup._ngrams_expr("__toks", n))).alias("__g"),
-        )
+        .withColumn("__toks", F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+        .select("doc_id", dedup._ngrams_expr("__toks", n).alias("__g"))
     )
     return docs.select(
         "doc_id",
@@ -1272,13 +1262,8 @@ def d31(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     base = (
         spark.table("documents")
-        .select(
-            "doc_id",
-            F.length("text").alias("__chars"),
-            F.explode(
-                F.array(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
-            ).alias("__toks"),
-        )
+        .withColumn("__toks", F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+        .select("doc_id", F.length("text").alias("__chars"), "__toks")
     )
 
     def grams(n: int) -> DataFrame:
