@@ -51,26 +51,36 @@ def pagerank(
         e.select(F.col("__s").alias("node"))
         .union(e.select(F.col("__d").alias("node")))
         .distinct()
-        .persist()
     )
-    nn = nodes.agg(F.count(F.lit(1)).alias("__n"))  # one-row frame
     # weight: multiplicity / out-degree, exact ints → one double division
     cnt = e.groupBy("__s", "__d").agg(F.count(F.lit(1)).alias("__c"))
     outd = e.groupBy("__s").agg(F.count(F.lit(1)).alias("__o"))
     # loop-invariant frames persist once: every iteration's plan
-    # references ew/nodes/srcs, and without a cache each reference
+    # references ew/flagged, and without a cache each reference
     # recomputes the whole derivation from the raw edges
     ew = cnt.join(outd, "__s").select(
         "__s", "__d", (F.col("__c") / F.col("__o")).alias("__w")
     ).persist()
-    srcs = e.select(F.col("__s").alias("node")).distinct().persist()
-    pr = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", (F.lit(1.0) / F.col("__n")).alias("__pr")
+    srcs = e.select(F.col("__s").alias("node")).distinct()
+    # the dangling SET is loop-invariant: flag it once and carry the
+    # flag through the rank state, so each iteration's dangling-mass
+    # term is a filter+aggregate instead of a per-iteration anti-join
+    # (round 12; guide §2.4 — one exchange per iteration removed)
+    flagged = (
+        nodes.join(srcs.withColumn("__has_out", F.lit(True)), "node", "left")
+        .select(
+            "node", F.coalesce("__has_out", F.lit(False)).alias("__out")
+        )
+        .persist()
+    )
+    nn = flagged.agg(F.count(F.lit(1)).alias("__n"))  # one-row frame
+    pr = flagged.crossJoin(F.broadcast(nn)).select(
+        "node", "__out", (F.lit(1.0) / F.col("__n")).alias("__pr")
     )
     fp = F.lit(float(PR_FP))
     for _ in range(iters):
         dang = (
-            pr.join(srcs, "node", "left_anti")
+            pr.filter(~F.col("__out"))
             .agg(
                 F.coalesce(
                     F.sum(
@@ -92,11 +102,13 @@ def pagerank(
             .agg(F.sum("__cfp").alias("__cfp"))
         )
         pr = pin(
-            nodes.crossJoin(F.broadcast(nn))
+            pr.select("node", "__out")
+            .crossJoin(F.broadcast(nn))
             .crossJoin(F.broadcast(dang))
             .join(contrib, "node", "left")
             .select(
                 "node",
+                "__out",
                 (
                     F.lit(1.0 - damping) / F.col("__n")
                     + F.lit(damping)
@@ -114,7 +126,7 @@ def pagerank(
     # loop invariants — callers get a pinned frame with no cache debt;
     # intermediate lazy checkpoints are GC-reclaimed by ContextCleaner
     out = pin(pr.select("node", F.round("__pr", 9).alias(out_col)))
-    for invariant in (nodes, ew, srcs):
+    for invariant in (flagged, ew):
         invariant.unpersist()
     # the result IS a checkpoint: hand it to the caller as its own
     # handle so checkpointing.release(out) can free the blocks (plain
