@@ -11,7 +11,7 @@ fp(s) = left-fold over chars of (acc*31 + ascii(c)) mod 1e9+7.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lagoon_spark.operators import corpus, dedup, similarity, text
@@ -858,11 +858,15 @@ def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = terms.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
-    dfreq = tf.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("double").alias("df")
-    )
+    # df(term) = row count per term over tf (one row per distinct
+    # doc_id by construction): a window over the aggregated frame
+    # derives it without re-running the scan+split+explode+groupBy
+    # subtree a second time (the plan had two full corpus passes)
+    dfreq_w = Window.partitionBy("term")
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(dfreq_w).cast("double")
+        )
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "s",
