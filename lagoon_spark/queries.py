@@ -844,12 +844,11 @@ GROUP BY event_type
 def _q37(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from lagoon_spark.functions import jsonb_contains
+    from lagoon_spark.functions.json_ops import filter_jsonb_contains
 
     register_views(spark, sf_dir)
     return (
-        spark.table("events")
-        .filter(jsonb_contains("props", '{"k": 7}'))
+        filter_jsonb_contains(spark.table("events"), "props", '{"k": 7}')
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_contains"))
     )
@@ -1308,14 +1307,16 @@ sql_query(
     "(the open-format binary JSON column SURVEY §1.2 maps ColJSON to on "
     "Spark 4); try_variant_get on a missing path exercises NULL-safety.",
     """
-SELECT VARIANT_GET(PARSE_JSON(props), '$.k', 'bigint') % 7 AS k_mod,
+SELECT v.kv % 7 AS k_mod,
        COUNT(*) AS n,
-       MIN(VARIANT_GET(PARSE_JSON(props), '$.k', 'bigint')) AS min_k,
-       MAX(VARIANT_GET(PARSE_JSON(props), '$.k', 'bigint')) AS max_k,
-       SUM(CASE WHEN TRY_VARIANT_GET(PARSE_JSON(props), '$.absent', 'string')
-                IS NULL THEN 1 ELSE 0 END) AS n_missing
+       MIN(v.kv) AS min_k,
+       MAX(v.kv) AS max_k,
+       SUM(CASE WHEN v.av IS NULL THEN 1 ELSE 0 END) AS n_missing
 FROM events
-GROUP BY VARIANT_GET(PARSE_JSON(props), '$.k', 'bigint') % 7
+LATERAL VIEW EXPLODE(ARRAY(STRUCT(
+    VARIANT_GET(PARSE_JSON(props), '$.k', 'bigint') AS kv,
+    TRY_VARIANT_GET(PARSE_JSON(props), '$.absent', 'string') AS av))) t AS v
+GROUP BY v.kv % 7
 """,
     """
 SELECT CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 7 AS k_mod,
