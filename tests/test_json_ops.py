@@ -1106,3 +1106,62 @@ def test_sql_rewrite_dynamic_int_key_and_guards(spark):
     )
     with pytest.raises(SparkRuntimeException, match="exceeds the JVM tier"):
         spark.sql(rw).collect()
+
+
+# ---------------------------------------------------------------------------
+# filter_jsonb_contains: the staged-parse DataFrame tier (round 12)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fcdf(spark):
+    rows = [
+        (1, '{"k": 7, "tag": "x"}'),
+        (2, '{"k": "7"}'),          # string "7" must NOT match numeric 7
+        (3, '{"k": 7.0}'),          # json 7.0 == 7 numerically
+        (4, '{"k": true}'),         # bool is its own kind
+        (5, '{"k": null}'),
+        (6, '{"other": 1}'),        # key absent
+        (7, "[7]"),                 # non-object doc
+        (8, "not json"),            # invalid json
+        (9, None),                  # NULL column
+        (10, '{"k": 7, "t": "a"}'),
+    ]
+    return spark.createDataFrame(rows, "id long, js string")
+
+
+@pytest.mark.parametrize(
+    "needle",
+    [
+        '{"k": 7}',
+        '{"k": "7"}',
+        '{"k": true}',
+        '{"k": null}',
+        '{"tag": "x"}',
+        '{"k": 7, "t": "a"}',      # multi-key flat needle
+        "{}",                       # empty needle: any object matches
+        '{"k": [7]}',              # non-flat needle -> UDF fallback path
+    ],
+)
+def test_filter_jsonb_contains_matches_column_tier(fcdf, needle):
+    """The staged DataFrame tier must select EXACTLY the rows the
+    Column tier selects, for every needle shape, and preserve the
+    original schema (no barrier column leaking)."""
+    expect = sorted(
+        r["id"] for r in fcdf.filter(j.jsonb_contains("js", needle)).collect()
+    )
+    got_df = j.filter_jsonb_contains(fcdf, "js", needle)
+    assert got_df.columns == fcdf.columns
+    got = sorted(r["id"] for r in got_df.collect())
+    assert got == expect
+
+
+def test_filter_jsonb_contains_plan_is_staged(fcdf):
+    """Flat needles stage the parse through one Generate node and keep
+    the plan Python-free; exactly one parse_json feeds the generator."""
+    plan = (
+        j.filter_jsonb_contains(fcdf, "js", '{"k": 7}')
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Generate" in plan
+    assert "pythonUDF" not in plan and "PythonUDF" not in plan
