@@ -39,10 +39,24 @@ def pagerank(
 
     Scale shape: per iteration ONE (src)-keyed join edge×rank and one
     (dst)-keyed fixed-point aggregate — both shuffles on graph keys,
-    never on pairs; N and the dangling mass ride one-row broadcast
-    frames (no driver round-trip in the loop); state is
-    ``localCheckpoint``-pinned. Hot (celebrity) dst keys partial-
-    aggregate map-side because the sum is a plain BIGINT SUM.
+    never on pairs; the dangling mass rides a one-row broadcast frame;
+    N is counted ONCE before the loop (one node-scale aggregate) and
+    enters every iteration as a literal, so no per-iteration broadcast
+    of it exists at all; state is ``localCheckpoint``-pinned. Hot
+    (celebrity) dst keys partial-aggregate map-side because the sum is
+    a plain BIGINT SUM.
+
+    Round-13 shape note: each iteration REBUILDS the rank state from
+    the persisted ``flagged`` frame (node, has-outlinks) joined with
+    that iteration's contributions, rather than chaining ``pr`` through
+    its own previous checkpoint. The round-12 chained shape referenced
+    the lazily-checkpointed previous state three times per iteration
+    (dangling aggregate, contribution join, rebuild base) and regressed
+    6× at local[32] under load (driver PERF_r12: 2.3→14.5 s, 8-core/
+    32-core ratio 0.16); rebuilding from the cached invariant keeps the
+    loop-invariant dangling flag (no per-iteration anti-join) with only
+    two readers of the previous checkpoint, and drops the per-lane job
+    count 43→27 (plans/r13/q129 evidence).
     """
     from lagoon_spark.checkpointing import pin, pin_handles
 
@@ -73,9 +87,16 @@ def pagerank(
         )
         .persist()
     )
-    nn = flagged.agg(F.count(F.lit(1)).alias("__n"))  # one-row frame
-    pr = flagged.crossJoin(F.broadcast(nn)).select(
-        "node", "__out", (F.lit(1.0) / F.col("__n")).alias("__pr")
+    # N is loop-invariant and scalar: one count materializes `flagged`
+    # and replaces a per-iteration one-row broadcast exchange (and its
+    # job) with a literal. Arithmetic is unchanged: the oracle divides
+    # by the same integer count cast to double.
+    n_nodes = flagged.count()
+    # clamp 0→1 so constant folding never divides by zero on an empty
+    # graph (the rank frame has no rows then; values are unreachable)
+    ncol = F.lit(n_nodes or 1).cast("long")
+    pr = flagged.select(
+        "node", "__out", (F.lit(1.0) / ncol).alias("__pr")
     )
     fp = F.lit(float(PR_FP))
     for _ in range(iters):
@@ -102,21 +123,19 @@ def pagerank(
             .agg(F.sum("__cfp").alias("__cfp"))
         )
         pr = pin(
-            pr.select("node", "__out")
-            .crossJoin(F.broadcast(nn))
-            .crossJoin(F.broadcast(dang))
+            flagged.crossJoin(F.broadcast(dang))
             .join(contrib, "node", "left")
             .select(
                 "node",
                 "__out",
                 (
-                    F.lit(1.0 - damping) / F.col("__n")
+                    F.lit(1.0 - damping) / ncol
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("__cfp"), F.lit(0)).cast("double")
                         / fp
                         + (F.col("__dangfp").cast("double") / fp)
-                        / F.col("__n")
+                        / ncol
                     )
                 ).alias("__pr"),
             ),
