@@ -293,8 +293,15 @@ def ivf_assign(
             f"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
             f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
         )
+        # bind the distance array ONCE through a one-element transform:
+        # `array_position(dists, array_min(dists))` would embed (and,
+        # since higher-order functions are not codegen-CSE'd, EVALUATE)
+        # the whole k-literal distance expression twice per row; the
+        # lambda variable makes both references read one computed array
+        # and halves the literal text Catalyst must parse/analyze
         cell = F.expr(
-            f"CAST(array_position({dists}, array_min({dists})) AS INT) - 1"
+            f"element_at(transform(array({dists}), "
+            f"d -> CAST(array_position(d, array_min(d)) AS INT) - 1), 1)"
         )
         return df.withColumn(out_col, cell)
 
@@ -304,8 +311,10 @@ def ivf_assign(
         f"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
         f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
     )
+    # same once-bound distance array as the literal tier (above)
     cell = F.expr(
-        f"CAST(array_position({dists}, array_min({dists})) AS INT) - 1"
+        f"element_at(transform(array({dists}), "
+        f"d -> CAST(array_position(d, array_min(d)) AS INT) - 1), 1)"
     )
     return (
         df.crossJoin(F.broadcast(one))
@@ -959,17 +968,31 @@ def pq_fit_encode(
     if rem:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     # ALL m subspace codebooks train JOINTLY (round 12): one Lloyd
-    # iteration is ONE pass over the corpus — the full vector
-    # posexplodes once, each element's subspace j = pos DIV sub and its
-    # cell = that subspace's current assignment, and a single
-    # map-side-combinable (j, cell, pos-within) aggregate collects
-    # every codebook's m·k·sub fixed-point sums together. The previous
-    # shape ran an independent kmeans_fit_predict per subspace:
-    # m × iters full scans + collects where iters now suffice (guide
-    # §1.2: remove redundant passes first). Arithmetic is bit-identical
-    # to the per-subspace trainer: same id%k init, same fixed-point
-    # integer sums per (cell, dim), same ivf_assign argmin/tie rule,
-    # and empty cells keep their previous centroid.
+    # iteration is ONE pass over the corpus instead of the previous
+    # shape's independent kmeans_fit_predict per subspace (m × iters
+    # full scans + collects where iters suffice — guide §1.2: remove
+    # redundant passes first). Round 13 reshapes the pass itself,
+    # twice over:
+    # * the round-12 version posexploded every vector ELEMENT
+    #   (rows × dim generated rows, a full-dim shuffle the driver
+    #   flagged 2.5× slower at local[32]); now each row explodes only
+    #   per SUBSPACE (rows × m, 16× fewer rows at dim=64/m=4), each
+    #   carrying its sub-vector slice, and one map-side-combinable
+    #   (subspace, cell) aggregate emits the per-dimension fixed-point
+    #   sums as `sub` columns;
+    # * the m chained per-subspace ``ivf_assign`` projections (each a
+    #   separately parsed expression embedding its k·sub centroid
+    #   literals twice) are gone: the cell is computed ON the exploded
+    #   (subspace, slice) row by ONE expression that indexes a single
+    #   m·k·sub literal into the row's own subspace — one Catalyst
+    #   parse per iteration instead of 2m copies, which is what the
+    #   2000-row driver lane actually pays for (planning, not data).
+    # Arithmetic is bit-identical to the per-subspace trainer: the same
+    # floor(x·FP+0.5) longs are summed per (cell, dim) — associative,
+    # so the grouping route cannot change a codebook — same id%k init,
+    # same ivf_assign argmin/tie rule (array_position of array_min =
+    # first match = lowest cell), and empty cells keep their previous
+    # centroid.
     fit_df = df
     sampled = train_fraction is not None and 0.0 < train_fraction < 1.0
     if sampled:
@@ -983,49 +1006,92 @@ def pq_fit_encode(
     books: "list[list[list[float]]]" = [
         [[0.0] * sub for _ in range(k)] for _ in range(m)
     ]
-    init = F.pmod(F.col(id_col), F.lit(k)).cast("int")
-    assigned = fit_df.select(
-        F.col(id_col), F.col(vec_col),
-        *[init.alias(f"__code{j}") for j in range(m)],
-    )
-    for _ in range(iters):
-        ex = assigned.select(
-            F.array(*[F.col(f"__code{j}") for j in range(m)]).alias("__codes"),
-            F.posexplode(F.col(vec_col)).alias("__pos", "__x"),
-        )
-        jcol = (F.col("__pos") / F.lit(sub)).cast("int")
-        stats = (
-            ex.groupBy(
-                jcol.alias("__j"),
-                F.element_at("__codes", jcol + F.lit(1)).alias("__cell"),
-                F.pmod(F.col("__pos"), F.lit(sub)).alias("__posw"),
+    ex = fit_df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("__j"),
+                        F.slice(
+                            F.col(vec_col), j * sub + 1, sub
+                        ).alias("__sv"),
+                    )
+                    for j in range(m)
+                ]
             )
-            .agg(
+        ).alias("__e"),
+    ).select(F.col(id_col), F.col("__e.__j"), F.col("__e.__sv"))
+    for it in range(iters):
+        if it == 0:
+            cell = F.pmod(F.col(id_col), F.lit(k)).cast("int")
+        else:
+            cell = F.expr(_pq_cell_expr("__j", "__sv", books))
+        stats = ex.withColumn("__cell", cell).groupBy("__j", "__cell").agg(
+            *[
                 F.sum(
                     F.floor(
-                        F.col("__x").cast("double") * KMEANS_FP + F.lit(0.5)
+                        F.element_at("__sv", i + 1).cast("double")
+                        * KMEANS_FP
+                        + F.lit(0.5)
                     ).cast("long")
-                ).alias("__s"),
-                F.count(F.lit(1)).alias("__c"),
-            )
+                ).alias(f"__s{i}")
+                for i in range(sub)
+            ],
+            F.count(F.lit(1)).alias("__c"),
         )
-        for r in stats.collect():  # m·k·sub rows — model-sized, not data
-            books[r["__j"]][r["__cell"]][r["__posw"]] = r["__s"] / (
-                r["__c"] * float(KMEANS_FP)
-            )
-        assigned = fit_df.select(F.col(id_col), F.col(vec_col))
-        for j in range(m):
-            assigned = ivf_assign(
-                assigned.withColumn(
-                    f"__subv{j}", F.slice(F.col(vec_col), j * sub + 1, sub)
-                ),
-                f"__subv{j}",
-                [[float(x) for x in c] for c in books[j]],
-                out_col=f"__code{j}",
-            ).drop(f"__subv{j}")
+        for r in stats.collect():  # m·k rows — model-sized, not data
+            denom = r["__c"] * float(KMEANS_FP)
+            row_books = books[r["__j"]][r["__cell"]]
+            for i in range(sub):
+                row_books[i] = r[f"__s{i}"] / denom
     if sampled:
         fit_df.unpersist()
     return pq_encode(df, id_col, vec_col, books), books
+
+
+def _pq_books_sql(books: "list[list[list[float]]]") -> str:
+    """The full m·k·sub codebook as ONE SQL literal
+    ``array<array<array<double>>>`` — %.17g round-trips every float64
+    exactly, the same rendering :func:`ivf_assign`'s literal tier
+    uses, so both paths compare bit-identical doubles."""
+    return (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array("
+                + ",".join(f"CAST({w:.17g} AS DOUBLE)" for w in c)
+                + ")"
+                for c in book
+            )
+            + ")"
+            for book in books
+        )
+        + ")"
+    )
+
+
+def _pq_cell_expr(
+    j_col: str, sv_col: str, books: "list[list[list[float]]]"
+) -> str:
+    """Nearest-centroid cell for an exploded (subspace, sub-vector)
+    row: index the one codebook literal by the row's own subspace,
+    bind the k distances once through a one-element ``transform``
+    (higher-order functions are not codegen-CSE'd), and take the
+    first-match argmin — exactly :func:`ivf_assign`'s literal-tier
+    arithmetic and tie rule, in one parsed expression for all m
+    subspaces."""
+    dists = (
+        f"transform(element_at({_pq_books_sql(books)}, {j_col} + 1), c -> "
+        f"aggregate(zip_with({sv_col}, c, (x, y) -> "
+        f"(CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    return (
+        f"element_at(transform(array({dists}), "
+        f"d -> CAST(array_position(d, array_min(d)) AS INT) - 1), 1)"
+    )
 
 
 def pq_encode(
@@ -1038,28 +1104,27 @@ def pq_encode(
     half of :func:`pq_fit_encode`. Incremental index extension MUST
     reuse the original books: old and new codes must rank in the same
     codebook space, or the ADC tables would score them inconsistently.
-    Row-local per subspace (the same ``ivf_assign`` tiers), and ONE
-    pass over the input: the m per-subspace argmin columns chain onto
-    the same frame (no joins), so encoding any corpus is a single map
-    stage."""
+    Row-local and ONE pass over the input in ONE parsed expression:
+    ``transform`` over the m subspaces takes each slice's argmin
+    against the single codebook literal (the same distance arithmetic
+    and first-match tie rule as :func:`ivf_assign`'s literal tier), so
+    encoding any corpus is a single map stage — and a single Catalyst
+    parse, where the previous m chained per-subspace projections each
+    re-parsed their k·sub literals twice."""
     m = len(books)
     sub = len(books[0][0])
-    out = df
-    for j in range(m):
-        out = ivf_assign(
-            out.withColumn(
-                f"__sub{j}", F.slice(F.col(vec_col), j * sub + 1, sub)
-            ),
-            f"__sub{j}",
-            [[float(x) for x in c] for c in books[j]],
-            out_col=f"__code{j}",
-        ).drop(f"__sub{j}")
-    return out.select(
-        id_col,
-        F.array(*[F.col(f"__code{j}").cast("int") for j in range(m)]).alias(
-            "codes"
-        ),
+    dists = (
+        f"transform(element_at({_pq_books_sql(books)}, j + 1), c -> "
+        f"aggregate(zip_with(slice({vec_col}, j * {sub} + 1, {sub}), c, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
     )
+    codes = (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"element_at(transform(array({dists}), "
+        f"d -> CAST(array_position(d, array_min(d)) AS INT) - 1), 1))"
+    )
+    return df.select(id_col, F.expr(codes).alias("codes"))
 
 
 def pq_adc_topk(
