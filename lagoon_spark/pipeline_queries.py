@@ -841,9 +841,25 @@ def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.token_count("text").cast("long").alias("dl"),
         F.col("text"),
     )
+    # df(term) rides the SAME one-row stats aggregate (one corpus pass):
+    # round 12 derived it with count().over(partitionBy(term)), which
+    # funnels the whole tf frame through at most |terms| partitions — a
+    # single-task ceiling at corpus scale (round-12 advice) and an extra
+    # term-keyed Exchange at any scale. A per-term conditional SUM in
+    # the aggregate the lane already runs keeps per-doc parallelism and
+    # drops that Exchange; the integer doc count is exact in a double,
+    # so every BM25 score is bit-identical.
     stats = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.sum("dl").alias("total_len"),
+        *[
+            F.sum(
+                F.array_contains(F.split(F.col("text"), " "), t).cast("long")
+            )
+            .cast("double")
+            .alias(f"__df{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
     )
     terms = docs.select(
         "doc_id",
@@ -858,16 +874,14 @@ def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = terms.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     )
-    # df(term) = row count per term over tf (one row per distinct
-    # doc_id by construction): a window over the aggregated frame
-    # derives it without re-running the scan+split+explode+groupBy
-    # subtree a second time (the plan had two full corpus passes)
-    dfreq_w = Window.partitionBy("term")
-    scored = (
-        tf.withColumn(
-            "df", F.count(F.lit(1)).over(dfreq_w).cast("double")
+    dfq = None
+    for i, t in enumerate(_BM25_TERMS):
+        dfq = (F.when if dfq is None else dfq.when)(
+            F.col("term") == t, F.col(f"__df{i}")
         )
-        .crossJoin(F.broadcast(stats))
+    scored = (
+        tf.crossJoin(F.broadcast(stats))
+        .withColumn("df", dfq)
         .withColumn(
             "s",
             F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
