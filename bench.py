@@ -341,11 +341,20 @@ def main() -> None:
     # (BENCH_r10's parsed:null made r10 reconstructible only from its
     # 2 KB tail).
     full_paths = [os.path.join(here, "bench_full.json")]
+    # Stamp the committed round snapshot ONLY at the contract core count:
+    # the driver also re-runs the bench at lower SPARK_GRAFT_CPUS to
+    # measure scaling, and in round 12 that 8-core run overwrote the
+    # committed 32-core artifact in the working tree (judge item #4).
+    # The stdout JSON line and bench_full.json are written regardless.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     try:
-        with open(os.path.join(here, "PROGRESS.jsonl")) as fh:
-            rnd = json.loads(fh.readlines()[-1]).get("round")
-        if rnd:
-            full_paths.append(os.path.join(here, f"BENCH_FULL_r{rnd}.json"))
+        if int(cpus) == 32:
+            with open(os.path.join(here, "PROGRESS.jsonl")) as fh:
+                rnd = json.loads(fh.readlines()[-1]).get("round")
+            if rnd:
+                full_paths.append(
+                    os.path.join(here, f"BENCH_FULL_r{rnd}.json")
+                )
     except (OSError, IndexError, ValueError):
         pass
     for fp in full_paths:
