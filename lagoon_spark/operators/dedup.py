@@ -386,8 +386,9 @@ def connected_components(
     implementation switches to the two-phase large-star/small-star
     algorithm (Kiveris et al., "Connected Components in MapReduce and
     Beyond", SoCC'14), whose round count is O(log² n), and finishes
-    there. ``nodes`` (optional) adds isolated nodes, which come out as
-    their own singleton clusters.
+    there. ``nodes`` (optional, assumed distinct — the in-repo caller
+    passes one row per signature group) adds isolated nodes, which come
+    out as their own singleton clusters.
     """
     from lagoon_spark.checkpointing import pin
 
@@ -396,17 +397,46 @@ def connected_components(
     ).union(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
     und = pin(und.distinct())
 
-    endpoints = und.select(F.col("src").alias(node_col)).distinct()
+    # Round 0 rides the setup aggregate (round-13): the groupBy that
+    # derives the endpoint set computes min(neighbor) in the same
+    # shuffle, so labels START one propagation round ahead — the full
+    # first round of the old shape (initial label = own id) is gone.
+    labels = und.groupBy("src").agg(F.min("dst").alias("__nb")).select(
+        F.col("src").alias(node_col),
+        F.least("src", "__nb").alias("cluster"),
+        (F.col("__nb") < F.col("src")).alias("__ch"),
+    )
     if nodes is not None:
-        endpoints = nodes.select(F.col(node_col)).unionByName(endpoints).distinct()
-    labels = pin(endpoints.withColumn("cluster", F.col(node_col)))
+        iso = nodes.select(F.col(node_col)).join(
+            und.select(F.col("src").alias(node_col)), node_col, "left_anti"
+        )
+        labels = labels.unionByName(
+            iso.select(
+                node_col,
+                F.col(node_col).alias("cluster"),
+                F.lit(False).alias("__ch"),
+            )
+        )
+    labels = pin(labels)
     label_pin = labels  # the checkpoint backing the current labels
+    changed = labels.filter("__ch").count()
 
-    changed = 0
     for _ in range(max_iter):
+        if changed == 0:
+            break
+        # Delta (frontier) propagation: only labels that CHANGED last
+        # round offer candidates — every other neighbor value was
+        # already offered at setup or on its own change, so the
+        # fixpoint (componentwise min, order-invariant) is identical
+        # to full propagation. Near convergence the frontier is a
+        # handful of rows, AQE broadcasts it on both joins, and a
+        # round costs two map-side passes instead of three full
+        # graph-keyed shuffles (measured: rounds with changed =
+        # 157/10/1 at sf0.1 each re-shuffled the whole graph).
+        delta = labels.filter("__ch")
         nb_min = (
             und.join(
-                labels.select(
+                delta.select(
                     F.col(node_col).alias("dst"), F.col("cluster").alias("__c")
                 ),
                 "dst",
@@ -418,7 +448,7 @@ def connected_components(
         # the changed flag rides in the same checkpointed result — the
         # convergence test is a count over materialized data, not a join
         new_labels = pin(
-            labels.join(nb_min, node_col, "left").select(
+            labels.drop("__ch").join(nb_min, node_col, "left").select(
                 node_col,
                 F.least(F.col("cluster"), F.coalesce("__nb", "cluster")).alias(
                     "cluster"
@@ -434,9 +464,7 @@ def connected_components(
         # than accumulating max_iter checkpoints (pins need a lifecycle)
         unpin(label_pin)
         label_pin = new_labels
-        labels = new_labels.drop("__ch")
-        if changed == 0:
-            break
+        labels = new_labels
     if changed != 0:
         # O(diameter) propagation did not converge (chain-shaped graph);
         # contract the graph by the partial labels — every propagated
@@ -464,7 +492,7 @@ def connected_components(
         unpin(und)
         return pin_handles(labels, label_pin, *handles(star))
     unpin(und)
-    return pin_handles(labels, label_pin)
+    return pin_handles(labels.drop("__ch"), label_pin)
 
 
 def _star_components(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
