@@ -149,6 +149,35 @@ def _flat_needle(needle_json: str):
     return needle
 
 
+def _flat_term(kv: Column, val) -> Column:
+    """One flat-needle term over the key's SUB-VARIANT column.
+
+    Shared by the Column tier (which passes
+    ``try_variant_get(v, "$.k", "variant")``) and the staged tier
+    (which passes the materialized ``__kv<i>`` attribute) so the
+    Postgres containment semantics — null/bool/numeric/string kind
+    checks and the missing-key gate — live in exactly one place
+    (ADVICE r12: the tiers had drifted-prone duplicate branches).
+    """
+    kj = F.to_json(kv)
+    if val is None:
+        t = kj == F.lit("null")
+    elif isinstance(val, bool):
+        t = kj == F.lit("true" if val else "false")
+    elif isinstance(val, (int, float)):
+        t = (
+            kj.isNotNull()
+            & ~kj.startswith('"')
+            & ~kj.isin("true", "false", "null")
+            & (F.try_variant_get(kv, "$", "double") == F.lit(float(val)))
+        )
+    else:  # str
+        t = kj.startswith('"') & (
+            F.try_variant_get(kv, "$", "string") == F.lit(val)
+        )
+    return F.coalesce(t, F.lit(False))
+
+
 def _jvm_flat_contains(col: Column, needle: dict) -> Column:
     """`col @> needle` for a flat object needle, pure JVM expressions."""
     v = F.try_parse_json(col)
@@ -156,25 +185,10 @@ def _jvm_flat_contains(col: Column, needle: dict) -> Column:
         # `doc @> '{}'` is true iff doc is an object
         ok = F.schema_of_variant(v).startswith("OBJECT")
     else:
-        terms = []
-        for k, val in needle.items():
-            kj = F.to_json(F.try_variant_get(v, f"$.{k}", "variant"))
-            if val is None:
-                t = kj == F.lit("null")
-            elif isinstance(val, bool):
-                t = kj == F.lit("true" if val else "false")
-            elif isinstance(val, (int, float)):
-                t = (
-                    kj.isNotNull()
-                    & ~kj.startswith('"')
-                    & ~kj.isin("true", "false", "null")
-                    & (F.try_variant_get(v, f"$.{k}", "double") == F.lit(float(val)))
-                )
-            else:  # str
-                t = kj.startswith('"') & (
-                    F.try_variant_get(v, f"$.{k}", "string") == F.lit(val)
-                )
-            terms.append(F.coalesce(t, F.lit(False)))
+        terms = [
+            _flat_term(F.try_variant_get(v, f"$.{k}", "variant"), val)
+            for k, val in needle.items()
+        ]
         ok = terms[0]
         for t in terms[1:]:
             ok = ok & t
@@ -209,39 +223,29 @@ def filter_jsonb_contains(df, col: str, needle_json: str):
         fields.append(F.try_variant_get(v, f"$.{k}", "variant").alias(f"__kv{i}"))
     if not flat:
         fields.append(F.schema_of_variant(v).alias("__vschema"))
+    # pick a barrier alias that can't collide with a caller column
+    # (ADVICE r12: a frame already carrying __jb would make every
+    # __jb.* reference ambiguous at analysis time)
+    jb = "__jb"
+    while jb in df.columns:
+        jb += "_"
     staged = df.select(
-        "*", F.explode(F.array(F.struct(*fields))).alias("__jb")
+        "*", F.explode(F.array(F.struct(*fields))).alias(jb)
     )
     if not flat:
-        ok = F.col("__jb.__vschema").startswith("OBJECT")
+        ok = F.col(f"{jb}.__vschema").startswith("OBJECT")
     else:
-        terms = []
-        for i, (k, val) in enumerate(flat.items()):
-            kv = F.col(f"__jb.__kv{i}")
-            kj = F.to_json(kv)
-            if val is None:
-                t = kj == F.lit("null")
-            elif isinstance(val, bool):
-                t = kj == F.lit("true" if val else "false")
-            elif isinstance(val, (int, float)):
-                t = (
-                    kj.isNotNull()
-                    & ~kj.startswith('"')
-                    & ~kj.isin("true", "false", "null")
-                    & (F.try_variant_get(kv, "$", "double") == F.lit(float(val)))
-                )
-            else:  # str
-                t = kj.startswith('"') & (
-                    F.try_variant_get(kv, "$", "string") == F.lit(val)
-                )
-            terms.append(F.coalesce(t, F.lit(False)))
+        terms = [
+            _flat_term(F.col(f"{jb}.__kv{i}"), val)
+            for i, val in enumerate(flat.values())
+        ]
         ok = terms[0]
         for t in terms[1:]:
             ok = ok & t
     pred = F.when(
-        c.isNull() | F.col("__jb.__vnull"), F.lit(None).cast("boolean")
+        c.isNull() | F.col(f"{jb}.__vnull"), F.lit(None).cast("boolean")
     ).otherwise(ok)
-    return staged.filter(pred).drop("__jb")
+    return staged.filter(pred).drop(jb)
 
 
 def _pg_eq(a, b) -> bool:

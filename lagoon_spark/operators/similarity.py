@@ -381,6 +381,31 @@ def _kmeans_sums(assigned: DataFrame, vec_col: str, out_col: str) -> DataFrame:
     )
 
 
+def _hash_sample(
+    df: DataFrame, id_col: str, train_fraction: "float | None"
+) -> "tuple[DataFrame, bool]":
+    """Deterministic training sample: ``xxhash64(id) mod 1e6 < f·1e6``
+    (no RNG — bit-identical across runs/partitionings). Returns
+    ``(fit_df, sampled)``; the fit frame is persisted when sampled, and
+    a degenerate (empty) sample falls back to the full frame. One
+    implementation shared by :func:`kmeans_fit_predict` and
+    :func:`pq_fit_encode` so the bit-identical-training guarantee
+    cannot drift between the two trainers (ADVICE r12)."""
+    sampled = train_fraction is not None and 0.0 < train_fraction < 1.0
+    if not sampled:
+        return df, False
+    thresh = max(1, int(train_fraction * 1_000_000))
+    fit_df = df.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < F.lit(thresh)
+    ).persist()
+    if fit_df.select(id_col).first() is None:
+        # degenerate sample (tiny frame + unlucky hashes): train on
+        # everything rather than diverge on an empty fit set
+        fit_df.unpersist()
+        return df, False
+    return fit_df, True
+
+
 def kmeans_fit_predict(
     df: DataFrame,
     id_col: str,
@@ -439,20 +464,7 @@ def kmeans_fit_predict(
 
     if centroids_as not in ("list", "table"):
         raise ValueError(f"unknown centroids_as {centroids_as!r}")
-    fit_df = df
-    sampled = (
-        train_fraction is not None and 0.0 < train_fraction < 1.0
-    )
-    if sampled:
-        thresh = max(1, int(train_fraction * 1_000_000))
-        fit_df = df.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < F.lit(thresh)
-        ).persist()
-        if fit_df.select(id_col).first() is None:
-            # degenerate sample (tiny frame + unlucky hashes): train on
-            # everything rather than diverge on an empty fit set
-            fit_df.unpersist()
-            fit_df, sampled = df, False
+    fit_df, sampled = _hash_sample(df, id_col, train_fraction)
     assigned = fit_df.withColumn(out_col, F.pmod(F.col(id_col), F.lit(k)))
 
     if centroids_as == "table":
@@ -993,16 +1005,7 @@ def pq_fit_encode(
     # same ivf_assign argmin/tie rule (array_position of array_min =
     # first match = lowest cell), and empty cells keep their previous
     # centroid.
-    fit_df = df
-    sampled = train_fraction is not None and 0.0 < train_fraction < 1.0
-    if sampled:
-        thresh = max(1, int(train_fraction * 1_000_000))
-        fit_df = df.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1_000_000)) < F.lit(thresh)
-        ).persist()
-        if fit_df.select(id_col).first() is None:
-            fit_df.unpersist()
-            fit_df, sampled = df, False
+    fit_df, sampled = _hash_sample(df, id_col, train_fraction)
     books: "list[list[list[float]]]" = [
         [[0.0] * sub for _ in range(k)] for _ in range(m)
     ]
