@@ -14,6 +14,7 @@ import sys
 import textwrap
 
 from pyspark.sql import functions as F
+import pytest
 
 
 def test_long_chain_escapes_to_star_algorithm(spark):
@@ -62,6 +63,7 @@ def test_star_components_directly(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 8: 8, 9: 8}
 
 
+@pytest.mark.slow  # heavyweight soak lane (round-12 verdict #3)
 def test_reliable_checkpoint_mode_when_dir_configured(tmp_path):
     """With sc.setCheckpointDir configured (the cluster deployment),
     checkpointing.pin must upgrade to reliable checkpoint() — files

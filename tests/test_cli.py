@@ -74,6 +74,7 @@ class _CliLagoon:
         _run(self.wh, *argv)
 
 
+@pytest.mark.slow  # heavyweight soak lane (round-12 verdict #3)
 def test_cli_golden_dump(spark, tmp_path):
     """The whole F1-F15 corpus through CLI flags == the golden dump the
     engine API produces (the reference's runtests.sh oracle)."""
@@ -313,6 +314,7 @@ def _compaction_corpus(wh, tmp_path):
              user="edsko")
 
 
+@pytest.mark.slow  # heavyweight soak lane (round-12 verdict #3)
 def test_cli_compaction_golden_dump(spark, tmp_path):
     """Mirror of `runcompactiontests.sh:49-62` + dbinfo-compact.expected:
     per-version downloads are byte-identical before and after

@@ -16,6 +16,12 @@ from hypothesis import strategies as st
 
 from lagoon_spark.engine import Lagoon
 
+import pytest
+
+# hypothesis compaction property soak (~120 s) - kept out of the driver's verify window
+# (round-12 verdict #3); run with SPARK_GRAFT_RUN_SLOW=1
+pytestmark = pytest.mark.slow
+
 # small alphabets force collisions across versions and duplicate rows
 # within a version — the cases the occurrence-matching zip must get right
 _row = st.tuples(st.sampled_from("ab"), st.sampled_from(["x", "y"]))

@@ -23,6 +23,10 @@ import time
 
 import pytest
 
+# kill -9 subprocess crash/replay soak (~90 s) — kept out of the
+# driver's verify window (round-12 verdict #3); SPARK_GRAFT_RUN_SLOW=1
+pytestmark = pytest.mark.slow
+
 _CHILD = """
 import sys
 import time

@@ -972,6 +972,7 @@ def test_ann_search_batch_matches_single(lagoon, tmp_path):
     ]
 
 
+@pytest.mark.slow  # heavyweight soak lane (round-12 verdict #3)
 def test_ann_index_incremental_extension(lagoon, tmp_path):
     """Round-8: a streaming-append-grown source extends its persisted
     index incrementally — new rows assigned to the EXISTING centroids
@@ -1062,6 +1063,7 @@ def test_ann_extend_carries_include_columns(lagoon, tmp_path):
     assert info.table_name not in plan
 
 
+@pytest.mark.slow  # heavyweight soak lane (round-12 verdict #3)
 def test_ann_extend_crash_between_appends_heals(lagoon, tmp_path, monkeypatch):
     """extend_ann_index killed between the assignments append and the
     codes append must NOT double-index on retry: watermarks derive
@@ -1120,6 +1122,7 @@ def test_ann_extend_crash_between_appends_heals(lagoon, tmp_path, monkeypatch):
     assert again["extensions"] == meta["extensions"]
 
 
+@pytest.mark.slow  # heavyweight soak lane (round-12 verdict #3)
 def test_ann_index_lifecycle_under_dedup_source(lagoon, tmp_path):
     """Round-7 verdict #6: content maintenance mints new versions that
     don't inherit the parent's per-version ANN index — ann_search must
@@ -1362,6 +1365,7 @@ def test_ann_index_ivfadc_pq(lagoon, tmp_path):
     assert len(wide.collect()) == 5
 
 
+@pytest.mark.slow  # heavyweight soak lane (round-12 verdict #3)
 def test_ann_index_ivfadc_reindex_preserves_pq(lagoon, tmp_path):
     """dedup_source(reindex=True) rebuilds an IVFADC index WITH its
     PQ parameters (not silently downgraded to format 2)."""
@@ -1444,6 +1448,7 @@ def test_ann_include_columns_reserved_names_rejected(lagoon, tmp_path):
         )
 
 
+@pytest.mark.slow  # heavyweight soak lane (round-12 verdict #3)
 def test_ann_extend_staged_append_atomic(lagoon, tmp_path, monkeypatch):
     """Round-8 advice (medium): a mode('append') job killed mid
     job-commit could persist the delta's max-ix part file while other

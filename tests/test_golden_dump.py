@@ -12,6 +12,12 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
+# full-corpus golden dump/restore soak (~330 s) - kept out of the driver's verify window
+# (round-12 verdict #3); run with SPARK_GRAFT_RUN_SLOW=1
+pytestmark = pytest.mark.slow
+
 PIN = "2016-10-01 12:00:00"
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "dbinfo.expected")
 

@@ -856,6 +856,7 @@ def test_dynamic_containment_deep_needle_raises_not_lies(spark):
     }
 
 
+@pytest.mark.slow  # heavyweight soak lane (round-12 verdict #3)
 def test_sql_rewrite_fuzz_parity_with_pandas_tier(spark):
     """300 seeded random documents (nested, quotes, commas, unicode for
     the boolean ops) × randomized keys/paths/needles for every

@@ -13,6 +13,12 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
+# replica-build scale smoke - kept out of the driver's verify window
+# (round-12 verdict #3); run with SPARK_GRAFT_RUN_SLOW=1
+pytestmark = pytest.mark.slow
+
 N_CSV = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "300000"))
 N_JSON = N_CSV // 3
 

@@ -361,6 +361,7 @@ def test_semantic_dedup_above_literal_ceiling_matches_list_path(spark, sf_small,
     assert via_table == via_list and len(via_table) == 300
 
 
+@pytest.mark.slow  # heavyweight soak lane (round-12 verdict #3)
 def test_ivf_assign_k10000_smoke(spark):
     """The broadcast tier plans and executes at k = 10,000 — the
     literal tier cannot (expression text and Catalyst analysis grow
@@ -598,6 +599,7 @@ def test_hashed_linear_score_weight_tiers_agree(spark):
     assert "Broadcast" in plan
 
 
+@pytest.mark.slow  # heavyweight soak lane (round-12 verdict #3)
 def test_hashed_linear_score_two_million_bins(spark):
     """The fastText/CCNet serving regime: F = 2,000,000 hashed bins
     auto-tier to the broadcast carrier — the weight table crosses the

@@ -108,6 +108,7 @@ def test_with_ix_join_tier_matches_literal_tier(spark, tmp_path, monkeypatch):
     )
 
 
+@pytest.mark.slow  # heavyweight soak lane (round-12 verdict #3)
 def test_with_ix_10k_shards_plan_stays_small(spark, tmp_path):
     """The 100 TB sharded-ingest shape: 10k input files. The offset
     state must NOT land in the plan tree as a 20k-entry map literal

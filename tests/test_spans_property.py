@@ -10,6 +10,12 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+import pytest
+
+# hypothesis span-vs-python-reference property soak (~40 s) - kept out of the driver's verify window
+# (round-12 verdict #3); run with SPARK_GRAFT_RUN_SLOW=1
+pytestmark = pytest.mark.slow
+
 _TOKEN = st.sampled_from(["a", "b", "c", "d"])
 _DOC = st.lists(_TOKEN, min_size=0, max_size=12).map(" ".join)
 _CORPUS = st.lists(_DOC, min_size=1, max_size=6)

@@ -166,6 +166,7 @@ class TestAppendMode:
 
 
 class TestStreamCompactLifecycle:
+    @pytest.mark.slow  # compaction lifecycle soak (round-12 verdict #3)
     def test_stream_versions_then_incremental_compact(self, lagoon, tmp_path):
         """The 100 TB lifecycle: a continuous feed lands versions via
         the stream, compaction folds them, MORE files arrive, and the

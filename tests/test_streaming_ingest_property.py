@@ -19,6 +19,12 @@ import datetime
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+import pytest
+
+# hypothesis streaming-batching property soak (~60 s) - kept out of the driver's verify window
+# (round-12 verdict #3); run with SPARK_GRAFT_RUN_SLOW=1
+pytestmark = pytest.mark.slow
+
 # cells that exercise every lattice rank (bool/int/bigint/real/text/null)
 _CELL = st.sampled_from(
     ["1", "0", "true", "no", "7", "123456789012", "3.5", "-2e2", "x y", "", "txt"]

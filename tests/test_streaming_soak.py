@@ -16,6 +16,12 @@ from __future__ import annotations
 
 import time
 
+import pytest
+
+# restart soak - kept out of the driver's verify window
+# (round-12 verdict #3); run with SPARK_GRAFT_RUN_SLOW=1
+pytestmark = pytest.mark.slow
+
 
 def _wait(cond, timeout=90.0, interval=0.25) -> bool:
     t0 = time.time()
