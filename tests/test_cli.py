@@ -256,6 +256,9 @@ def test_cli_subprocess_executable(tmp_path):
     assert r.returncode == 1 and "error:" in r.stderr
 
 
+@pytest.mark.slow  # parity/diagnostic soak (round-12 verdict #3)
+
+
 def test_cli_extension_commands(spark, tmp_path):
     """The engine-surface extensions exposed to the shell: stats,
     export-dataset, optimize-layout, stream-ingest."""
@@ -331,6 +334,9 @@ def test_cli_compaction_golden_dump(spark, tmp_path):
     _, dump = _run(wh, "dump-db-info", user="edsko")
     with open(COMPACT_GOLDEN) as f:
         assert dump == f.read()
+
+
+@pytest.mark.slow  # parity/diagnostic soak (round-12 verdict #3)
 
 
 def test_cli_dedup_source(spark, tmp_path):

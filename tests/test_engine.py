@@ -1541,6 +1541,9 @@ def test_ann_extend_staged_append_atomic(lagoon, tmp_path, monkeypatch):
     assert {r["ix"] for r in got.collect()} == set(range(1, 9))
 
 
+@pytest.mark.slow  # parity/diagnostic soak (round-12 verdict #3)
+
+
 def test_ann_extend_drift_metric(lagoon, tmp_path):
     """Round-8 verdict #8: extensions assign to FROZEN centroids; the
     drift ratio (delta vs build-time mean squared distance) makes the
@@ -1846,6 +1849,9 @@ def test_pq_effective_resolution(lagoon):
     assert lagoon._pq_effective(eps, "i2", True, 32) == (True, 32)
     assert lagoon._pq_effective(rich, "i3", True, None) == (True, 16)
     assert lagoon._pq_effective(rich, "i4", False, None) == (False, 16)
+
+
+@pytest.mark.slow  # parity/diagnostic soak (round-12 verdict #3)
 
 
 def test_pq_regime_diagnostic_quiet_on_margin_rich(lagoon, tmp_path, caplog):

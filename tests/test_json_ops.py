@@ -808,6 +808,9 @@ def test_sql_rewrite_dynamic_containment_parity(spark):
     assert "EvalPython" not in plan  # column-argument containment, pure JVM
 
 
+@pytest.mark.slow  # parity/diagnostic soak (round-12 verdict #3)
+
+
 def test_dynamic_containment_deep_needle_raises_not_lies(spark):
     """A needle nested past the unroll depth must raise loudly, never
     return a silently wrong answer."""

@@ -241,6 +241,8 @@ class TestJsonAppendMode:
         want = lagoon.sql("SELECT * FROM jflow_ref_v1 ORDER BY ix").collect()
         assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
+    @pytest.mark.slow  # append-parity soak (round-12 verdict #3)
+
     def test_multiline_json_append_equals_one_shot(self, lagoon, tmp_path):
         """Multi-line JSON ([...]-array files, pretty-printed values)
         appends through the same constant-memory splitter the one-shot
@@ -378,6 +380,8 @@ class TestParquetAppend:
     batches fold through the parquet lattice (I4 ⊔ I8 = I8,
     int ⊔ real = real, else TEXT), with the ONE-SHOT parquet ingest of
     the combined data as the oracle, including a widening batch."""
+
+    @pytest.mark.slow  # append-parity soak (round-12 verdict #3)
 
     def test_parquet_append_matches_oneshot(self, lagoon, tmp_path):
         import pyarrow as pa
