@@ -204,6 +204,54 @@ def hashed_linear_score(
     return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean)), 9)
 
 
+def hashed_score_struct(
+    col: str,
+    mod: int = MOD,
+    mult: int = MULT,
+    weights: "list[float] | None" = None,
+    weights_col: "str | None" = None,
+) -> Column:
+    """``struct(quality_score, n_tokens)`` of
+    :func:`hashed_linear_score` + :func:`token_count` with the
+    fingerprint array LET-BOUND through a single-element ``transform``
+    so the per-token rolling-hash fold runs exactly once per row.
+
+    The separate-column form re-ran the fold per reference — the
+    round-12 q118 plan shows it SIX times per row (score guard, sum,
+    mean divisor, each twice again when the keep filter is pushed
+    below the projection) — because higher-order expressions are
+    outside whole-stage codegen and interpreted subexpression
+    elimination skips lambda-bearing subtrees. ``n_tokens`` is
+    ``size(fps)``: one fingerprint per non-empty token, identical to
+    ``token_count`` by construction. Consumers must materialize the
+    struct through a generator barrier before extracting fields.
+    Score doubles are bit-identical (same fold, same order, same
+    rounding)."""
+    if weights_col is not None:
+        lookup = (
+            f"element_at({weights_col}, "
+            f"CAST(f % size({weights_col}) AS INT) + 1)"
+        )
+    elif weights is None:
+        lookup = "(CAST(f % 2001 AS DOUBLE) - 1000.0) / 1000.0"
+    else:
+        arr = ", ".join(f"CAST({float(w)!r} AS DOUBLE)" for w in weights)
+        lookup = f"element_at(array({arr}), CAST(f % {len(weights)} AS INT) + 1)"
+    return F.expr(
+        f"element_at(transform(array("
+        f"transform(filter(split({col}, ' '), w -> w <> ''), "
+        f"w -> aggregate(transform(sequence(1, length(w)), "
+        f"i -> ascii(substr(w, i, 1))), CAST(0 AS BIGINT), "
+        f"(a, b) -> (a * {mult} + b) % {mod}))"
+        f"), fps -> named_struct("
+        f"'quality_score', round(1.0 / (1.0 + exp(-("
+        f"CASE WHEN size(fps) > 0 THEN "
+        f"aggregate(fps, CAST(0.0 AS DOUBLE), (acc, f) -> acc + {lookup}) "
+        f"/ CAST(size(fps) AS DOUBLE) ELSE 0.0 END))), 9), "
+        f"'n_tokens', size(fps))), 1)"
+    )
+
+
 def with_hashed_linear_score(
     df: "DataFrame",
     col: str,

@@ -478,14 +478,48 @@ def quality_gate(
     (a stream-static broadcast join), never as expression text, so a
     millions-of-bins production table serves in the same streaming
     plan."""
-    from lagoon_spark.operators.text import token_count, with_hashed_linear_score
+    from lagoon_spark.operators.text import (
+        WEIGHTS_LITERAL_MAX_F,
+        hashed_score_struct,
+    )
 
-    scored = with_hashed_linear_score(
-        docs, "text", "quality_score", weights=weights, weights_df=weights_df
-    ).select(
+    # score + token count as ONE let-bound struct materialized through
+    # a generator barrier: the round-12 plan ran the per-token rolling-
+    # hash fold 6× per row (score guard / sum / mean divisor, doubled
+    # again by the pushed-down keep filter); the staged struct computes
+    # it once and both the filter and the output read attributes.
+    # Weight-carrier tiering matches with_hashed_linear_score.
+    if weights_df is None and (
+        weights is None or len(weights) <= WEIGHTS_LITERAL_MAX_F
+    ):
+        base = docs
+        packed = hashed_score_struct("text", weights=weights)
+    else:
+        if weights_df is None:
+            one = docs.sparkSession.createDataFrame(
+                [([float(w) for w in weights],)], "__weights array<double>"
+            )
+        elif len(weights_df.columns) == 1:
+            one = weights_df.select(
+                F.col(weights_df.columns[0]).alias("__weights")
+            )
+        else:
+            b, w = weights_df.columns[:2]
+            one = weights_df.groupBy().agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col(b), F.col(w)))),
+                    lambda s: s[w].cast("double"),
+                ).alias("__weights")
+            )
+        base = docs.join(F.broadcast(one))
+        packed = hashed_score_struct("text", weights_col="__weights")
+    staged = base.select(
+        "doc_id", F.explode(F.array(packed)).alias("__q")
+    )
+    scored = staged.select(
         "doc_id",
-        "quality_score",
-        token_count("text").cast("int").alias("n_tokens"),
+        F.col("__q.quality_score").alias("quality_score"),
+        F.col("__q.n_tokens").cast("int").alias("n_tokens"),
     )
     return scored.filter(
         (F.col("quality_score") >= min_score)
